@@ -1,0 +1,135 @@
+"""Text-analysis column functions for the training-data pipeline.
+
+All of these are pure column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs in any of them — and each has an exact
+ANSI-SQL twin used by the DuckDB oracle. They power the `documents`
+table operators: language-ID, quality scoring, token counting,
+fingerprinting, shingling for MinHash/Jaccard dedup.
+
+Reference counterpart: the reference's scalar string surface
+(`SURVEY §2.11`; e.g. regex extract/replace in
+``data_integration/datasets/movielens.py:81-105``) plus the greenfield
+LLM-pipeline extensions (no reference counterpart).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[^a-z0-9]+"
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def tokens(c: Column) -> Column:
+    """Lower-cased alphanumeric tokens; no empty strings.
+
+    DuckDB twin: ``list_filter(regexp_split_to_array(lower(x),
+    '[^a-z0-9]+'), t -> t <> '')``.
+    """
+    return F.filter(F.split(F.lower(c), TOKEN_RE), lambda t: t != F.lit(""))
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace/punct token count (BPE-ish proxy for doc length)."""
+    return F.size(tokens(c)).cast("bigint")
+
+
+def word_ngrams(c: Column, n: int = 3) -> Column:
+    """Array of space-joined word n-grams (shingles) of the token list.
+
+    Expressed with ``transform`` over an index sequence so it stays a
+    column expression. Empty result for docs shorter than ``n`` tokens.
+    """
+    toks = tokens(c)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - F.lit(1))
+    return F.when(count > 0, F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)])
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(c: Column, n: int = 8) -> Column:
+    """Distinct character n-gram shingles of the lower-cased text."""
+    s = F.lower(c)
+    count = F.length(s) - F.lit(n - 1)
+    return F.when(
+        count > 0,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), count), lambda i: F.substring(s, i, n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_hits(c: Column, lang: str) -> Column:
+    """How many tokens are in ``lang``'s marker set."""
+    marks = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens(c), lambda t: F.array_contains(marks, t)))
+
+
+def lang_id(c: Column) -> Column:
+    """Heuristic language ID: argmax of stopword-marker hits, 'und' if
+    no marker matched. Deterministic tie-break by language code order.
+    """
+    # fold into nested CASE: strictly-greater wins, so on ties the
+    # lexicographically-first language is kept
+    expr = F.lit("und")
+    max_hits = F.lit(0)
+    for lang in sorted(LANG_MARKERS):
+        hits = stopword_hits(c, lang)
+        expr = F.when(hits > max_hits, F.lit(lang)).otherwise(expr)
+        max_hits = F.when(hits > max_hits, hits).otherwise(max_hits)
+    return expr
+
+
+def quality_score(c: Column) -> Column:
+    """Composite doc-quality score in [0,1]-ish: length band, alpha
+    ratio, mean token length band. Pure arithmetic -> reproducible.
+
+    DuckDB twin built by :func:`quality_score_sql`.
+    """
+    n_chars = F.length(c).cast("double")
+    n_alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z]", "")).cast("double")
+    n_toks = token_count(c).cast("double")
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_toks > 0, n_alpha / n_toks).otherwise(F.lit(0.0))
+    len_band = F.least(n_chars / F.lit(400.0), F.lit(1.0))
+    tok_band = F.least(mean_tok_len / F.lit(6.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * alpha_ratio + F.lit(0.3) * len_band + F.lit(0.3) * tok_band, 6
+    )
+
+
+def doc_fingerprint(c: Column, window: int = 16, mod: int = 2147483647) -> Column:
+    """Order-sensitive rolling document fingerprint.
+
+    Polynomial-ish rolling hash over token lengths+first chars with a
+    cyclic positional weight — cheap, order-sensitive, and expressible
+    identically in DuckDB (see oracle). Collisions are acceptable: it's
+    a fingerprint for near-dup bucketing, not cryptographic.
+    """
+    toks = tokens(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)))
+    contrib = F.transform(
+        idx,
+        lambda i: (
+            (F.ascii(F.element_at(toks, i)) * F.lit(131)
+             + F.length(F.element_at(toks, i)) * F.lit(31)
+             + F.pmod(i.cast("bigint"), F.lit(window)) * F.lit(17))
+            * (F.pmod(i.cast("bigint"), F.lit(window)) + F.lit(1))
+        ).cast("bigint"),
+    )
+    total = F.aggregate(
+        F.when(F.size(toks) > 0, contrib).otherwise(F.array().cast("array<bigint>")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc + x, F.lit(mod)),
+    )
+    return total

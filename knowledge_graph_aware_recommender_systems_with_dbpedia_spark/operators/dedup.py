@@ -1,0 +1,258 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+Greenfield operators (no reference counterpart — SURVEY §7 phase 10):
+
+ * exact_dedup          — md5(text) groupBy, keep min id
+ * ngram_jaccard_pairs  — set-similarity join on word n-gram shingles
+ * minhash_signatures / minhash_lsh_pairs — MinHash + banded LSH
+   candidates + exact Jaccard verify
+ * simhash              — 32-bit SimHash with bit-majority
+ * embedding_near_dups  — cosine >= threshold pairs over embeddings
+
+Scale design notes:
+ * everything keys on shingle/hash equi-joins — no O(n^2) pairwise
+   pass; the only quadratic step is within an LSH bucket / shared-
+   shingle group, which is bounded by design;
+ * hot shingles (stop-phrases) are the classic skew source: callers
+   can cap shingle document-frequency (``max_shingle_df``), which both
+   kills join skew and removes non-discriminative shingles;
+ * the md5-based arithmetic hash is engine-portable so the DuckDB
+   oracle can verify byte-identical results; a 100 TB deployment would
+   swap in xxhash64 (cheaper, same shapes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, minhash_expr
+from ..functions.text import tokens, word_ngrams
+
+MINHASH_PRIME = 2147483647
+N_HASHES = 16
+
+
+def _coeffs(n: int = N_HASHES) -> list[tuple[int, int]]:
+    """Deterministic public universal-hash coefficients, a < 2**31."""
+    out = []
+    for i in range(1, n + 1):
+        a = (1597334677 * i) % (MINHASH_PRIME - 1) + 1
+        b = (968764411 * i) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+MINHASH_COEFFS = _coeffs()
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct text, keeper = min id.
+
+    Returns (text_hash, keep_id, n_dups). Hash-groupBy: partial
+    aggregation map-side, shuffles only (hash, id) pairs — at 100 TB
+    the shuffle carries ~32 bytes/doc, never the text.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def doc_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(id, shingle) exploded distinct word-n-gram shingles.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs — the skew/selectivity guard for the joins downstream.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(
+            F.broadcast(dfreq.filter(F.col("_df") <= max_shingle_df).select("shingle")),
+            "shingle",
+            "left_semi",
+        )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Set-similarity join: pairs with Jaccard(shingles) >= threshold.
+
+    Classic PPJoin-lite shape: explode shingles, equi-join on shingle,
+    count common per pair, combine with per-doc set sizes.
+    Returns (id1, id2, jaccard) with id1 < id2.
+    """
+    sh = doc_shingles(docs, id_col, text_col, n, max_shingle_df).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc MinHash signature: one column mh0..mh{n-1} per hash fn.
+
+    min() aggregations get map-side partial aggregation — the shuffle
+    per doc is n_hashes longs regardless of document size.
+    """
+    sh = doc_shingles(docs, id_col, text_col, n)
+    x = md5_long(F.col("shingle"))
+    aggs = [
+        F.min(minhash_expr(x, a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    bands: int = 4,
+    n_hashes: int = N_HASHES,
+    n: int = 3,
+    verify_threshold: float | None = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate pairs, optionally verified with exact Jaccard.
+
+    Bands of r = n_hashes/bands rows; docs sharing ANY band bucket are
+    candidates. Returns (id1, id2[, jaccard]).
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, n, id_col, text_col)
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"mh{bi * rows + j}").cast("string") for j in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("bkey"))
+        )
+    buckets = sig.select(
+        F.col("id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    cands = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cands
+    jac = ngram_jaccard_pairs(docs, threshold=0.0, n=n, id_col=id_col, text_col=text_col)
+    return cands.join(jac, ["id1", "id2"]).filter(F.col("jaccard") >= verify_threshold)
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """32-bit SimHash per doc: bit i is the sign of the +-1 majority of
+    token-hash bit i. Returns (id, simhash, band0..band3 prefix buckets).
+
+    Pure shuffle-light shape: explode tokens -> md5_long -> 32
+    conditional sums in ONE groupBy (all map-side combinable).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    h = F.pmod(md5_long(F.col("tok")), F.lit(2**bits)).alias("h")
+    tok = tok.select("id", h)
+    aggs = [
+        F.sum(
+            F.when(F.pmod(F.floor(F.col("h") / F.lit(2**i)), F.lit(2)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy("id").agg(*aggs)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)).cast("bigint")
+        sim = term if sim is None else sim + term
+    out = sums.select("id", sim.alias("simhash"))
+    # 4 bands of 8 bits for near-dup bucketing (hamming<=3 heuristics)
+    for bi in range(4):
+        out = out.withColumn(
+            f"band{bi}", F.pmod(F.floor(F.col("simhash") / F.lit(2 ** (8 * bi))), F.lit(256))
+        )
+    return out
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs of embeddings with cosine >= threshold (id1 < id2).
+
+    Exact O(n^2) within-partition path for correctness; the scale path
+    buckets by random-hyperplane signs first (similarity.py).
+    """
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
+    nn = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("v"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        nn.alias("a")
+        .crossJoin(nn.alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            dot.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

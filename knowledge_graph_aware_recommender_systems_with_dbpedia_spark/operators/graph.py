@@ -1,0 +1,297 @@
+"""Heterogeneous knowledge graph as two DataFrames.
+
+The reference materializes an undirected networkx object graph with
+typed nodes/edges in driver memory
+(``/root/reference/framework/dataloader/graph/graph.py:18-44``).
+Spark-first re-expression: the graph IS two DataFrames —
+
+    nodes(node_id, node_type, property_type, value)
+    edges(src, dst, edge_type, rating, timestamp)
+
+``node_id`` is a composed string key ``{type}:{property_type}:{value}``
+so PropertyNode identity includes its property type (the reference's
+``node.py:74-77`` quirk: Property("Spielberg", director) !=
+Property("Spielberg", starring)).
+
+Semantics preserved from the reference:
+ * rating edges only where BOTH endpoints exist (graph.py:297) — two
+   left-semi joins;
+ * duplicate (user, item) ratings collapse to a single edge, last
+   write wins (nx single-edge semantics) — ``row_number`` keep-last;
+ * list-valued properties fan out to one has_property edge per value
+   (graph.py:246-256) — ``explode``;
+ * unmatched items (null URI) dropped when ``remove_unmatched``
+   (graph.py:226-227).
+
+Scale notes: node/edge construction is pure select/union/join — no
+driver loop, no collect. The k-core loop is the one inherently
+iterative op; each iteration is a groupBy-count + semi-join and the
+lineage is truncated with ``localCheckpoint`` to stop plan blowup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+USER = "user"
+ITEM = "item"
+PROPERTY = "property"
+
+RATED = "rated"
+HAS_PROPERTY = "has_property"
+SOCIAL = "social"
+
+
+def _node_id(node_type, property_type, value):
+    return F.concat_ws(":", node_type, property_type, value)
+
+
+@dataclass
+class KGraph:
+    """A property graph: two DataFrames, immutable, lazily planned."""
+
+    nodes: DataFrame
+    edges: DataFrame
+
+    def rating_edges(self) -> DataFrame:
+        return self.edges.filter(F.col("edge_type") == RATED)
+
+    def cache(self) -> "KGraph":
+        return KGraph(self.nodes.cache(), self.edges.cache())
+
+
+def build_graph(
+    items: DataFrame,
+    users: DataFrame,
+    ratings: DataFrame,
+    social: DataFrame | None = None,
+    mapping: DataFrame | None = None,
+    enriched: DataFrame | None = None,
+    item_property_cols: list[str] | None = None,
+    user_property_cols: list[str] | None = None,
+    remove_unmatched: bool = False,
+    rating_order_col: str | None = None,
+) -> KGraph:
+    """Build the user-item-property KG from standardized tables.
+
+    Parameters mirror the reference's ``Graph.build``
+    (graph.py:28-35, 217-314): items/users/ratings with standardized
+    ``item_id``/``user_id``/``rating``[/``timestamp``] columns,
+    optional social links, URI mapping (J1), enrichment columns (J2).
+
+    ``rating_order_col``: column that defines "last write" for
+    duplicate (user, item) pairs. The reference relies on pandas row
+    order; a distributed engine needs an explicit order — pass the
+    ingestion sequence column if exact parity matters, else the max
+    timestamp/rating wins deterministically.
+    """
+    if mapping is not None:
+        items = items.join(F.broadcast(mapping), "item_id", "left")  # J1
+        if remove_unmatched:
+            items = items.filter(F.col("URI").isNotNull())  # P4
+    if enriched is not None:
+        items = items.join(enriched, "item_id", "left")  # J2
+
+    item_property_cols = item_property_cols or []
+    user_property_cols = user_property_cols or []
+
+    item_nodes = items.select(
+        _node_id(F.lit(ITEM), F.lit(""), F.col("item_id")).alias("node_id"),
+        F.lit(ITEM).alias("node_type"),
+        F.lit(None).cast("string").alias("property_type"),
+        F.col("item_id").cast("string").alias("value"),
+    ).distinct()
+
+    user_nodes = users.select(
+        _node_id(F.lit(USER), F.lit(""), F.col("user_id")).alias("node_id"),
+        F.lit(USER).alias("node_type"),
+        F.lit(None).cast("string").alias("property_type"),
+        F.col("user_id").cast("string").alias("value"),
+    ).distinct()
+
+    def property_edges(df: DataFrame, key: str, owner_type: str, cols: list[str]) -> DataFrame | None:
+        pieces = []
+        for c in cols:
+            dtype = dict(df.dtypes).get(c)
+            vals = F.explode(F.col(c)) if dtype and dtype.startswith("array") else F.col(c)
+            piece = (
+                df.select(F.col(key), vals.alias("pval"))
+                .filter(F.col("pval").isNotNull() & (F.col("pval") != ""))
+                .select(
+                    _node_id(F.lit(owner_type), F.lit(""), F.col(key)).alias("src"),
+                    _node_id(F.lit(PROPERTY), F.lit(c), F.col("pval")).alias("dst"),
+                    F.lit(HAS_PROPERTY).alias("edge_type"),
+                    F.lit(None).cast("double").alias("rating"),
+                    F.lit(None).cast("double").alias("timestamp"),
+                    F.lit(c).alias("property_type"),
+                    F.col("pval").cast("string").alias("pvalue"),
+                )
+            )
+            pieces.append(piece)
+        if not pieces:
+            return None
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    item_props = property_edges(items, "item_id", ITEM, item_property_cols)
+    user_props = property_edges(users, "user_id", USER, user_property_cols)
+
+    prop_nodes_pieces = []
+    for pe in (item_props, user_props):
+        if pe is not None:
+            prop_nodes_pieces.append(
+                pe.select(
+                    F.col("dst").alias("node_id"),
+                    F.lit(PROPERTY).alias("node_type"),
+                    F.col("property_type"),
+                    F.col("pvalue").alias("value"),
+                ).distinct()
+            )
+    nodes = item_nodes.unionByName(user_nodes)
+    for pn in prop_nodes_pieces:
+        nodes = nodes.unionByName(pn)
+
+    # rating edges: existence semi-joins (J4) then duplicate collapse
+    r = ratings
+    if "timestamp" not in r.columns:
+        r = r.withColumn("timestamp", F.lit(None).cast("double"))
+    r = (
+        r.join(items.select("item_id").distinct(), "item_id", "left_semi")
+        .join(users.select("user_id").distinct(), "user_id", "left_semi")
+    )
+    order = F.col(rating_order_col).desc() if rating_order_col else F.desc_nulls_last("timestamp")
+    w = Window.partitionBy("user_id", "item_id").orderBy(order)
+    r = r.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    rating_edges = r.select(
+        _node_id(F.lit(USER), F.lit(""), F.col("user_id")).alias("src"),
+        _node_id(F.lit(ITEM), F.lit(""), F.col("item_id")).alias("dst"),
+        F.lit(RATED).alias("edge_type"),
+        F.col("rating").cast("double").alias("rating"),
+        F.col("timestamp").cast("double").alias("timestamp"),
+        F.lit(None).cast("string").alias("property_type"),
+        F.lit(None).cast("string").alias("pvalue"),
+    )
+
+    edges = rating_edges
+    for pe in (item_props, user_props):
+        if pe is not None:
+            edges = edges.unionByName(pe)
+
+    if social is not None:
+        # J5: both endpoints must be existing users; undirected collapse
+        # (store src<dst canonical orientation, dedup symmetric pairs)
+        s = (
+            social.join(users.select(F.col("user_id").alias("user1")), "user1", "left_semi")
+            .join(users.select(F.col("user_id").alias("user2")), "user2", "left_semi")
+            .filter(F.col("user1") != F.col("user2"))
+            .select(
+                F.least("user1", "user2").alias("u1"),
+                F.greatest("user1", "user2").alias("u2"),
+            )
+            .distinct()
+            .select(
+                _node_id(F.lit(USER), F.lit(""), F.col("u1")).alias("src"),
+                _node_id(F.lit(USER), F.lit(""), F.col("u2")).alias("dst"),
+                F.lit(SOCIAL).alias("edge_type"),
+                F.lit(None).cast("double").alias("rating"),
+                F.lit(None).cast("double").alias("timestamp"),
+                F.lit(None).cast("string").alias("property_type"),
+                F.lit(None).cast("string").alias("pvalue"),
+            )
+        )
+        edges = edges.unionByName(s)
+
+    return KGraph(nodes=nodes, edges=edges.drop("pvalue"))
+
+
+def graph_summary(g: KGraph) -> DataFrame:
+    """Node/edge counts by type (reference graph.py:37-44)."""
+    n = g.nodes.groupBy("node_type").count().select(
+        F.concat(F.lit("nodes:"), F.col("node_type")).alias("kind"), "count"
+    )
+    e = g.edges.groupBy("edge_type").count().select(
+        F.concat(F.lit("edges:"), F.col("edge_type")).alias("kind"), "count"
+    )
+    return n.unionByName(e)
+
+
+def filter_kcore(
+    ratings: DataFrame,
+    k: int,
+    target: str = "user",
+    iterations: int = 1,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """Iteration-bounded k-core filter over the rating fact table.
+
+    Faithful to the reference (methods.py:28-47): per iteration, drop
+    every ``target`` whose degree < k, cascade-delete its edges, stop
+    early when nothing was deleted. NOT a fixpoint k-core unless
+    ``iterations`` is large — the bound is part of the semantics.
+
+    Scale: each iteration = one partial-agg count + one broadcast-able
+    semi-join; lineage truncated via localCheckpoint so long runs don't
+    accumulate a thousand-stage plan.
+    """
+    key = user_col if target == "user" else item_col
+    current = ratings
+    for i in range(iterations):
+        keep = current.groupBy(key).count().filter(F.col("count") >= k).select(key)
+        nxt = current.join(keep, key, "left_semi")
+        # early-stop: did we delete anything this round?
+        before, after = current.count(), nxt.count()
+        current = nxt.localCheckpoint(eager=True) if i < iterations - 1 else nxt
+        if before == after:
+            break
+    return current
+
+
+def triples(g: KGraph, which: str = "all") -> DataFrame:
+    """Flatten the KG to (head, relation, tail) string triples.
+
+    Reference graph.py:79-125: rating edges emit relation
+    ``rating{value}`` (float formatting preserved: 4.0 -> 'rating4.0'),
+    user properties 'is', item properties 'has'.
+
+    ``which``: 'all' or 'ratings' (the reference's two export modes).
+    """
+    rated = g.edges.filter(F.col("edge_type") == RATED).select(
+        F.col("src").alias("head"),
+        F.concat(F.lit("rating"), F.col("rating").cast("string")).alias("relation"),
+        F.col("dst").alias("tail"),
+    )
+    if which == "ratings":
+        return rated
+    props = g.edges.filter(F.col("edge_type") == HAS_PROPERTY).select(
+        F.col("src").alias("head"),
+        F.when(F.col("src").startswith(USER + ":"), F.lit("is"))
+        .otherwise(F.lit("has"))
+        .alias("relation"),
+        F.col("dst").alias("tail"),
+    )
+    social = g.edges.filter(F.col("edge_type") == SOCIAL).select(
+        F.col("src").alias("head"),
+        F.lit("friends_with").alias("relation"),
+        F.col("dst").alias("tail"),
+    )
+    return rated.unionByName(props).unionByName(social)
+
+
+def relabel_nodes(nodes: DataFrame) -> DataFrame:
+    """Contiguous 0-based int ids for embedding trainers (graph.py:168-179).
+
+    ``row_number`` over a deterministic total order — NOT
+    ``monotonically_increasing_id`` (non-dense, partition-dependent).
+    The mapping DataFrame (int_id, node_id) is the 'convert_back' table.
+    """
+    w = Window.orderBy("node_id")
+    return nodes.select("node_id").distinct().withColumn(
+        "int_id", F.row_number().over(w) - 1
+    )

