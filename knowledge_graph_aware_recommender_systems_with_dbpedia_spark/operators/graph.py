@@ -164,8 +164,12 @@ def build_graph(
         r.join(items.select("item_id").distinct(), "item_id", "left_semi")
         .join(users.select("user_id").distinct(), "user_id", "left_semi")
     )
-    order = F.col(rating_order_col).desc() if rating_order_col else F.desc_nulls_last("timestamp")
-    w = Window.partitionBy("user_id", "item_id").orderBy(order)
+    order = (
+        [F.col(rating_order_col).desc()]
+        if rating_order_col
+        else [F.desc_nulls_last("timestamp"), F.desc_nulls_last("rating")]
+    )
+    w = Window.partitionBy("user_id", "item_id").orderBy(*order)
     r = r.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     rating_edges = r.select(

@@ -61,11 +61,15 @@ def split_ratings(
             raise ValueError("p must be in (0, 1)")
         if level not in ("user", "global"):
             raise ValueError("level must be 'user' or 'global'")
+        # the trailing rating/ts columns make the order TOTAL even when
+        # the same (user, item) pair appears twice — otherwise retries
+        # could attach is_test to a different duplicate row
+        tiebreak = [c for c in ("rating", ts_col) if c in ratings.columns]
         order = (
             [det_unit(F.col(user_col), F.col(item_col), seed=seed), F.col(user_col), F.col(item_col)]
             if method == "random_by_ratio"
             else [F.col(ts_col), F.col(user_col), F.col(item_col)]
-        )
+        ) + [F.col(c) for c in tiebreak]
         part = Window.partitionBy(user_col) if level == "user" else Window.partitionBy(F.lit(1))
         w = part.orderBy(*[o.desc() for o in order])
         cnt = part.orderBy(F.lit(1)).rowsBetween(
@@ -90,8 +94,12 @@ def split_ratings(
         if level not in ("user", "global"):
             raise ValueError("level must be 'user' or 'global'")
         part = Window.partitionBy(user_col) if level == "user" else Window.partitionBy(F.lit(1))
+        tiebreak = [F.col(c) for c in ("rating", ts_col) if c in ratings.columns]
         w = part.orderBy(
-            det_unit(F.col(user_col), F.col(item_col), seed=seed), F.col(user_col), F.col(item_col)
+            det_unit(F.col(user_col), F.col(item_col), seed=seed),
+            F.col(user_col),
+            F.col(item_col),
+            *tiebreak,
         )
         cnt = part.orderBy(F.lit(1)).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
@@ -104,9 +112,11 @@ def split_ratings(
         big, rem = F.col("_n") / k, F.pmod(F.col("_n"), F.lit(k))
         base = F.floor(big).cast("bigint")
         cutover = rem * (base + 1)  # rows covered by the big folds
+        # greatest(base,1): when n < k no row reaches the ELSE branch,
+        # but keep the divisor nonzero for engines that evaluate eagerly
         fold = F.when(
             F.col("_rn") < cutover, F.floor(F.col("_rn") / (base + 1))
-        ).otherwise(rem + F.floor((F.col("_rn") - cutover) / base))
+        ).otherwise(rem + F.floor((F.col("_rn") - cutover) / F.greatest(base, F.lit(1))))
         return df.withColumn("fold", fold.cast("int")).drop("_rn", "_n")
 
     raise ValueError(

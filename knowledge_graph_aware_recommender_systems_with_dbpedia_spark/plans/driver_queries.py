@@ -1,0 +1,1089 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY §2 (the key name
+carries the inventory id). The Spark side goes through the library
+operators; the oracle is ANSI SQL DuckDB runs on the same parquet.
+
+Engine-portability rules used throughout (so value hashes match):
+ * integers are BIGINT on both sides (Spark ints are cast up);
+ * money sums go through round(x, 2) -> DECIMAL(18,2) -> exact sum ->
+   DOUBLE (double-sum order is engine-dependent, decimal sum is not);
+ * metric outputs are round(x, 6);
+ * "random" is the deterministic det_hash of the row keys
+   (functions/hashing.py) — reproducible in SQL text form;
+ * recommender domain mapping on the TPC-H-ish tables:
+   user = o_custkey, item = l_partkey, rating = l_quantity,
+   ts = days since 1990-01-01 of o_orderdate; duplicate (user, item)
+   pairs are collapsed keep-last by (ts, rating) like the reference's
+   nx single-edge semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..operators import graph as G
+from ..operators import metrics as ME
+from ..operators import recommend as RC
+from ..operators import similarity as SIM
+from ..operators import splits as SP
+from ..sources.tables import load_table
+
+SEED = 42
+
+# --------------------------------------------------------------------------
+# shared fragments
+# --------------------------------------------------------------------------
+
+RATINGS0_SQL = """
+  SELECT CAST(o_custkey AS BIGINT) AS user_id,
+         CAST(l_partkey AS BIGINT) AS item_id,
+         CAST(l_quantity AS DOUBLE) AS rating,
+         CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS ts
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+RATINGS_SQL = f"""
+  SELECT user_id, item_id, rating, ts FROM (
+    SELECT r0.*, row_number() OVER (
+      PARTITION BY user_id, item_id ORDER BY ts DESC, rating DESC) AS _drn
+    FROM ({RATINGS0_SQL}) r0
+  ) rd WHERE _drn = 1
+"""
+
+HASH_SQL = H.det_hash_sql("user_id", "item_id", seed=SEED)
+UNIT_SQL = f"({HASH_SQL}) / 1000000.0"
+
+TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _raw_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").cast("bigint").alias("user_id"),
+        F.col("l_partkey").cast("bigint").alias("item_id"),
+        F.col("l_quantity").cast("double").alias("rating"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+        .cast("bigint")
+        .alias("ts"),
+    )
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped interaction table (keep-last by ts, rating)."""
+    w = Window.partitionBy("user_id", "item_id").orderBy(
+        F.desc("ts"), F.desc("rating")
+    )
+    return (
+        _raw_ratings(spark, sf_dir)
+        .withColumn("_drn", F.row_number().over(w))
+        .filter(F.col("_drn") == 1)
+        .drop("_drn")
+    )
+
+
+def _user_split(spark: SparkSession, sf_dir: str, p: float = 0.2) -> DataFrame:
+    return SP.split_ratings(
+        _ratings(spark, sf_dir), "random_by_ratio", seed=SEED, p=p, level="user"
+    )
+
+
+def _split_user_sql(p: float = 0.2) -> str:
+    """CTE chain ratings0/ratings/sp for the per-user hash split."""
+    return f"""
+ratings AS ({RATINGS_SQL}),
+h AS (SELECT ratings.*, {UNIT_SQL} AS _u FROM ratings),
+w AS (SELECT h.*, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY _u DESC, user_id DESC, item_id DESC, rating DESC, ts DESC) AS _rn,
+      count(*) OVER (PARTITION BY user_id) AS _n FROM h),
+sp AS (SELECT user_id, item_id, rating, ts,
+       CASE WHEN _rn <= ceil(_n * {p}) THEN 1 ELSE 0 END AS is_test FROM w)
+"""
+
+
+POP_RECS_SQL = (
+    "WITH "
+    + _split_user_sql(0.2)
+    + """,
+train AS (SELECT user_id, item_id FROM sp WHERE is_test = 0),
+pop AS (SELECT item_id, count(*) AS pop FROM train GROUP BY item_id),
+deg AS (SELECT max(c) AS m FROM (SELECT count(*) AS c FROM train GROUP BY user_id) dd),
+topi AS (SELECT item_id, pop, row_number() OVER (ORDER BY pop DESC, item_id) AS prn FROM pop),
+cand AS (SELECT u.user_id, t.item_id, t.pop
+         FROM (SELECT DISTINCT user_id FROM train) u CROSS JOIN topi t
+         WHERE t.prn <= (SELECT m FROM deg) + 5),
+filt AS (SELECT c.user_id, c.item_id, c.pop FROM cand c
+         WHERE NOT EXISTS (SELECT 1 FROM train tr
+                           WHERE tr.user_id = c.user_id AND tr.item_id = c.item_id)),
+rk AS (SELECT user_id, item_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY pop DESC, item_id) AS rec_rank FROM filt)
+"""
+)
+
+
+def _pop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, _ = SP.train_test(_user_split(spark, sf_dir))
+    return (
+        RC.PopularityRecommender(k=5)
+        .train(train.select("user_id", "item_id", "rating", "ts"))
+        .get_recommendations(5)
+        .withColumnRenamed("rank", "rec_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# relational operators
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
+    )
+    # money is truncated to whole cents BEFORE summing: floor(x*100) of a
+    # double is IEEE-deterministic across engines, a decimal/HALF_UP
+    # round is not (Spark HALF_UP vs DuckDB round diverge on ~1e-4 of rows)
+    cents = lambda c: F.floor(c * 100)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(cents(disc_price)).cast("double") / 100).alias("sum_disc_price"),
+            (F.sum(cents(charge)).cast("double") / 100).alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(cents(F.col("l_extendedprice"))).cast("double")
+                / 100
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_disc_price,
+  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_charge,
+  round(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 6) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def p1_typed_projection(spark, sf_dir):
+    return load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("item_id"),
+        F.col("p_name").alias("title"),
+        F.regexp_extract(F.col("p_name"), "^([a-z]+)", 1).alias("first_word"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+
+
+P1_SQL = """
+SELECT CAST(p_partkey AS BIGINT) AS item_id, p_name AS title,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       p_brand AS brand, CAST(p_size AS BIGINT) AS size
+FROM part
+"""
+
+
+def p6_dense_ids(spark, sf_dir):
+    w = Window.orderBy("p_name", "item_id")
+    return load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("item_id"), "p_name"
+    ).withColumn("dense_id", (F.row_number().over(w) - 1).cast("bigint"))
+
+
+P6_SQL = """
+SELECT CAST(p_partkey AS BIGINT) AS item_id, p_name,
+       CAST(row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS BIGINT) AS dense_id
+FROM part
+"""
+
+
+def p11_binarize(spark, sf_dir):
+    return _ratings(spark, sf_dir).select(
+        "user_id",
+        "item_id",
+        (F.col("rating") >= 25).cast("bigint").alias("binarized"),
+    )
+
+
+P11_SQL = f"""
+WITH ratings AS ({RATINGS_SQL})
+SELECT user_id, item_id, CAST(CASE WHEN rating >= 25 THEN 1 ELSE 0 END AS BIGINT) AS binarized
+FROM ratings
+"""
+
+
+def p12_distinct_keys(spark, sf_dir):
+    return _ratings(spark, sf_dir).select("user_id").distinct()
+
+
+P12_SQL = f"WITH ratings AS ({RATINGS_SQL}) SELECT DISTINCT user_id FROM ratings"
+
+
+def p5_dedup_ratings(spark, sf_dir):
+    return _ratings(spark, sf_dir)
+
+
+P5_SQL = RATINGS_SQL
+
+
+def j1_left_enrich(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            F.col("c_custkey").cast("bigint").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+J1_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS user_id, c_mktsegment AS segment,
+       n_name AS nation, r_name AS region
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def j4_semi_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40).select("p_partkey")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")
+        .join(s, li.l_suppkey == s.s_suppkey, "left_semi")
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("orderkey"),
+            F.col("l_partkey").cast("bigint").alias("item_id"),
+            F.col("l_suppkey").cast("bigint").alias("suppkey"),
+            F.col("l_linenumber").cast("bigint").alias("linenumber"),
+        )
+    )
+
+
+J4_SQL = """
+SELECT CAST(l_orderkey AS BIGINT) AS orderkey, CAST(l_partkey AS BIGINT) AS item_id,
+       CAST(l_suppkey AS BIGINT) AS suppkey, CAST(l_linenumber AS BIGINT) AS linenumber
+FROM lineitem li
+WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = li.l_partkey AND p_size > 40)
+  AND EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = li.l_suppkey AND s_acctbal > 5000)
+"""
+
+
+def j6_anti_join(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        F.col("p_partkey").cast("bigint").alias("item_id")
+    )
+
+
+J6_SQL = """
+SELECT CAST(p_partkey AS BIGINT) AS item_id FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p.p_partkey)
+"""
+
+
+def a1_group_concat(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "::").alias(
+                "segments"
+            )
+        )
+    )
+
+
+A1_SQL = """
+SELECT n_name AS nation, string_agg(DISTINCT c_mktsegment, '::' ORDER BY c_mktsegment) AS segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def a5_coverage_stats(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0)).alias("n_no_discount"),
+        F.round(
+            F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pct_no_discount"),
+    )
+
+
+A5_SQL = """
+SELECT l_returnflag, count(*) AS n,
+  CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_discount,
+  round(CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_no_discount
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a6_mean_std(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100)
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.sum(cents).cast("double") / 100 / F.count(F.lit(1)), 4).alias("mean_price"),
+        F.round(F.stddev_pop("o_totalprice"), 2).alias("std_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+A6_SQL = """
+SELECT o_orderpriority,
+  round(CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 4) AS mean_price,
+  round(stddev_pop(o_totalprice), 2) AS std_price,
+  count(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def a8_max_degree(spark, sf_dir):
+    return (
+        _ratings(spark, sf_dir)
+        .groupBy("user_id")
+        .count()
+        .agg(F.max("count").alias("max_degree"))
+    )
+
+
+A8_SQL = f"""
+WITH ratings AS ({RATINGS_SQL})
+SELECT max(c) AS max_degree FROM (SELECT count(*) AS c FROM ratings GROUP BY user_id) t
+"""
+
+
+def a9_value_counts(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").groupBy("event_type").count()
+
+
+A9_SQL = "SELECT event_type, count(*) AS count FROM events GROUP BY event_type"
+
+
+def o2_global_sort(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_shipdate"), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("orderkey"),
+            F.col("l_linenumber").cast("bigint").alias("linenumber"),
+            F.col("l_shipdate").cast("date").cast("string").alias("shipdate"),
+        )
+    )
+
+
+O2_SQL = """
+SELECT CAST(l_orderkey AS BIGINT) AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS shipdate
+FROM lineitem ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def o3_topk_per_group(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rec_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rec_rank") <= 3)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("user_id"),
+            F.col("o_orderkey").cast("bigint").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rec_rank",
+        )
+    )
+
+
+O3_SQL = """
+SELECT CAST(o_custkey AS BIGINT) AS user_id, CAST(o_orderkey AS BIGINT) AS orderkey,
+       round(o_totalprice, 2) AS totalprice, CAST(rec_rank AS BIGINT) AS rec_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rec_rank
+      FROM orders) t
+WHERE rec_rank <= 3
+"""
+
+
+def u1_union_distinct(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return a.union(b).distinct().select(F.col("c_custkey").cast("bigint").alias("user_id"))
+
+
+U1_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS user_id FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0
+) t
+"""
+
+
+# --------------------------------------------------------------------------
+# graph operators
+# --------------------------------------------------------------------------
+
+def _graph(spark, sf_dir) -> G.KGraph:
+    items = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("item_id"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+    )
+    users = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    ratings = _ratings(spark, sf_dir).select(
+        F.col("user_id").cast("string"),
+        F.col("item_id").cast("string"),
+        "rating",
+        F.col("ts").cast("double").alias("timestamp"),
+    )
+    return G.build_graph(
+        items,
+        users,
+        ratings,
+        item_property_cols=["brand", "type"],
+        user_property_cols=["segment"],
+    )
+
+
+def g3_graph_summary(spark, sf_dir):
+    return G.graph_summary(_graph(spark, sf_dir))
+
+
+G3_SQL = f"""
+WITH ratings AS ({RATINGS_SQL})
+SELECT 'nodes:item' AS kind, CAST(count(*) AS BIGINT) AS count FROM part
+UNION ALL SELECT 'nodes:user', count(*) FROM customer
+UNION ALL SELECT 'nodes:property',
+  (SELECT count(DISTINCT p_brand) FROM part) + (SELECT count(DISTINCT p_type) FROM part)
+  + (SELECT count(DISTINCT c_mktsegment) FROM customer)
+UNION ALL SELECT 'edges:rated', count(*) FROM ratings
+UNION ALL SELECT 'edges:has_property',
+  2 * (SELECT count(*) FROM part) + (SELECT count(*) FROM customer)
+"""
+
+
+def g5_relabel(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return G.relabel_nodes(g.nodes).select(
+        "node_id", F.col("int_id").cast("bigint").alias("int_id")
+    )
+
+
+G5_SQL = """
+WITH nodes AS (
+  SELECT 'item::' || CAST(p_partkey AS VARCHAR) AS node_id FROM part
+  UNION ALL SELECT 'user::' || CAST(c_custkey AS VARCHAR) FROM customer
+  UNION ALL SELECT DISTINCT 'property:brand:' || p_brand FROM part
+  UNION ALL SELECT DISTINCT 'property:type:' || p_type FROM part
+  UNION ALL SELECT DISTINCT 'property:segment:' || c_mktsegment FROM customer
+)
+SELECT node_id, CAST(row_number() OVER (ORDER BY node_id) - 1 AS BIGINT) AS int_id
+FROM (SELECT DISTINCT node_id FROM nodes) n
+"""
+
+
+def g8_triples(spark, sf_dir):
+    return G.triples(_graph(spark, sf_dir), which="all")
+
+
+G8_SQL = f"""
+WITH ratings AS ({RATINGS_SQL})
+SELECT 'user::' || CAST(user_id AS VARCHAR) AS head,
+       'rating' || CAST(rating AS VARCHAR) AS relation,
+       'item::' || CAST(item_id AS VARCHAR) AS tail
+FROM ratings
+UNION ALL
+SELECT 'item::' || CAST(p_partkey AS VARCHAR), 'has', 'property:brand:' || p_brand FROM part
+UNION ALL
+SELECT 'item::' || CAST(p_partkey AS VARCHAR), 'has', 'property:type:' || p_type FROM part
+UNION ALL
+SELECT 'user::' || CAST(c_custkey AS VARCHAR), 'is', 'property:segment:' || c_mktsegment FROM customer
+"""
+
+
+def g4_kcore_user(spark, sf_dir):
+    return G.filter_kcore(_ratings(spark, sf_dir), k=8, target="user", iterations=1)
+
+
+G4_USER_SQL = f"""
+WITH ratings AS ({RATINGS_SQL})
+SELECT r.* FROM ratings r
+WHERE EXISTS (SELECT 1 FROM (SELECT user_id FROM ratings GROUP BY user_id HAVING count(*) >= 8) k
+              WHERE k.user_id = r.user_id)
+"""
+
+
+def g4_kcore_alternating(spark, sf_dir):
+    r = _ratings(spark, sf_dir)
+    r1 = G.filter_kcore(r, k=5, target="item", iterations=1)
+    return G.filter_kcore(r1, k=8, target="user", iterations=1)
+
+
+G4_ALT_SQL = f"""
+WITH ratings AS ({RATINGS_SQL}),
+r1 AS (SELECT r.* FROM ratings r
+       WHERE EXISTS (SELECT 1 FROM (SELECT item_id FROM ratings GROUP BY item_id HAVING count(*) >= 5) ki
+                     WHERE ki.item_id = r.item_id))
+SELECT r1.* FROM r1
+WHERE EXISTS (SELECT 1 FROM (SELECT user_id FROM r1 GROUP BY user_id HAVING count(*) >= 8) ku
+              WHERE ku.user_id = r1.user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# splits
+# --------------------------------------------------------------------------
+
+def _split_query(method, **kw):
+    def run(spark, sf_dir):
+        df = SP.split_ratings(_ratings(spark, sf_dir), method, seed=SEED, ts_col="ts", **kw)
+        if "fold" in df.columns:
+            return df.select(
+                "user_id", "item_id", "rating", "ts", F.col("fold").cast("bigint").alias("fold")
+            )
+        return df.select(
+            "user_id", "item_id", "rating", "ts", F.col("is_test").cast("bigint").alias("is_test")
+        )
+
+    return run
+
+
+def _sp_ratio_sql(p, level, by_ts=False):
+    part = "PARTITION BY user_id" if level == "user" else ""
+    order = (
+        "ts DESC, user_id DESC, item_id DESC, rating DESC"
+        if by_ts
+        else "_u DESC, user_id DESC, item_id DESC, rating DESC"
+    )
+    return f"""
+WITH ratings AS ({RATINGS_SQL}),
+h AS (SELECT ratings.*, {UNIT_SQL} AS _u FROM ratings),
+w AS (SELECT h.*, row_number() OVER ({part} ORDER BY {order}) AS _rn,
+      count(*) OVER ({part}) AS _n FROM h)
+SELECT user_id, item_id, rating, ts,
+       CAST(CASE WHEN _rn <= ceil(_n * {p}) THEN 1 ELSE 0 END AS BIGINT) AS is_test
+FROM w
+"""
+
+
+def _sp_kfold_sql(k, level):
+    part = "PARTITION BY user_id" if level == "user" else ""
+    return f"""
+WITH ratings AS ({RATINGS_SQL}),
+h AS (SELECT ratings.*, {UNIT_SQL} AS _u FROM ratings),
+w AS (SELECT h.*, row_number() OVER ({part} ORDER BY _u, user_id, item_id, rating, ts) - 1 AS _rn0,
+      count(*) OVER ({part}) AS _n FROM h)
+SELECT user_id, item_id, rating, ts,
+  CAST(CASE WHEN _rn0 < (_n % {k}) * (_n // {k} + 1)
+       THEN _rn0 // (_n // {k} + 1)
+       ELSE (_n % {k}) + (_rn0 - (_n % {k}) * (_n // {k} + 1)) // greatest(_n // {k}, 1)
+  END AS BIGINT) AS fold
+FROM w
+"""
+
+
+SP5_SQL = f"""
+WITH ratings AS ({RATINGS_SQL})
+SELECT user_id, item_id, rating, ts,
+       CAST(CASE WHEN ts > 2750 THEN 1 ELSE 0 END AS BIGINT) AS is_test
+FROM ratings
+"""
+
+
+# --------------------------------------------------------------------------
+# recommendations + evaluation
+# --------------------------------------------------------------------------
+
+def rec_popularity_top5(spark, sf_dir):
+    return _pop_recs(spark, sf_dir).select(
+        "user_id", "item_id", F.col("rec_rank").cast("bigint").alias("rec_rank")
+    )
+
+
+REC_POP_SQL = (
+    POP_RECS_SQL
+    + """
+SELECT user_id, item_id, CAST(rec_rank AS BIGINT) AS rec_rank FROM rk WHERE rec_rank <= 5
+"""
+)
+
+_METRIC_PRE_SQL = (
+    POP_RECS_SQL
+    + """,
+test AS (SELECT user_id, item_id, rating FROM sp WHERE is_test = 1),
+rel AS (SELECT user_id, item_id, rating FROM test WHERE rating >= 30),
+relc AS (SELECT user_id, count(*) AS n_rel FROM rel GROUP BY user_id),
+r5 AS (SELECT user_id, item_id, rec_rank FROM rk WHERE rec_rank <= 5)
+"""
+)
+
+
+def e2_map_at_5(spark, sf_dir):
+    _, test = SP.train_test(_user_split(spark, sf_dir))
+    recs = _pop_recs(spark, sf_dir).withColumnRenamed("rec_rank", "rank")
+    return ME.map_at_k(
+        test.select("user_id", "item_id", "rating"), recs, 5, relevance_threshold=30
+    ).select(F.round("value", 6).alias("value"))
+
+
+E2_SQL = (
+    _METRIC_PRE_SQL
+    + """,
+hit AS (SELECT r5.user_id, r5.rec_rank,
+        CASE WHEN rel.item_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM r5 LEFT JOIN rel ON r5.user_id = rel.user_id AND r5.item_id = rel.item_id),
+sc AS (SELECT user_id, rec_rank, hit,
+       SUM(hit) OVER (PARTITION BY user_id ORDER BY rec_rank) AS cum FROM hit),
+ap AS (SELECT user_id, SUM(CASE WHEN hit = 1 THEN CAST(cum AS DOUBLE) / rec_rank ELSE 0.0 END) AS ap_num
+       FROM sc GROUP BY user_id)
+SELECT round(avg(CAST(coalesce(ap.ap_num, 0.0) AS DOUBLE) / CAST(least(relc.n_rel, 5) AS DOUBLE)), 6) AS value
+FROM relc LEFT JOIN ap ON relc.user_id = ap.user_id
+"""
+)
+
+
+def e3_ndcg_at_5(spark, sf_dir):
+    _, test = SP.train_test(_user_split(spark, sf_dir))
+    recs = _pop_recs(spark, sf_dir).withColumnRenamed("rec_rank", "rank")
+    return ME.ndcg_at_k(
+        test.select("user_id", "item_id", "rating"), recs, 5, relevance_threshold=30
+    ).select(F.round("value", 6).alias("value"))
+
+
+E3_SQL = (
+    _METRIC_PRE_SQL
+    + """,
+idcg AS (SELECT user_id, SUM(rating / log2(CAST(_pos AS DOUBLE) + 1)) AS idcg FROM (
+           SELECT user_id, rating,
+                  row_number() OVER (PARTITION BY user_id ORDER BY rating DESC, item_id) AS _pos
+           FROM rel) t
+         WHERE _pos <= 5 GROUP BY user_id),
+dcg AS (SELECT r5.user_id, SUM(coalesce(rel.rating, 0.0) / log2(CAST(r5.rec_rank AS DOUBLE) + 1)) AS dcg
+        FROM r5 LEFT JOIN rel ON r5.user_id = rel.user_id AND r5.item_id = rel.item_id
+        GROUP BY r5.user_id)
+SELECT round(avg(CASE WHEN idcg.idcg > 0 THEN coalesce(dcg.dcg, 0.0) / idcg.idcg ELSE 0.0 END), 6) AS value
+FROM idcg LEFT JOIN dcg ON idcg.user_id = dcg.user_id
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators: dedup / text / similarity / events
+# --------------------------------------------------------------------------
+
+def dd1_exact_dedup(spark, sf_dir):
+    return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+DD1_SQL = """
+SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+_SHINGLES_SQL = f"""
+t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id AS id, u.sh AS shingle FROM (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sls
+         FROM t) d, unnest(d.sls) AS u(sh))
+"""
+
+_JACCARD_SQL = f"""
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+common AS (SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+           GROUP BY a.id, b.id),
+jac AS (SELECT id1, id2,
+        CAST(n_common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) AS jaccard
+        FROM common
+        JOIN sizes s1 ON s1.id = id1
+        JOIN sizes s2 ON s2.id = id2)
+"""
+
+
+def dd2_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2, n=3
+    ).select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+DD2_SQL = f"""
+WITH {_SHINGLES_SQL}, {_JACCARD_SQL}
+SELECT id1, id2, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.2
+"""
+
+
+def _minhash_min_exprs_sql() -> str:
+    h = H.DUCKDB_MD5_LONG.format(expr="shingle")
+    exprs = []
+    for i, (a, b) in enumerate(DD.MINHASH_COEFFS):
+        exprs.append(
+            f"min(({a} * (({h}) % 2147483647) + {b}) % 2147483647) AS mh{i}"
+        )
+    return ", ".join(exprs)
+
+
+def dd3_minhash_signatures(spark, sf_dir):
+    return DD.minhash_signatures(load_table(spark, sf_dir, "documents")).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+DD3_SQL = f"""
+WITH {_SHINGLES_SQL}
+SELECT id AS doc_id, {_minhash_min_exprs_sql()} FROM sh GROUP BY id
+"""
+
+
+def dd4_minhash_lsh_pairs(spark, sf_dir):
+    return DD.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        bands=8,
+        n_hashes=16,
+        verify_threshold=0.1,
+    ).select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _lsh_bands_sql(bands=8, n_hashes=16) -> str:
+    rows = n_hashes // bands
+    pieces = []
+    for bi in range(bands):
+        cols = " || '_' || ".join(
+            f"CAST(mh{bi * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        pieces.append(f"SELECT doc_id AS id, {bi} AS band, md5({cols}) AS bkey FROM sig")
+    return " UNION ALL ".join(pieces)
+
+
+DD4_SQL = f"""
+WITH {_SHINGLES_SQL}, {_JACCARD_SQL},
+sig AS (SELECT id AS doc_id, {_minhash_min_exprs_sql()} FROM sh GROUP BY id),
+buckets AS ({_lsh_bands_sql(8, 16)}),
+cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+SELECT c.id1, c.id2, round(j.jaccard, 6) AS jaccard
+FROM cand c JOIN jac j ON j.id1 = c.id1 AND j.id2 = c.id2
+WHERE j.jaccard >= 0.1
+"""
+
+
+def dd5_simhash(spark, sf_dir):
+    return DD.simhash(load_table(spark, sf_dir, "documents")).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _simhash_sql(bits=32) -> str:
+    h = H.DUCKDB_MD5_LONG.format(expr="tok")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ((({h}) % {2**bits}) // {2**i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sim = " + ".join(f"CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END" for i in range(bits))
+    bands = ", ".join(
+        f"(simhash // {2 ** (8 * bi)}) % 256 AS band{bi}" for bi in range(4)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+tok AS (SELECT doc_id AS id, u.tok AS tok FROM t, unnest(t.toks) AS u(tok)),
+sums AS (SELECT id, {bit_sums} FROM tok GROUP BY id),
+sh AS (SELECT id AS doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums)
+SELECT doc_id, simhash, {bands} FROM sh
+"""
+
+
+DD5_SQL = _simhash_sql()
+
+
+def tx1_text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.lang_id(F.col("text")).alias("lang_guess"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _tx1_sql() -> str:
+    markers = {
+        lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+        for lang, ws in TX.LANG_MARKERS.items()
+    }
+    hits = {
+        lang: f"len(list_filter(toks, x -> list_contains({arr}, x)))"
+        for lang, arr in markers.items()
+    }
+    langs = sorted(TX.LANG_MARKERS)
+    gr = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    lang_case = f"CASE WHEN {gr} = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lang} = {gr} THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+st AS (SELECT doc_id, text, toks,
+       CAST(length(text) AS DOUBLE) AS n_chars,
+       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       CAST(len(toks) AS DOUBLE) AS n_toks,
+       {", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())}
+       FROM t),
+fp AS (SELECT t.doc_id,
+       CAST(COALESCE(SUM((ascii(toks[u.i]) * 131 + length(toks[u.i]) * 31 + (u.i % 16) * 17)
+                         * ((u.i % 16) + 1)), 0) % 2147483647 AS BIGINT) AS fingerprint
+       FROM t, unnest(range(1, len(toks) + 1)) AS u(i) GROUP BY t.doc_id)
+SELECT st.doc_id,
+  CAST(st.n_toks AS BIGINT) AS n_tokens,
+  {lang_case} AS lang_guess,
+  round(0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+      + 0.3 * least(n_chars / 400.0, 1.0)
+      + 0.3 * least((CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END) / 6.0, 1.0), 6) AS quality,
+  coalesce(fp.fingerprint, 0) AS fingerprint
+FROM st LEFT JOIN fp ON st.doc_id = fp.doc_id
+"""
+
+
+TX1_SQL = _tx1_sql()
+
+
+def ss1_ann_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rec_rank"),
+        "cosine",
+    )
+
+
+SS1_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+q AS (SELECT * FROM n WHERE vec_id < 8),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      round(list_dot_product(q.v, c.v), 6) AS cosine
+      FROM n c, q WHERE c.vec_id <> q.vec_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rec_rank FROM s)
+SELECT query_id, neighbor_id, CAST(rec_rank AS BIGINT) AS rec_rank, cosine
+FROM rk WHERE rec_rank <= 5
+"""
+
+
+def ev1_hourly_rollup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.expr("ts_ns div 3600000000000").cast("bigint").alias("hour_idx"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+EV1_SQL = """
+SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_idx, event_type,
+       count(*) AS n, round(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def ev2_sessionize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").cast("bigint").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    brk = F.when(
+        F.col("_prev").isNull() | (F.col("tus") - F.col("_prev") > gap_us), 1
+    ).otherwise(0)
+    sess = (
+        e.withColumn("_prev", F.lag("tus").over(w))
+        .withColumn("_brk", brk)
+        .withColumn("session_id", F.sum("_brk").over(w))
+    )
+    return sess.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_id").cast("bigint").alias("session_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.min("tus") / 1_000_000).cast("bigint").alias("start_s"),
+        F.floor(F.max("tus") / 1_000_000).cast("bigint").alias("end_s"),
+    )
+
+
+EV2_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+l AS (SELECT e.*, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+f AS (SELECT l.*, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+s AS (SELECT f.*, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS session_id FROM f)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       CAST(min(tus) // 1000000 AS BIGINT) AS start_s,
+       CAST(max(tus) // 1000000 AS BIGINT) AS end_s
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "p1_typed_projection": p1_typed_projection,
+    "p5_dedup_ratings": p5_dedup_ratings,
+    "p6_dense_ids": p6_dense_ids,
+    "p11_binarize": p11_binarize,
+    "p12_distinct_keys": p12_distinct_keys,
+    "j1_left_enrich": j1_left_enrich,
+    "j4_semi_join": j4_semi_join,
+    "j6_anti_join": j6_anti_join,
+    "a1_group_concat": a1_group_concat,
+    "a5_coverage_stats": a5_coverage_stats,
+    "a6_mean_std": a6_mean_std,
+    "a8_max_degree": a8_max_degree,
+    "a9_value_counts": a9_value_counts,
+    "o2_global_sort": o2_global_sort,
+    "o3_topk_per_group": o3_topk_per_group,
+    "u1_union_distinct": u1_union_distinct,
+    "g3_graph_summary": g3_graph_summary,
+    "g4_kcore_user": g4_kcore_user,
+    "g4_kcore_alternating": g4_kcore_alternating,
+    "g5_relabel": g5_relabel,
+    "g8_triples": g8_triples,
+    "sp1_random_global": _split_query("random_by_ratio", p=0.25, level="global"),
+    "sp2_random_user": _split_query("random_by_ratio", p=0.2, level="user"),
+    "sp3_temporal_global": _split_query("timestamp_by_ratio", p=0.3, level="global"),
+    "sp4_temporal_user": _split_query("timestamp_by_ratio", p=0.3, level="user"),
+    "sp5_fixed_timestamp": _split_query("fixed_timestamp", timestamp=2750),
+    "sp6_kfold_global": _split_query("k_fold", k=5, level="global"),
+    "sp7_kfold_user": _split_query("k_fold", k=4, level="user"),
+    "rec_popularity_top5": rec_popularity_top5,
+    "e2_map_at_5": e2_map_at_5,
+    "e3_ndcg_at_5": e3_ndcg_at_5,
+    "dd1_exact_dedup": dd1_exact_dedup,
+    "dd2_ngram_jaccard": dd2_ngram_jaccard,
+    "dd3_minhash_signatures": dd3_minhash_signatures,
+    "dd4_minhash_lsh_pairs": dd4_minhash_lsh_pairs,
+    "dd5_simhash": dd5_simhash,
+    "tx1_text_stats": tx1_text_stats,
+    "ss1_ann_cosine_topk": ss1_ann_cosine_topk,
+    "ev1_hourly_rollup": ev1_hourly_rollup,
+    "ev2_sessionize": ev2_sessionize,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "p1_typed_projection": P1_SQL,
+    "p5_dedup_ratings": P5_SQL,
+    "p6_dense_ids": P6_SQL,
+    "p11_binarize": P11_SQL,
+    "p12_distinct_keys": P12_SQL,
+    "j1_left_enrich": J1_SQL,
+    "j4_semi_join": J4_SQL,
+    "j6_anti_join": J6_SQL,
+    "a1_group_concat": A1_SQL,
+    "a5_coverage_stats": A5_SQL,
+    "a6_mean_std": A6_SQL,
+    "a8_max_degree": A8_SQL,
+    "a9_value_counts": A9_SQL,
+    "o2_global_sort": O2_SQL,
+    "o3_topk_per_group": O3_SQL,
+    "u1_union_distinct": U1_SQL,
+    "g3_graph_summary": G3_SQL,
+    "g4_kcore_user": G4_USER_SQL,
+    "g4_kcore_alternating": G4_ALT_SQL,
+    "g5_relabel": G5_SQL,
+    "g8_triples": G8_SQL,
+    "sp1_random_global": _sp_ratio_sql(0.25, "global"),
+    "sp2_random_user": _sp_ratio_sql(0.2, "user"),
+    "sp3_temporal_global": _sp_ratio_sql(0.3, "global", by_ts=True),
+    "sp4_temporal_user": _sp_ratio_sql(0.3, "user", by_ts=True),
+    "sp5_fixed_timestamp": SP5_SQL,
+    "sp6_kfold_global": _sp_kfold_sql(5, "global"),
+    "sp7_kfold_user": _sp_kfold_sql(4, "user"),
+    "rec_popularity_top5": REC_POP_SQL,
+    "e2_map_at_5": E2_SQL,
+    "e3_ndcg_at_5": E3_SQL,
+    "dd1_exact_dedup": DD1_SQL,
+    "dd2_ngram_jaccard": DD2_SQL,
+    "dd3_minhash_signatures": DD3_SQL,
+    "dd4_minhash_lsh_pairs": DD4_SQL,
+    "dd5_simhash": DD5_SQL,
+    "tx1_text_stats": TX1_SQL,
+    "ss1_ann_cosine_topk": SS1_SQL,
+    "ev1_hourly_rollup": EV1_SQL,
+    "ev2_sessionize": EV2_SQL,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """End-to-end experiment slice: dedup -> k-core -> split -> popularity
+    recommender -> MAP@5 + nDCG@5 (SURVEY §7 phase 2)."""
+    ratings = _ratings(spark, sf_dir)
+    kcored = G.filter_kcore(ratings, k=3, target="user", iterations=2)
+    split = SP.split_ratings(kcored, "random_by_ratio", seed=SEED, p=0.2, level="user")
+    train, test = SP.train_test(split)
+    recs = (
+        RC.PopularityRecommender(k=5)
+        .train(train.select("user_id", "item_id", "rating", "ts"))
+        .get_recommendations(5)
+    )
+    return ME.evaluate(
+        test.select("user_id", "item_id", "rating"),
+        recs,
+        {
+            "MAP@5": {"metric": "map", "k": 5, "relevance_threshold": 30},
+            "nDCG@5": {"metric": "ndcg", "k": 5, "relevance_threshold": 30},
+        },
+    )
