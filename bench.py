@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "o3_topk_per_group",
+    "g8_triples",
+    "g4_kcore_alternating",
+    "sp2_random_user",
+    "rec_popularity_top5",
+    "e2_map_at_5",
+    "e3_ndcg_at_5",
+    "dd3_minhash_signatures",
+    "dd4_minhash_lsh_pairs",
+    "tx1_text_stats",
+    "ss1_ann_cosine_topk",
+    "ev1_hourly_rollup",
+    "ev2_sessionize",
+]
+
+
+def main() -> None:
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.session import get_spark
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans import QUERIES
+
+    spark = get_spark("bench")
+    # JVM/codegen warm-up on a trivial action so q1 doesn't pay startup
+    spark.range(1000).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

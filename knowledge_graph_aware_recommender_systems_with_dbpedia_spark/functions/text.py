@@ -43,18 +43,31 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c)).cast("bigint")
 
 
-def word_ngrams(c: Column, n: int = 3) -> Column:
-    """Array of space-joined word n-grams (shingles) of the token list.
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Array of space-joined word n-grams from an ALREADY-MATERIALIZED
+    token-array column.
 
-    Expressed with ``transform`` over an index sequence so it stays a
-    column expression. Empty result for docs shorter than ``n`` tokens.
+    ``toks`` must be a plain column reference (not the ``tokens(...)``
+    expression): expressions referenced inside a ``transform`` lambda
+    are re-evaluated per output element, which turns an inlined
+    tokenizer into an O(len^2) scan. Callers materialize the token
+    array in a projection first (see dedup.doc_shingles).
     """
-    toks = tokens(c)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - F.lit(1))
     return F.when(count > 0, F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)])
     )).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(c: Column, n: int = 3) -> Column:
+    """Word n-grams straight from a text column.
+
+    Convenience form for short strings; for document-scale text prefer
+    materializing ``tokens(c)`` in a projection and calling
+    :func:`ngrams_from_tokens` (see its docstring for why).
+    """
+    return ngrams_from_tokens(tokens(c), n)
 
 
 def char_shingles(c: Column, n: int = 8) -> Column:
@@ -69,36 +82,42 @@ def char_shingles(c: Column, n: int = 8) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def stopword_hits(c: Column, lang: str) -> Column:
-    """How many tokens are in ``lang``'s marker set."""
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """How many tokens (token-array column) are in ``lang``'s marker set."""
     marks = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-    return F.size(F.filter(tokens(c), lambda t: F.array_contains(marks, t)))
+    return F.size(F.filter(toks, lambda t: F.array_contains(marks, t)))
 
 
-def lang_id(c: Column) -> Column:
-    """Heuristic language ID: argmax of stopword-marker hits, 'und' if
-    no marker matched. Deterministic tie-break by language code order.
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Heuristic language ID over a materialized token-array column:
+    argmax of stopword-marker hits, 'und' if no marker matched.
+    Deterministic tie-break: lexicographically-first language wins.
     """
     # fold into nested CASE: strictly-greater wins, so on ties the
     # lexicographically-first language is kept
     expr = F.lit("und")
     max_hits = F.lit(0)
     for lang in sorted(LANG_MARKERS):
-        hits = stopword_hits(c, lang)
+        hits = stopword_hits(toks, lang)
         expr = F.when(hits > max_hits, F.lit(lang)).otherwise(expr)
         max_hits = F.when(hits > max_hits, hits).otherwise(max_hits)
     return expr
 
 
-def quality_score(c: Column) -> Column:
+def lang_id(c: Column) -> Column:
+    """Language ID straight from text (convenience; prefer the
+    ``_from_tokens`` variant when tokens are already materialized)."""
+    return lang_id_from_tokens(tokens(c))
+
+
+def quality_score_from_tokens(c: Column, toks: Column) -> Column:
     """Composite doc-quality score in [0,1]-ish: length band, alpha
     ratio, mean token length band. Pure arithmetic -> reproducible.
-
-    DuckDB twin built by :func:`quality_score_sql`.
+    ``c`` is the raw text, ``toks`` its materialized token array.
     """
     n_chars = F.length(c).cast("double")
     n_alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z]", "")).cast("double")
-    n_toks = token_count(c).cast("double")
+    n_toks = F.size(toks).cast("double")
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
     mean_tok_len = F.when(n_toks > 0, n_alpha / n_toks).otherwise(F.lit(0.0))
     len_band = F.least(n_chars / F.lit(400.0), F.lit(1.0))
@@ -108,15 +127,20 @@ def quality_score(c: Column) -> Column:
     )
 
 
-def doc_fingerprint(c: Column, window: int = 16, mod: int = 2147483647) -> Column:
-    """Order-sensitive rolling document fingerprint.
+def quality_score(c: Column) -> Column:
+    """Quality score straight from text (convenience form)."""
+    return quality_score_from_tokens(c, tokens(c))
+
+
+def fingerprint_from_tokens(toks: Column, window: int = 16, mod: int = 2147483647) -> Column:
+    """Order-sensitive rolling document fingerprint over a materialized
+    token-array column.
 
     Polynomial-ish rolling hash over token lengths+first chars with a
     cyclic positional weight — cheap, order-sensitive, and expressible
     identically in DuckDB (see oracle). Collisions are acceptable: it's
     a fingerprint for near-dup bucketing, not cryptographic.
     """
-    toks = tokens(c)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)))
     contrib = F.transform(
         idx,
@@ -133,3 +157,8 @@ def doc_fingerprint(c: Column, window: int = 16, mod: int = 2147483647) -> Colum
         lambda acc, x: F.pmod(acc + x, F.lit(mod)),
     )
     return total
+
+
+def doc_fingerprint(c: Column, window: int = 16, mod: int = 2147483647) -> Column:
+    """Fingerprint straight from text (convenience form)."""
+    return fingerprint_from_tokens(tokens(c), window, mod)

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, minhash_expr
-from ..functions.text import tokens, word_ngrams
+from ..functions.text import ngrams_from_tokens, tokens
 
 MINHASH_PRIME = 2147483647
 N_HASHES = 16
@@ -75,9 +75,12 @@ def doc_shingles(
     ``max_shingle_df`` drops shingles appearing in more than that many
     docs — the skew/selectivity guard for the joins downstream.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("shingle"),
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    sh = toks.select(
+        "id",
+        F.explode(F.array_distinct(ngrams_from_tokens(F.col("_toks"), n))).alias("shingle"),
     )
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -140,12 +143,14 @@ def minhash_signatures(
     per doc is n_hashes longs regardless of document size.
     """
     sh = doc_shingles(docs, id_col, text_col, n)
-    x = md5_long(F.col("shingle"))
+    # materialize the (expensive) md5 hash ONCE per shingle — the 16 min
+    # aggregations then reuse the column instead of re-hashing 16x
+    hashed = sh.select("id", F.pmod(md5_long(F.col("shingle")), F.lit(MINHASH_PRIME)).alias("h"))
     aggs = [
-        F.min(minhash_expr(x, a, b)).alias(f"mh{i}")
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -183,8 +188,39 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cands
-    jac = ngram_jaccard_pairs(docs, threshold=0.0, n=n, id_col=id_col, text_col=text_col)
-    return cands.join(jac, ["id1", "id2"]).filter(F.col("jaccard") >= verify_threshold)
+    # verify ONLY candidate docs: restrict the shingle table to ids that
+    # appear in some candidate pair before the (quadratic) pair count —
+    # at scale this is the difference between verifying O(|cands|) and
+    # recomputing the full all-pairs similarity join
+    cands = cands.cache()
+    cand_ids = (
+        cands.select(F.col("id1").alias("id"))
+        .unionByName(cands.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    sh = doc_shingles(docs, id_col, text_col, n).join(cand_ids, "id", "left_semi").cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cands, ["id1", "id2"], "left_semi")
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
 
 
 def simhash(

@@ -246,14 +246,24 @@ def filter_kcore(
     """
     key = user_col if target == "user" else item_col
     current = ratings
+    if iterations == 1:
+        # single pass needs no early-stop bookkeeping: one partial-agg
+        # count + one semi-join, zero extra actions
+        keep = current.groupBy(key).count().filter(F.col("count") >= k).select(key)
+        return current.join(keep, key, "left_semi")
+    # iterative path: materialize between rounds so each count() does
+    # not replay the whole upstream lineage
+    current = current.localCheckpoint(eager=True)
+    before = current.count()
     for i in range(iterations):
         keep = current.groupBy(key).count().filter(F.col("count") >= k).select(key)
         nxt = current.join(keep, key, "left_semi")
-        # early-stop: did we delete anything this round?
-        before, after = current.count(), nxt.count()
-        current = nxt.localCheckpoint(eager=True) if i < iterations - 1 else nxt
+        nxt = nxt.localCheckpoint(eager=True) if i < iterations - 1 else nxt
+        after = nxt.count()
+        current = nxt
         if before == after:
             break
+        before = after
     return current
 
 

@@ -58,7 +58,10 @@ class PopularityRecommender:
         self._pop: DataFrame | None = None
 
     def train(self, train_ratings: DataFrame) -> "PopularityRecommender":
-        self._train = train_ratings
+        # the train set is read 4x (popularity, max degree, user list,
+        # anti-join) — persist it once instead of replaying the upstream
+        # split lineage per read
+        self._train = train_ratings.persist()
         self._pop = (
             train_ratings.groupBy("item_id")
             .agg(F.count(F.lit(1)).alias("pop"))

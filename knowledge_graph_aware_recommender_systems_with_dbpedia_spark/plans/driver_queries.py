@@ -842,13 +842,15 @@ DD5_SQL = _simhash_sql()
 
 
 def tx1_text_stats(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", TX.tokens(F.col("text")).alias("_toks")
+    )
     return d.select(
         "doc_id",
-        TX.token_count(F.col("text")).alias("n_tokens"),
-        TX.lang_id(F.col("text")).alias("lang_guess"),
-        TX.quality_score(F.col("text")).alias("quality"),
-        TX.doc_fingerprint(F.col("text")).alias("fingerprint"),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        TX.lang_id_from_tokens(F.col("_toks")).alias("lang_guess"),
+        TX.quality_score_from_tokens(F.col("text"), F.col("_toks")).alias("quality"),
+        TX.fingerprint_from_tokens(F.col("_toks")).alias("fingerprint"),
     )
 
 
