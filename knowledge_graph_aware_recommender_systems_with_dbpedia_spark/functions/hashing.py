@@ -40,16 +40,31 @@ def md5_long(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
 
 
+def _seed_mult(seed: int, i: int) -> int:
+    """Seed-dependent multiplier for key i, nonzero mod the prime
+    _KEY_MOD. Multiplication mod a prime is a bijection, so changing
+    the seed genuinely *permutes* the hash order (an additive seed
+    would only shift values, leaving the row ordering — and therefore
+    split membership — unchanged)."""
+    m = (_PRIMES[i % len(_PRIMES)] * (2 * seed + 1) + seed) % _KEY_MOD
+    return m if m != 0 else 1
+
+
 def det_hash(*keys: Column, seed: int = 42) -> Column:
     """Deterministic hash of one or more integer key columns -> [0, MOD).
 
-    Each key is reduced mod 100_003 before the multiply so the affine
-    sum stays far below 2**63 (ANSI-mode overflow-safe in Spark 4 and
-    DuckDB alike).
+    Each key is reduced mod the prime 100_003, scrambled by a
+    seed-derived multiplier (see :func:`_seed_mult`), and re-reduced
+    before the affine sum, so every intermediate stays far below 2**63
+    (ANSI-mode overflow-safe in Spark 4 and DuckDB alike).
     """
     acc: Column | None = None
     for i, k in enumerate(keys):
-        term = F.pmod(k.cast("bigint"), F.lit(_KEY_MOD)) * F.lit(_PRIMES[i % len(_PRIMES)])
+        scrambled = F.pmod(
+            F.pmod(k.cast("bigint"), F.lit(_KEY_MOD)) * F.lit(_seed_mult(seed, i)),
+            F.lit(_KEY_MOD),
+        )
+        term = scrambled * F.lit(_PRIMES[i % len(_PRIMES)])
         acc = term if acc is None else acc + term
     assert acc is not None, "det_hash needs at least one key column"
     return F.pmod(acc + F.lit(seed), F.lit(MOD))
@@ -58,7 +73,8 @@ def det_hash(*keys: Column, seed: int = 42) -> Column:
 def det_hash_sql(*exprs: str, seed: int = 42) -> str:
     """The DuckDB/ANSI-SQL text equivalent of :func:`det_hash`."""
     terms = [
-        f"(({e}) % {_KEY_MOD}) * {_PRIMES[i % len(_PRIMES)]}"
+        f"(((({e}) % {_KEY_MOD}) * {_seed_mult(seed, i)}) % {_KEY_MOD})"
+        f" * {_PRIMES[i % len(_PRIMES)]}"
         for i, e in enumerate(exprs)
     ]
     return f"(({' + '.join(terms)} + {seed}) % {MOD})"

@@ -1,0 +1,111 @@
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import (
+    dedup as DD,
+    similarity as SIM,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and dreams about chasing mice all day"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near = BASE.replace("warm", "cold") + " tonight"
+    other = (
+        "completely different text about spark dataframes shuffling "
+        "partitions across executors with adaptive query execution plans"
+    )
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, near), (4, other)], "doc_id long, text string"
+    ).cache()
+
+
+def test_exact_dedup(docs):
+    out = {r.keep_id: r.n_dups for r in DD.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1 and 2 identical, keeper = min id
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.id1, r.id2): r.jaccard for r in DD.ngram_jaccard_pairs(docs, 0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_recovers_exact_dup(docs):
+    pairs = {(r.id1, r.id2) for r in DD.minhash_lsh_pairs(docs, bands=8, verify_threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_signature_identical_for_identical_docs(docs):
+    sig = DD.minhash_signatures(docs).collect()
+    by_id = {r.id: tuple(r[f"mh{i}"] for i in range(16)) for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[4]
+
+
+def test_simhash_near_dup_close(docs):
+    out = {r.id: r.simhash for r in DD.simhash(docs).collect()}
+    assert out[1] == out[2]
+    ham = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham < ham_far
+
+
+def test_embedding_near_dups(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.id1, r.id2) for r in DD.embedding_near_dups(emb, 0.95).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(30, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    got = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=4).collect()
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    for q in range(3):
+        order = [
+            int(j)
+            for j in sorted(range(30), key=lambda j: (-round(sims[q, j], 6), j))
+            if j != q
+        ][:4]
+        mine = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == q]
+        assert mine == order
+
+
+def test_lsh_topk_subset_of_exact_space(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(40, 16).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    approx = SIM.cosine_lsh_topk(emb, q, k=3, n_planes=4)
+    rows = approx.collect()
+    # structure: ranks contiguous from 1, neighbors never the query itself
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert 1 <= r.rank <= 3

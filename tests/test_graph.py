@@ -1,0 +1,102 @@
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import graph as G
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    items = spark.createDataFrame(
+        [("i1", ["act:a", "act:b"], "dir:x"), ("i2", ["act:b"], None), ("i3", None, "dir:x")],
+        "item_id string, starring array<string>, director string",
+    )
+    users = spark.createDataFrame(
+        [("u1", "eng"), ("u2", "doc"), ("u3", None)], "user_id string, occupation string"
+    )
+    ratings = spark.createDataFrame(
+        [
+            ("u1", "i1", 5.0, 1.0),
+            ("u1", "i1", 2.0, 9.0),   # duplicate pair: later ts wins -> rating 2
+            ("u2", "i2", 4.0, 2.0),
+            ("u9", "i1", 3.0, 3.0),   # dangling user -> dropped
+            ("u1", "i9", 3.0, 4.0),   # dangling item -> dropped
+        ],
+        "user_id string, item_id string, rating double, timestamp double",
+    )
+    social = spark.createDataFrame(
+        [("u1", "u2"), ("u2", "u1"), ("u1", "u9"), ("u3", "u3")],
+        "user1 string, user2 string",
+    )
+    return items, users, ratings, social
+
+
+@pytest.fixture(scope="module")
+def g(tables):
+    items, users, ratings, social = tables
+    return G.build_graph(
+        items,
+        users,
+        ratings,
+        social=social,
+        item_property_cols=["starring", "director"],
+        user_property_cols=["occupation"],
+    )
+
+
+def test_rating_edges_semi_join_and_dedup(g):
+    rated = g.edges.filter(F.col("edge_type") == "rated").collect()
+    pairs = {(r.src, r.dst): r.rating for r in rated}
+    assert ("user::u9", "item::i1") not in pairs
+    assert ("user::u1", "item::i9") not in pairs
+    assert pairs[("user::u1", "item::i1")] == 2.0  # keep-last by ts
+    assert len(pairs) == 2
+
+
+def test_property_fanout_and_identity(g):
+    props = g.edges.filter(F.col("edge_type") == "has_property")
+    # i1 starring 2 + director 1; i2 starring 1; i3 director 1; users 2 occ
+    assert props.count() == 7
+    # property node identity includes the property type
+    nodes = {r.node_id for r in g.nodes.collect()}
+    assert "property:starring:act:b" in nodes
+    assert "property:director:dir:x" in nodes
+
+
+def test_social_undirected_collapse(g):
+    social = g.edges.filter(F.col("edge_type") == "social").collect()
+    assert len(social) == 1  # (u1,u2)+(u2,u1) collapse; u9 dangling; self-loop dropped
+    assert (social[0].src, social[0].dst) == ("user::u1", "user::u2")
+
+
+def test_triples_relations(g):
+    t = {(r.head, r.relation, r.tail) for r in G.triples(g, "all").collect()}
+    assert ("user::u1", "rating2.0", "item::i1") in t
+    assert ("item::i1", "has", "property:starring:act:a") in t
+    assert ("user::u1", "is", "property:occupation:eng") in t
+    assert ("user::u1", "friends_with", "user::u2") in t
+    ratings_only = G.triples(g, "ratings")
+    assert ratings_only.count() == 2
+
+
+def test_graph_summary(g):
+    rows = {r.kind: r["count"] for r in G.graph_summary(g).collect()}
+    assert rows["nodes:item"] == 3
+    assert rows["nodes:user"] == 3
+    assert rows["edges:rated"] == 2
+
+
+def test_relabel_dense(g):
+    m = G.relabel_nodes(g.nodes).collect()
+    ids = sorted(r.int_id for r in m)
+    assert ids == list(range(len(m)))
+
+
+def test_kcore_early_stop_and_cascade(spark):
+    rows = [("u1", f"i{j}", 1.0) for j in range(5)] + [("u2", "i0", 1.0)]
+    r = spark.createDataFrame(rows, "user_id string, item_id string, rating double")
+    out = G.filter_kcore(r, k=3, target="user", iterations=5)
+    users = {x.user_id for x in out.collect()}
+    assert users == {"u1"}
+    # iterating an already-stable core changes nothing (early stop)
+    out2 = G.filter_kcore(out, k=3, target="user", iterations=3)
+    assert out2.count() == out.count()

@@ -1,0 +1,75 @@
+import math
+
+import pytest
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import metrics
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    # user 1: relevant={10 (r5), 11 (r3)}; recs [10, 99, 11, 98, 97]
+    # user 2: relevant={20 (r4)};          recs [21, 22, 23, 24, 20]
+    # user 3: all ratings below threshold -> excluded from the mean
+    # user 4: relevant but NO recs        -> scores 0
+    test = spark.createDataFrame(
+        [
+            (1, 10, 5.0), (1, 11, 3.0), (1, 12, 0.5),
+            (2, 20, 4.0),
+            (3, 30, 0.2),
+            (4, 40, 5.0),
+        ],
+        "user_id int, item_id int, rating double",
+    )
+    recs = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 99, 2), (1, 11, 3), (1, 98, 4), (1, 97, 5),
+            (2, 21, 1), (2, 22, 2), (2, 23, 3), (2, 24, 4), (2, 20, 5),
+        ],
+        "user_id int, item_id int, rank int",
+    )
+    return test, recs
+
+
+def test_map_at_5_reference_formula(fixture):
+    test, recs = fixture
+    got = metrics.map_at_k(test, recs, 5, relevance_threshold=1.0).collect()[0]["value"]
+    ap1 = (1 / 1 + 2 / 3) / min(2, 5)
+    ap2 = (1 / 5) / min(1, 5)
+    ap4 = 0.0  # relevant items, no recs
+    want = (ap1 + ap2 + ap4) / 3
+    assert abs(got - want) < 1e-9
+
+
+def test_ndcg_at_5_graded(fixture):
+    test, recs = fixture
+    got = metrics.ndcg_at_k(test, recs, 5, relevance_threshold=1.0).collect()[0]["value"]
+    dcg1 = 5 / math.log2(2) + 3 / math.log2(4)
+    idcg1 = 5 / math.log2(2) + 3 / math.log2(3)
+    dcg2 = 4 / math.log2(6)
+    idcg2 = 4.0
+    want = (dcg1 / idcg1 + dcg2 / idcg2 + 0.0) / 3
+    assert abs(got - want) < 1e-9
+
+
+def test_user_below_threshold_excluded(spark):
+    test = spark.createDataFrame([(1, 10, 0.1)], "user_id int, item_id int, rating double")
+    recs = spark.createDataFrame([(1, 10, 1)], "user_id int, item_id int, rank int")
+    out = metrics.map_at_k(test, recs, 5, relevance_threshold=1.0).collect()[0]["value"]
+    assert out is None  # avg over zero users
+
+
+def test_duplicate_rec_counts_once(spark):
+    # reference map.py:30 — a repeated item in the rec list is not a 2nd hit
+    test = spark.createDataFrame([(1, 10, 5.0)], "user_id int, item_id int, rating double")
+    recs = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 2), (1, 99, 3)], "user_id int, item_id int, rank int"
+    )
+    got = metrics.map_at_k(test, recs, 5, relevance_threshold=1.0).collect()[0]["value"]
+    assert abs(got - 1.0) < 1e-9  # only rank-1 hit counts; denominator min(1,5)
+
+
+def test_evaluate_suite(fixture):
+    test, recs = fixture
+    out = metrics.evaluate(test, recs).collect()
+    names = {r.metric for r in out}
+    assert names == {"MAP@5", "nDCG@5"}

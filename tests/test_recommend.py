@@ -1,0 +1,52 @@
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import recommend as RC
+
+
+@pytest.fixture(scope="module")
+def train(spark):
+    # popularity: i1 (3 raters) > i2 (2) > i3 (1); u1 rated i1, i2
+    rows = [
+        ("u1", "i1"), ("u1", "i2"),
+        ("u2", "i1"), ("u2", "i3"),
+        ("u3", "i1"), ("u3", "i2"),
+    ]
+    return spark.createDataFrame(rows, "user_id string, item_id string").cache()
+
+
+def test_popularity_excludes_rated(train):
+    recs = RC.PopularityRecommender(k=2).train(train).get_recommendations(2)
+    by_user = {}
+    for r in recs.collect():
+        by_user.setdefault(r.user_id, []).append((r.rank, r.item_id))
+    # u1 rated i1, i2 -> only i3 remains
+    assert [i for _, i in sorted(by_user["u1"])] == ["i3"]
+    # u2 rated i1, i3 -> i2 is the top unrated
+    assert [i for _, i in sorted(by_user["u2"])] == ["i2"]
+
+
+def test_ranks_contiguous(train):
+    recs = RC.PopularityRecommender(k=2).train(train).get_recommendations(2)
+    for r in recs.groupBy("user_id").agg(F.min("rank").alias("mn")).collect():
+        assert r.mn == 1
+
+
+def test_topk_by_cosine_excludes_train(spark, train):
+    uv = spark.createDataFrame(
+        [("u1", [1.0, 0.0]), ("u2", [0.0, 1.0]), ("u3", [1.0, 1.0])],
+        "user_id string, vec array<double>",
+    )
+    iv = spark.createDataFrame(
+        [("i1", [1.0, 0.0]), ("i2", [0.0, 1.0]), ("i3", [0.7, 0.7])],
+        "item_id string, vec array<double>",
+    )
+    recs = RC.topk_by_cosine(uv, iv, k=1, train=train)
+    got = {r.user_id: r.item_id for r in recs.collect()}
+    assert got["u1"] == "i3"  # i1 (best) excluded as rated
+    assert got["u2"] == "i2"  # u2 rated i1 and i3 -> only i2 remains
+    assert got["u3"] == "i3"
+
+
+def test_max_user_degree(train):
+    assert RC.max_user_degree(train) == 2

@@ -1,0 +1,118 @@
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import splits
+
+
+@pytest.fixture(scope="module")
+def ratings(spark):
+    rows = [
+        (u, i, float(i % 5 + 1), float(1000 + u * 100 + i))
+        for u in range(10)
+        for i in range(5 + u)  # user u has 5+u ratings
+    ]
+    return spark.createDataFrame(
+        rows, "user_id int, item_id int, rating double, timestamp double"
+    ).cache()
+
+
+def test_random_user_ceil_sizes(ratings):
+    df = splits.split_ratings(ratings, "random_by_ratio", seed=42, p=0.3, level="user")
+    sizes = (
+        df.groupBy("user_id")
+        .agg(
+            F.sum(F.col("is_test").cast("int")).alias("n_test"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in sizes:
+        assert r.n_test == math.ceil(r.n * 0.3)
+
+
+def test_random_global_ceil_size(ratings):
+    df = splits.split_ratings(ratings, "random_by_ratio", seed=42, p=0.25, level="global")
+    n = ratings.count()
+    n_test = df.filter("is_test").count()
+    assert n_test == math.ceil(n * 0.25)
+
+
+def test_deterministic_across_partitionings(ratings):
+    a = splits.split_ratings(ratings.repartition(7), "random_by_ratio", seed=1, p=0.4, level="user")
+    b = splits.split_ratings(ratings.coalesce(1), "random_by_ratio", seed=1, p=0.4, level="user")
+    assert (
+        a.select("user_id", "item_id", "is_test")
+        .exceptAll(b.select("user_id", "item_id", "is_test"))
+        .count()
+        == 0
+    )
+
+
+def test_different_seed_different_split(ratings):
+    a = splits.split_ratings(ratings, "random_by_ratio", seed=1, p=0.4, level="user")
+    b = splits.split_ratings(ratings, "random_by_ratio", seed=2, p=0.4, level="user")
+    diff = (
+        a.select("user_id", "item_id", "is_test")
+        .exceptAll(b.select("user_id", "item_id", "is_test"))
+        .count()
+    )
+    assert diff > 0
+
+
+def test_temporal_user_newest_in_test(ratings):
+    df = splits.split_ratings(
+        ratings, "timestamp_by_ratio", seed=42, p=0.4, level="user", ts_col="timestamp"
+    )
+    # every test row's timestamp >= every train row's timestamp per user
+    agg = df.groupBy("user_id").agg(
+        F.min(F.when(F.col("is_test"), F.col("timestamp"))).alias("min_test"),
+        F.max(F.when(~F.col("is_test"), F.col("timestamp"))).alias("max_train"),
+    )
+    bad = agg.filter(F.col("min_test") < F.col("max_train")).count()
+    assert bad == 0
+
+
+def test_fixed_timestamp(ratings):
+    df = splits.split_ratings(ratings, "fixed_timestamp", timestamp=1500.0, ts_col="timestamp")
+    assert df.filter(F.col("is_test") != (F.col("timestamp") > 1500.0)).count() == 0
+
+
+def test_kfold_sklearn_sizing(ratings):
+    df = splits.split_ratings(ratings, "k_fold", seed=42, k=3, level="user")
+    sizes = df.groupBy("user_id", "fold").count().collect()
+    per_user = {}
+    for r in sizes:
+        per_user.setdefault(r.user_id, {})[r.fold] = r["count"]
+    for u, folds in per_user.items():
+        n = sum(folds.values())
+        expected = [n // 3 + (1 if i < n % 3 else 0) for i in range(3)]
+        assert sorted(folds.values(), reverse=True) == sorted(expected, reverse=True)
+        # fold ids must be exactly 0..k-1
+        assert set(folds) == {0, 1, 2}
+
+
+def test_kfold_folds_are_partition(ratings):
+    df = splits.split_ratings(ratings, "k_fold", seed=42, k=4, level="global")
+    assert df.count() == ratings.count()
+    assert df.select("user_id", "item_id").distinct().count() == ratings.count()
+
+
+def test_validation_subsplit_rejects_kfold(ratings):
+    with pytest.raises(ValueError):
+        splits.validation_subsplit(ratings, method="k_fold", k=3)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(method="nope"),
+        dict(method="random_by_ratio", p=0.0, level="user"),
+        dict(method="random_by_ratio", p=0.5, level="bad"),
+        dict(method="k_fold", k=1, level="user"),
+    ],
+)
+def test_invalid_args(ratings, kw):
+    with pytest.raises(ValueError):
+        splits.split_ratings(ratings, **kw)

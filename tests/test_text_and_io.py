@@ -1,0 +1,88 @@
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions import text as TX
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.typed_csv import (
+    TypedHeaderError,
+    parse_typed_header,
+    read_typed_csv,
+    write_typed_csv,
+)
+
+
+def test_tokens_and_count(spark):
+    df = spark.createDataFrame([("Hello, World! 42 ",)], "text string")
+    row = df.select(
+        TX.tokens(F.col("text")).alias("t"), TX.token_count(F.col("text")).alias("n")
+    ).collect()[0]
+    assert row.t == ["hello", "world", "42"]
+    assert row.n == 3
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of a house",),
+            ("el perro y la casa de que si",),
+            ("der hund und die katze ist gut",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(TX.lang_id(F.col("text"))).collect()]
+    assert out == ["en", "es", "de", "und"]
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame([("word " * 100,), ("!!!",)], "text string")
+    vals = [r[0] for r in df.select(TX.quality_score(F.col("text"))).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert vals[0] > vals[1]
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("gamma beta alpha",), ("alpha beta gamma",)], "text string"
+    )
+    vals = [r[0] for r in df.select(TX.doc_fingerprint(F.col("text"))).collect()]
+    assert vals[0] == vals[2]
+    assert vals[0] != vals[1]
+
+
+def test_word_ngrams_short_doc(spark):
+    df = spark.createDataFrame([("one two",), ("",)], "text string")
+    vals = [r[0] for r in df.select(TX.word_ngrams(F.col("text"), 3)).collect()]
+    assert vals == [[], []]
+
+
+def test_typed_header_parse():
+    assert parse_typed_header("item_id::string") == ("item_id", "string")
+    assert parse_typed_header("tags::string_list") == ("tags", "string_list")
+    with pytest.raises(TypedHeaderError):
+        parse_typed_header("plain_column")
+    with pytest.raises(TypedHeaderError):
+        parse_typed_header("x::integer")
+
+
+def test_typed_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("i1", 4.5, ["a", "b"]), ("i2", None, ["c"])],
+        "item_id string, rating double, tags array<string>",
+    )
+    path = str(tmp_path / "typed")
+    write_typed_csv(df, path)
+    back = read_typed_csv(spark, path)
+    assert set(back.columns) == {"item_id", "rating", "tags"}
+    rows = {r.item_id: r for r in back.collect()}
+    assert rows["i1"].rating == 4.5
+    assert rows["i1"].tags == ["a", "b"]
+    assert rows["i2"].rating is None
+
+
+def test_typed_csv_number_coercion(spark, tmp_path):
+    p = tmp_path / "weird.csv"
+    p.write_text("id::string,score::number\na,1.5\nb,not_a_number\n")
+    df = read_typed_csv(spark, str(p))
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows["a"] == 1.5
+    assert rows["b"] is None  # coerced like pd.to_numeric(errors=...)
