@@ -651,6 +651,26 @@ SELECT user_id, item_id, CAST(rec_rank AS BIGINT) AS rec_rank FROM rk WHERE rec_
 """
 )
 
+
+def rec_node2vec_top5(spark, sf_dir):
+    """G6/G7 + M1 + O3/J6/O4: walks -> Word2Vec -> cosine top-5.
+
+    No DuckDB oracle: Word2Vec embeddings are stochastic (seeded but
+    engine-internal) — the driver's rows-only check applies; exact
+    semantics are covered by tests/test_walks_node2vec.py.
+    """
+    from ..operators.node2vec import Node2VecRecommender
+
+    train, _ = SP.train_test(_user_split(spark, sf_dir))
+    rec = Node2VecRecommender(
+        k=5, n_walks=3, walk_len=5, vector_size=16, epochs=1, seed=SEED
+    ).train(train.select("user_id", "item_id"))
+    return rec.get_recommendations(5).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("item_id").cast("bigint").alias("item_id"),
+        F.col("rank").cast("bigint").alias("rec_rank"),
+    )
+
 _METRIC_PRE_SQL = (
     POP_RECS_SQL
     + """,
@@ -1011,6 +1031,7 @@ QUERIES = {
     "sp6_kfold_global": _split_query("k_fold", k=5, level="global"),
     "sp7_kfold_user": _split_query("k_fold", k=4, level="user"),
     "rec_popularity_top5": rec_popularity_top5,
+    "rec_node2vec_top5": rec_node2vec_top5,
     "e2_map_at_5": e2_map_at_5,
     "e3_ndcg_at_5": e3_ndcg_at_5,
     "dd1_exact_dedup": dd1_exact_dedup,
