@@ -1,0 +1,19 @@
+from .events import (
+    hourly_rollup,
+    read_events_stream,
+    run_to_memory,
+    sessionize,
+    sliding_rollup,
+    with_event_time,
+)
+from .stateful import sessionize_stateful
+
+__all__ = [
+    "hourly_rollup",
+    "read_events_stream",
+    "run_to_memory",
+    "sessionize",
+    "sessionize_stateful",
+    "sliding_rollup",
+    "with_event_time",
+]

@@ -1,0 +1,149 @@
+"""Structured Streaming over the events table — SURVEY §7 phase 10.
+
+The reference has NO streaming surface (SURVEY §2.12); this module is
+the greenfield scale extension: the same event-analytics the batch
+queries ev1/ev2 (plans/driver_queries.py) compute, expressed as
+incremental plans with watermarks, so a 100 TB/day event firehose is a
+`readStream` swap away — the aggregation code is identical.
+
+Design:
+ * event time = parquet TIMESTAMP(NANOS) read as long (Spark has no ns
+   type), floored to a microsecond ``ts`` column;
+ * tumbling/sliding rollups: ``window(ts, ...)`` + watermark — late
+   rows beyond the watermark are dropped instead of corrupting closed
+   windows;
+ * sessionization: ``session_window(ts, gap)`` — Spark's native
+   merging-window state store op (batch ev2 computes the same sessions
+   with a lag/cumsum window, see test_streaming.py parity asserts);
+ * a custom stateful sessionizer (streaming/stateful.py) shows the
+   ``applyInPandasWithState`` escape hatch for semantics session_window
+   can't express (e.g. per-user dynamic gaps).
+
+Everything here also runs in batch mode (pass a batch DataFrame) —
+stream/batch unification is the point of Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_FIELDS = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of events parquet (a directory of files or a
+    single file). ``max_files_per_trigger`` throttles replay so tests
+    can exercise multi-batch incremental execution."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_FIELDS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory or glob (it derives
+        # basePath itself); wrap a bare file in a {} glob so the
+        # parent directory becomes the base
+        head, tail = os.path.split(path)
+        path = os.path.join(head, "{%s}" % tail)
+    df = reader.parquet(path)
+    return with_event_time(df)
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """ts(ns long) -> ts_ns + microsecond-precision ``ts`` timestamp."""
+    if "ts_ns" in events.columns:  # already shaped (batch loader)
+        return events
+    return events.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts_ns") / F.lit(1000)).cast("bigint"))
+    )
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1h count/sum per event_type; same output shape as the
+    batch ev1_hourly_rollup so stream and batch results are directly
+    comparable (hour_idx = hours since epoch)."""
+    e = events.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            (F.unix_timestamp(F.col("w.start")) / 3600).cast("bigint").alias("hour_idx"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in window/slide
+    overlapping windows)."""
+    e = events.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("start_s"),
+            F.unix_timestamp("w.end").cast("bigint").alias("end_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based sessions per user via the native merging session
+    window. Output: user_id, start_s, n_events, end_event_s (second
+    of the LAST EVENT, not window end = last event + gap, so the batch
+    ev2_sessionize lag/cumsum query produces identical rows)."""
+    e = events.withWatermark("ts", watermark)
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_ns").alias("_min_ns"),
+            F.max("ts_ns").alias("_max_ns"),
+        )
+        .select(
+            "user_id",
+            F.expr("_min_ns div 1000000000").cast("bigint").alias("start_s"),
+            F.expr("_max_ns div 1000000000").cast("bigint").alias("end_s"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain a stream with trigger(availableNow) into an in-memory
+    table; returns the result as a batch DataFrame. Test/driver
+    harness — production sinks are kafka/delta/parquet writeStreams."""
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

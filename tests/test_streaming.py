@@ -1,0 +1,101 @@
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark import streaming as ST
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.driver_queries import (
+    ev1_hourly_rollup,
+    ev2_sessionize,
+)
+
+SF = "/root/testdata/sf0.001"
+EVENTS = os.path.join(SF, "events.parquet")
+
+
+def _latest_per_key(rows, key_fields, grow_field):
+    out = {}
+    for r in rows:
+        k = tuple(getattr(r, f) for f in key_fields)
+        if k not in out or getattr(r, grow_field) > getattr(out[k], grow_field):
+            out[k] = r
+    return out
+
+
+def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
+    stream = ST.read_events_stream(spark, EVENTS)
+    got = ST.run_to_memory(
+        ST.hourly_rollup(stream), "t_hourly", "update", str(tmp_path)
+    ).collect()
+    latest = _latest_per_key(got, ("hour_idx", "event_type"), "n")
+    exp = {
+        (r.hour_idx, r.event_type): r for r in ev1_hourly_rollup(spark, SF).collect()
+    }
+    assert set(latest) == set(exp)
+    for k, r in latest.items():
+        assert r.n == exp[k].n
+        assert r.sum_value == pytest.approx(exp[k].sum_value, abs=1e-4)
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    stream = ST.read_events_stream(spark, EVENTS)
+    # session_window aggs reject update mode; complete re-emits all
+    got = ST.run_to_memory(
+        ST.sessionize(stream), "t_sess", "complete", str(tmp_path)
+    ).collect()
+    latest = _latest_per_key(got, ("user_id", "start_s"), "n_events")
+    batch = ev2_sessionize(spark, SF).collect()
+    exp = {(r.user_id, r.start_s): r for r in batch}
+    assert set(latest) == set(exp)
+    for k, r in latest.items():
+        assert (r.end_s, r.n_events) == (exp[k].end_s, exp[k].n_events)
+
+
+def test_stateful_sessionizer_matches_native(spark, tmp_path):
+    stream = ST.read_events_stream(spark, EVENTS)
+    got = ST.run_to_memory(
+        ST.sessionize_stateful(stream, gap_s=1800), "t_state", "update", str(tmp_path)
+    ).collect()
+    latest = _latest_per_key(got, ("user_id", "start_s"), "n_events")
+    exp = {(r.user_id, r.start_s): r for r in ev2_sessionize(spark, SF).collect()}
+    assert set(latest) == set(exp)
+    for k, r in latest.items():
+        assert (r.end_s, r.n_events) == (exp[k].end_s, exp[k].n_events)
+
+
+def test_stateful_incremental_two_batches(spark, tmp_path):
+    # split events at the median timestamp into two files fed one per
+    # trigger — sessions spanning the cut must merge via state
+    ev = spark.read.parquet(EVENTS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cut = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    feed = tmp_path / "feed"
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(feed / "p1"))
+    time.sleep(1.1)  # file source orders by modification time
+    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(feed / "p2"))
+
+    stream = ST.read_events_stream(
+        spark, str(feed / "p*" / "*.parquet"), max_files_per_trigger=1
+    )
+    got = ST.run_to_memory(
+        ST.sessionize_stateful(stream, gap_s=1800), "t_inc", "update", str(tmp_path)
+    ).collect()
+    latest = _latest_per_key(got, ("user_id", "start_s"), "n_events")
+    exp = {(r.user_id, r.start_s): r for r in ev2_sessionize(spark, SF).collect()}
+    assert set(latest) == set(exp)
+    for k, r in latest.items():
+        assert (r.end_s, r.n_events) == (exp[k].end_s, exp[k].n_events)
+
+
+def test_sliding_rollup_window_multiplicity(spark, tmp_path):
+    stream = ST.read_events_stream(spark, EVENTS)
+    got = ST.run_to_memory(
+        ST.sliding_rollup(stream, "1 hour", "15 minutes"), "t_slide", "update", str(tmp_path)
+    ).collect()
+    latest = _latest_per_key(got, ("start_s", "end_s", "event_type"), "n")
+    total_events = spark.read.parquet(EVENTS).count()
+    # 1h/15min: every event falls in exactly 4 sliding windows
+    assert sum(r.n for r in latest.values()) == 4 * total_events
+    for r in latest.values():
+        assert r.end_s - r.start_s == 3600
