@@ -1,0 +1,476 @@
+"""Knowledge-graph-embedding family — SURVEY §2.8 M2-M5, §7 phase 7.
+
+The reference trains 9 PyKEEN models over the KG's (head, relation,
+tail) triples (``framework/recommender/models/*/model.py``, all
+diff-identical templates of ``transE/model.py:162-192``) and scores
+user->item recommendations by cosine KNN over the learned entity
+embeddings (``transE/model.py:78-151``).
+
+Spark-first split of responsibilities (SURVEY M2):
+ * **Spark** builds the triples DataFrame (operators/graph.py
+   ``triples``), indexes entities/relations to dense ints
+   (``row_number`` over a sorted distinct — deterministic), and joins
+   the learned embeddings back to users/items with zero-fill for
+   entities missing from training (M3, ``transE/model.py:111-135``);
+ * **the driver** runs the actual SGD — the one deliberately
+   non-distributed stage, exactly like the reference's
+   pykeen-on-one-GPU step.  pykeen/torch are not available here, so
+   the 9 published scoring functions are implemented directly in
+   numpy (margin ranking loss + uniform negative sampling — Bordes
+   et al. 2013 and successors).  Parity target is metric-band, not
+   vector equality (SURVEY §6 risk register).
+
+Models: transe, transh, transr, transd, rotate, distmult, complex,
+rescal, tucker — registry ``KGE_MODELS`` mirrors the reference's
+``model2class.py:1-42``.
+
+RotatE/ComplEx embeddings are complex; following the reference's
+``rotatE/model.py:107-110`` the **real part** feeds the KNN scorer
+(M5) — a documented quirk preserved for parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .recommend import topk_by_cosine
+
+# ---------------------------------------------------------------- indexing
+
+
+def index_entities(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Dense deterministic int ids for entities and relations.
+
+    row_number over orderBy(id) — stable across runs/partitionings
+    (SURVEY P6: never monotonically_increasing_id).
+    """
+    ents = (
+        triples.select(F.col("head").alias("e"))
+        .unionByName(triples.select(F.col("tail").alias("e")))
+        .distinct()
+        .select(F.col("e"), (F.row_number().over(Window.orderBy("e")) - 1).alias("idx"))
+    )
+    rels = triples.select(F.col("relation").alias("r")).distinct().select(
+        F.col("r"), (F.row_number().over(Window.orderBy("r")) - 1).alias("idx")
+    )
+    return ents, rels
+
+
+def collect_indexed_triples(
+    triples: DataFrame, ents: DataFrame, rels: DataFrame
+) -> np.ndarray:
+    """(n, 3) int array of (h_idx, r_idx, t_idx) — the driver-side
+    hand-off to the single-node training stage."""
+    idx = (
+        triples.join(ents.withColumnRenamed("e", "head"), "head")
+        .withColumnRenamed("idx", "h")
+        .join(rels.withColumnRenamed("r", "relation"), "relation")
+        .withColumnRenamed("idx", "r")
+        .join(ents.withColumnRenamed("e", "tail"), "tail")
+        .withColumnRenamed("idx", "t")
+        .select("h", "r", "t")
+    )
+    rows = idx.collect()
+    return np.array([[r.h, r.r, r.t] for r in rows], dtype=np.int64)
+
+
+# ------------------------------------------------------------ numpy models
+
+
+class _KGEModel:
+    """Margin-ranking SGD over a scoring function f (lower = better).
+
+    L = max(0, margin + f(pos) - f(neg)), negatives by corrupting head
+    or tail uniformly (Bordes et al. 2013 protocol). Subclasses
+    implement ``f(h, r, t)`` and ``step(h, r, t, coeff, lr)`` which
+    applies ``coeff * lr * dL/dparam`` for the given triple batch.
+    """
+
+    complex_entities = False
+
+    def __init__(self, n_ent: int, n_rel: int, dim: int, rng: np.random.Generator):
+        self.n_ent, self.n_rel, self.dim = n_ent, n_rel, dim
+        self.rng = rng
+        s = 6.0 / np.sqrt(dim)
+        if self.complex_entities:
+            self.E = (
+                rng.uniform(-s, s, (n_ent, dim)) + 1j * rng.uniform(-s, s, (n_ent, dim))
+            )
+        else:
+            self.E = rng.uniform(-s, s, (n_ent, dim))
+        self._init_rel(s)
+
+    def _init_rel(self, s: float):
+        self.R = self.rng.uniform(-s, s, (self.n_rel, self.dim))
+
+    def normalize(self):
+        """Project entity embeddings back onto the unit ball (the
+        standard constraint of the translational family)."""
+        n = np.abs(self.E) if self.complex_entities else self.E
+        norms = np.linalg.norm(n, axis=1, keepdims=True)
+        np.divide(self.E, np.maximum(norms, 1.0), out=self.E)
+
+    def f(self, h, r, t) -> np.ndarray:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def step(self, h, r, t, coeff, lr):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    # -- shared scatter-update helper (np.add.at handles dup indices);
+    # per-row gradient-norm clipping keeps every model stable at one lr
+    CLIP = 1.0
+
+    def _upd(self, table, idx, grad, lr):
+        axes = tuple(range(1, grad.ndim))
+        norms = np.sqrt(np.sum(np.abs(grad) ** 2, axis=axes, keepdims=True))
+        grad = grad * np.minimum(1.0, self.CLIP / np.maximum(norms, 1e-12))
+        np.add.at(table, idx, -lr * grad)
+
+    def entity_vectors(self) -> np.ndarray:
+        """Real-valued vectors for the KNN scorer; complex models
+        export the real part (M5, rotatE/model.py:107-110)."""
+        return np.real(self.E).astype(np.float64)
+
+
+class TransE(_KGEModel):
+    """f = ||h + r - t||^2  (Bordes et al. 2013, squared-L2 variant)."""
+
+    def f(self, h, r, t):
+        e = self.E[h] + self.R[r] - self.E[t]
+        return np.sum(e * e, axis=1)
+
+    def step(self, h, r, t, coeff, lr):
+        g = 2.0 * (self.E[h] + self.R[r] - self.E[t]) * coeff[:, None]
+        self._upd(self.E, h, g, lr)
+        self._upd(self.R, r, g, lr)
+        self._upd(self.E, t, -g, lr)
+
+
+class TransH(_KGEModel):
+    """Hyperplane projection h⊥ = h - (wᵀh)w (Wang et al. 2014)."""
+
+    def _init_rel(self, s):
+        self.R = self.rng.uniform(-s, s, (self.n_rel, self.dim))  # translation d_r
+        w = self.rng.uniform(-s, s, (self.n_rel, self.dim))
+        self.W = w / np.linalg.norm(w, axis=1, keepdims=True)
+
+    def f(self, h, r, t):
+        w = self.W[r]
+        x = self.E[h] - self.E[t]
+        e = x - np.sum(w * x, axis=1, keepdims=True) * w + self.R[r]
+        return np.sum(e * e, axis=1)
+
+    def step(self, h, r, t, coeff, lr):
+        w = self.W[r]
+        x = self.E[h] - self.E[t]
+        wx = np.sum(w * x, axis=1, keepdims=True)
+        e = x - wx * w + self.R[r]
+        g = 2.0 * e * coeff[:, None]
+        gx = g - np.sum(w * g, axis=1, keepdims=True) * w  # (I - wwᵀ)g
+        gw = -(np.sum(g * w, axis=1, keepdims=True) * x + wx * g)
+        self._upd(self.E, h, gx, lr)
+        self._upd(self.E, t, -gx, lr)
+        self._upd(self.R, r, g, lr)
+        self._upd(self.W, r, gw, lr)
+        self.W /= np.maximum(np.linalg.norm(self.W, axis=1, keepdims=True), 1e-9)
+
+
+class TransR(_KGEModel):
+    """Per-relation projection matrix M_r (Lin et al. 2015);
+    f = ||M h + r - M t||^2."""
+
+    def _init_rel(self, s):
+        self.R = self.rng.uniform(-s, s, (self.n_rel, self.dim))
+        self.M = np.tile(np.eye(self.dim), (self.n_rel, 1, 1)) + self.rng.uniform(
+            -0.01, 0.01, (self.n_rel, self.dim, self.dim)
+        )
+
+    def f(self, h, r, t):
+        M = self.M[r]
+        e = (
+            np.einsum("bij,bj->bi", M, self.E[h])
+            + self.R[r]
+            - np.einsum("bij,bj->bi", M, self.E[t])
+        )
+        return np.sum(e * e, axis=1)
+
+    def step(self, h, r, t, coeff, lr):
+        M = self.M[r]
+        x = self.E[h] - self.E[t]
+        e = np.einsum("bij,bj->bi", M, x) + self.R[r]
+        g = 2.0 * e * coeff[:, None]
+        gx = np.einsum("bij,bi->bj", M, g)  # Mᵀ g
+        gM = np.einsum("bi,bj->bij", g, x)
+        self._upd(self.E, h, gx, lr)
+        self._upd(self.E, t, -gx, lr)
+        self._upd(self.R, r, g, lr)
+        self._upd(self.M, r, gM, lr)
+
+
+class TransD(_KGEModel):
+    """Dynamic mapping via projection vectors (Ji et al. 2015):
+    h⊥ = h + (h_p·h) r_p."""
+
+    def _init_rel(self, s):
+        self.R = self.rng.uniform(-s, s, (self.n_rel, self.dim))
+        self.Rp = self.rng.uniform(-s, s, (self.n_rel, self.dim))
+        self.Ep = self.rng.uniform(-s, s, (self.n_ent, self.dim))
+
+    def normalize(self):
+        super().normalize()
+        for tbl in (self.Ep, self.Rp):  # keep projections on the unit ball
+            norms = np.linalg.norm(tbl, axis=1, keepdims=True)
+            np.divide(tbl, np.maximum(norms, 1.0), out=tbl)
+
+    def _proj(self, h, r, t):
+        hp, tp, rp = self.Ep[h], self.Ep[t], self.Rp[r]
+        a = np.sum(hp * self.E[h], axis=1, keepdims=True)
+        b = np.sum(tp * self.E[t], axis=1, keepdims=True)
+        e = self.E[h] + a * rp + self.R[r] - self.E[t] - b * rp
+        return e, a, b, rp
+
+    def f(self, h, r, t):
+        e, *_ = self._proj(h, r, t)
+        return np.sum(e * e, axis=1)
+
+    def step(self, h, r, t, coeff, lr):
+        e, a, b, rp = self._proj(h, r, t)
+        g = 2.0 * e * coeff[:, None]
+        grp = np.sum(g * rp, axis=1, keepdims=True)  # (g·r_p)
+        H, T, Hp, Tp = self.E[h], self.E[t], self.Ep[h], self.Ep[t]  # copies
+        self._upd(self.E, h, g + grp * Hp, lr)
+        self._upd(self.E, t, -(g + grp * Tp), lr)
+        self._upd(self.Ep, h, grp * H, lr)
+        self._upd(self.Ep, t, -grp * T, lr)
+        self._upd(self.R, r, g, lr)
+        self._upd(self.Rp, r, (a - b) * g, lr)
+
+
+class RotatE(_KGEModel):
+    """Complex rotation h∘e^{iθ} (Sun et al. 2019); f = ||h r - t||^2."""
+
+    complex_entities = True
+
+    def _init_rel(self, s):
+        self.theta = self.rng.uniform(-np.pi, np.pi, (self.n_rel, self.dim))
+
+    def f(self, h, r, t):
+        rot = np.exp(1j * self.theta[r])
+        e = self.E[h] * rot - self.E[t]
+        return np.sum(np.abs(e) ** 2, axis=1)
+
+    def step(self, h, r, t, coeff, lr):
+        rot = np.exp(1j * self.theta[r])
+        e = self.E[h] * rot - self.E[t]
+        c = coeff[:, None]
+        gh = 2.0 * e * np.conj(rot) * c
+        gt = -2.0 * e * c
+        gth = 2.0 * np.real(np.conj(e) * 1j * self.E[h] * rot) * c
+        self._upd(self.E, h, gh, lr)
+        self._upd(self.E, t, gt, lr)
+        self._upd(self.theta, r, gth, lr)
+
+
+class DistMult(_KGEModel):
+    """Trilinear s = Σ h r t (Yang et al. 2015); f = -s."""
+
+    def f(self, h, r, t):
+        return -np.sum(self.E[h] * self.R[r] * self.E[t], axis=1)
+
+    def step(self, h, r, t, coeff, lr):
+        c = -coeff[:, None]
+        H, R_, T = self.E[h], self.R[r], self.E[t]  # fancy-index copies
+        self._upd(self.E, h, c * R_ * T, lr)
+        self._upd(self.R, r, c * H * T, lr)
+        self._upd(self.E, t, c * H * R_, lr)
+
+
+class ComplExModel(_KGEModel):
+    """s = Re(Σ h r conj(t)) (Trouillon et al. 2016); f = -s."""
+
+    complex_entities = True
+
+    def _init_rel(self, s):
+        self.R = self.rng.uniform(-s, s, (self.n_rel, self.dim)) + 1j * self.rng.uniform(
+            -s, s, (self.n_rel, self.dim)
+        )
+
+    def f(self, h, r, t):
+        return -np.real(np.sum(self.E[h] * self.R[r] * np.conj(self.E[t]), axis=1))
+
+    def step(self, h, r, t, coeff, lr):
+        c = -coeff[:, None]
+        H, R_, T = self.E[h], self.R[r], self.E[t]  # fancy-index copies
+        # Wirtinger gradients packaged as complex updates
+        self._upd(self.E, h, c * np.conj(R_) * T, lr)
+        self._upd(self.R, r, c * np.conj(H) * T, lr)
+        self._upd(self.E, t, c * H * R_, lr)
+
+
+class RESCAL(_KGEModel):
+    """Bilinear s = hᵀ W_r t (Nickel et al. 2011); f = -s."""
+
+    def _init_rel(self, s):
+        self.M = self.rng.uniform(-s, s, (self.n_rel, self.dim, self.dim))
+
+    def f(self, h, r, t):
+        return -np.einsum("bi,bij,bj->b", self.E[h], self.M[r], self.E[t])
+
+    def step(self, h, r, t, coeff, lr):
+        c = -coeff[:, None]
+        M, H, T = self.M[r], self.E[h], self.E[t]  # fancy-index copies
+        self._upd(self.E, h, c * np.einsum("bij,bj->bi", M, T), lr)
+        self._upd(self.E, t, c * np.einsum("bij,bi->bj", M, H), lr)
+        gM = -coeff[:, None, None] * np.einsum("bi,bj->bij", H, T)
+        self._upd(self.M, r, gM, lr)
+
+
+class TuckER(_KGEModel):
+    """Shared core tensor s = W ×1 h ×2 r ×3 t (Balažević et al. 2019)."""
+
+    def _init_rel(self, s):
+        self.R = self.rng.uniform(-s, s, (self.n_rel, self.dim))
+        self.Wc = self.rng.uniform(-0.1, 0.1, (self.dim, self.dim, self.dim))
+
+    def f(self, h, r, t):
+        return -np.einsum(
+            "ijk,bi,bj,bk->b", self.Wc, self.E[h], self.R[r], self.E[t]
+        )
+
+    def step(self, h, r, t, coeff, lr):
+        c = -coeff[:, None]
+        H, Rr, T = self.E[h], self.R[r], self.E[t]
+        self._upd(self.E, h, c * np.einsum("ijk,bj,bk->bi", self.Wc, Rr, T), lr)
+        self._upd(self.R, r, c * np.einsum("ijk,bi,bk->bj", self.Wc, H, T), lr)
+        self._upd(self.E, t, c * np.einsum("ijk,bi,bj->bk", self.Wc, H, Rr), lr)
+        gW = np.einsum("b,bi,bj,bk->ijk", -coeff, H, Rr, T)
+        gn = np.sqrt(np.sum(gW * gW))
+        self.Wc -= lr * gW * min(1.0, self.CLIP / max(gn, 1e-12))
+
+
+KGE_MODELS = {
+    "transe": TransE,
+    "transh": TransH,
+    "transr": TransR,
+    "transd": TransD,
+    "rotate": RotatE,
+    "distmult": DistMult,
+    "complex": ComplExModel,
+    "rescal": RESCAL,
+    "tucker": TuckER,
+}
+
+
+def train_kge(
+    triples_idx: np.ndarray,
+    n_ent: int,
+    n_rel: int,
+    model: str = "transe",
+    dim: int = 32,
+    epochs: int = 5,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    batch_size: int = 1024,
+    seed: int = 42,
+) -> _KGEModel:
+    """Single-node SGD stage (the reference's pykeen step, M2).
+
+    Margin ranking loss with one uniform corruption per positive,
+    entity-ball normalization each epoch for the translational family.
+    """
+    rng = np.random.default_rng(seed)
+    m = KGE_MODELS[model](n_ent, n_rel, dim, rng)
+    n = len(triples_idx)
+    translational = model in ("transe", "transh", "transr", "transd", "rotate")
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        for start in range(0, n, batch_size):
+            b = triples_idx[order[start : start + batch_size]]
+            h, r, t = b[:, 0], b[:, 1], b[:, 2]
+            # corrupt head or tail, uniformly
+            corrupt_head = rng.random(len(b)) < 0.5
+            rand_e = rng.integers(0, n_ent, len(b))
+            hn = np.where(corrupt_head, rand_e, h)
+            tn = np.where(corrupt_head, t, rand_e)
+            active = (margin + m.f(h, r, t) - m.f(hn, r, tn)) > 0
+            if not active.any():
+                continue
+            coeff = active.astype(np.float64)
+            m.step(h, r, t, coeff, lr)  # descend f(pos)
+            m.step(hn, r, tn, -coeff, lr)  # ascend f(neg)
+        if translational:
+            m.normalize()
+    return m
+
+
+def embeddings_to_df(
+    spark, model: _KGEModel, ents: DataFrame
+) -> DataFrame:
+    """M4: entity embedding table back to Spark as (e, vec)."""
+    vecs = model.entity_vectors()
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    vdf = spark.createDataFrame(rows, "idx int, vec array<double>")
+    return ents.join(vdf, "idx").select("e", "vec")
+
+
+class KGERecommender:
+    """Any-of-9 KGE model + shared cosine top-k scoring path.
+
+    Triples = train ratings with relation ``rating{value}`` (G8,
+    ``graph.py:90``), optionally unioned with has_property/is triples
+    from a KGraph. Type-prefixed entity ids (``u:``/``i:``) keep
+    users and items distinct, as the reference's node classes do.
+    """
+
+    def __init__(self, model: str = "transe", k: int = 5, dim: int = 32,
+                 epochs: int = 5, lr: float = 0.05, margin: float = 1.0,
+                 seed: int = 42):
+        self.model_name, self.k, self.dim = model, k, dim
+        self.epochs, self.lr, self.margin, self.seed = epochs, lr, margin, seed
+        self._train: DataFrame | None = None
+        self._emb: DataFrame | None = None
+
+    def train(self, train_ratings: DataFrame,
+              extra_triples: DataFrame | None = None) -> "KGERecommender":
+        spark = train_ratings.sparkSession
+        self._train = train_ratings.select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("item_id").cast("string").alias("item_id"),
+            "rating",
+        ).persist()
+        triples = self._train.select(
+            F.concat(F.lit("u:"), "user_id").alias("head"),
+            F.concat(F.lit("rating"), F.col("rating").cast("string")).alias("relation"),
+            F.concat(F.lit("i:"), "item_id").alias("tail"),
+        )
+        if extra_triples is not None:
+            triples = triples.unionByName(extra_triples.select("head", "relation", "tail"))
+        ents, rels = index_entities(triples)
+        ents, rels = ents.persist(), rels.persist()
+        idx = collect_indexed_triples(triples, ents, rels)
+        m = train_kge(
+            idx, ents.count(), rels.count(), model=self.model_name,
+            dim=self.dim, epochs=self.epochs, lr=self.lr,
+            margin=self.margin, seed=self.seed,
+        )
+        self._emb = embeddings_to_df(spark, m, ents).persist()
+        return self
+
+    def _typed(self, prefix: str, id_col: str, ids: DataFrame) -> DataFrame:
+        have = self._emb.filter(F.col("e").startswith(prefix)).select(
+            F.expr(f"substring(e, {len(prefix) + 1})").alias(id_col), "vec"
+        )
+        zero = F.array_repeat(F.lit(0.0), self.dim)
+        return ids.join(have, id_col, "left").select(
+            id_col, F.coalesce("vec", zero).alias("vec")
+        )
+
+    def get_recommendations(self, k: int | None = None) -> DataFrame:
+        assert self._train is not None, "call train() first"
+        k = k or self.k
+        train = self._train.select("user_id", "item_id")
+        uv = self._typed("u:", "user_id", train.select("user_id").distinct())
+        iv = self._typed("i:", "item_id", train.select("item_id").distinct())
+        return topk_by_cosine(uv, iv, k=k, train=train)

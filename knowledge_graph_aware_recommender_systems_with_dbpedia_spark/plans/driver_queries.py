@@ -671,6 +671,27 @@ def rec_node2vec_top5(spark, sf_dir):
         F.col("rank").cast("bigint").alias("rec_rank"),
     )
 
+def rec_kge_transe_top5(spark, sf_dir):
+    """M2-M5: TransE over rating triples -> cosine top-5.
+
+    The KGE SGD stage is single-node by design (SURVEY M2, the
+    reference's pykeen step); Spark builds the triples and scores.
+    No DuckDB oracle (iterative stochastic training) — rows-only
+    check; gradient/learning semantics covered by tests/test_kge.py.
+    """
+    from ..operators.kge import KGERecommender
+
+    train, _ = SP.train_test(_user_split(spark, sf_dir))
+    rec = KGERecommender("transe", k=5, dim=16, epochs=3, seed=SEED).train(
+        train.select("user_id", "item_id", "rating")
+    )
+    return rec.get_recommendations(5).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("item_id").cast("bigint").alias("item_id"),
+        F.col("rank").cast("bigint").alias("rec_rank"),
+    )
+
+
 _METRIC_PRE_SQL = (
     POP_RECS_SQL
     + """,
@@ -1032,6 +1053,7 @@ QUERIES = {
     "sp7_kfold_user": _split_query("k_fold", k=4, level="user"),
     "rec_popularity_top5": rec_popularity_top5,
     "rec_node2vec_top5": rec_node2vec_top5,
+    "rec_kge_transe_top5": rec_kge_transe_top5,
     "e2_map_at_5": e2_map_at_5,
     "e3_ndcg_at_5": e3_ndcg_at_5,
     "dd1_exact_dedup": dd1_exact_dedup,

@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import kge
+
+
+def _make(model, rng_seed=7, n_ent=9, n_rel=3, dim=4):
+    rng = np.random.default_rng(rng_seed)
+    m = kge.KGE_MODELS[model](n_ent, n_rel, dim, rng)
+    b = rng.integers(0, [n_ent, n_rel, n_ent], size=(6, 3)).astype(np.int64)
+    return m, b[:, 0], b[:, 1], b[:, 2]
+
+
+@pytest.mark.parametrize("model", sorted(kge.KGE_MODELS))
+def test_gradient_matches_finite_difference(model):
+    # step() applies exactly -lr * d(sum f)/dparam; with lr=1 and
+    # coeff=1 the table delta IS the analytic gradient — compare it
+    # against central finite differences of sum f.
+    m, h, r, t = _make(model)
+    m.CLIP = 1e12  # disable grad clipping so the table delta == raw gradient
+    snap = {k: v.copy() for k, v in vars(m).items() if isinstance(v, np.ndarray)}
+    f0 = m.f(h, r, t)
+    assert np.all(np.isfinite(f0))
+    m.step(h, r, t, np.ones(len(h)), lr=1.0)
+    grad_E = snap["E"] - m.E
+    for k, v in snap.items():  # restore ALL params (step mutates R/W/M too)
+        setattr(m, k, v.copy())
+
+    eps = 1e-6
+    rng = np.random.default_rng(0)
+    for ent in np.unique(np.concatenate([h, t]))[:4]:
+        for d in rng.choice(m.dim, 2, replace=False):
+            for part in ([1.0, 1j] if m.complex_entities else [1.0]):
+                m.E[ent, d] += eps * part
+                up = m.f(h, r, t).sum()
+                m.E[ent, d] -= 2 * eps * part
+                dn = m.f(h, r, t).sum()
+                m.E[ent, d] += eps * part
+                num = (up - dn) / (2 * eps)
+                ana = grad_E[ent, d]
+                ana = np.real(ana) if part == 1.0 else np.imag(ana)
+                assert ana == pytest.approx(num, rel=1e-3, abs=1e-5), (model, ent, d, part)
+
+
+@pytest.mark.parametrize("model", sorted(kge.KGE_MODELS))
+def test_training_separates_pos_from_neg(model):
+    # tiny deterministic KG: entity i relates to entity i+1 under r=0
+    rng = np.random.default_rng(3)
+    n_ent = 20
+    pos = np.array([[i, 0, (i + 1) % n_ent] for i in range(n_ent)], dtype=np.int64)
+    m = kge.train_kge(pos, n_ent, 1, model=model, dim=16, epochs=40, lr=0.05, seed=11)
+    neg = pos.copy()
+    neg[:, 2] = rng.integers(0, n_ent, len(neg))
+    keep = neg[:, 2] != pos[:, 2]
+    f_pos = m.f(pos[:, 0], pos[:, 1], pos[:, 2]).mean()
+    f_neg = m.f(neg[keep, 0], neg[keep, 1], neg[keep, 2]).mean()
+    assert f_pos < f_neg, (model, f_pos, f_neg)
+
+
+def test_kge_recommender_end_to_end(spark):
+    ratings = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        (F.col("o_orderkey") % 50).alias("item_id"),
+        (F.col("o_orderkey") % 5 + 1).cast("double").alias("rating"),
+    ).limit(800)
+    rec = kge.KGERecommender("transe", k=5, dim=16, epochs=3).train(ratings)
+    recs = rec.get_recommendations()
+    assert recs.columns == ["user_id", "item_id", "rank"]
+    per_user = recs.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_user <= 5
+    # anti-join respected: no recommended item the user already rated
+    overlap = recs.join(
+        ratings.select(F.col("user_id").cast("string").alias("user_id"),
+                       F.col("item_id").cast("string").alias("item_id")),
+        ["user_id", "item_id"]).count()
+    assert overlap == 0
+
+
+def test_index_entities_deterministic(spark):
+    t = spark.createDataFrame(
+        [("a", "r1", "b"), ("b", "r2", "c")], "head string, relation string, tail string"
+    )
+    e1, r1 = kge.index_entities(t)
+    e2, r2 = kge.index_entities(t)
+    assert sorted(e1.collect()) == sorted(e2.collect())
+    assert {x.e for x in e1.collect()} == {"a", "b", "c"}
+    assert sorted(x.idx for x in e1.collect()) == [0, 1, 2]
