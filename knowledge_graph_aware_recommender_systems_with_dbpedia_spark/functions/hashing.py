@@ -60,8 +60,11 @@ def det_hash(*keys: Column, seed: int = 42) -> Column:
     """
     acc: Column | None = None
     for i, k in enumerate(keys):
+        # numeric keys hash by value (bit-identical to det_hash_sql);
+        # non-numeric keys (string ids) fall back to md5 — ANSI-safe
+        kn = F.coalesce(k.try_cast("bigint"), md5_long(k))
         scrambled = F.pmod(
-            F.pmod(k.cast("bigint"), F.lit(_KEY_MOD)) * F.lit(_seed_mult(seed, i)),
+            F.pmod(kn, F.lit(_KEY_MOD)) * F.lit(_seed_mult(seed, i)),
             F.lit(_KEY_MOD),
         )
         term = scrambled * F.lit(_PRIMES[i % len(_PRIMES)])

@@ -1,0 +1,105 @@
+"""Plugin registries — the reference's extension seams (SURVEY §2.13).
+
+Mirrors the name -> implementation maps of
+``framework/recommender/model2class.py:1-42``,
+``framework/evaluator/metric2class.py:1-10``,
+``framework/dataloader/preprocess/methods.py:5-15`` and the split
+method registry of ``edge_splitter.py:22-27`` — same config-facing
+names, so a reference YAML runs unchanged. Third-party models/metrics
+register by inserting a callable; the contracts are the four seams of
+SURVEY §3.3 (train / get_recommendations / eval / split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import metrics as ME
+from ..operators.graph import filter_kcore
+from ..operators.kge import KGERecommender
+from ..operators.node2vec import Node2VecRecommender
+from ..operators.recommend import PopularityRecommender
+
+# ------------------------------------------------------------------ models
+
+
+def _deepwalk(parameters: dict, seed: int):
+    p = parameters
+    return Node2VecRecommender(
+        n_walks=p.get("n_walks", 10),
+        walk_len=p.get("walk_len", 10),
+        p=p.get("p", 1.0),
+        q=p.get("q", 1.0),
+        vector_size=p.get("embedding_size", 64),
+        window=p.get("window", 5),
+        epochs=p.get("epochs", 1),
+        seed=p.get("seed", seed),
+    )
+
+
+def _kge(kind: str):
+    def make(parameters: dict, seed: int):
+        p = parameters
+        return KGERecommender(
+            model=kind,
+            dim=p.get("embedding_dim", p.get("embedding_size", 32)),
+            epochs=p.get("epochs", 5),
+            lr=p.get("lr", 0.05),
+            margin=p.get("margin", 1.0),
+            seed=p.get("seed", seed),
+        )
+
+    return make
+
+
+def _popularity(parameters: dict, seed: int):
+    return PopularityRecommender()
+
+
+# reference spelling preserved (model2class.py) + the rebuild's baseline
+MODELS = {
+    "deepwalk_based": _deepwalk,
+    "transE": _kge("transe"),
+    "transH": _kge("transh"),
+    "transR": _kge("transr"),
+    "transD": _kge("transd"),
+    "rotatE": _kge("rotate"),
+    "tuckER": _kge("tucker"),
+    "distMult": _kge("distmult"),
+    "rESCAL": _kge("rescal"),
+    "complEx": _kge("complex"),
+    "popularity": _popularity,
+}
+
+# ----------------------------------------------------------------- metrics
+
+# name -> fn(test, recs, k, relevance_threshold) -> 1-row DataFrame(value)
+METRICS = {
+    "MAP": ME.map_at_k,
+    "nDCG": ME.ndcg_at_k,
+}
+
+# -------------------------------------------------------------- preprocess
+
+
+def _binarize(ratings: DataFrame, threshold: float) -> DataFrame:
+    """P11 (methods.py:17-26): rating >= t -> 1 else 0."""
+    return ratings.withColumn(
+        "rating", (F.col("rating") >= F.lit(threshold)).cast("double")
+    )
+
+
+def _filter_by_rating(ratings: DataFrame, threshold: float) -> DataFrame:
+    return ratings.filter(F.col("rating") >= F.lit(threshold))
+
+
+def _kcore(ratings: DataFrame, k: int, iterations: int = 1, target: str = "user") -> DataFrame:
+    return filter_kcore(ratings, k=k, iterations=iterations, target=target)
+
+
+PREPROCESS = {
+    "binarize": _binarize,
+    "filter_by_rating": _filter_by_rating,
+    "filter_kcore": _kcore,
+}

@@ -1,0 +1,124 @@
+import csv
+import os
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans import experiment as EX
+
+
+def _write_csv(path, header, rows):
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(header)
+        w.writerows(rows)
+
+
+def _make_dataset(d):
+    n_users, n_items = 12, 8
+    _write_csv(
+        d / "item.csv",
+        ["item_id::string", "genre::string"],
+        [[f"i{i}", f"g{i % 3}"] for i in range(n_items)],
+    )
+    _write_csv(
+        d / "user.csv",
+        ["user_id::string", "gender::string"],
+        [[f"u{u}", "MF"[u % 2]] for u in range(n_users)],
+    )
+    rows = []
+    for u in range(n_users):
+        for i in range(n_items):
+            if (u + i) % 2 == 0:
+                rows.append([f"u{u}", f"i{i}", (u * 7 + i * 3) % 5 + 1, 1000 + u * 10 + i])
+    _write_csv(
+        d / "rating.csv",
+        ["user_id::string", "item_id::string", "rating::number", "timestamp::number"],
+        rows,
+    )
+    _write_csv(
+        d / "map.csv",
+        ["item_id::string", "URI::string"],
+        [[f"i{i}", f"http://dbpedia.org/resource/I{i}" if i % 4 else ""] for i in range(n_items)],
+    )
+    _write_csv(
+        d / "enriched.csv",
+        ["item_id::string", "subject::string_list"],
+        [[f"i{i}", f"s{i % 2}::s{i % 3}"] for i in range(n_items)],
+    )
+
+
+def _config(d, models, report_file, k=3, split=None):
+    return {
+        "experiment": {
+            "dataset": {
+                "name": "tiny",
+                "item": {"path": str(d / "item.csv"), "extra_features": ["genre"]},
+                "user": {"path": str(d / "user.csv"), "extra_features": ["gender"]},
+                "ratings": {"path": str(d / "rating.csv"), "timestamp": True},
+                "enrich": {
+                    "map_path": str(d / "map.csv"),
+                    "enrich_path": str(d / "enriched.csv"),
+                    "remove_unmatched": False,
+                    "properties": ["subject"],
+                },
+            },
+            "preprocess": [
+                {"method": "filter_kcore", "parameters": {"k": 2, "iterations": 1, "target": "user"}}
+            ],
+            "split": {"seed": 42, "test": split or {"method": "k_fold", "k": 2, "level": "user"}},
+            "models": models,
+            "evaluation": {"k": k, "relevance_threshold": 3, "metrics": ["MAP", "nDCG"]},
+            "report": {"file": str(report_file)},
+        }
+    }
+
+
+def test_experiment_kfold_popularity_and_kge(spark, tmp_path):
+    _make_dataset(tmp_path)
+    out = tmp_path / "res" / "run.csv"
+    cfg = _config(
+        tmp_path,
+        [
+            {"name": "popularity"},
+            {"name": "transE", "parameters": {"embedding_dim": 8, "epochs": 2}},
+        ],
+        out,
+    )
+    rows = EX.run_experiment(spark, cfg)
+    assert set(rows) == {"popularity", "transE"}
+    for model, r in rows.items():
+        assert set(r) == {
+            "fold-1_MAP", "fold-1_nDCG", "fold-2_MAP", "fold-2_nDCG",
+            "MAP_mean", "MAP_std", "nDCG_mean", "nDCG_std",
+        }
+        for v in r.values():
+            assert 0.0 <= v <= 1.0
+    assert os.path.exists(out)
+    with open(out) as fh:
+        header = fh.readline().strip().split(",")
+    assert header[0] == "model" and "MAP_mean" in header
+
+
+def test_experiment_holdout_deterministic(spark, tmp_path):
+    _make_dataset(tmp_path)
+    split = {"method": "random_by_ratio", "level": "global", "p": 0.3}
+    r1 = EX.run_experiment(
+        spark, _config(tmp_path, [{"name": "popularity"}], tmp_path / "a.csv", split=split)
+    )
+    r2 = EX.run_experiment(
+        spark, _config(tmp_path, [{"name": "popularity"}], tmp_path / "b.csv", split=split)
+    )
+    assert r1 == r2  # seeded split + deterministic model
+    assert set(r1["popularity"]) == {"MAP", "nDCG"}  # hold-out: no fold cols
+
+
+def test_experiment_deepwalk_with_kg_edges(spark, tmp_path):
+    _make_dataset(tmp_path)
+    cfg = _config(
+        tmp_path,
+        [{"name": "deepwalk_based",
+          "parameters": {"n_walks": 2, "walk_len": 4, "embedding_size": 8, "epochs": 1}}],
+        tmp_path / "dw.csv",
+        split={"method": "random_by_ratio", "level": "user", "p": 0.3},
+    )
+    rows = EX.run_experiment(spark, cfg)
+    assert set(rows) == {"deepwalk_based"}
+    assert all(0.0 <= v <= 1.0 for v in rows["deepwalk_based"].values())
