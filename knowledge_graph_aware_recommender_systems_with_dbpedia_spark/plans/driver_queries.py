@@ -635,6 +635,133 @@ FROM ratings
 
 
 # --------------------------------------------------------------------------
+# data integration: P7/P8 title normalization, U1+J7 entity linking,
+# P10 JSON flattening (operators/integration.py)
+# --------------------------------------------------------------------------
+
+
+def di1_title_normalize(spark, sf_dir):
+    """P7+P8: movie-title cleanup on synthesized titles.
+
+    Titles built from part names: every 3rd part gets the ", The"
+    suffix quirk; all carry a (yyyy) year. Output = normalized title +
+    extracted year (movielens.py:81-105 semantics).
+    """
+    from ..operators import integration as DI
+
+    part = load_table(spark, sf_dir, "part")
+    year = (1900 + F.col("p_partkey") % 100).cast("string")
+    title = F.when(
+        F.col("p_partkey") % 3 == 0,
+        F.concat("p_name", F.lit(", The ("), year, F.lit(")")),
+    ).otherwise(F.concat("p_name", F.lit(" ("), year, F.lit(")")))
+    return (
+        part.select(F.col("p_partkey").cast("bigint").alias("item_id"), title.alias("t"))
+        .select(
+            "item_id",
+            DI.normalize_title(F.col("t")).alias("title"),
+            DI.extract_year(F.col("t")).cast("bigint").alias("year"),
+        )
+    )
+
+
+DI1_SQL = r"""
+WITH t AS (
+  SELECT CAST(p_partkey AS BIGINT) AS item_id,
+         CASE WHEN p_partkey % 3 = 0
+              THEN p_name || ', The (' || CAST(1900 + p_partkey % 100 AS VARCHAR) || ')'
+              ELSE p_name || ' (' || CAST(1900 + p_partkey % 100 AS VARCHAR) || ')' END AS t
+  FROM part),
+b AS (SELECT item_id, t, trim(regexp_replace(t, '\s*\([^)]*\)', '', 'g')) AS base FROM t)
+SELECT item_id,
+       CASE WHEN regexp_extract(base, ',\s*(The|A|An|La|Le|Les|Il|El)$', 1) <> ''
+            THEN regexp_extract(base, ',\s*(The|A|An|La|Le|Les|Il|El)$', 1) || ' ' ||
+                 regexp_replace(base, ',\s*(The|A|An|La|Le|Les|Il|El)$', '')
+            ELSE base END AS title,
+       CAST(regexp_extract(t, '\((\d{4})\)', 1) AS BIGINT) AS year
+FROM b
+"""
+
+
+def di2_entity_link(spark, sf_dir):
+    """U1 + J7: offline entity linking with fuzzy disambiguation.
+
+    Labels dump = direct labels (even partkeys) UNION redirect-style
+    variants with an infix word (parts not divisible by 5): the
+    anchored P9 pattern matches both; levenshtein keeps the closest.
+    Parts divisible by 35 have no label at all -> null URI
+    (map.csv nullable-URI semantics, dataset.py:233-241).
+    """
+    from ..operators import integration as DI
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    items = part.select(
+        F.col("p_partkey").cast("bigint").alias("item_id"), F.col("p_name").alias("name")
+    )
+    direct = part.filter(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_name").alias("label"),
+        F.concat(F.lit("dbr:"), F.regexp_replace("p_name", " ", "_")).alias("uri"),
+    )
+    variant = part.filter(F.col("p_partkey") % 5 != 0).select(
+        F.regexp_replace("p_name", " ", " alt ").alias("label"),
+        F.concat(F.lit("dbr:alt_"), F.regexp_replace("p_name", " ", "_")).alias("uri"),
+    )
+    labels = direct.unionByName(variant).distinct()
+    return DI.link_entities(items, labels).select(
+        "item_id", "name", "URI"
+    )
+
+
+DI2_SQL = r"""
+WITH part0 AS (SELECT * FROM part WHERE p_partkey < 300),
+items AS (SELECT CAST(p_partkey AS BIGINT) AS item_id, p_name AS name FROM part0),
+labels AS (
+  SELECT DISTINCT label, uri FROM (
+    SELECT p_name AS label, 'dbr:' || replace(p_name, ' ', '_') AS uri
+    FROM part0 WHERE p_partkey % 2 = 0
+    UNION ALL
+    SELECT replace(p_name, ' ', ' alt ') AS label,
+           'dbr:alt_' || replace(p_name, ' ', '_') AS uri
+    FROM part0 WHERE p_partkey % 5 <> 0)),
+cand AS (
+  SELECT i.item_id, i.name, l.label, l.uri
+  FROM items i JOIN labels l
+    ON regexp_matches(lower(l.label),
+       '^' || regexp_replace(trim(lower(i.name)), '\s+', '.*', 'g') || '$')),
+best AS (
+  SELECT item_id, uri, row_number() OVER (
+    PARTITION BY item_id
+    ORDER BY levenshtein(lower(name), lower(label)), length(label), uri) AS rn
+  FROM cand)
+SELECT i.item_id, i.name, b.uri AS URI
+FROM items i LEFT JOIN (SELECT item_id, uri FROM best WHERE rn = 1) b
+  ON i.item_id = b.item_id
+"""
+
+
+def di3_json_props(spark, sf_dir):
+    """P10: JSON property extraction on the events stream's ``props``
+    column — per event_type count + sum of the extracted key (the
+    Yelp attributes-flattening family, yelp.py:82-93)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+DI3_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # recommendations + evaluation
 # --------------------------------------------------------------------------
 
@@ -1051,6 +1178,9 @@ QUERIES = {
     "sp5_fixed_timestamp": _split_query("fixed_timestamp", timestamp=2750),
     "sp6_kfold_global": _split_query("k_fold", k=5, level="global"),
     "sp7_kfold_user": _split_query("k_fold", k=4, level="user"),
+    "di1_title_normalize": di1_title_normalize,
+    "di2_entity_link": di2_entity_link,
+    "di3_json_props": di3_json_props,
     "rec_popularity_top5": rec_popularity_top5,
     "rec_node2vec_top5": rec_node2vec_top5,
     "rec_kge_transe_top5": rec_kge_transe_top5,
@@ -1069,6 +1199,9 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "di1_title_normalize": DI1_SQL,
+    "di2_entity_link": DI2_SQL,
+    "di3_json_props": DI3_SQL,
     "p1_typed_projection": P1_SQL,
     "p5_dedup_ratings": P5_SQL,
     "p6_dense_ids": P6_SQL,

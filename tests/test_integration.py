@@ -1,0 +1,118 @@
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import integration as DI
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources import raw_csv as RC
+
+
+def test_title_normalize_and_year(spark):
+    df = spark.createDataFrame(
+        [
+            ("Matrix, The (1999)",),
+            ("Amelie (Fabuleux destin d'Amelie Poulain, Le) (2001)",),
+            ("Toy Story (1995)",),
+            ("No Year Here",),
+        ],
+        "t string",
+    )
+    out = df.select(
+        DI.normalize_title("t").alias("title"), DI.extract_year("t").alias("year")
+    ).collect()
+    assert (out[0].title, out[0].year) == ("The Matrix", 1999)
+    assert out[1].year == 2001  # alt-language parens stripped
+    assert "(" not in out[1].title
+    assert (out[2].title, out[2].year) == ("Toy Story", 1995)
+    assert (out[3].title, out[3].year) == ("No Year Here", None)
+
+
+def test_match_pattern(spark):
+    df = spark.createDataFrame([("G.I. Jane!",)], "n string")
+    assert df.select(DI.match_pattern("n").alias("p")).collect()[0].p == "^GI.*Jane$"
+
+
+def test_flatten_json_attrs(spark):
+    df = spark.createDataFrame(
+        [('{"WiFi": "True", "Parking": "False", "Cards": "True"}',), (None,)],
+        "attrs string",
+    )
+    out = df.select(DI.flatten_json_attrs("attrs").alias("a")).collect()
+    assert out[0].a == ["Cards", "WiFi"]
+    assert out[1].a is None
+
+
+def test_link_entities_fuzzy_top1(spark):
+    items = spark.createDataFrame(
+        [(1, "cold widget"), (2, "warm bolt"), (3, "missing thing")],
+        "item_id bigint, name string",
+    )
+    labels = spark.createDataFrame(
+        [
+            ("cold widget", "dbr:Cold_widget"),
+            ("cold alt widget", "dbr:alt"),
+            ("warm shiny bolt", "dbr:Warm_variant"),
+        ],
+        "label string, uri string",
+    )
+    out = {r.item_id: r.URI for r in DI.link_entities(items, labels).collect()}
+    assert out[1] == "dbr:Cold_widget"  # exact beats variant (levenshtein)
+    assert out[2] == "dbr:Warm_variant"  # pattern-matched variant wins
+    assert out[3] is None  # unmatched -> null URI
+
+
+def test_enrich_group_concat(spark):
+    mapped = spark.createDataFrame([(1, "u1"), (2, "u2")], "item_id bigint, URI string")
+    props = spark.createDataFrame(
+        [("u1", "a", "x"), ("u1", "b", "x"), ("u1", "a", "y")],
+        "URI string, subject string, director string",
+    )
+    row = {
+        r.item_id: r
+        for r in DI.enrich_group_concat(mapped, props, ["subject", "director"]).collect()
+    }
+    assert row[1].subject == "a::b" and row[1].director == "x::y"
+    assert row[2].subject is None
+
+
+def test_coverage_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y"), (4, None)], "a bigint, b string"
+    )
+    r = DI.coverage_stats(df, ["a", "b"]).collect()[0]
+    assert (r.a, r.b) == (100.0, 50.0)
+
+
+def test_read_csv_multichar_sep(spark, tmp_path):
+    p = tmp_path / "ml1m.dat"
+    p.write_text("1::10::5::978300760\n2::20::3::978302109\n")
+    df = RC.read_csv_multichar_sep(
+        spark, str(p), "::", ["user_id", "item_id", "rating", "timestamp"]
+    )
+    rows = sorted(df.collect(), key=lambda r: r.user_id)
+    assert rows[0].user_id == "1" and rows[0].rating == "5"
+    assert rows[1].item_id == "20"
+
+
+def test_read_csv_injected_headers_pipe(spark, tmp_path):
+    p = tmp_path / "u.item"
+    p.write_text("1|Toy Story (1995)|genre\n2|Jumanji (1995)|genre\n")
+    df = RC.read_csv(
+        spark, str(p), sep="|", header=False, column_names=["id", "title", "g"]
+    )
+    assert df.count() == 2 and "title" in df.columns
+
+
+def test_remote_fanout_with_failures(spark):
+    ids = spark.createDataFrame([(str(i),) for i in range(6)], "item_id string")
+
+    def fetch(key):
+        if int(key) % 3 == 0:
+            raise RuntimeError("endpoint timeout")
+        return {"uri": f"dbr:{key}", "label": f"L{key}"}
+
+    out = {
+        r.item_id: (r.uri, r.label)
+        for r in RC.remote_fanout(ids, fetch, ["uri", "label"], partitions=3).collect()
+    }
+    assert len(out) == 6
+    assert out["1"] == ("dbr:1", "L1")
+    assert out["3"] == (None, None)  # failed row -> nulls, task survives
