@@ -107,6 +107,66 @@ def hyperplane_signature(
     return nn.select("id", F.col("v"), sig.alias("bucket"))
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` cells, probe only the query's ``n_probe`` nearest
+    cells.
+
+    Centroids are the vectors of the ``n_cells`` corpus ids with the
+    smallest ``md5_long(seed || id)`` — a deterministic sample (no
+    k-means iterations; at 100 TB you'd run ``pyspark.ml`` KMeans once
+    and reuse the centers; the assignment/probe plan is identical).
+    The centroid table is tiny and broadcast; cell assignment is a
+    broadcast join + per-row argmin, candidate generation an equi-join
+    on cell id — no crossJoin against the corpus.
+    """
+    nn = _normalize(emb, id_col, vec_col)
+    w = Window.orderBy(md5_long(F.concat_ws(":", F.lit(seed), F.col("id"))), F.col("id"))
+    cents = (
+        nn.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_cells)
+        .select(F.col("_r").alias("cell"), F.col("v").alias("cv"))
+    )
+
+    def assign(df: DataFrame, n: int) -> DataFrame:
+        scored = df.join(F.broadcast(cents), F.lit(True)).select(
+            "id", "v", "cell", _dot(F.col("v"), F.col("cv")).alias("_sim")
+        )
+        ww = Window.partitionBy("id").orderBy(F.desc("_sim"), "cell")
+        return (
+            scored.withColumn("_cr", F.row_number().over(ww))
+            .filter(F.col("_cr") <= n)
+            .drop("_sim", "_cr")
+        )
+
+    c = assign(nn, 1).alias("c")
+    q = assign(_normalize(queries, id_col, vec_col), n_probe).alias("q")
+    scored = (
+        c.join(q, (F.col("c.cell") == F.col("q.cell")) & (F.col("c.id") != F.col("q.id")))
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(_dot(F.col("q.v"), F.col("c.v")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def cosine_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

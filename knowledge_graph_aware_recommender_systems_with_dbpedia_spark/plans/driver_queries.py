@@ -1062,6 +1062,45 @@ FROM st LEFT JOIN fp ON st.doc_id = fp.doc_id
 TX1_SQL = _tx1_sql()
 
 
+def dd6_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.9) — the fifth
+    dedup modality (exact/jaccard/minhash/simhash/embedding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return DD.embedding_near_dups(emb, threshold=0.9).select(
+        "id1", "id2", F.round("cosine", 6).alias("cosine")
+    )
+
+
+DD6_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+      FROM e),
+p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+      list_dot_product(a.v, b.v) AS cosine
+      FROM n a, n b WHERE a.vec_id < b.vec_id)
+SELECT id1, id2, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.9
+"""
+
+
+def ss2_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate ANN (the 100 TB scale path for ss1).
+
+    No DuckDB oracle: the result is deliberately approximate (cells
+    probed < all cells) — rows-only check; recall-vs-exact is covered
+    by tests/test_dedup_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=8, n_probe=3
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rec_rank"),
+        "cosine",
+    )
+
+
 def ss1_ann_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).select(
@@ -1192,7 +1231,9 @@ QUERIES = {
     "dd4_minhash_lsh_pairs": dd4_minhash_lsh_pairs,
     "dd5_simhash": dd5_simhash,
     "tx1_text_stats": tx1_text_stats,
+    "dd6_embedding_neardup": dd6_embedding_neardup,
     "ss1_ann_cosine_topk": ss1_ann_cosine_topk,
+    "ss2_ann_ivf_topk": ss2_ann_ivf_topk,
     "ev1_hourly_rollup": ev1_hourly_rollup,
     "ev2_sessionize": ev2_sessionize,
 }
@@ -1239,6 +1280,7 @@ ORACLES = {
     "dd4_minhash_lsh_pairs": DD4_SQL,
     "dd5_simhash": DD5_SQL,
     "tx1_text_stats": TX1_SQL,
+    "dd6_embedding_neardup": DD6_SQL,
     "ss1_ann_cosine_topk": SS1_SQL,
     "ev1_hourly_rollup": EV1_SQL,
     "ev2_sessionize": EV2_SQL,

@@ -109,3 +109,24 @@ def test_lsh_topk_subset_of_exact_space(spark):
     for r in rows:
         assert r.neighbor_id != r.query_id
         assert 1 <= r.rank <= 3
+
+
+def test_ivf_topk_structure_and_full_probe_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(40, 16).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    approx = SIM.ivf_topk(emb, q, k=4, n_cells=6, n_probe=2).collect()
+    for r in approx:
+        assert r.neighbor_id != r.query_id and 1 <= r.rank <= 4
+    # probing EVERY cell must recover the exact top-k
+    full = SIM.ivf_topk(emb, q, k=4, n_cells=6, n_probe=6)
+    exact = SIM.cosine_topk(emb, q, k=4)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in full.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    assert got == want
