@@ -38,6 +38,65 @@ def _ceil_div_count(n_col, p: float):
     return F.ceil(n_col * F.lit(p)).cast("bigint")
 
 
+def _global_rank(
+    df: DataFrame,
+    order: list,
+    descending: bool,
+    boundaries: list[float] | None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact global row_number + total count WITHOUT a single-partition
+    window (the WindowExec all-to-one-partition trap).
+
+    Two-pass range-bucketed rank: rows are range-bucketed on the
+    primary order key (``order[0]``) — grid buckets when the key is
+    the uniform det_unit hash (``boundaries=None``), arbitrary
+    ascending ``boundaries`` otherwise (correctness does NOT depend on
+    the boundaries being balanced quantiles: ANY range partition of
+    the primary key preserves the total order; skewed boundaries only
+    cost balance). Within-bucket row_number + broadcast-joined bucket
+    offsets = the exact global rank. Adds ``_rn`` (1-based, in the
+    requested order) and ``_n`` (total rows).
+    """
+    primary = order[0]
+    if boundaries is None:  # primary is det_unit in [0, 1)
+        bucket = F.least(
+            F.floor(primary * n_buckets).cast("int"), F.lit(n_buckets - 1)
+        )
+    else:
+        arr = F.array(*[F.lit(float(b)) for b in boundaries])
+        bucket = F.size(F.filter(arr, lambda b: b < primary.cast("double"))).cast("int")
+    df = df.withColumn("_bkt", bucket)
+    ordered = [o.desc() for o in order] if descending else [o.asc() for o in order]
+    w = Window.partitionBy("_bkt").orderBy(*ordered)
+    df = df.withColumn("_brn", F.row_number().over(w))
+    counts = df.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bc"))
+    # offsets: rows in buckets that sort BEFORE this bucket (tiny DF —
+    # one row per bucket — so its single-partition window is free)
+    off_w = (
+        Window.orderBy(F.desc("_bkt") if descending else F.asc("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot_w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    offs = counts.select(
+        "_bkt",
+        F.coalesce(F.sum("_bc").over(off_w), F.lit(0)).alias("_off"),
+        F.sum("_bc").over(tot_w).alias("_n"),
+    )
+    return (
+        df.join(F.broadcast(offs), "_bkt")
+        .withColumn("_rn", F.col("_off") + F.col("_brn"))
+        .drop("_bkt", "_brn", "_off")
+    )
+
+
+def _ts_boundaries(ratings: DataFrame, ts_col: str, n_buckets: int) -> list[float]:
+    """Approximate timestamp quantiles as range-bucket boundaries (one
+    driver action; accuracy only affects balance, never correctness)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    return ratings.approxQuantile(ts_col, qs, 0.01)
+
+
 def split_ratings(
     ratings: DataFrame,
     method: str,
@@ -70,14 +129,24 @@ def split_ratings(
             if method == "random_by_ratio"
             else [F.col(ts_col), F.col(user_col), F.col(item_col)]
         ) + [F.col(c) for c in tiebreak]
-        part = Window.partitionBy(user_col) if level == "user" else Window.partitionBy(F.lit(1))
-        w = part.orderBy(*[o.desc() for o in order])
-        cnt = part.orderBy(F.lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        df = ratings.withColumn("_rn", F.row_number().over(w)).withColumn(
-            "_n", F.count(F.lit(1)).over(cnt)
-        )
+        if level == "user":
+            part = Window.partitionBy(user_col)
+            w = part.orderBy(*[o.desc() for o in order])
+            cnt = part.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            df = ratings.withColumn("_rn", F.row_number().over(w)).withColumn(
+                "_n", F.count(F.lit(1)).over(cnt)
+            )
+        else:
+            # global level: two-pass bucketed rank, never a
+            # single-partition window (see _global_rank)
+            boundaries = (
+                None
+                if method == "random_by_ratio"
+                else _ts_boundaries(ratings, ts_col, 64)
+            )
+            df = _global_rank(ratings, order, descending=True, boundaries=boundaries)
         # the LAST ceil(n*p) of the ascending order == first ceil(n*p)
         # of the descending order
         df = df.withColumn("is_test", F.col("_rn") <= _ceil_div_count(F.col("_n"), p))
@@ -93,21 +162,26 @@ def split_ratings(
             raise ValueError("k_fold requires k >= 2")
         if level not in ("user", "global"):
             raise ValueError("level must be 'user' or 'global'")
-        part = Window.partitionBy(user_col) if level == "user" else Window.partitionBy(F.lit(1))
         tiebreak = [F.col(c) for c in ("rating", ts_col) if c in ratings.columns]
-        w = part.orderBy(
+        order = [
             det_unit(F.col(user_col), F.col(item_col), seed=seed),
             F.col(user_col),
             F.col(item_col),
             *tiebreak,
-        )
-        cnt = part.orderBy(F.lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        df = (
-            ratings.withColumn("_rn", F.row_number().over(w) - 1)
-            .withColumn("_n", F.count(F.lit(1)).over(cnt))
-        )
+        ]
+        if level == "user":
+            part = Window.partitionBy(user_col)
+            w = part.orderBy(*order)
+            cnt = part.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            df = (
+                ratings.withColumn("_rn", F.row_number().over(w) - 1)
+                .withColumn("_n", F.count(F.lit(1)).over(cnt))
+            )
+        else:
+            df = _global_rank(ratings, order, descending=False, boundaries=None)
+            df = df.withColumn("_rn", F.col("_rn") - 1)
         # sklearn KFold sizing: first (n % k) folds have n//k + 1 rows
         big, rem = F.col("_n") / k, F.pmod(F.col("_n"), F.lit(k))
         base = F.floor(big).cast("bigint")

@@ -74,15 +74,18 @@ def _raw_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deduped interaction table (keep-last by ts, rating)."""
-    w = Window.partitionBy("user_id", "item_id").orderBy(
-        F.desc("ts"), F.desc("rating")
-    )
+    """Deduped interaction table (keep-last by ts, rating).
+
+    max(struct(ts, rating)) == the window row_number()=1 row, but as a
+    hash aggregate it gets map-side partial combine — at 100 TB the
+    shuffle carries one pre-combined row per (user, item) per mapper
+    instead of every duplicate, and there is no per-group sort.
+    """
     return (
         _raw_ratings(spark, sf_dir)
-        .withColumn("_drn", F.row_number().over(w))
-        .filter(F.col("_drn") == 1)
-        .drop("_drn")
+        .groupBy("user_id", "item_id")
+        .agg(F.max(F.struct("ts", "rating")).alias("_s"))
+        .select("user_id", "item_id", F.col("_s.rating").alias("rating"), F.col("_s.ts").alias("ts"))
     )
 
 
@@ -632,6 +635,74 @@ SELECT user_id, item_id, rating, ts,
        CAST(CASE WHEN ts > 2750 THEN 1 ELSE 0 END AS BIGINT) AS is_test
 FROM ratings
 """
+
+
+def a2_o1_user_rating_lists(spark, sf_dir):
+    """A2 + O1: per-user rating lists sorted desc by rating (the
+    load-bearing sort of dataset.py:35-38), rendered as a '|'-joined
+    string so the oracle hash is order-sensitive."""
+    r = _ratings(spark, sf_dir).select(
+        "user_id", "item_id", F.col("rating").cast("bigint").alias("rating")
+    )
+    lst = F.array_sort(
+        F.collect_list(F.struct("rating", "item_id")),
+        lambda a, b: F.when(a["rating"] > b["rating"], -1)
+        .when(a["rating"] < b["rating"], 1)
+        .when(a["item_id"] < b["item_id"], -1)
+        .when(a["item_id"] > b["item_id"], 1)
+        .otherwise(0),
+    )
+    return (
+        r.groupBy("user_id")
+        .agg(lst.alias("l"))
+        .select(
+            "user_id",
+            F.size("l").cast("bigint").alias("n_items"),
+            F.array_join(
+                F.transform(
+                    "l",
+                    lambda s: F.concat_ws(
+                        ":", s["item_id"].cast("string"), s["rating"].cast("string")
+                    ),
+                ),
+                "|",
+            ).alias("items"),
+        )
+    )
+
+
+A2_SQL = (
+    "WITH ratings AS (" + RATINGS_SQL + """)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_items,
+       string_agg(CAST(item_id AS VARCHAR) || ':' || CAST(CAST(rating AS BIGINT) AS VARCHAR),
+                  '|' ORDER BY CAST(rating AS BIGINT) DESC, item_id) AS items
+FROM ratings GROUP BY user_id
+"""
+)
+
+
+def a3_item_reverse_index(spark, sf_dir):
+    """A3: item -> rated-by user set (the rating_item2users secondary
+    index, graph.py:25-26) as a sorted joined string."""
+    r = _ratings(spark, sf_dir)
+    return (
+        r.groupBy("item_id")
+        .agg(F.array_sort(F.collect_set("user_id")).alias("u"))
+        .select(
+            "item_id",
+            F.size("u").cast("bigint").alias("n_users"),
+            F.array_join(F.transform("u", lambda x: x.cast("string")), ",").alias("users"),
+        )
+    )
+
+
+A3_SQL = (
+    "WITH ratings AS (" + RATINGS_SQL + """)
+SELECT item_id, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users
+FROM ratings GROUP BY item_id
+"""
+)
 
 
 # --------------------------------------------------------------------------
@@ -1217,6 +1288,8 @@ QUERIES = {
     "sp5_fixed_timestamp": _split_query("fixed_timestamp", timestamp=2750),
     "sp6_kfold_global": _split_query("k_fold", k=5, level="global"),
     "sp7_kfold_user": _split_query("k_fold", k=4, level="user"),
+    "a2_o1_user_rating_lists": a2_o1_user_rating_lists,
+    "a3_item_reverse_index": a3_item_reverse_index,
     "di1_title_normalize": di1_title_normalize,
     "di2_entity_link": di2_entity_link,
     "di3_json_props": di3_json_props,
@@ -1240,6 +1313,8 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "a2_o1_user_rating_lists": A2_SQL,
+    "a3_item_reverse_index": A3_SQL,
     "di1_title_normalize": DI1_SQL,
     "di2_entity_link": DI2_SQL,
     "di3_json_props": DI3_SQL,
