@@ -426,9 +426,10 @@ class KGERecommender:
 
     def __init__(self, model: str = "transe", k: int = 5, dim: int = 32,
                  epochs: int = 5, lr: float = 0.05, margin: float = 1.0,
-                 seed: int = 42):
+                 seed: int = 42, scoring: str = "exact"):
         self.model_name, self.k, self.dim = model, k, dim
         self.epochs, self.lr, self.margin, self.seed = epochs, lr, margin, seed
+        self.scoring = scoring  # "exact" (parity) | "lsh" (scale)
         self._train: DataFrame | None = None
         self._emb: DataFrame | None = None
 
@@ -473,4 +474,8 @@ class KGERecommender:
         train = self._train.select("user_id", "item_id")
         uv = self._typed("u:", "user_id", train.select("user_id").distinct())
         iv = self._typed("i:", "item_id", train.select("item_id").distinct())
+        if self.scoring == "lsh":
+            from .recommend import topk_by_cosine_lsh
+
+            return topk_by_cosine_lsh(uv, iv, k=k, train=train)
         return topk_by_cosine(uv, iv, k=k, train=train)

@@ -64,7 +64,9 @@ class Node2VecRecommender:
         epochs: int = 1,
         min_count: int = 0,
         seed: int = 42,
+        scoring: str = "exact",
     ):
+        self.scoring = scoring  # "exact" (parity) | "lsh" (scale)
         self.k = k
         self.n_walks = n_walks
         self.walk_len = walk_len
@@ -136,4 +138,8 @@ class Node2VecRecommender:
         items = train_str.select("item_id").distinct()
         uv = self._typed_vecs(_U, "user_id", users)
         iv = self._typed_vecs(_I, "item_id", items)
+        if self.scoring == "lsh":
+            from .recommend import topk_by_cosine_lsh
+
+            return topk_by_cosine_lsh(uv, iv, k=k, train=train_str)
         return topk_by_cosine(uv, iv, k=k, train=train_str)

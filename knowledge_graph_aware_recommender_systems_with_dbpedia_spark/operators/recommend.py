@@ -82,6 +82,42 @@ class PopularityRecommender:
         return exclude_rated_and_truncate(scored, self._train, k)
 
 
+def topk_by_cosine_lsh(
+    user_vecs: DataFrame,
+    item_vecs: DataFrame,
+    k: int,
+    train: DataFrame,
+    n_planes: int = 6,
+    over_fetch: int | None = None,
+) -> DataFrame:
+    """The 100 TB scoring path: sign-LSH bucketed candidate generation
+    instead of the exact O(U x I) crossJoin (same over-fetch ->
+    anti-join -> truncate contract as topk_by_cosine; approximate —
+    recall is tuned by n_planes).
+
+    User/item ids are prefix-tagged before the shared-id LSH join so a
+    user and an item with the same raw id can never be confused.
+    """
+    from .similarity import cosine_lsh_topk
+
+    n_fetch = (over_fetch or max_user_degree(train)) + k
+    items = item_vecs.select(
+        F.concat(F.lit("i:"), F.col("item_id").cast("string")).alias("vec_id"),
+        F.col("vec").alias("embedding"),
+    )
+    users = user_vecs.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("vec_id"),
+        F.col("vec").alias("embedding"),
+    )
+    cand = cosine_lsh_topk(items, users, k=n_fetch, n_planes=n_planes)
+    scored = cand.select(
+        F.expr("substring(query_id, 3)").alias("user_id"),
+        F.expr("substring(neighbor_id, 3)").alias("item_id"),
+        F.col("cosine").alias("score"),
+    )
+    return exclude_rated_and_truncate(scored, train, k)
+
+
 def topk_by_cosine(
     user_vecs: DataFrame,
     item_vecs: DataFrame,

@@ -86,3 +86,20 @@ def test_index_entities_deterministic(spark):
     assert sorted(e1.collect()) == sorted(e2.collect())
     assert {x.e for x in e1.collect()} == {"a", "b", "c"}
     assert sorted(x.idx for x in e1.collect()) == [0, 1, 2]
+
+
+def test_kge_recommender_lsh_scoring(spark):
+    ratings = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        (F.col("o_orderkey") % 50).alias("item_id"),
+        (F.col("o_orderkey") % 5 + 1).cast("double").alias("rating"),
+    ).limit(800)
+    rec = kge.KGERecommender("transe", k=5, dim=16, epochs=2, scoring="lsh").train(ratings)
+    recs = rec.get_recommendations()
+    assert recs.columns == ["user_id", "item_id", "rank"]
+    assert recs.groupBy("user_id").count().agg(F.max("count")).collect()[0][0] <= 5
+    overlap = recs.join(
+        ratings.select(F.col("user_id").cast("string").alias("user_id"),
+                       F.col("item_id").cast("string").alias("item_id")),
+        ["user_id", "item_id"]).count()
+    assert overlap == 0
