@@ -17,6 +17,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     "q1_pricing_summary",
+    "a2_o1_user_rating_lists",
+    "di2_entity_link",
     "o3_topk_per_group",
     "g8_triples",
     "g4_kcore_alternating",

@@ -1217,6 +1217,27 @@ FROM events GROUP BY 1, 2
 """
 
 
+def st1_stream_hourly_rollup(spark, sf_dir):
+    """Structured Streaming in the driver contract: the SAME hourly
+    rollup as ev1, executed as an incremental watermarked stream
+    (availableNow over the static events dir drains in one batch, so
+    the result is exactly the batch answer — ev1's oracle applies).
+    """
+    import os
+    import tempfile
+
+    from ..streaming import events as STE
+
+    stream = STE.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    name = os.path.basename(tempfile.mkdtemp(prefix="st1q_"))
+    out = STE.run_to_memory(STE.hourly_rollup(stream), name, "update")
+    # single availableNow batch -> one emission per key; the max-agg is
+    # a defensive no-op that also makes reruns idempotent
+    return out.groupBy("hour_idx", "event_type").agg(
+        F.max("n").alias("n"), F.max("sum_value").alias("sum_value")
+    )
+
+
 def ev2_sessionize(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.expr("ts_ns div 1000").cast("bigint").alias("tus")
@@ -1309,6 +1330,7 @@ QUERIES = {
     "ss2_ann_ivf_topk": ss2_ann_ivf_topk,
     "ev1_hourly_rollup": ev1_hourly_rollup,
     "ev2_sessionize": ev2_sessionize,
+    "st1_stream_hourly_rollup": st1_stream_hourly_rollup,
 }
 
 ORACLES = {
@@ -1358,6 +1380,7 @@ ORACLES = {
     "dd6_embedding_neardup": DD6_SQL,
     "ss1_ann_cosine_topk": SS1_SQL,
     "ev1_hourly_rollup": EV1_SQL,
+    "st1_stream_hourly_rollup": EV1_SQL,
     "ev2_sessionize": EV2_SQL,
 }
 
