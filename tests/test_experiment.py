@@ -122,3 +122,44 @@ def test_experiment_deepwalk_with_kg_edges(spark, tmp_path):
     rows = EX.run_experiment(spark, cfg)
     assert set(rows) == {"deepwalk_based"}
     assert all(0.0 <= v <= 1.0 for v in rows["deepwalk_based"].values())
+
+
+def test_experiment_from_yaml_file_with_validation(spark, tmp_path):
+    import yaml
+
+    _make_dataset(tmp_path)
+    cfg = _config(
+        tmp_path,
+        [{"name": "popularity"}],
+        tmp_path / "y.csv",
+        split={"method": "random_by_ratio", "level": "user", "p": 0.3},
+    )
+    # SP8: carve a validation set out of each train fold
+    cfg["experiment"]["split"]["validation"] = {
+        "method": "random_by_ratio", "level": "user", "p": 0.2,
+    }
+    yml = tmp_path / "exp.yml"
+    yml.write_text(yaml.safe_dump(cfg))
+    rows = EX.run_experiment(spark, str(yml))  # S9: YAML path input
+    assert set(rows) == {"popularity"}
+    assert all(0.0 <= v <= 1.0 for v in rows["popularity"].values())
+
+    # validation must shrink the train set -> metrics differ from the
+    # no-validation run of the same config
+    del cfg["experiment"]["split"]["validation"]
+    cfg["experiment"]["report"]["file"] = str(tmp_path / "y2.csv")
+    rows2 = EX.run_experiment(spark, cfg)
+    assert rows != rows2
+
+
+def test_validation_kfold_rejected(spark, tmp_path):
+    import pytest as _pt
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import splits as SP
+
+    _make_dataset(tmp_path)
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0), (2, 1, 3.0), (2, 2, 4.0)],
+        "user_id bigint, item_id bigint, rating double",
+    )
+    with _pt.raises(ValueError):
+        SP.validation_subsplit(df, method="k_fold", k=2)
