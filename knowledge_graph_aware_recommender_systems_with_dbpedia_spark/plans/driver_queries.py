@@ -637,6 +637,39 @@ FROM ratings
 """
 
 
+def j3_key_reconstruction(spark, sf_dir):
+    """J3 (douban-movie.py:69-70): facts keyed by a natural name
+    column joined back to synthesized dense ids — P6's row_number ids
+    re-attached via a left join on the name key."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dense = (
+        c.select("c_name")
+        .distinct()
+        .withColumn("dense_id", F.row_number().over(Window.orderBy("c_name")) - 1)
+    )
+    facts = (
+        load_table(spark, sf_dir, "orders")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_name")
+    )
+    return facts.join(F.broadcast(dense), "c_name", "left").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("dense_id").cast("bigint").alias("dense_id"),
+    )
+
+
+J3_SQL = """
+WITH dense AS (
+  SELECT c_name, row_number() OVER (ORDER BY c_name) - 1 AS dense_id
+  FROM (SELECT DISTINCT c_name FROM customer)),
+facts AS (
+  SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey)
+SELECT CAST(f.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(d.dense_id AS BIGINT) AS dense_id
+FROM facts f LEFT JOIN dense d ON f.c_name = d.c_name
+"""
+
+
 def a2_o1_user_rating_lists(spark, sf_dir):
     """A2 + O1: per-user rating lists sorted desc by rating (the
     load-bearing sort of dataset.py:35-38), rendered as a '|'-joined
@@ -1309,6 +1342,7 @@ QUERIES = {
     "sp5_fixed_timestamp": _split_query("fixed_timestamp", timestamp=2750),
     "sp6_kfold_global": _split_query("k_fold", k=5, level="global"),
     "sp7_kfold_user": _split_query("k_fold", k=4, level="user"),
+    "j3_key_reconstruction": j3_key_reconstruction,
     "a2_o1_user_rating_lists": a2_o1_user_rating_lists,
     "a3_item_reverse_index": a3_item_reverse_index,
     "di1_title_normalize": di1_title_normalize,
@@ -1335,6 +1369,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "j3_key_reconstruction": J3_SQL,
     "a2_o1_user_rating_lists": A2_SQL,
     "a3_item_reverse_index": A3_SQL,
     "di1_title_normalize": DI1_SQL,

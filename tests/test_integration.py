@@ -116,3 +116,10 @@ def test_remote_fanout_with_failures(spark):
     assert len(out) == 6
     assert out["1"] == ("dbr:1", "L1")
     assert out["3"] == (None, None)  # failed row -> nulls, task survives
+
+
+def test_read_ndjson(spark, tmp_path):
+    p = tmp_path / "yelp.json"
+    p.write_text('{"business_id": "b1", "stars": 4.5}\n{"business_id": "b2", "stars": 3.0}\n')
+    df = RC.read_ndjson(spark, str(p))
+    assert df.count() == 2 and set(df.columns) == {"business_id", "stars"}
