@@ -74,6 +74,7 @@ def build_graph(
     user_property_cols: list[str] | None = None,
     remove_unmatched: bool = False,
     rating_order_col: str | None = None,
+    dedup_ratings: bool = True,
 ) -> KGraph:
     """Build the user-item-property KG from standardized tables.
 
@@ -87,6 +88,11 @@ def build_graph(
     order; a distributed engine needs an explicit order — pass the
     ingestion sequence column if exact parity matters, else the max
     timestamp/rating wins deterministically.
+
+    ``dedup_ratings=False`` skips the duplicate-collapse shuffle when
+    the caller guarantees (user, item) uniqueness (e.g. the fact table
+    already went through the keep-last aggregate) — one less wide
+    shuffle at 100 TB.
     """
     if mapping is not None:
         items = items.join(F.broadcast(mapping), "item_id", "left")  # J1
@@ -164,13 +170,18 @@ def build_graph(
         r.join(items.select("item_id").distinct(), "item_id", "left_semi")
         .join(users.select("user_id").distinct(), "user_id", "left_semi")
     )
-    order = (
-        [F.col(rating_order_col).desc()]
-        if rating_order_col
-        else [F.desc_nulls_last("timestamp"), F.desc_nulls_last("rating")]
-    )
-    w = Window.partitionBy("user_id", "item_id").orderBy(*order)
-    r = r.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    if dedup_ratings:
+        order = (
+            [F.col(rating_order_col).desc()]
+            if rating_order_col
+            else [F.desc_nulls_last("timestamp"), F.desc_nulls_last("rating")]
+        )
+        w = Window.partitionBy("user_id", "item_id").orderBy(*order)
+        r = (
+            r.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     rating_edges = r.select(
         _node_id(F.lit(USER), F.lit(""), F.col("user_id")).alias("src"),

@@ -489,6 +489,7 @@ def _graph(spark, sf_dir) -> G.KGraph:
         ratings,
         item_property_cols=["brand", "type"],
         user_property_cols=["segment"],
+        dedup_ratings=False,  # _ratings already collapsed duplicates
     )
 
 

@@ -163,3 +163,11 @@ def test_validation_kfold_rejected(spark, tmp_path):
     )
     with _pt.raises(ValueError):
         SP.validation_subsplit(df, method="k_fold", k=2)
+
+
+def test_all_registry_models_construct():
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.registries import MODELS
+
+    for name, make in MODELS.items():
+        m = make({"embedding_size": 8, "epochs": 1}, seed=1)
+        assert hasattr(m, "train") and hasattr(m, "get_recommendations"), name
