@@ -27,6 +27,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Spark 4 whitelists charset names; normalize the aliases the raw
+# datasets use and fall back to the legacy-charsets conf for the rest
+_CHARSET_ALIASES = {"latin-1": "ISO-8859-1", "latin1": "ISO-8859-1",
+                    "cp1252": "windows-1252"}
+_SPARK4_CHARSETS = {"iso-8859-1", "us-ascii", "utf-16", "utf-16be",
+                    "utf-16le", "utf-32", "utf-8"}
+
+
+def _normalize_encoding(spark: SparkSession, encoding: str) -> str:
+    enc = _CHARSET_ALIASES.get(encoding.lower(), encoding)
+    if enc.lower() not in _SPARK4_CHARSETS:
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    return enc
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -40,7 +55,7 @@ def read_csv(
     injected header names and non-UTF8 encodings."""
     reader = (
         spark.read.option("sep", sep)
-        .option("encoding", encoding)
+        .option("encoding", _normalize_encoding(spark, encoding))
         .option("header", str(header).lower())
     )
     if escape is not None:
@@ -68,7 +83,9 @@ def read_csv_multichar_sep(
     lines = spark.read.text(path)
     if encoding.upper() not in ("UTF-8", "UTF8"):
         lines = (
-            spark.read.format("text").option("encoding", encoding).load(path)
+            spark.read.format("text")
+            .option("encoding", _normalize_encoding(spark, encoding))
+            .load(path)
         )
     parts = F.split(F.col("value"), quoted)
     return lines.select(
