@@ -128,3 +128,36 @@ def test_registry_names_match_reference():
         "ml-100k", "ml-1m", "lastfm", "yelp", "steam", "book-crossing",
         "douban-movie",
     }
+
+
+def test_steam_play_filter(spark, tmp_path):
+    raw, out = tmp_path / "raw", tmp_path / "out"
+    raw.mkdir(), out.mkdir()
+    (raw / "steam-200k.csv").write_text(
+        "151603712,The Elder Scrolls V Skyrim,purchase,1.0,0\n"
+        "151603712,The Elder Scrolls V Skyrim,play,273.0,0\n"
+        "151603712,Fallout 4,purchase,1.0,0\n"
+    )
+    ds = DS.Steam(spark, str(raw), str(out))
+    assert ds.convert_item_data().count() == 2
+    ratings = ds.convert_rating_data().collect()
+    assert len(ratings) == 1 and ratings[0].rating == 273.0  # play rows only
+
+
+def test_book_crossing_cp1252(spark, tmp_path):
+    raw, out = tmp_path / "raw", tmp_path / "out"
+    raw.mkdir(), out.mkdir()
+    (raw / "BX-Books.csv").write_bytes(
+        'ISBN;"Book-Title";"Book-Author";"Year-Of-Publication";"Publisher"\n'
+        '0195153448;"Classical Mythology";"Mark P. O. Morford";2002;"Oxford"\n'.encode("cp1252")
+    )
+    (raw / "BX-Users.csv").write_bytes(
+        'User-ID;"Location";"Age"\n1;"nyc, usa";35\n'.encode("cp1252")
+    )
+    (raw / "BX-Book-Ratings.csv").write_bytes(
+        'User-ID;"ISBN";"Book-Rating"\n1;"0195153448";7\n'.encode("cp1252")
+    )
+    ds = DS.BookCrossing(spark, str(raw), str(out))
+    assert ds.convert_item_data().collect()[0].name == "Classical Mythology"
+    assert ds.convert_user_data().count() == 1
+    assert ds.convert_rating_data().collect()[0].rating == 7.0
