@@ -309,14 +309,28 @@ def triples(g: KGraph, which: str = "all") -> DataFrame:
     return rated.unionByName(props).unionByName(social)
 
 
-def relabel_nodes(nodes: DataFrame) -> DataFrame:
+def relabel_nodes(nodes: DataFrame, n_buckets: int = 32) -> DataFrame:
     """Contiguous 0-based int ids for embedding trainers (graph.py:168-179).
 
-    ``row_number`` over a deterministic total order — NOT
+    Deterministic dense rank over node_id order — NOT
     ``monotonically_increasing_id`` (non-dense, partition-dependent).
     The mapping DataFrame (int_id, node_id) is the 'convert_back' table.
+
+    Scale: uses the two-pass range-bucketed rank (splits._global_rank)
+    instead of a single-partition window. Bucket boundaries come from a
+    sample of the ids — sampling quality affects only balance, never
+    the resulting ids (any range partition preserves the total order).
     """
-    w = Window.orderBy("node_id")
-    return nodes.select("node_id").distinct().withColumn(
-        "int_id", F.row_number().over(w) - 1
+    from .splits import _global_rank
+
+    ids = nodes.select("node_id").distinct()
+    sample = sorted(
+        r.node_id
+        for r in ids.sample(False, 0.1, seed=42).limit(n_buckets * 8).collect()
     )
+    step = max(1, len(sample) // n_buckets)
+    boundaries = sample[step::step][: n_buckets - 1] or [""]  # "" = 1 bucket
+    ranked = _global_rank(
+        ids, [F.col("node_id")], descending=False, boundaries=boundaries
+    )
+    return ranked.select("node_id", (F.col("_rn") - 1).alias("int_id"))

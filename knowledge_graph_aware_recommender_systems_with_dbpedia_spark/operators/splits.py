@@ -64,8 +64,10 @@ def _global_rank(
             F.floor(primary * n_buckets).cast("int"), F.lit(n_buckets - 1)
         )
     else:
-        arr = F.array(*[F.lit(float(b)) for b in boundaries])
-        bucket = F.size(F.filter(arr, lambda b: b < primary.cast("double"))).cast("int")
+        # boundaries may be numeric (timestamps) or strings (node ids);
+        # comparison semantics match the order column's type either way
+        arr = F.array(*[F.lit(b) for b in boundaries])
+        bucket = F.size(F.filter(arr, lambda b: b < primary)).cast("int")
     df = df.withColumn("_bkt", bucket)
     ordered = [o.desc() for o in order] if descending else [o.asc() for o in order]
     w = Window.partitionBy("_bkt").orderBy(*ordered)
