@@ -116,3 +116,42 @@ def test_validation_subsplit_rejects_kfold(ratings):
 def test_invalid_args(ratings, kw):
     with pytest.raises(ValueError):
         splits.split_ratings(ratings, **kw)
+
+
+def test_global_variants_deterministic_across_partitionings(ratings):
+    # the two-pass bucketed global rank must give identical membership
+    # regardless of physical partitioning (retry/speculation safety)
+    for method, kw in [
+        ("random_by_ratio", {"p": 0.25, "level": "global"}),
+        ("timestamp_by_ratio", {"p": 0.25, "level": "global"}),
+        ("k_fold", {"k": 3, "level": "global"}),
+    ]:
+        col = "fold" if method == "k_fold" else "is_test"
+        a = splits.split_ratings(ratings.repartition(11), method, seed=5, **kw)
+        b = splits.split_ratings(ratings.coalesce(1), method, seed=5, **kw)
+        assert (
+            a.select("user_id", "item_id", col)
+            .exceptAll(b.select("user_id", "item_id", col))
+            .count()
+            == 0
+        ), method
+
+
+def test_kfold_sklearn_sizing_property(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(n=st.integers(min_value=4, max_value=60), k=st.integers(min_value=2, max_value=5))
+    def check(n, k):
+        df = spark.createDataFrame(
+            [(1, i, float(i)) for i in range(n)],
+            "user_id int, item_id int, rating double",
+        )
+        out = splits.split_ratings(df, "k_fold", seed=3, k=k, level="global")
+        sizes = {r.fold: r["count"] for r in out.groupBy("fold").count().collect()}
+        assert sorted(sizes) == list(range(k))
+        # sklearn KFold: first n % k folds get n//k + 1 rows, rest n//k
+        for fold, size in sizes.items():
+            assert size == (n // k + 1 if fold < n % k else n // k)
+
+    check()
