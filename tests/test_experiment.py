@@ -171,3 +171,19 @@ def test_all_registry_models_construct():
     for name, make in MODELS.items():
         m = make({"embedding_size": 8, "epochs": 1}, seed=1)
         assert hasattr(m, "train") and hasattr(m, "get_recommendations"), name
+
+
+def test_golden_popularity_kfold(spark, tmp_path):
+    """SURVEY §5 golden-run strategy: the committed expected metrics for
+    the deterministic popularity model on the seeded 2-fold split must
+    reproduce EXACTLY (hash-stable splits + deterministic model)."""
+    import json
+
+    _make_dataset(tmp_path)
+    rows = EX.run_experiment(
+        spark, _config(tmp_path, [{"name": "popularity"}], tmp_path / "g.csv")
+    )
+    path = os.path.join(os.path.dirname(__file__), "goldens", "tiny_popularity.json")
+    with open(path) as fh:
+        golden = json.load(fh)
+    assert rows["popularity"] == golden
