@@ -89,9 +89,25 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared-fragment memo: the user split and popularity recs feed several
+# queries (rec_popularity, e2, e3, sp2...). Within one session the
+# fragment is computed once and persisted — the materialized-view move;
+# keyed on (session, sf_dir) so scales never cross-contaminate.
+_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memoized(key: tuple, build) -> DataFrame:
+    if key not in _MEMO:
+        _MEMO[key] = build().persist()
+    return _MEMO[key]
+
+
 def _user_split(spark: SparkSession, sf_dir: str, p: float = 0.2) -> DataFrame:
-    return SP.split_ratings(
-        _ratings(spark, sf_dir), "random_by_ratio", seed=SEED, p=p, level="user"
+    return _memoized(
+        (id(spark), sf_dir, "user_split", p),
+        lambda: SP.split_ratings(
+            _ratings(spark, sf_dir), "random_by_ratio", seed=SEED, p=p, level="user"
+        ),
     )
 
 
@@ -130,13 +146,16 @@ rk AS (SELECT user_id, item_id,
 
 
 def _pop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    train, _ = SP.train_test(_user_split(spark, sf_dir))
-    return (
-        RC.PopularityRecommender(k=5)
-        .train(train.select("user_id", "item_id", "rating", "ts"))
-        .get_recommendations(5)
-        .withColumnRenamed("rank", "rec_rank")
-    )
+    def build() -> DataFrame:
+        train, _ = SP.train_test(_user_split(spark, sf_dir))
+        return (
+            RC.PopularityRecommender(k=5)
+            .train(train.select("user_id", "item_id", "rating", "ts"))
+            .get_recommendations(5)
+            .withColumnRenamed("rank", "rec_rank")
+        )
+
+    return _memoized((id(spark), sf_dir, "pop_recs"), build)
 
 
 # --------------------------------------------------------------------------
@@ -1251,6 +1270,36 @@ FROM events GROUP BY 1, 2
 """
 
 
+def ev3_sliding_rollup(spark, sf_dir):
+    """Sliding 1h/15min window counts per event_type. Spark aligns
+    sliding windows to the epoch, so every event lands in exactly 4
+    windows with starts floor(t/900)*900 - k*900, k=0..3 — the oracle
+    reproduces that alignment with an unnested offset list."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts")
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("start_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+EV3_SQL = """
+WITH e AS (SELECT event_type,
+                  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS t
+           FROM events),
+w AS (SELECT event_type, (t // 900) * 900 - k.k * 900 AS start_s
+      FROM e, unnest([0, 1, 2, 3]) AS k(k))
+SELECT CAST(start_s AS BIGINT) AS start_s, event_type, count(*) AS n
+FROM w GROUP BY 1, 2
+"""
+
+
 def st1_stream_hourly_rollup(spark, sf_dir):
     """Structured Streaming in the driver contract: the SAME hourly
     rollup as ev1, executed as an incremental watermarked stream
@@ -1365,6 +1414,7 @@ QUERIES = {
     "ss2_ann_ivf_topk": ss2_ann_ivf_topk,
     "ev1_hourly_rollup": ev1_hourly_rollup,
     "ev2_sessionize": ev2_sessionize,
+    "ev3_sliding_rollup": ev3_sliding_rollup,
     "st1_stream_hourly_rollup": st1_stream_hourly_rollup,
 }
 
@@ -1416,6 +1466,7 @@ ORACLES = {
     "dd6_embedding_neardup": DD6_SQL,
     "ss1_ann_cosine_topk": SS1_SQL,
     "ev1_hourly_rollup": EV1_SQL,
+    "ev3_sliding_rollup": EV3_SQL,
     "st1_stream_hourly_rollup": EV1_SQL,
     "ev2_sessionize": EV2_SQL,
 }

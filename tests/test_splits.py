@@ -140,9 +140,12 @@ def test_global_variants_deterministic_across_partitionings(ratings):
 def test_kfold_sklearn_sizing_property(spark):
     from hypothesis import given, settings, strategies as st
 
+    from hypothesis import assume
+
     @settings(max_examples=5, deadline=None)
     @given(n=st.integers(min_value=4, max_value=60), k=st.integers(min_value=2, max_value=5))
     def check(n, k):
+        assume(n >= k)  # sklearn KFold itself raises for n < k
         df = spark.createDataFrame(
             [(1, i, float(i)) for i in range(n)],
             "user_id int, item_id int, rating double",
