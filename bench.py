@@ -32,6 +32,8 @@ HEADLINE = [
     "ss1_ann_cosine_topk",
     "ev1_hourly_rollup",
     "ev2_sessionize",
+    "ev3_sliding_rollup",
+    "st1_stream_hourly_rollup",
 ]
 
 
