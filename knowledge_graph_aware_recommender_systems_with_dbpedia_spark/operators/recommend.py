@@ -21,6 +21,36 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the hot keys of ``big`` are spread
+    over ``n_salts`` shuffle partitions by a deterministic row salt;
+    ``small`` is replicated once per salt value.
+
+    AQE's skew-join split handles moderate skew automatically; this is
+    the explicit tool for pathological keys (one user with 10^8
+    interactions) or engines/stages where AQE can't re-plan (e.g.
+    stream-static joins). Deterministic: the salt is a hash of the
+    row's other columns, not rand().
+    """
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    ).alias("_salt")
+    b = big.select("*", salt)
+    s = small.join(
+        F.broadcast(
+            small.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+        ),
+        F.lit(True),
+    )
+    return b.join(s, [key, "_salt"], how).drop("_salt")
+
+
 def max_user_degree(train: DataFrame, user_col="user_id") -> int:
     """A8: max #ratings of any user (over-fetch heuristic input)."""
     row = train.groupBy(user_col).count().agg(F.max("count").alias("m")).collect()[0]

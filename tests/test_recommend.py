@@ -50,3 +50,17 @@ def test_topk_by_cosine_excludes_train(spark, train):
 
 def test_max_user_degree(train):
     assert RC.max_user_degree(train) == 2
+
+
+def test_salted_join_equals_plain_join(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.recommend import salted_join
+
+    # pathological skew: 90% of rows share one key
+    big = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    got = salted_join(big, small, "k", n_salts=4).select("k", "payload", "v")
+    want = big.join(small, "k").select("k", "payload", "v")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
