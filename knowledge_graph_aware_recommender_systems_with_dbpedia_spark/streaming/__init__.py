@@ -1,5 +1,6 @@
 from .events import (
     hourly_rollup,
+    purchases_within_signup_window,
     read_events_stream,
     run_to_memory,
     sessionize,
@@ -10,6 +11,7 @@ from .stateful import sessionize_stateful
 
 __all__ = [
     "hourly_rollup",
+    "purchases_within_signup_window",
     "read_events_stream",
     "run_to_memory",
     "sessionize",

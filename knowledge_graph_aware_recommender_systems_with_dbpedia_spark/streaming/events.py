@@ -127,6 +127,60 @@ def sessionize(
     )
 
 
+def purchases_within_signup_window(
+    events: DataFrame,
+    max_delay: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases attributed
+    to a signup by the same user within ``max_delay``.
+
+    Both sides carry watermarks and the join condition bounds
+    purchase time to [signup, signup + max_delay] — the state store
+    can therefore evict rows past the watermark + delay horizon
+    (unbounded state is the classic stream-join failure mode).
+    Works identically on a batch DataFrame (no watermark needed for
+    correctness there) — the parity test runs both.
+    """
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("signup_ts"),
+            F.col("event_id").alias("signup_id"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+    )
+    joined = purchases.join(
+        signups,
+        F.expr(
+            f"""
+            p_user = s_user AND
+            purchase_ts >= signup_ts AND
+            purchase_ts <= signup_ts + interval {max_delay}
+            """
+        ),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        F.unix_timestamp("signup_ts").cast("bigint").alias("signup_s"),
+        F.unix_timestamp("purchase_ts").cast("bigint").alias("purchase_s"),
+        "value",
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

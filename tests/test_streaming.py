@@ -99,3 +99,22 @@ def test_sliding_rollup_window_multiplicity(spark, tmp_path):
     assert sum(r.n for r in latest.values()) == 4 * total_events
     for r in latest.values():
         assert r.end_s - r.start_s == 3600
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    stream = ST.read_events_stream(spark, EVENTS)
+    got = ST.run_to_memory(
+        ST.purchases_within_signup_window(stream), "t_ssj", "append", str(tmp_path)
+    )
+    got_rows = {(r.user_id, r.signup_id, r.purchase_id) for r in got.collect()}
+
+    # batch path: same function over the batch-loaded events table
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    want_rows = {
+        (r.user_id, r.signup_id, r.purchase_id)
+        for r in ST.purchases_within_signup_window(ev).collect()
+    }
+    assert got_rows == want_rows and len(got_rows) > 0
