@@ -118,3 +118,60 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in ST.purchases_within_signup_window(ev).collect()
     }
     assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    # two files fed one per trigger; the query is STOPPED after batch 1
+    # and restarted from the SAME checkpoint — recovery must process
+    # only the remaining file (no dups, no loss)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(EVENTS)
+    cut = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    feed = tmp_path / "feed"
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(feed / "p1"))
+    time.sleep(1.1)
+    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(feed / "p2"))
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "sink")
+
+    # memory sink is not fault-tolerant; foreachBatch + parquet is the
+    # recoverable production pattern (idempotent upsert per batch id)
+    def sink(df, batch_id):
+        df.withColumn("_b", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    def start():
+        stream = ST.read_events_stream(
+            spark, str(feed / "p*" / "*.parquet"), max_files_per_trigger=1
+        )
+        return (
+            ST.hourly_rollup(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    q = start()
+    while not q.recentProgress:  # wait for the first batch to commit
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start()  # same checkpoint -> resumes where batch 1 left off
+    while q2.isActive and (
+        not q2.recentProgress
+        or any(p["numInputRows"] > 0 for p in q2.recentProgress[-2:])
+    ):
+        time.sleep(0.3)
+    q2.stop()
+    q2.awaitTermination()
+
+    both = spark.read.parquet(out_dir).collect()
+    latest = _latest_per_key(both, ("hour_idx", "event_type"), "n")
+    exp = {
+        (r.hour_idx, r.event_type): r for r in ev1_hourly_rollup(spark, SF).collect()
+    }
+    assert set(latest) == set(exp)
+    for k, r in latest.items():
+        assert r.n == exp[k].n
