@@ -102,14 +102,38 @@ class PopularityRecommender:
         k = k or self.k
         assert self._train is not None and self._pop is not None
         n_fetch = max_user_degree(self._train) + k
+        # over-fetch -> anti-join -> truncate, expressed as array ops:
+        # the global candidate list (max_degree + k items, desc pop) is
+        # ONE broadcast array row; per user the plan is
+        # slice(array_except(candidates, rated), 1, k) — array_except
+        # preserves the first array's order, so this is row-for-row the
+        # crossJoin + window + left-anti plan without shuffling a
+        # users x candidates table (at 100 TB: a map-side-only stage
+        # after the per-user collect_set).
         top_items = (
-            self._pop.orderBy(F.desc("pop"), "item_id").limit(n_fetch)
+            self._pop.orderBy(F.desc("pop"), "item_id")
+            .limit(n_fetch)
+            # collect_list order is not guaranteed after limit —
+            # re-sort inside the array to pin (pop desc, item asc)
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct((-F.col("pop")).alias("np"), F.col("item_id").alias("i")))
+                    ),
+                    lambda s: s["i"],
+                ).alias("cand")
+            )
         )
-        users = self._train.select("user_id").distinct()
-        scored = users.crossJoin(F.broadcast(top_items)).select(
-            "user_id", "item_id", F.col("pop").cast("double").alias("score")
+        rated = self._train.groupBy("user_id").agg(
+            F.collect_set("item_id").alias("rated")
         )
-        return exclude_rated_and_truncate(scored, self._train, k)
+        picked = rated.join(F.broadcast(top_items)).select(
+            "user_id",
+            F.slice(F.array_except("cand", "rated"), 1, k).alias("recs"),
+        )
+        return picked.select(
+            "user_id", F.posexplode("recs").alias("_p", "item_id")
+        ).select("user_id", "item_id", (F.col("_p") + 1).alias("rank"))
 
 
 def topk_by_cosine_lsh(
