@@ -107,6 +107,132 @@ def hyperplane_signature(
     return nn.select("id", F.col("v"), sig.alias("bucket"))
 
 
+def cosine_mllib_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MLlib-native approximate top-k via
+    ``BucketedRandomProjectionLSH.approxSimilarityJoin`` (the swap-in
+    SURVEY O3 names for scale).
+
+    Vectors are L2-normalized first, so euclidean distance is a
+    monotone transform of cosine (d^2 = 2 - 2cos) — MLlib's euclidean
+    LSH then ranks exactly like cosine. Output contract matches
+    cosine_topk: (query_id, neighbor_id, rank, cosine).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = _normalize(emb, id_col, vec_col).select(
+        "id", array_to_vector("v").alias("features")
+    )
+    q = _normalize(queries, id_col, vec_col).select(
+        "id", array_to_vector("v").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(c)
+    # normalized vectors: d in [0, 2]; threshold 2.0 admits every pair
+    # the hash tables surface (recall is governed by the LSH params)
+    joined = model.approxSimilarityJoin(c, q, 2.0, distCol="dist")
+    scored = joined.select(
+        F.col("datasetB.id").alias("query_id"),
+        F.col("datasetA.id").alias("neighbor_id"),
+        # cos = 1 - d^2/2 on unit vectors
+        F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("cosine"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with REAL coarse centroids: one MLlib KMeans fit over the
+    corpus (the production path ivf_topk's docstring promises), then
+    the same assign/probe plan. The trained centers ride to executors
+    inside the KMeansModel's transform; query cells come from the
+    (tiny) centers matrix broadcast as literals.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    nn = _normalize(emb, id_col, vec_col)
+    c_feat = nn.select("id", "v", array_to_vector("v").alias("features"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(c_feat)
+    corpus = model.transform(c_feat).select("id", "v", "cell")
+
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    cent_arr = F.array(*[
+        F.struct(F.lit(i).alias("cell"), F.array(*[F.lit(x) for x in c]).alias("cv"))
+        for i, c in enumerate(centers)
+    ])
+    qn = _normalize(queries, id_col, vec_col)
+    # per-query similarity to every center, keep the n_probe best cells
+    sims = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            s["cell"].alias("cell"),
+            F.aggregate(
+                F.zip_with(F.col("v"), s["cv"], lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sim"),
+        ),
+    )
+    probed = qn.select(
+        "id",
+        "v",
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(sims, lambda a, b: F.when(a["sim"] < b["sim"], -1).when(a["sim"] > b["sim"], 1).otherwise(0))),
+                1,
+                n_probe,
+            )
+        ).alias("pc"),
+    ).select("id", "v", F.col("pc.cell").alias("cell"))
+
+    scored = (
+        corpus.alias("c")
+        .join(probed.alias("q"), (F.col("c.cell") == F.col("q.cell")) & (F.col("c.id") != F.col("q.id")))
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(_dot(F.col("q.v"), F.col("c.v")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

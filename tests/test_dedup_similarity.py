@@ -130,3 +130,41 @@ def test_ivf_topk_structure_and_full_probe_recall(spark):
     got = {(r.query_id, r.rank): r.neighbor_id for r in full.collect()}
     want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
     assert got == want
+
+
+def test_mllib_lsh_topk_structure_and_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(40, 16).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    got = SIM.cosine_mllib_lsh_topk(emb, q, k=4, num_hash_tables=6).collect()
+    for r in got:
+        assert r.neighbor_id != r.query_id and 1 <= r.rank <= 4
+    # with enough hash tables the top-1 neighbor should match exact
+    exact = {r.query_id: r.neighbor_id
+             for r in SIM.cosine_topk(emb, q, k=1).collect()}
+    mine = {r.query_id: r.neighbor_id for r in got if r.rank == 1}
+    hits = sum(1 for qid in exact if mine.get(qid) == exact[qid])
+    assert hits >= 2  # 2/3 top-1 recall floor for this seed
+
+
+def test_ivf_kmeans_full_probe_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    mat = rng.randn(40, 16).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    full = SIM.ivf_kmeans_topk(emb, q, k=4, n_cells=5, n_probe=5)
+    exact = SIM.cosine_topk(emb, q, k=4)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in full.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    assert got == want  # probing every cell recovers the exact answer
