@@ -374,11 +374,17 @@ def train_kge(
     margin: float = 1.0,
     batch_size: int = 1024,
     seed: int = 42,
+    n_negatives: int = 1,
+    adversarial_alpha: float | None = None,
 ) -> _KGEModel:
     """Single-node SGD stage (the reference's pykeen step, M2).
 
-    Margin ranking loss with one uniform corruption per positive,
-    entity-ball normalization each epoch for the translational family.
+    Margin ranking loss with ``n_negatives`` uniform corruptions per
+    positive; ``adversarial_alpha`` enables self-adversarial negative
+    weighting (softmax of -f(neg) over the negatives, Sun et al. 2019
+    RotatE) — harder negatives get larger gradient weight. Defaults
+    (1 negative, no weighting) reproduce the classic Bordes protocol.
+    Entity-ball normalization each epoch for the translational family.
     """
     rng = np.random.default_rng(seed)
     m = KGE_MODELS[model](n_ent, n_rel, dim, rng)
@@ -389,17 +395,37 @@ def train_kge(
         for start in range(0, n, batch_size):
             b = triples_idx[order[start : start + batch_size]]
             h, r, t = b[:, 0], b[:, 1], b[:, 2]
-            # corrupt head or tail, uniformly
-            corrupt_head = rng.random(len(b)) < 0.5
-            rand_e = rng.integers(0, n_ent, len(b))
-            hn = np.where(corrupt_head, rand_e, h)
-            tn = np.where(corrupt_head, t, rand_e)
-            active = (margin + m.f(h, r, t) - m.f(hn, r, tn)) > 0
+            fp = m.f(h, r, t)
+            negs = []
+            fns = []
+            for _i in range(n_negatives):
+                corrupt_head = rng.random(len(b)) < 0.5
+                rand_e = rng.integers(0, n_ent, len(b))
+                hn = np.where(corrupt_head, rand_e, h)
+                tn = np.where(corrupt_head, t, rand_e)
+                negs.append((hn, tn))
+                fns.append(m.f(hn, r, tn))
+            fns_m = np.stack(fns)  # (m, B)
+            active = (margin + fp[None, :] - fns_m) > 0
             if not active.any():
                 continue
-            coeff = active.astype(np.float64)
-            m.step(h, r, t, coeff, lr)  # descend f(pos)
-            m.step(hn, r, tn, -coeff, lr)  # ascend f(neg)
+            if adversarial_alpha is not None and n_negatives > 1:
+                # harder negatives (lower f) weigh more; detached weights
+                logits = -adversarial_alpha * fns_m
+                logits -= logits.max(axis=0, keepdims=True)
+                w = np.exp(logits)
+                w /= w.sum(axis=0, keepdims=True)
+            else:
+                w = np.full_like(fns_m, 1.0 / n_negatives)
+            coeff_neg = active.astype(np.float64) * w  # (m, B)
+            # one pos/neg step PAIR per negative: gradient clipping is
+            # per step call, so pairing keeps the descend/ascend pulls
+            # symmetric (a single summed pos step would be clipped once
+            # against m neg steps and the relation vectors would drift)
+            for (hn, tn), cn in zip(negs, coeff_neg):
+                if cn.any():
+                    m.step(h, r, t, cn, lr)  # descend f(pos)
+                    m.step(hn, r, tn, -cn, lr)  # ascend f(neg)
         if translational:
             m.normalize()
     return m
@@ -426,10 +452,13 @@ class KGERecommender:
 
     def __init__(self, model: str = "transe", k: int = 5, dim: int = 32,
                  epochs: int = 5, lr: float = 0.05, margin: float = 1.0,
-                 seed: int = 42, scoring: str = "exact"):
+                 seed: int = 42, scoring: str = "exact",
+                 n_negatives: int = 1, adversarial_alpha: float | None = None):
         self.model_name, self.k, self.dim = model, k, dim
         self.epochs, self.lr, self.margin, self.seed = epochs, lr, margin, seed
         self.scoring = scoring  # "exact" (parity) | "lsh" (scale)
+        self.n_negatives = n_negatives
+        self.adversarial_alpha = adversarial_alpha
         self._train: DataFrame | None = None
         self._emb: DataFrame | None = None
 
@@ -455,6 +484,8 @@ class KGERecommender:
             idx, ents.count(), rels.count(), model=self.model_name,
             dim=self.dim, epochs=self.epochs, lr=self.lr,
             margin=self.margin, seed=self.seed,
+            n_negatives=self.n_negatives,
+            adversarial_alpha=self.adversarial_alpha,
         )
         self._emb = embeddings_to_df(spark, m, ents).persist()
         return self

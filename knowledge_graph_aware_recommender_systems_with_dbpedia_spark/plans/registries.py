@@ -48,6 +48,9 @@ def _kge(kind: str):
             lr=p.get("lr", 0.05),
             margin=p.get("margin", 1.0),
             seed=p.get("seed", seed),
+            scoring=p.get("scoring", "exact"),
+            n_negatives=p.get("n_negatives", 1),
+            adversarial_alpha=p.get("adversarial_alpha"),
         )
 
     return make

@@ -103,3 +103,20 @@ def test_kge_recommender_lsh_scoring(spark):
                        F.col("item_id").cast("string").alias("item_id")),
         ["user_id", "item_id"]).count()
     assert overlap == 0
+
+
+@pytest.mark.parametrize("model", ["transe", "rotate", "distmult"])
+def test_multi_negative_adversarial_training(model):
+    rng = np.random.default_rng(3)
+    n_ent = 20
+    pos = np.array([[i, 0, (i + 1) % n_ent] for i in range(n_ent)], dtype=np.int64)
+    m = kge.train_kge(
+        pos, n_ent, 1, model=model, dim=16, epochs=40, lr=0.05, seed=11,
+        n_negatives=4, adversarial_alpha=1.0,
+    )
+    neg = pos.copy()
+    neg[:, 2] = rng.integers(0, n_ent, len(neg))
+    keep = neg[:, 2] != pos[:, 2]
+    f_pos = m.f(pos[:, 0], pos[:, 1], pos[:, 2]).mean()
+    f_neg = m.f(neg[keep, 0], neg[keep, 1], neg[keep, 2]).mean()
+    assert f_pos < f_neg, (model, f_pos, f_neg)
