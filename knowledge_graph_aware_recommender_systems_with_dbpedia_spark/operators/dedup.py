@@ -260,6 +260,66 @@ def simhash(
     return out
 
 
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation over near-dup pairs -> (id, cluster_id).
+
+    ``ids``: one row per document; ``pairs``: undirected (id1, id2)
+    edges. cluster_id = smallest id reachable in the component —
+    deterministic and join-free to interpret. Each iteration is one
+    join + min-aggregate; lineage is truncated with localCheckpoint
+    and the loop exits when no label changed (fixpoint; diameter
+    iterations, which for dedup graphs is tiny).
+
+    This is the standard "group near-dup pairs into clusters, keep one
+    canonical doc" step of a training-data dedup pipeline.
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = ids.select(F.col(id_col).alias("a"), F.col(id_col).alias("comp"))
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels.withColumnRenamed("a", "b2"), F.col("a") == F.col("b2"))
+            .select(F.col("b").alias("a"), "comp")
+        )
+        # neighbor labels flow along edges; keep the min of own + incoming
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("a")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "a")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias(id_col), F.col("comp").alias("cluster_id"))
+
+
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every non-canonical near-dup: keep the row whose id IS its
+    cluster_id (the component minimum)."""
+    keep = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -1105,6 +1105,41 @@ WHERE j.jaccard >= 0.1
 """
 
 
+def dd7_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components (min-label
+    propagation) over the dd4 LSH pairs; every doc gets the smallest
+    reachable doc_id as its cluster. Oracle = recursive-CTE transitive
+    closure in DuckDB (exactly the fixpoint the iterative Spark loop
+    reaches)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, bands=8, n_hashes=16, verify_threshold=0.1)
+    return DD.connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _dd7_sql() -> str:
+    return f"""
+WITH RECURSIVE {_SHINGLES_SQL}, {_JACCARD_SQL},
+sig AS (SELECT id AS doc_id, {_minhash_min_exprs_sql()} FROM sh GROUP BY id),
+buckets AS ({_lsh_bands_sql(8, 16)}),
+cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+good AS (SELECT c.id1, c.id2 FROM cand c JOIN jac j
+         ON j.id1 = c.id1 AND j.id2 = c.id2 WHERE j.jaccard >= 0.1),
+ed AS (SELECT id1 AS a, id2 AS b FROM good UNION SELECT id2, id1 FROM good),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+SELECT doc_id, cluster_id FROM comp
+"""
+
+
+DD7_SQL = _dd7_sql()
+
+
 def dd5_simhash(spark, sf_dir):
     return DD.simhash(load_table(spark, sf_dir, "documents")).withColumnRenamed(
         "id", "doc_id"
@@ -1410,6 +1445,7 @@ QUERIES = {
     "dd5_simhash": dd5_simhash,
     "tx1_text_stats": tx1_text_stats,
     "dd6_embedding_neardup": dd6_embedding_neardup,
+    "dd7_dedup_clusters": dd7_dedup_clusters,
     "ss1_ann_cosine_topk": ss1_ann_cosine_topk,
     "ss2_ann_ivf_topk": ss2_ann_ivf_topk,
     "ev1_hourly_rollup": ev1_hourly_rollup,
@@ -1464,6 +1500,7 @@ ORACLES = {
     "dd5_simhash": DD5_SQL,
     "tx1_text_stats": TX1_SQL,
     "dd6_embedding_neardup": DD6_SQL,
+    "dd7_dedup_clusters": DD7_SQL,
     "ss1_ann_cosine_topk": SS1_SQL,
     "ev1_hourly_rollup": EV1_SQL,
     "ev3_sliding_rollup": EV3_SQL,

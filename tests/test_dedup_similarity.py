@@ -168,3 +168,19 @@ def test_ivf_kmeans_full_probe_recall(spark):
     got = {(r.query_id, r.rank): r.neighbor_id for r in full.collect()}
     want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
     assert got == want  # probing every cell recovers the exact answer
+
+
+def test_connected_components_and_canonical(spark):
+    ids = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # components: {0,1,2,3} (chain), {5,6} — 4 and 7 are singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id1 long, id2 long"
+    )
+    comp = {r.id: r.cluster_id for r in DD.connected_components(ids, pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+    docs = ids.withColumnRenamed("id", "doc_id")
+    clusters = DD.connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+    kept = {r.doc_id for r in DD.keep_canonical(docs, clusters).collect()}
+    assert kept == {0, 4, 5, 7}
