@@ -43,14 +43,20 @@ from .recommend import topk_by_cosine
 def index_entities(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Dense deterministic int ids for entities and relations.
 
-    row_number over orderBy(id) — stable across runs/partitionings
-    (SURVEY P6: never monotonically_increasing_id).
+    Stable across runs/partitionings (SURVEY P6: never
+    monotonically_increasing_id). Entities use the two-pass
+    range-bucketed rank (graph.relabel_nodes) — no single-partition
+    window; relations are a handful of rows, a plain window is free.
     """
-    ents = (
-        triples.select(F.col("head").alias("e"))
-        .unionByName(triples.select(F.col("tail").alias("e")))
+    from .graph import relabel_nodes
+
+    ent_ids = (
+        triples.select(F.col("head").alias("node_id"))
+        .unionByName(triples.select(F.col("tail").alias("node_id")))
         .distinct()
-        .select(F.col("e"), (F.row_number().over(Window.orderBy("e")) - 1).alias("idx"))
+    )
+    ents = relabel_nodes(ent_ids).select(
+        F.col("node_id").alias("e"), F.col("int_id").alias("idx")
     )
     rels = triples.select(F.col("relation").alias("r")).distinct().select(
         F.col("r"), (F.row_number().over(Window.orderBy("r")) - 1).alias("idx")
