@@ -1260,6 +1260,35 @@ def ss2_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def tx2_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-50 tokens by document frequency and
+    total count — the vocab-building pass of a tokenizer/BPE pipeline.
+    explode -> two-level agg; partial aggregation keeps the shuffle at
+    one row per (token, doc) then per token."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.desc("tf"), F.desc("df"), "tok")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "tok", "tf", "df")
+    )
+
+
+TX2_SQL = f"""
+WITH t AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+rk AS (SELECT *, row_number() OVER (ORDER BY tf DESC, df DESC, tok) AS rank FROM c)
+SELECT CAST(rank AS BIGINT) AS rank, tok, tf, df FROM rk WHERE rank <= 50
+"""
+
+
 def ss1_ann_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).select(
@@ -1444,6 +1473,7 @@ QUERIES = {
     "dd4_minhash_lsh_pairs": dd4_minhash_lsh_pairs,
     "dd5_simhash": dd5_simhash,
     "tx1_text_stats": tx1_text_stats,
+    "tx2_vocab_topk": tx2_vocab_topk,
     "dd6_embedding_neardup": dd6_embedding_neardup,
     "dd7_dedup_clusters": dd7_dedup_clusters,
     "ss1_ann_cosine_topk": ss1_ann_cosine_topk,
@@ -1499,6 +1529,7 @@ ORACLES = {
     "dd4_minhash_lsh_pairs": DD4_SQL,
     "dd5_simhash": DD5_SQL,
     "tx1_text_stats": TX1_SQL,
+    "tx2_vocab_topk": TX2_SQL,
     "dd6_embedding_neardup": DD6_SQL,
     "dd7_dedup_clusters": DD7_SQL,
     "ss1_ann_cosine_topk": SS1_SQL,
