@@ -1273,11 +1273,13 @@ def tx2_vocab_topk(spark, sf_dir):
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     )
+    # orderBy+limit is a distributed TakeOrdered (per-partition top-50
+    # then merge) — never a full-vocab single-partition window; the
+    # rank window then runs over just 50 rows
+    top = counts.orderBy(F.desc("tf"), F.desc("df"), "tok").limit(50)
     w = Window.orderBy(F.desc("tf"), F.desc("df"), "tok")
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .select("rank", "tok", "tf", "df")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "tok", "tf", "df"
     )
 
 
