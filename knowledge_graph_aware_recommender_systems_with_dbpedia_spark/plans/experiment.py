@@ -19,6 +19,7 @@ in SURVEY §7 risk register).
 
 from __future__ import annotations
 
+import inspect
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -176,15 +177,18 @@ def run_experiment(spark: SparkSession, config) -> dict:
             t0 = time.monotonic()
             model = MODELS[name](params, seed)
             train_df = train.select("user_id", "item_id", "rating")
-            if name == "deepwalk_based":
+            # dispatch on the plugin's train() signature: walk models
+            # take KG edges, KGE models take KG triples, anything else
+            # gets the plain fact table (third-party contract, §2.13)
+            sig = inspect.signature(model.train).parameters
+            if "extra_edges" in sig:
                 model.train(train_df, extra_edges=extra_edges)
-            elif name == "popularity":
-                model.train(train_df)
-            else:  # KGE family: ratings triples + KG property triples
+            elif "extra_triples" in sig:
                 model.train(train_df, extra_triples=extra_triples)
-            recs = model.get_recommendations(k).withColumnRenamed("rank", "rank")
+            else:
+                model.train(train_df)
             # metric join keys must agree in type with the test side
-            recs = recs.select(
+            recs = model.get_recommendations(k).select(
                 F.col("user_id").cast("string").alias("user_id"),
                 F.col("item_id").cast("string").alias("item_id"),
                 "rank",
