@@ -187,3 +187,25 @@ def test_golden_popularity_kfold(spark, tmp_path):
     with open(path) as fh:
         golden = json.load(fh)
     assert rows["popularity"] == golden
+
+
+def test_golden_transe_kfold(spark, tmp_path):
+    """Seeded numpy SGD is fully deterministic — the committed transE
+    metrics pin the KGE numerics against gradient-refactor regressions
+    (values rounded to 6 dp to absorb BLAS summation-order jitter)."""
+    import json
+
+    _make_dataset(tmp_path)
+    rows = EX.run_experiment(
+        spark,
+        _config(
+            tmp_path,
+            [{"name": "transE", "parameters": {"embedding_dim": 8, "epochs": 2}}],
+            tmp_path / "g.csv",
+        ),
+    )
+    path = os.path.join(os.path.dirname(__file__), "goldens", "tiny_transe.json")
+    with open(path) as fh:
+        golden = json.load(fh)
+    got = {k: round(v, 6) for k, v in rows["transE"].items()}
+    assert got == golden
