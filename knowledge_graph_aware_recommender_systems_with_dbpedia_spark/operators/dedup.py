@@ -331,10 +331,20 @@ def embedding_near_dups(
     Exact O(n^2) within-partition path for correctness; the scale path
     buckets by random-hyperplane signs first (similarity.py).
     """
-    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
-    nn = emb.select(
-        F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("v"),
+    # double-cast array + norm materialized BEFORE the division lambda
+    # (aggregate exprs referenced inside transform lambdas re-evaluate
+    # per element — the text.ngrams_from_tokens pitfall)
+    nn = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_vd"),
+        )
+        .select(
+            "id",
+            "_vd",
+            F.sqrt(F.aggregate("_vd", F.lit(0.0), lambda a, x: a + x * x)).alias("_norm"),
+        )
+        .select("id", F.transform("_vd", lambda x: x / F.col("_norm")).alias("v"))
     )
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),

@@ -189,12 +189,21 @@ def topk_by_cosine(
     similarity.cosine_lsh_topk.
     """
     def normed(df: DataFrame, idc: str) -> DataFrame:
-        norm = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x))
-        return df.select(
+        # materialize the O(dim) norm in a projection BEFORE the
+        # per-element division lambda — an aggregate referenced inside
+        # a transform lambda re-evaluates per element (O(dim^2)/row;
+        # same pitfall functions/text.ngrams_from_tokens documents)
+        staged = df.select(
             idc,
-            F.when(norm > 0, F.transform("vec", lambda x: x / norm)).otherwise(
-                F.col("vec")
-            ).alias("vec"),
+            "vec",
+            F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x)).alias("_norm"),
+        )
+        return staged.select(
+            idc,
+            F.when(
+                F.col("_norm") > 0,
+                F.transform("vec", lambda x: x / F.col("_norm")),
+            ).otherwise(F.col("vec")).alias("vec"),
         )
 
     u = normed(user_vecs, "user_id")

@@ -23,11 +23,24 @@ from ..functions.hashing import md5_long
 
 
 def _normalize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
-    return emb.select(
+    """L2-normalize to (id, v double[]).
+
+    The double-cast array and its norm are materialized in projections
+    BEFORE the per-element division lambda: an aggregate expression
+    referenced inside a ``transform`` lambda re-evaluates per element
+    (O(dim^2) per row — the text.ngrams_from_tokens pitfall)."""
+    staged = emb.select(
         F.col(id_col).alias("id"),
-        F.when(norm > 0, F.transform(vec_col, lambda x: x.cast("double") / norm))
-        .otherwise(F.transform(vec_col, lambda x: x.cast("double")))
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_vd"),
+    ).select(
+        "id",
+        "_vd",
+        F.sqrt(F.aggregate("_vd", F.lit(0.0), lambda a, x: a + x * x)).alias("_norm"),
+    )
+    return staged.select(
+        "id",
+        F.when(F.col("_norm") > 0, F.transform("_vd", lambda x: x / F.col("_norm")))
+        .otherwise(F.col("_vd"))
         .alias("v"),
     )
 
@@ -82,23 +95,29 @@ def hyperplane_signature(
     Hyperplane j's component for dimension d is a deterministic +-1
     derived from md5(seed, j, d) — reproducible across engines and
     executors without shipping a random matrix.
+
+    The sign matrix depends only on (seed, j, d): it is computed ONCE
+    driver-side (same md5 parity as the old per-row expression — bucket
+    ids are bit-identical) and inlined as literal arrays, so each row
+    pays pure arithmetic instead of n_planes * dim md5 calls.
     """
+    import hashlib
+
     nn = _normalize(emb, id_col, vec_col)
+    first = nn.select(F.size("v").alias("d")).limit(1).collect()
+    if not first:  # empty input: keep schema, no rows
+        return nn.select("id", "v", F.lit(0).cast("bigint").alias("bucket"))
+    dim = int(first[0]["d"])
+
+    def sign(j: int, d: int) -> float:
+        h = int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
     sig = None
     for j in range(n_planes):
-        # component_d = +1 if md5_long(j:d) even else -1
+        planes = F.array(*[F.lit(sign(j, d)) for d in range(dim)])
         proj = F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.transform(
-                    F.sequence(F.lit(0), F.size("v") - 1),
-                    lambda d: F.when(
-                        F.pmod(md5_long(F.concat_ws(":", F.lit(seed), F.lit(j), d)), F.lit(2)) == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, s: x * s,
-            ),
+            F.zip_with(F.col("v"), planes, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -256,12 +275,28 @@ def ivf_topk(
     on cell id — no crossJoin against the corpus.
     """
     nn = _normalize(emb, id_col, vec_col)
-    w = Window.orderBy(md5_long(F.concat_ws(":", F.lit(seed), F.col("id"))), F.col("id"))
-    cents = (
-        nn.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_cells)
-        .select(F.col("_r").alias("cell"), F.col("v").alias("cv"))
+    # centroid sample = the n_cells smallest (md5_long(seed:id), id):
+    # orderBy + limit compiles to TakeOrderedAndProject (distributed
+    # per-partition top-n + tiny driver merge), NOT a global window —
+    # a Window.orderBy with no partitionBy would funnel the whole
+    # corpus through one task. The row_number below runs AFTER the
+    # limit, over exactly n_cells rows (bounded, like p6_dense_ids).
+    sample = (
+        nn.select(
+            md5_long(F.concat_ws(":", F.lit(seed), F.col("id"))).alias("_h"),
+            "id",
+            "v",
+        )
+        .orderBy("_h", "id")
+        .limit(n_cells)
+        .collect()
     )
+    # n_cells tiny rows -> inline as a literal centroid table (the
+    # ivf_kmeans_topk centers pattern): no window, no re-evaluated
+    # TakeOrdered when both corpus and query sides assign cells
+    cents_rows = [(i + 1, [float(x) for x in r["v"]]) for i, r in enumerate(sample)]
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(cents_rows, "cell int, cv array<double>")
 
     def assign(df: DataFrame, n: int) -> DataFrame:
         scored = df.join(F.broadcast(cents), F.lit(True)).select(

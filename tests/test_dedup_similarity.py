@@ -132,6 +132,43 @@ def test_ivf_topk_structure_and_full_probe_recall(spark):
     assert got == want
 
 
+def test_ivf_centroid_pick_is_distributed_take_ordered(spark):
+    """The centroid sample must compile to TakeOrderedAndProject
+    (per-partition top-n + driver merge), never a global row_number
+    window that funnels the whole corpus through one partition."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(30, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    # the centroid sample runs eagerly as orderBy().limit().collect()
+    # (TakeOrderedAndProject) and is inlined as literals, so the final
+    # plan must contain NO single-partition exchange at all
+    plan = SIM.ivf_topk(emb, q, k=3, n_cells=4)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_normalize_norm_evaluated_once():
+    """The L2 norm aggregate must be materialized in its own projection
+    (referenced-inside-lambda exprs re-evaluate per element)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    nn = SIM._normalize(emb, "vec_id", "embedding")
+    plan = nn._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(") == 1
+    rows = {r.id: r.v for r in nn.collect()}
+    assert [round(x, 6) for x in rows[1]] == [0.6, 0.8]
+    assert rows[2] == [0.0, 0.0]  # zero vector passes through un-divided
+
+
 def test_mllib_lsh_topk_structure_and_recall(spark):
     import numpy as np
 
