@@ -36,13 +36,21 @@ MEDIA_FIELDS = f"media_id bigint, kind string, payload binary, meta struct<{META
 
 
 def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests/benchmarks.
+    """Deterministic fake media table for tests/benchmarks."""
+    return media_from_ids(spark.range(n).select(F.col("id").alias("media_id")), seed=seed)
+
+
+def media_from_ids(ids: DataFrame, id_col: str = "media_id", seed: int = 42) -> DataFrame:
+    """Deterministic media rows keyed on an existing id column (e.g.
+    documents.doc_id) — the fixture generator behind the mm* driver
+    queries.
 
     Payload bytes are md5-derived from (seed, media_id) — stable across
-    runs and engines; sizes/metadata vary per row so code paths that
+    runs and engines (the DuckDB oracle re-derives the same bytes from
+    the hex text); sizes/metadata vary per row so code paths that
     depend on them are exercised.
     """
-    base = spark.range(n).select(F.col("id").alias("media_id"))
+    base = ids.select(F.col(id_col).cast("bigint").alias("media_id"))
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("media_id") % 3 + 1).cast("int"),

@@ -943,6 +943,104 @@ def rec_kge_transe_top5(spark, sf_dir):
     )
 
 
+_FE_DIM = 4
+
+
+def _fixed_vec(idc: str, dim: int = _FE_DIM):
+    """Hash-derived embedding: component d = det_hash(id, d+1)/1e6 - 0.5."""
+    return F.array(
+        *[
+            (H.det_hash(F.col(idc), F.lit(d + 1), seed=SEED) / F.lit(1_000_000.0) - F.lit(0.5))
+            for d in range(dim)
+        ]
+    )
+
+
+def rec_fixed_emb_top5(spark, sf_dir):
+    """M3/M6 + O3 + J6/O4, deterministic: the embedding recommenders'
+    ENTIRE scoring plan (zero-fill vocabulary lookup -> L2-normalize ->
+    cosine -> over-fetch window -> anti-join rated -> truncate to 5)
+    with FIXED hash-derived vectors instead of trained ones, so a
+    DuckDB oracle can hash-check it. Items with item_id % 7 == 0
+    simulate vocabulary misses and get zero-filled vectors (score 0,
+    ranked last by item-id tie-break) — reference zero-fill semantics
+    transE/model.py:111-135, scoring contract deep_walk_based/
+    model.py:62-86. Everything downstream of the vectors is the same
+    library code path rec_node2vec/rec_kge use (RC.topk_by_cosine)."""
+    train, _ = SP.train_test(_user_split(spark, sf_dir))
+    train_ui = train.select("user_id", "item_id")
+    users = train_ui.select("user_id").distinct()
+    items = train_ui.select("item_id").distinct()
+    uv = users.select("user_id", _fixed_vec("user_id").alias("vec"))
+    # zero-fill lookup (M3): the "vocabulary" misses every item_id % 7 == 0
+    have = items.filter(F.pmod(F.col("item_id"), F.lit(7)) != 0).select(
+        "item_id", _fixed_vec("item_id").alias("vec")
+    )
+    zero = F.array_repeat(F.lit(0.0), _FE_DIM)
+    iv = items.join(have, "item_id", "left").select(
+        "item_id", F.coalesce("vec", zero).alias("vec")
+    )
+    return RC.topk_by_cosine(uv, iv, k=5, train=train_ui).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("item_id").cast("bigint").alias("item_id"),
+        F.col("rank").cast("bigint").alias("rec_rank"),
+    )
+
+
+def _fe_comp_sql(idc: str, d: int) -> str:
+    # the literal key must be BIGINT: DuckDB would otherwise do the
+    # det_hash multiplier arithmetic in INT32 and overflow
+    return f"({H.det_hash_sql(idc, f'CAST({d + 1} AS BIGINT)', seed=SEED)} / 1000000.0 - 0.5)"
+
+
+# IEEE-parity notes: every float expression below is written in the
+# exact evaluation order Spark's fold uses — sums start at 0.0 (Spark's
+# aggregate() initial accumulator) and associate left, normalization
+# divides per component BEFORE the dot product — so scores are
+# bit-identical and the (score DESC, item_id) tie-break agrees.
+REC_FIXED_SQL = (
+    "WITH "
+    + _split_user_sql(0.2)
+    + f""",
+train AS (SELECT user_id, item_id FROM sp WHERE is_test = 0),
+users AS (SELECT DISTINCT user_id FROM train),
+items AS (SELECT DISTINCT item_id FROM train),
+deg AS (SELECT max(c) AS m FROM (SELECT count(*) AS c FROM train GROUP BY user_id) dd),
+uv AS (SELECT user_id,
+       {", ".join(f"{_fe_comp_sql('user_id', d)} AS u{d + 1}" for d in range(_FE_DIM))}
+       FROM users),
+iv AS (SELECT item_id,
+       {", ".join(f"CASE WHEN item_id % 7 = 0 THEN 0.0 ELSE {_fe_comp_sql('item_id', d)} END AS i{d + 1}" for d in range(_FE_DIM))}
+       FROM items),
+un0 AS (SELECT user_id, u1, u2, u3, u4,
+        sqrt(0.0 + u1*u1 + u2*u2 + u3*u3 + u4*u4) AS nu FROM uv),
+un AS (SELECT user_id,
+       {", ".join(f"CASE WHEN nu > 0 THEN u{d + 1}/nu ELSE u{d + 1} END AS u{d + 1}" for d in range(_FE_DIM))}
+       FROM un0),
+in0 AS (SELECT item_id, i1, i2, i3, i4,
+        sqrt(0.0 + i1*i1 + i2*i2 + i3*i3 + i4*i4) AS ni FROM iv),
+inn AS (SELECT item_id,
+        {", ".join(f"CASE WHEN ni > 0 THEN i{d + 1}/ni ELSE i{d + 1} END AS i{d + 1}" for d in range(_FE_DIM))}
+        FROM in0),
+sc AS (SELECT u.user_id, i.item_id,
+       0.0 + u.u1*i.i1 + u.u2*i.i2 + u.u3*i.i3 + u.u4*i.i4 AS score
+       FROM un u CROSS JOIN inn i),
+of AS (SELECT user_id, item_id, score, row_number() OVER (
+         PARTITION BY user_id ORDER BY score DESC, item_id) AS _r FROM sc),
+cand AS (SELECT user_id, item_id, score FROM of
+         WHERE _r <= (SELECT m FROM deg) + 5),
+filt AS (SELECT c.* FROM cand c
+         WHERE NOT EXISTS (SELECT 1 FROM train t
+                           WHERE t.user_id = c.user_id AND t.item_id = c.item_id)),
+rk AS (SELECT user_id, item_id, row_number() OVER (
+         PARTITION BY user_id ORDER BY score DESC, item_id) AS rec_rank FROM filt)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(item_id AS BIGINT) AS item_id,
+       CAST(rec_rank AS BIGINT) AS rec_rank
+FROM rk WHERE rec_rank <= 5
+"""
+)
+
+
 _METRIC_PRE_SQL = (
     POP_RECS_SQL
     + """,
@@ -1428,6 +1526,127 @@ FROM s GROUP BY user_id, session_id
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# multimodal: deterministic fake-decoder pipeline over binary columns
+# --------------------------------------------------------------------------
+
+def _media(spark, sf_dir):
+    """Media rows keyed on documents.doc_id (payload = md5-derived
+    bytes; see multimodal.media_from_ids)."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return MM.media_from_ids(docs, seed=SEED)
+
+
+# Shared oracle fragment: re-derive the payload's 32 byte values from
+# the md5 hex text (byte j = hex chars 2j+1..2j+2), so the oracle never
+# needs BLOB byte access. kind/meta mirror multimodal.media_from_ids.
+_MEDIA_SQL = f"""
+mm AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        CASE (CAST(doc_id AS BIGINT) % 3) WHEN 0 THEN 'image'
+             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        md5('{SEED}:' || CAST(doc_id AS BIGINT) || ':0')
+          || md5('{SEED}:' || CAST(doc_id AS BIGINT) || ':1') AS hx
+      FROM documents),
+mb AS (SELECT media_id, kind, hx,
+        list_transform(range(0, 32),
+          j -> CAST('0x' || substring(hx, 2*j + 1, 2) AS INT)) AS bytes
+       FROM mm)
+"""
+
+
+def mm1_image_stats(spark, sf_dir):
+    """Multimodal decode plumbing: Arrow-batched mapInPandas over the
+    binary payload (fake decoder — the real-library seam is marked in
+    multimodal.decode_image). Byte mean/std of the 32-byte payloads are
+    exact in float64 (integer sums, /32 = /2^5), so the oracle hash
+    matches bit-for-bit with no rounding."""
+    from ..operators import multimodal as MM
+
+    return MM.decode_image(_media(spark, sf_dir)).select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "mean_byte",
+        "std_byte",
+    )
+
+
+MM1_SQL = (
+    "WITH "
+    + _MEDIA_SQL
+    + """,
+img AS (SELECT media_id, bytes,
+        CAST(media_id % 8 * 32 + 64 AS BIGINT) AS width,
+        CAST(media_id % 5 * 32 + 64 AS BIGINT) AS height
+        FROM mb WHERE kind = 'image'),
+s AS (SELECT media_id, width, height, bytes,
+      CAST(list_sum(bytes) AS DOUBLE) / 32 AS mean_byte FROM img)
+SELECT media_id, width, height, mean_byte,
+       sqrt(list_sum(list_transform(bytes,
+            x -> (x - mean_byte) * (x - mean_byte))) / 32) AS std_byte
+FROM s
+"""
+)
+
+
+def mm2_frame_fanout(spark, sf_dir):
+    """Video frame fan-out: JVM-side explode(sequence) sized from
+    meta.n_frames — the payload is never deserialized. Frame keys are
+    md5 of (payload hex, frame idx)."""
+    from ..operators import multimodal as MM
+
+    frames = MM.sample_frames(_media(spark, sf_dir), every_n=2)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.lower(F.hex("frame_key")).alias("frame_key_hex"),
+    )
+
+
+MM2_SQL = (
+    "WITH "
+    + _MEDIA_SQL
+    + """,
+v AS (SELECT media_id, upper(hx) AS hp, CAST(media_id % 7 + 2 AS INT) AS n_frames
+      FROM mm WHERE kind = 'video'),
+f AS (SELECT media_id, unnest(range(0, n_frames, 2)) AS frame_idx, hp FROM v)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       md5(hp || ':' || frame_idx) AS frame_key_hex
+FROM f
+"""
+)
+
+
+def mm3_media_features(spark, sf_dir):
+    """Feature extraction to fixed-dim vectors via mapInPandas (fake
+    encoder; real forward-pass seam marked in multimodal.media_features).
+    Each component is a 4-byte window mean / 255 cast to float32 —
+    exact arithmetic, so the vector hashes match the oracle."""
+    from ..operators import multimodal as MM
+
+    return MM.media_features(_media(spark, sf_dir), dim=16).select(
+        "media_id", "embedding"
+    )
+
+
+MM3_SQL = (
+    "WITH "
+    + _MEDIA_SQL
+    + """,
+t AS (SELECT media_id, bytes || bytes AS b2 FROM mb)
+SELECT media_id,
+  list_transform(range(0, 16),
+    d -> CAST(CAST(b2[4*d + 1] + b2[4*d + 2] + b2[4*d + 3] + b2[4*d + 4] AS DOUBLE)
+              / 4 / 255.0 AS FLOAT)) AS embedding
+FROM t
+"""
+)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "p1_typed_projection": p1_typed_projection,
@@ -1467,6 +1686,7 @@ QUERIES = {
     "rec_popularity_top5": rec_popularity_top5,
     "rec_node2vec_top5": rec_node2vec_top5,
     "rec_kge_transe_top5": rec_kge_transe_top5,
+    "rec_fixed_emb_top5": rec_fixed_emb_top5,
     "e2_map_at_5": e2_map_at_5,
     "e3_ndcg_at_5": e3_ndcg_at_5,
     "dd1_exact_dedup": dd1_exact_dedup,
@@ -1480,6 +1700,9 @@ QUERIES = {
     "dd7_dedup_clusters": dd7_dedup_clusters,
     "ss1_ann_cosine_topk": ss1_ann_cosine_topk,
     "ss2_ann_ivf_topk": ss2_ann_ivf_topk,
+    "mm1_image_stats": mm1_image_stats,
+    "mm2_frame_fanout": mm2_frame_fanout,
+    "mm3_media_features": mm3_media_features,
     "ev1_hourly_rollup": ev1_hourly_rollup,
     "ev2_sessionize": ev2_sessionize,
     "ev3_sliding_rollup": ev3_sliding_rollup,
@@ -1523,6 +1746,7 @@ ORACLES = {
     "sp6_kfold_global": _sp_kfold_sql(5, "global"),
     "sp7_kfold_user": _sp_kfold_sql(4, "user"),
     "rec_popularity_top5": REC_POP_SQL,
+    "rec_fixed_emb_top5": REC_FIXED_SQL,
     "e2_map_at_5": E2_SQL,
     "e3_ndcg_at_5": E3_SQL,
     "dd1_exact_dedup": DD1_SQL,
@@ -1535,6 +1759,9 @@ ORACLES = {
     "dd6_embedding_neardup": DD6_SQL,
     "dd7_dedup_clusters": DD7_SQL,
     "ss1_ann_cosine_topk": SS1_SQL,
+    "mm1_image_stats": MM1_SQL,
+    "mm2_frame_fanout": MM2_SQL,
+    "mm3_media_features": MM3_SQL,
     "ev1_hourly_rollup": EV1_SQL,
     "ev3_sliding_rollup": EV3_SQL,
     "st1_stream_hourly_rollup": EV1_SQL,
