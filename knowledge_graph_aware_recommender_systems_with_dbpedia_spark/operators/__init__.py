@@ -10,6 +10,7 @@ from .splits import split_ratings, train_test, validation_subsplit
 from .metrics import map_at_k, ndcg_at_k, evaluate
 from .recommend import (
     PopularityRecommender,
+    Recommender,
     topk_by_cosine,
     topk_by_cosine_lsh,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "ndcg_at_k",
     "evaluate",
     "PopularityRecommender",
+    "Recommender",
     "topk_by_cosine",
     "topk_by_cosine_lsh",
     "Node2VecRecommender",

@@ -35,7 +35,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .recommend import topk_by_cosine
+from .recommend import Recommender, topk_by_cosine
 
 # ---------------------------------------------------------------- indexing
 
@@ -64,11 +64,32 @@ def index_entities(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     return ents, rels
 
 
+# Driver-collect ceiling for the single-node SGD stage: 3 int64s/row
+# -> 50M triples ~ 1.2 GB plus Row overhead, the most a driver JVM/
+# Python pair comfortably holds. Beyond it, fail fast with the scale
+# path spelled out rather than OOM-ing the driver mid-collect.
+MAX_DRIVER_TRIPLES = 50_000_000
+
+
 def collect_indexed_triples(
-    triples: DataFrame, ents: DataFrame, rels: DataFrame
+    triples: DataFrame,
+    ents: DataFrame,
+    rels: DataFrame,
+    max_triples: int = MAX_DRIVER_TRIPLES,
 ) -> np.ndarray:
     """(n, 3) int array of (h_idx, r_idx, t_idx) — the driver-side
-    hand-off to the single-node training stage."""
+    hand-off to the single-node training stage (mirrors the reference's
+    pykeen step, framework/recommender/transE/model.py).
+
+    Guarded: counts before collecting and raises if the triple set
+    exceeds ``max_triples`` — the single-node SGD stage is for
+    reference-scale graphs. At 100 TB, train distributed instead:
+    partition triples, run per-partition SGD via mapInPandas over
+    shared broadcast parameters, and tree-aggregate the deltas each
+    epoch (or hand the same (h, r, t) index array to a
+    TorchDistributor job); scoring downstream is unchanged — it only
+    needs the final entity-vector DataFrame.
+    """
     idx = (
         triples.join(ents.withColumnRenamed("e", "head"), "head")
         .withColumnRenamed("idx", "h")
@@ -78,6 +99,16 @@ def collect_indexed_triples(
         .withColumnRenamed("idx", "t")
         .select("h", "r", "t")
     )
+    n = idx.count()
+    if n > max_triples:
+        raise ValueError(
+            f"refusing to collect {n:,} triples to the driver "
+            f"(cap {max_triples:,}): the single-node KGE SGD stage is for "
+            "reference-scale graphs. For larger graphs train distributed "
+            "(partition-wise SGD via mapInPandas + per-epoch parameter "
+            "aggregation, or TorchDistributor) and feed the resulting "
+            "entity vectors to the unchanged scoring path."
+        )
     rows = idx.collect()
     return np.array([[r.h, r.r, r.t] for r in rows], dtype=np.int64)
 
@@ -415,7 +446,10 @@ def train_kge(
             active = (margin + fp[None, :] - fns_m) > 0
             if not active.any():
                 continue
-            if adversarial_alpha is not None and n_negatives > 1:
+            # no n_negatives > 1 gate: softmax over a single negative is
+            # w == 1 (same as uniform), so alpha is honored — not
+            # silently ignored — whatever the negative count
+            if adversarial_alpha is not None:
                 # harder negatives (lower f) weigh more; detached weights
                 logits = -adversarial_alpha * fns_m
                 logits -= logits.max(axis=0, keepdims=True)
@@ -447,7 +481,7 @@ def embeddings_to_df(
     return ents.join(vdf, "idx").select("e", "vec")
 
 
-class KGERecommender:
+class KGERecommender(Recommender):
     """Any-of-9 KGE model + shared cosine top-k scoring path.
 
     Triples = train ratings with relation ``rating{value}`` (G8,
@@ -459,7 +493,14 @@ class KGERecommender:
     def __init__(self, model: str = "transe", k: int = 5, dim: int = 32,
                  epochs: int = 5, lr: float = 0.05, margin: float = 1.0,
                  seed: int = 42, scoring: str = "exact",
-                 n_negatives: int = 1, adversarial_alpha: float | None = None):
+                 n_negatives: int = 1, adversarial_alpha: float | None = None,
+                 all_recs: bool = False):
+        if all_recs and scoring == "lsh":
+            raise ValueError(
+                "all_recs needs the exact scoring path: LSH only surfaces "
+                "same-bucket candidates, so it cannot rank EVERY item"
+            )
+        self.all_recs = all_recs
         self.model_name, self.k, self.dim = model, k, dim
         self.epochs, self.lr, self.margin, self.seed = epochs, lr, margin, seed
         self.scoring = scoring  # "exact" (parity) | "lsh" (scale)
@@ -515,4 +556,4 @@ class KGERecommender:
             from .recommend import topk_by_cosine_lsh
 
             return topk_by_cosine_lsh(uv, iv, k=k, train=train)
-        return topk_by_cosine(uv, iv, k=k, train=train)
+        return topk_by_cosine(uv, iv, k=k, train=train, all_recs=self.all_recs)

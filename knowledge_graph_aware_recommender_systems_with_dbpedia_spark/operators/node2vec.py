@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .recommend import topk_by_cosine
+from .recommend import Recommender, topk_by_cosine
 from .walks import random_walks
 
 _U = "u:"
@@ -43,7 +43,7 @@ def ratings_to_edges(train: DataFrame, user_col="user_id", item_col="item_id") -
     )
 
 
-class Node2VecRecommender:
+class Node2VecRecommender(Recommender):
     """node2vec walks + Word2Vec + cosine top-k.
 
     Parameters mirror the reference's deep-walk config
@@ -65,7 +65,14 @@ class Node2VecRecommender:
         min_count: int = 0,
         seed: int = 42,
         scoring: str = "exact",
+        all_recs: bool = False,
     ):
+        if all_recs and scoring == "lsh":
+            raise ValueError(
+                "all_recs needs the exact scoring path: LSH only surfaces "
+                "same-bucket candidates, so it cannot rank EVERY item"
+            )
+        self.all_recs = all_recs
         self.scoring = scoring  # "exact" (parity) | "lsh" (scale)
         self.k = k
         self.n_walks = n_walks
@@ -142,4 +149,4 @@ class Node2VecRecommender:
             from .recommend import topk_by_cosine_lsh
 
             return topk_by_cosine_lsh(uv, iv, k=k, train=train_str)
-        return topk_by_cosine(uv, iv, k=k, train=train_str)
+        return topk_by_cosine(uv, iv, k=k, train=train_str, all_recs=self.all_recs)

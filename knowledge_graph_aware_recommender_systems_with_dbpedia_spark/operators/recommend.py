@@ -51,6 +51,34 @@ def salted_join(
     return b.join(s, [key, "_salt"], how).drop("_salt")
 
 
+class Recommender:
+    """Plugin contract shared by every recommender (reference
+    ``framework/recommender/recommender.py:22-28`` and the documented
+    add-a-recommender surface ``docs/source/contributing/
+    add_recommender.md:9-16``): ``train``, ``get_recommendations(k)``,
+    ``get_user_recommendation(user, k)``, and the ``all_recs`` flag
+    (True = rank EVERY unseen item per user, no top-k truncation —
+    ``deep_walk_based/model.py:71-78``)."""
+
+    k: int = 5
+    all_recs: bool = False
+
+    def train(self, *args, **kwargs):
+        raise NotImplementedError("override train() in your recommender")
+
+    def get_recommendations(self, k: int | None = None) -> DataFrame:
+        raise NotImplementedError("override get_recommendations()")
+
+    def get_user_recommendation(self, user_id, k: int | None = None) -> DataFrame:
+        """Recommendations for ONE user — by contract the per-user slice
+        of :meth:`get_recommendations`. Expressed as a filter on the
+        full plan: Catalyst pushes the user_id predicate below the
+        ranking window (its partition key) and into the scoring join,
+        so only that user's candidates are actually scored."""
+        recs = self.get_recommendations(k)
+        return recs.filter(F.col("user_id") == F.lit(user_id))
+
+
 def max_user_degree(train: DataFrame, user_col="user_id") -> int:
     """A8: max #ratings of any user (over-fetch heuristic input)."""
     row = train.groupBy(user_col).count().agg(F.max("count").alias("m")).collect()[0]
@@ -64,26 +92,32 @@ def exclude_rated_and_truncate(
     user_col: str = "user_id",
     item_col: str = "item_id",
     score_col: str = "score",
+    all_recs: bool = False,
 ) -> DataFrame:
-    """J6 + O4: drop train items, re-rank, keep top-k -> (user, item, rank)."""
+    """J6 + O4: drop train items, re-rank, keep top-k -> (user, item, rank).
+
+    ``all_recs=True`` skips the truncation (every surviving candidate
+    stays, ranked) — the reference's ``all_recs`` flag."""
     filtered = scored.join(
         train.select(user_col, item_col), [user_col, item_col], "left_anti"
     )
     w = Window.partitionBy(user_col).orderBy(F.desc(score_col), item_col)
-    return (
-        filtered.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(user_col, item_col, "rank")
-    )
+    ranked = filtered.withColumn("rank", F.row_number().over(w))
+    if not all_recs:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked.select(user_col, item_col, "rank")
 
 
-class PopularityRecommender:
+class PopularityRecommender(Recommender):
     """Most-popular-unseen baseline (the zero-ML end-to-end slice of
     SURVEY §7 phase 2). Candidate set = global top-(max_degree + k)
-    items by interaction count — broadcastable by construction."""
+    items by interaction count — broadcastable by construction.
+    ``all_recs=True`` ranks every unseen item (the candidate array is
+    then the whole item dim table — bounded, still broadcastable)."""
 
-    def __init__(self, k: int = 5):
+    def __init__(self, k: int = 5, all_recs: bool = False):
         self.k = k
+        self.all_recs = all_recs
         self._train: DataFrame | None = None
         self._pop: DataFrame | None = None
 
@@ -110,9 +144,13 @@ class PopularityRecommender:
         # crossJoin + window + left-anti plan without shuffling a
         # users x candidates table (at 100 TB: a map-side-only stage
         # after the per-user collect_set).
+        pop_src = (
+            self._pop
+            if self.all_recs  # every item is a candidate
+            else self._pop.orderBy(F.desc("pop"), "item_id").limit(n_fetch)
+        )
         top_items = (
-            self._pop.orderBy(F.desc("pop"), "item_id")
-            .limit(n_fetch)
+            pop_src
             # collect_list order is not guaranteed after limit —
             # re-sort inside the array to pin (pop desc, item asc)
             .agg(
@@ -127,9 +165,10 @@ class PopularityRecommender:
         rated = self._train.groupBy("user_id").agg(
             F.collect_set("item_id").alias("rated")
         )
+        unseen = F.array_except("cand", "rated")
         picked = rated.join(F.broadcast(top_items)).select(
             "user_id",
-            F.slice(F.array_except("cand", "rated"), 1, k).alias("recs"),
+            (unseen if self.all_recs else F.slice(unseen, 1, k)).alias("recs"),
         )
         return picked.select(
             "user_id", F.posexplode("recs").alias("_p", "item_id")
@@ -178,6 +217,7 @@ def topk_by_cosine(
     k: int,
     train: DataFrame | None = None,
     over_fetch: int | None = None,
+    all_recs: bool = False,
 ) -> DataFrame:
     """O3/M6: exact cosine top-k of items per user, then J6/O4.
 
@@ -219,6 +259,9 @@ def topk_by_cosine(
         .select(F.col("u.user_id"), F.col("i.item_id"), sim.alias("score"))
     )
     if train is not None:
+        if all_recs:
+            # every unseen item stays ranked — no over-fetch prefilter
+            return exclude_rated_and_truncate(scored, train, k, all_recs=True)
         n_fetch = (over_fetch or max_user_degree(train)) + k
         w = Window.partitionBy("user_id").orderBy(F.desc("score"), "item_id")
         scored = scored.withColumn("_r", F.row_number().over(w)).filter(
@@ -226,8 +269,7 @@ def topk_by_cosine(
         ).drop("_r")
         return exclude_rated_and_truncate(scored, train, k)
     w = Window.partitionBy("user_id").orderBy(F.desc("score"), "item_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("user_id", "item_id", "rank")
-    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not all_recs:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked.select("user_id", "item_id", "rank")

@@ -77,6 +77,21 @@ def test_kge_recommender_end_to_end(spark):
     assert overlap == 0
 
 
+def test_collect_triples_guard_fails_fast(spark):
+    """An oversized triple set must raise the actionable cap error
+    BEFORE any driver collect, not OOM mid-collect."""
+    t = spark.createDataFrame(
+        [("u:1", "r", "i:1"), ("u:2", "r", "i:2"), ("u:3", "r", "i:1")],
+        "head string, relation string, tail string",
+    )
+    ents, rels = kge.index_entities(t)
+    with pytest.raises(ValueError, match="refusing to collect"):
+        kge.collect_indexed_triples(t, ents, rels, max_triples=2)
+    # under the cap: normal hand-off
+    idx = kge.collect_indexed_triples(t, ents, rels, max_triples=10)
+    assert idx.shape == (3, 3)
+
+
 def test_index_entities_deterministic(spark):
     t = spark.createDataFrame(
         [("a", "r1", "b"), ("b", "r2", "c")], "head string, relation string, tail string"

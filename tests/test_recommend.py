@@ -52,6 +52,64 @@ def test_max_user_degree(train):
     assert RC.max_user_degree(train) == 2
 
 
+def test_get_user_recommendation_is_per_user_slice(train):
+    """Reference recommender.py:22-28 contract: the single-user call
+    returns exactly the per-user rows of get_recommendations."""
+    rec = RC.PopularityRecommender(k=2).train(train)
+    full = {
+        (r.user_id, r.rank): r.item_id
+        for r in rec.get_recommendations(2).collect()
+    }
+    one = rec.get_user_recommendation("u2", 2).collect()
+    assert {(r.user_id, r.rank): r.item_id for r in one} == {
+        kv: i for kv, i in full.items() if kv[0] == "u2"
+    }
+
+
+def test_all_recs_disables_truncation(train):
+    """Reference deep_walk_based/model.py:71-78: all_recs=True ranks
+    EVERY unseen item, ignoring k."""
+    rec = RC.PopularityRecommender(k=1, all_recs=True).train(train)
+    recs = rec.get_recommendations(1)
+    by_user = {}
+    for r in recs.collect():
+        by_user.setdefault(r.user_id, []).append((r.rank, r.item_id))
+    # every user rated 2 of 3 items -> exactly 1 unseen each, ranked,
+    # and a k=1 run with all_recs must still return ALL unseen (here 1)
+    assert all(len(v) == 1 for v in by_user.values())
+    # u1's unseen item is i3 even though k=1 would already include it;
+    # the stronger check: a user with 1 rating sees all 2 remaining
+    more = train.union(train.sparkSession.createDataFrame(
+        [("u4", "i1")], "user_id string, item_id string"))
+    rec2 = RC.PopularityRecommender(k=1, all_recs=True).train(more)
+    u4 = rec2.get_user_recommendation("u4").collect()
+    assert sorted((r.rank, r.item_id) for r in u4) == [(1, "i2"), (2, "i3")]
+
+
+def test_all_recs_cosine_path(spark, train):
+    uv = spark.createDataFrame(
+        [("u1", [1.0, 0.0])], "user_id string, vec array<double>"
+    )
+    iv = spark.createDataFrame(
+        [("i1", [1.0, 0.0]), ("i2", [0.0, 1.0]), ("i3", [0.7, 0.7])],
+        "item_id string, vec array<double>",
+    )
+    recs = RC.topk_by_cosine(uv, iv, k=1, train=train, all_recs=True)
+    # u1 rated i1, i2 -> all_recs keeps every unseen item (just i3)
+    # ranked, and k=1 is ignored for truncation purposes
+    assert [(r.item_id, r.rank) for r in recs.collect()] == [("i3", 1)]
+
+
+def test_all_recs_rejected_on_lsh_scoring():
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.kge import KGERecommender
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.node2vec import Node2VecRecommender
+
+    with pytest.raises(ValueError, match="all_recs"):
+        KGERecommender(scoring="lsh", all_recs=True)
+    with pytest.raises(ValueError, match="all_recs"):
+        Node2VecRecommender(scoring="lsh", all_recs=True)
+
+
 def test_salted_join_equals_plain_join(spark):
     from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.recommend import salted_join
 
