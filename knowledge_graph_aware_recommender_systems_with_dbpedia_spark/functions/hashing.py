@@ -74,13 +74,30 @@ def det_hash(*keys: Column, seed: int = 42) -> Column:
 
 
 def det_hash_sql(*exprs: str, seed: int = 42) -> str:
-    """The DuckDB/ANSI-SQL text equivalent of :func:`det_hash`."""
-    terms = [
-        f"(((({e}) % {_KEY_MOD}) * {_seed_mult(seed, i)}) % {_KEY_MOD})"
-        f" * {_PRIMES[i % len(_PRIMES)]}"
-        for i, e in enumerate(exprs)
-    ]
-    return f"(({' + '.join(terms)} + {seed}) % {MOD})"
+    """The DuckDB/ANSI-SQL text equivalent of :func:`det_hash`,
+    faithful for ALL key types:
+
+     * ANSI ``%`` follows the dividend's sign while Spark ``pmod`` is
+       non-negative, so every modulo is wrapped ``((x % m) + m) % m``
+       (identical to the plain ``%`` for the non-negative keys every
+       existing oracle uses — their hashes are unchanged);
+     * non-numeric keys take the same md5 fallback ``det_hash`` does
+       (``TRY_CAST`` + md5-prefix bigint), and the BIGINT cast also
+       keeps literal keys out of INT32 overflow in the multiplies.
+    """
+
+    def _pm(x: str, m: int) -> str:
+        return f"((({x}) % {m} + {m}) % {m})"
+
+    terms = []
+    for i, e in enumerate(exprs):
+        kn = (
+            f"COALESCE(TRY_CAST({e} AS BIGINT), "
+            f"CAST(('0x' || substring(md5(CAST({e} AS VARCHAR)), 1, 15)) AS BIGINT))"
+        )
+        scrambled = _pm(f"{_pm(kn, _KEY_MOD)} * {_seed_mult(seed, i)}", _KEY_MOD)
+        terms.append(f"{scrambled} * {_PRIMES[i % len(_PRIMES)]}")
+    return f"({_pm(' + '.join(terms) + f' + {seed}', MOD)})"
 
 
 def det_unit(*keys: Column, seed: int = 42) -> Column:

@@ -210,7 +210,11 @@ def run_experiment(spark: SparkSession, config) -> dict:
             times[display].append(time.monotonic() - t0)
 
     if "report" in exp:
-        processed = REP.report(results, metric_names, exp["report"]["file"])
+        # report columns carry the cutoff like the reference's
+        # Metric.name() (map.py:10 'MAP@{k}'): fold-1_MAP@5, MAP@5_mean
+        processed = REP.report(
+            results, [f"{m}@{k}" for m in metric_names], exp["report"]["file"]
+        )
         if exp["report"].get("times_file"):
             REP.report_execution_times(times, exp["report"]["times_file"])
         return processed

@@ -63,16 +63,26 @@ def _session_fn(gap_s: int):
             start_us = end_us = n = None
 
         out: list[tuple[int, int, int, int]] = []
-        for pdf in pdfs:
-            for tus in pdf["tus"].sort_values():
-                tus = int(tus)
-                if start_us is None:
-                    start_us, end_us, n = tus, tus, 1
-                elif tus - end_us > gap_us:
-                    out.append((user_id, start_us, end_us, n))  # closed
-                    start_us, end_us, n = tus, tus, 1
-                else:
-                    end_us, n = tus, n + 1
+        # one group's micro-batch can span MULTIPLE Arrow chunks
+        # (> arrow.maxRecordsPerBatch rows): sorting per chunk would
+        # let a later chunk's earlier timestamp rewind end_us and
+        # split/merge sessions wrongly — concatenate, sort ONCE.
+        chunks = [pdf["tus"] for pdf in pdfs]
+        if len(chunks) == 1:
+            tss = chunks[0]
+        elif chunks:
+            tss = pd.concat(chunks)
+        else:  # timeout-style empty invocation: nothing to fold in
+            tss = pd.Series([], dtype="int64")
+        for tus in tss.sort_values():
+            tus = int(tus)
+            if start_us is None:
+                start_us, end_us, n = tus, tus, 1
+            elif tus - end_us > gap_us:
+                out.append((user_id, start_us, end_us, n))  # closed
+                start_us, end_us, n = tus, tus, 1
+            else:
+                end_us, n = tus, n + 1
         if start_us is not None:
             state.update((start_us, end_us, n))
             out.append((user_id, start_us, end_us, n))  # open (update-mode)

@@ -85,16 +85,18 @@ def test_experiment_kfold_popularity_and_kge(spark, tmp_path):
     rows = EX.run_experiment(spark, cfg)
     assert set(rows) == {"popularity", "transE"}
     for model, r in rows.items():
+        # column names embed the cutoff like the reference's
+        # Metric.name() ('MAP@{k}')
         assert set(r) == {
-            "fold-1_MAP", "fold-1_nDCG", "fold-2_MAP", "fold-2_nDCG",
-            "MAP_mean", "MAP_std", "nDCG_mean", "nDCG_std",
+            "fold-1_MAP@3", "fold-1_nDCG@3", "fold-2_MAP@3", "fold-2_nDCG@3",
+            "MAP@3_mean", "MAP@3_std", "nDCG@3_mean", "nDCG@3_std",
         }
         for v in r.values():
             assert 0.0 <= v <= 1.0
     assert os.path.exists(out)
     with open(out) as fh:
         header = fh.readline().strip().split(",")
-    assert header[0] == "model" and "MAP_mean" in header
+    assert header[0] == "model" and "MAP@3_mean" in header
 
 
 def test_experiment_holdout_deterministic(spark, tmp_path):
@@ -107,7 +109,7 @@ def test_experiment_holdout_deterministic(spark, tmp_path):
         spark, _config(tmp_path, [{"name": "popularity"}], tmp_path / "b.csv", split=split)
     )
     assert r1 == r2  # seeded split + deterministic model
-    assert set(r1["popularity"]) == {"MAP", "nDCG"}  # hold-out: no fold cols
+    assert set(r1["popularity"]) == {"MAP@3", "nDCG@3"}  # hold-out: no fold cols
 
 
 def test_experiment_deepwalk_with_kg_edges(spark, tmp_path):

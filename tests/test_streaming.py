@@ -88,6 +88,42 @@ def test_stateful_incremental_two_batches(spark, tmp_path):
         assert (r.end_s, r.n_events) == (exp[k].end_s, exp[k].n_events)
 
 
+def test_stateful_session_fn_sorts_across_arrow_chunks():
+    """A group's micro-batch can arrive as MULTIPLE Arrow chunks; an
+    out-of-order timestamp in a later chunk must not rewind end_us or
+    split the session (the per-chunk-sort bug)."""
+    import pandas as pd
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming.stateful import _session_fn
+
+    class FakeState:
+        exists = False
+
+        def __init__(self):
+            self.value = None
+
+        def update(self, v):
+            self.value = v
+
+    gap_s = 10
+    fn = _session_fn(gap_s)
+    s = 1_000_000  # 1s in us
+    # chunk 2 holds an EARLIER timestamp than chunk 1's max; globally
+    # sorted all four are one session (max gap 5s < 10s)
+    chunks = iter(
+        [
+            pd.DataFrame({"tus": [20 * s, 25 * s]}),
+            pd.DataFrame({"tus": [15 * s, 30 * s]}),
+        ]
+    )
+    state = FakeState()
+    out = pd.concat(list(fn((7,), chunks, state)))
+    # exactly one (open) session: 15s..30s with 4 events
+    assert len(out) == 1
+    assert tuple(out.iloc[0]) == (7, 15, 30, 4)
+    assert state.value == (15 * s, 30 * s, 4)
+
+
 def test_sliding_rollup_window_multiplicity(spark, tmp_path):
     stream = ST.read_events_stream(spark, EVENTS)
     got = ST.run_to_memory(
