@@ -161,11 +161,18 @@ def minhash_lsh_pairs(
     verify_threshold: float | None = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    salt: int | str | None = None,
+    skew_threshold: float = 16.0,
 ) -> DataFrame:
     """Banded-LSH candidate pairs, optionally verified with exact Jaccard.
 
     Bands of r = n_hashes/bands rows; docs sharing ANY band bucket are
     candidates. Returns (id1, id2[, jaccard]).
+
+    ``salt``: None | int | "auto" — salt the band-bucket self-join for
+    hot buckets (boilerplate/stop-phrase bands that AQE can't split);
+    "auto" probes bucket skew once and salts with 8 past
+    ``skew_threshold``. Identical pair output either way.
     """
     rows = n_hashes // bands
     sig = minhash_signatures(docs, n_hashes, n, id_col, text_col)
@@ -179,13 +186,29 @@ def minhash_lsh_pairs(
         F.col("id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
-    cands = (
-        buckets.alias("a")
-        .join(buckets.alias("b"), ["band", "bkey"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
-    )
+    if salt == "auto":
+        from .recommend import bucket_skew_ratio
+
+        salt = 8 if bucket_skew_ratio(buckets, ["band", "bkey"]) > skew_threshold else None
+    if salt:
+        from .recommend import salted_join
+
+        a = buckets.select(F.col("id").alias("_ida"), "band", "bkey")
+        b = buckets.select(F.col("id").alias("_idb"), "band", "bkey")
+        joined = salted_join(a, b, ["band", "bkey"], n_salts=int(salt))
+        cands = (
+            joined.filter(F.col("_ida") < F.col("_idb"))
+            .select(F.col("_ida").alias("id1"), F.col("_idb").alias("id2"))
+            .distinct()
+        )
+    else:
+        cands = (
+            buckets.alias("a")
+            .join(buckets.alias("b"), ["band", "bkey"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .distinct()
+        )
     if verify_threshold is None:
         return cands
     # verify ONLY candidate docs: restrict the shingle table to ids that

@@ -24,20 +24,21 @@ from pyspark.sql import functions as F
 def salted_join(
     big: DataFrame,
     small: DataFrame,
-    key: str,
+    key: str | list[str],
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-resistant equi-join: the hot keys of ``big`` are spread
-    over ``n_salts`` shuffle partitions by a deterministic row salt;
-    ``small`` is replicated once per salt value.
+    """Skew-resistant equi-join (single or composite key): the hot keys
+    of ``big`` are spread over ``n_salts`` shuffle partitions by a
+    deterministic row salt; ``small`` is replicated once per salt value.
 
     AQE's skew-join split handles moderate skew automatically; this is
     the explicit tool for pathological keys (one user with 10^8
-    interactions) or engines/stages where AQE can't re-plan (e.g.
-    stream-static joins). Deterministic: the salt is a hash of the
-    row's other columns, not rand().
+    interactions, one stop-phrase LSH bucket) or stages where AQE can't
+    re-plan (e.g. stream-static joins). Deterministic: the salt is a
+    hash of the row's other columns, not rand().
     """
+    keys = [key] if isinstance(key, str) else list(key)
     salt = F.pmod(
         F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts)
     ).alias("_salt")
@@ -48,7 +49,22 @@ def salted_join(
         ),
         F.lit(True),
     )
-    return b.join(s, [key, "_salt"], how).drop("_salt")
+    return b.join(s, keys + ["_salt"], how).drop("_salt")
+
+
+def bucket_skew_ratio(df: DataFrame, keys: list[str]) -> float:
+    """max bucket size / mean bucket size — the pre-flight skew probe
+    behind ``salt="auto"`` in the LSH joins. One tiny aggregate job
+    (shuffles one count per distinct key)."""
+    stats = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.avg("c").alias("mean"))
+        .collect()[0]
+    )
+    if not stats["mean"]:
+        return 1.0
+    return float(stats["mx"]) / float(stats["mean"])
 
 
 class Recommender:

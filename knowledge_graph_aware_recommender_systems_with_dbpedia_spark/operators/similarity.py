@@ -336,22 +336,41 @@ def cosine_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt: int | str | None = None,
+    skew_threshold: float = 16.0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     Recall is tunable via n_planes (fewer planes = bigger buckets =
     higher recall & cost). Candidate generation is an equi-join on
     bucket — shuffle-partitioned, no crossJoin.
+
+    ``salt``: None (plain equi-join), an int (salted_join with that
+    many salts — for hot buckets AQE can't split), or ``"auto"``
+    (probe corpus bucket skew once; salt with 8 when max/mean >
+    ``skew_threshold``). Pair output is identical either way — salting
+    only changes the shuffle layout.
     """
-    c = hyperplane_signature(emb, n_planes, seed, id_col, vec_col).alias("c")
-    q = hyperplane_signature(queries, n_planes, seed, id_col, vec_col).alias("q")
-    scored = (
-        c.join(q, (F.col("c.bucket") == F.col("q.bucket")) & (F.col("c.id") != F.col("q.id")))
-        .select(
-            F.col("q.id").alias("query_id"),
-            F.col("c.id").alias("neighbor_id"),
-            F.round(_dot(F.col("q.v"), F.col("c.v")), 6).alias("cosine"),
-        )
+    c = hyperplane_signature(emb, n_planes, seed, id_col, vec_col).select(
+        F.col("id").alias("nid"), F.col("v").alias("cv"), "bucket"
+    )
+    q = hyperplane_signature(queries, n_planes, seed, id_col, vec_col).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), "bucket"
+    )
+    if salt == "auto":
+        from .recommend import bucket_skew_ratio
+
+        salt = 8 if bucket_skew_ratio(c, ["bucket"]) > skew_threshold else None
+    if salt:
+        from .recommend import salted_join
+
+        pairs = salted_join(c, q, "bucket", n_salts=int(salt))
+    else:
+        pairs = c.join(q, "bucket")
+    scored = pairs.filter(F.col("nid") != F.col("qid")).select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

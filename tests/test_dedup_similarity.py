@@ -207,6 +207,46 @@ def test_ivf_kmeans_full_probe_recall(spark):
     assert got == want  # probing every cell recovers the exact answer
 
 
+def test_lsh_salting_identical_pairs_on_skewed_fixture(spark):
+    """salted_join only changes the shuffle layout: LSH pair output
+    with salting on (explicit and auto) must equal salting off, on a
+    fixture where most docs collapse into one hot bucket."""
+    # 40 near-identical docs (one hot band bucket) + 10 distinct
+    docs = [(i, "the same boilerplate text repeated again and again here") for i in range(40)]
+    docs += [(100 + i, f"unique document number {i} with its own words entirely") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = DD.minhash_lsh_pairs(df, verify_threshold=None)
+    salted = DD.minhash_lsh_pairs(df, verify_threshold=None, salt=4)
+    auto = DD.minhash_lsh_pairs(df, verify_threshold=None, salt="auto", skew_threshold=2.0)
+    want = {(r.id1, r.id2) for r in base.collect()}
+    assert {(r.id1, r.id2) for r in salted.collect()} == want
+    assert {(r.id1, r.id2) for r in auto.collect()} == want
+    assert len(want) >= 40 * 39 // 2  # the hot bucket really is hot
+
+
+def test_cosine_lsh_salting_identical(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    base_v = rng.randn(8)
+    # 30 near-parallel vectors (one hot LSH bucket) + 10 spread
+    mat = np.vstack(
+        [base_v + 0.01 * rng.randn(8) for _ in range(30)]
+        + [rng.randn(8) for _ in range(10)]
+    ).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    plain = SIM.cosine_lsh_topk(emb, q, k=4, n_planes=4)
+    salted = SIM.cosine_lsh_topk(emb, q, k=4, n_planes=4, salt=4)
+    auto = SIM.cosine_lsh_topk(emb, q, k=4, n_planes=4, salt="auto", skew_threshold=2.0)
+    want = {(r.query_id, r.rank): r.neighbor_id for r in plain.collect()}
+    assert {(r.query_id, r.rank): r.neighbor_id for r in salted.collect()} == want
+    assert {(r.query_id, r.rank): r.neighbor_id for r in auto.collect()} == want
+
+
 def test_connected_components_and_canonical(spark):
     ids = spark.createDataFrame([(i,) for i in range(8)], "id long")
     # components: {0,1,2,3} (chain), {5,6} — 4 and 7 are singletons
