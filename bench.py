@@ -24,12 +24,15 @@ HEADLINE = [
     "g4_kcore_alternating",
     "sp2_random_user",
     "rec_popularity_top5",
+    "rec_fixed_emb_top5",
     "e2_map_at_5",
     "e3_ndcg_at_5",
     "dd3_minhash_signatures",
     "dd4_minhash_lsh_pairs",
     "tx1_text_stats",
     "ss1_ann_cosine_topk",
+    "mm1_image_stats",
+    "mm3_media_features",
     "ev1_hourly_rollup",
     "ev2_sessionize",
     "ev3_sliding_rollup",

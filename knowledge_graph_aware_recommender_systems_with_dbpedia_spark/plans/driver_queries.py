@@ -1343,9 +1343,11 @@ SELECT id1, id2, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.9
 def ss2_ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed approximate ANN (the 100 TB scale path for ss1).
 
-    No DuckDB oracle: the result is deliberately approximate (cells
-    probed < all cells) — rows-only check; recall-vs-exact is covered
-    by tests/test_dedup_similarity.py.
+    Approximate (probes 3 of 8 cells) but fully DETERMINISTIC: the
+    centroid sample is md5-ranked, cell assignment is an argmax with
+    cell-id tie-break — so the DuckDB oracle replays the exact same
+    plan (recall-vs-exact additionally covered by
+    tests/test_dedup_similarity.py).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(
@@ -1356,6 +1358,33 @@ def ss2_ann_ivf_topk(spark, sf_dir):
         F.col("rank").cast("bigint").alias("rec_rank"),
         "cosine",
     )
+
+
+SS2_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+md AS (SELECT vec_id, v,
+       CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       FROM n),
+cent0 AS (SELECT vec_id, v, h FROM md ORDER BY h, vec_id LIMIT 8),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cell, v AS cv FROM cent0),
+ca AS (SELECT m.vec_id, m.v, c.cell, list_dot_product(m.v, c.cv) AS sim
+       FROM n m CROSS JOIN cents c),
+cr AS (SELECT vec_id, v, cell,
+       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ca),
+corpus AS (SELECT vec_id, v, cell FROM cr WHERE rn = 1),
+qa AS (SELECT vec_id, v, cell FROM cr WHERE rn <= 3 AND vec_id < 8),
+s AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      round(list_dot_product(q.v, c.v), 6) AS cosine
+      FROM corpus c JOIN qa q ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rec_rank FROM s)
+SELECT query_id, neighbor_id, CAST(rec_rank AS BIGINT) AS rec_rank, cosine
+FROM rk WHERE rec_rank <= 5
+"""
 
 
 def tx2_vocab_topk(spark, sf_dir):
@@ -1759,6 +1788,7 @@ ORACLES = {
     "dd6_embedding_neardup": DD6_SQL,
     "dd7_dedup_clusters": DD7_SQL,
     "ss1_ann_cosine_topk": SS1_SQL,
+    "ss2_ann_ivf_topk": SS2_SQL,
     "mm1_image_stats": MM1_SQL,
     "mm2_frame_fanout": MM2_SQL,
     "mm3_media_features": MM3_SQL,
