@@ -12,6 +12,7 @@ from .recommend import (
     PopularityRecommender,
     Recommender,
     topk_by_cosine,
+    topk_by_cosine_broadcast,
     topk_by_cosine_lsh,
 )
 from .node2vec import Node2VecRecommender
@@ -34,6 +35,7 @@ __all__ = [
     "PopularityRecommender",
     "Recommender",
     "topk_by_cosine",
+    "topk_by_cosine_broadcast",
     "topk_by_cosine_lsh",
     "Node2VecRecommender",
     "KGE_MODELS",

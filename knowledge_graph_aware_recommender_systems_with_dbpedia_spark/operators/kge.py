@@ -506,6 +506,7 @@ class KGERecommender(Recommender):
         self.scoring = scoring  # "exact" (parity) | "lsh" (scale)
         self.n_negatives = n_negatives
         self.adversarial_alpha = adversarial_alpha
+        assert scoring in ("exact", "lsh", "broadcast"), scoring
         self._train: DataFrame | None = None
         self._emb: DataFrame | None = None
 
@@ -556,4 +557,10 @@ class KGERecommender(Recommender):
             from .recommend import topk_by_cosine_lsh
 
             return topk_by_cosine_lsh(uv, iv, k=k, train=train)
+        if self.scoring == "broadcast":
+            from .recommend import topk_by_cosine_broadcast
+
+            return topk_by_cosine_broadcast(
+                uv, iv, k=k, train=train, all_recs=self.all_recs
+            )
         return topk_by_cosine(uv, iv, k=k, train=train, all_recs=self.all_recs)

@@ -73,7 +73,10 @@ class Node2VecRecommender(Recommender):
                 "same-bucket candidates, so it cannot rank EVERY item"
             )
         self.all_recs = all_recs
-        self.scoring = scoring  # "exact" (parity) | "lsh" (scale)
+        # "exact" (parity) | "lsh" (scale) | "broadcast" (exact,
+        # zero-shuffle scoring for bounded item catalogs)
+        assert scoring in ("exact", "lsh", "broadcast"), scoring
+        self.scoring = scoring
         self.k = k
         self.n_walks = n_walks
         self.walk_len = walk_len
@@ -149,4 +152,10 @@ class Node2VecRecommender(Recommender):
             from .recommend import topk_by_cosine_lsh
 
             return topk_by_cosine_lsh(uv, iv, k=k, train=train_str)
+        if self.scoring == "broadcast":
+            from .recommend import topk_by_cosine_broadcast
+
+            return topk_by_cosine_broadcast(
+                uv, iv, k=k, train=train_str, all_recs=self.all_recs
+            )
         return topk_by_cosine(uv, iv, k=k, train=train_str, all_recs=self.all_recs)

@@ -227,6 +227,89 @@ def topk_by_cosine_lsh(
     return exclude_rated_and_truncate(scored, train, k)
 
 
+def topk_by_cosine_broadcast(
+    user_vecs: DataFrame,
+    item_vecs: DataFrame,
+    k: int,
+    train: DataFrame,
+    all_recs: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k with a BROADCAST item array — the zero-shuffle
+    exact plan for bounded item catalogs (the dim-table assumption the
+    popularity recommender already documents).
+
+    Row-for-row identical to :func:`topk_by_cosine` (unit-tested): per
+    user, every item is scored (same zip_with/aggregate dot, same
+    bits), sorted by (score desc, item asc) INSIDE an array via the
+    NATURAL struct sort on (-score, item) — comparator-lambda
+    array_sort is interpreted per comparison and an order of magnitude
+    slower — then rated items are removed with order-preserving
+    ``array_except`` (== anti-join after over-fetch) and the first k
+    kept. No scored-pairs table, no per-user shuffle, no sort-merge
+    anti-join: the only shuffles feed the two tiny aggregates.
+
+    Scope: wins when the item catalog is SMALL (≲ a few thousand —
+    per-row cost is |items| inside higher-order functions, which don't
+    whole-stage-codegen). Measured at sf0.1 (15k users x 20k items)
+    the windowed :func:`topk_by_cosine` is faster; at popularity-size
+    candidate arrays this shape is the fastest exact plan. Use
+    windowed or LSH for unbounded catalogs.
+    """
+    def normed(df: DataFrame, idc: str) -> DataFrame:
+        staged = df.select(
+            idc,
+            "vec",
+            F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x)).alias("_norm"),
+        )
+        return staged.select(
+            idc,
+            F.when(
+                F.col("_norm") > 0,
+                F.transform("vec", lambda x: x / F.col("_norm")),
+            ).otherwise(F.col("vec")).alias("vec"),
+        )
+
+    items_arr = normed(item_vecs, "item_id").agg(
+        F.collect_list(F.struct(F.col("item_id").alias("i"), F.col("vec").alias("iv"))).alias("items")
+    )
+    item_t = dict(train.dtypes)["item_id"]
+    rated = train.groupBy("user_id").agg(F.collect_set("item_id").alias("rated"))
+    u = normed(user_vecs, "user_id").join(rated, "user_id", "left").select(
+        "user_id",
+        "vec",
+        F.coalesce("rated", F.array().cast(f"array<{item_t}>")).alias("rated"),
+    )
+    scored = u.join(F.broadcast(items_arr)).select(
+        "user_id",
+        "rated",
+        # natural struct sort on (-score, item) == (score desc, item
+        # asc): the codegen'd ordering, no interpreted comparator
+        F.array_sort(
+            F.transform(
+                "items",
+                lambda s: F.struct(
+                    (
+                        -F.aggregate(
+                            F.zip_with(F.col("vec"), s["iv"], lambda a, b: a * b),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    ).alias("ns"),
+                    s["i"].alias("i"),
+                ),
+            )
+        ).alias("cand"),
+    )
+    unseen = F.array_except(F.transform("cand", lambda s: s["i"]), "rated")
+    picked = scored.select(
+        "user_id",
+        (unseen if all_recs else F.slice(unseen, 1, k)).alias("recs"),
+    )
+    return picked.select(
+        "user_id", F.posexplode("recs").alias("_p", "item_id")
+    ).select("user_id", "item_id", (F.col("_p") + 1).alias("rank"))
+
+
 def topk_by_cosine(
     user_vecs: DataFrame,
     item_vecs: DataFrame,

@@ -969,7 +969,13 @@ def rec_fixed_emb_top5(spark, sf_dir):
     library code path rec_node2vec/rec_kge use (RC.topk_by_cosine)."""
     train, _ = SP.train_test(_user_split(spark, sf_dir))
     train_ui = train.select("user_id", "item_id")
-    users = train_ui.select("user_id").distinct()
+    # deterministic user subset (the ss1 vec_id<8 pattern): the exact
+    # crossJoin scorer is the parity path — bench/oracle exercise it on
+    # ~2% of users; the full-population scale path is LSH (rec_* via
+    # scoring='lsh')
+    users = train_ui.select("user_id").distinct().filter(
+        F.pmod(F.col("user_id"), F.lit(50)) == 0
+    )
     items = train_ui.select("item_id").distinct()
     uv = users.select("user_id", _fixed_vec("user_id").alias("vec"))
     # zero-fill lookup (M3): the "vocabulary" misses every item_id % 7 == 0
@@ -1003,7 +1009,7 @@ REC_FIXED_SQL = (
     + _split_user_sql(0.2)
     + f""",
 train AS (SELECT user_id, item_id FROM sp WHERE is_test = 0),
-users AS (SELECT DISTINCT user_id FROM train),
+users AS (SELECT DISTINCT user_id FROM train WHERE user_id % 50 = 0),
 items AS (SELECT DISTINCT item_id FROM train),
 deg AS (SELECT max(c) AS m FROM (SELECT count(*) AS c FROM train GROUP BY user_id) dd),
 uv AS (SELECT user_id,
