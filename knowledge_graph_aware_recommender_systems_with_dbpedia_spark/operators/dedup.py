@@ -332,6 +332,48 @@ def connected_components(
     return labels.select(F.col("a").alias(id_col), F.col("comp").alias("cluster_id"))
 
 
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int | str | None = None,
+    skew_threshold: float = 16.0,
+) -> DataFrame:
+    """Sign-LSH bucketed near-dup pairs — the SCALE path for
+    :func:`embedding_near_dups`: candidates are restricted to pairs
+    sharing a random-hyperplane bucket (equi-join, no crossJoin), then
+    verified with the exact cosine. Recall < 1 (cross-bucket pairs are
+    missed) but fully deterministic — the md5-derived sign matrix makes
+    the result reproducible across engines, so it oracle-checks.
+
+    ``salt``: None | int | "auto" — same hot-bucket salting contract
+    as :func:`minhash_lsh_pairs`.
+    """
+    from .similarity import _dot, hyperplane_signature
+
+    sig = hyperplane_signature(emb, n_planes, seed, id_col, vec_col)
+    a = sig.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket")
+    b = sig.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "bucket")
+    if salt == "auto":
+        from .recommend import bucket_skew_ratio
+
+        salt = 8 if bucket_skew_ratio(a, ["bucket"]) > skew_threshold else None
+    if salt:
+        from .recommend import salted_join
+
+        pairs = salted_join(a, b, "bucket", n_salts=int(salt))
+    else:
+        pairs = a.join(b, "bucket")
+    return (
+        pairs.filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", _dot(F.col("v1"), F.col("v2")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def keep_canonical(
     docs: DataFrame,
     clusters: DataFrame,

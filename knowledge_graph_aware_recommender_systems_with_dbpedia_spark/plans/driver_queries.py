@@ -1209,6 +1209,38 @@ WHERE j.jaccard >= 0.1
 """
 
 
+def dd8_neardup_lsh(spark, sf_dir):
+    """Sign-LSH bucketed near-dup pairs — dd6's 100 TB scale path
+    (bucket equi-join instead of crossJoin), hash-checkable because
+    the hyperplane sign matrix is md5-derived and the bucket join +
+    exact-cosine verify are deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return DD.embedding_near_dups_lsh(
+        emb, threshold=0.42, n_planes=4, seed=SEED
+    ).select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+
+
+DD8_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+b AS (SELECT vec_id, v,
+      list_sum(list_transform(range(0, 4), j ->
+        CASE WHEN list_dot_product(v,
+               list_transform(range(0, len(v)), d ->
+                 CASE WHEN CAST(('0x' || substring(md5('42:' || j || ':' || d), 1, 15)) AS BIGINT) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END)) > 0
+             THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS bucket
+      FROM n),
+p AS (SELECT a.vec_id AS id1, b2.vec_id AS id2, list_dot_product(a.v, b2.v) AS cosine
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT id1, id2, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.42
+"""
+
+
 def dd7_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components (min-label
     propagation) over the dd4 LSH pairs; every doc gets the smallest
@@ -1733,6 +1765,7 @@ QUERIES = {
     "tx2_vocab_topk": tx2_vocab_topk,
     "dd6_embedding_neardup": dd6_embedding_neardup,
     "dd7_dedup_clusters": dd7_dedup_clusters,
+    "dd8_neardup_lsh": dd8_neardup_lsh,
     "ss1_ann_cosine_topk": ss1_ann_cosine_topk,
     "ss2_ann_ivf_topk": ss2_ann_ivf_topk,
     "mm1_image_stats": mm1_image_stats,
@@ -1793,6 +1826,7 @@ ORACLES = {
     "tx2_vocab_topk": TX2_SQL,
     "dd6_embedding_neardup": DD6_SQL,
     "dd7_dedup_clusters": DD7_SQL,
+    "dd8_neardup_lsh": DD8_SQL,
     "ss1_ann_cosine_topk": SS1_SQL,
     "ss2_ann_ivf_topk": SS2_SQL,
     "mm1_image_stats": MM1_SQL,

@@ -207,6 +207,31 @@ def test_ivf_kmeans_full_probe_recall(spark):
     assert got == want  # probing every cell recovers the exact answer
 
 
+def test_embedding_neardup_lsh_subset_of_exact(spark):
+    """The sign-LSH near-dup scale path returns a SUBSET of the exact
+    pairs (same-bucket only) with identical cosines, and near-parallel
+    vectors (which always share a bucket) are never missed."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    base_v = rng.randn(12)
+    mat = np.vstack(
+        [base_v + 0.02 * rng.randn(12) for _ in range(6)]  # near-dups
+        + [rng.randn(12) for _ in range(30)]
+    ).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(36)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {(r.id1, r.id2): r.cosine for r in DD.embedding_near_dups(emb, 0.95).collect()}
+    lsh = {(r.id1, r.id2): r.cosine for r in DD.embedding_near_dups_lsh(emb, 0.95, n_planes=6).collect()}
+    assert set(lsh) <= set(exact)
+    for k, c in lsh.items():
+        assert abs(c - exact[k]) < 1e-9
+    # the 6 near-parallel vectors hash to one bucket -> all 15 pairs kept
+    assert {(a, b) for a in range(6) for b in range(6) if a < b} <= set(lsh)
+
+
 def test_lsh_salting_identical_pairs_on_skewed_fixture(spark):
     """salted_join only changes the shuffle layout: LSH pair output
     with salting on (explicit and auto) must equal salting off, on a
