@@ -1552,6 +1552,36 @@ def st1_stream_hourly_rollup(spark, sf_dir):
     )
 
 
+def st2_stream_sessionize_stateful(spark, sf_dir):
+    """Custom stateful streaming in the driver contract: the
+    applyInPandasWithState sessionizer (streaming/stateful.py) drained
+    with availableNow over the static events dir. One batch means each
+    session is emitted exactly once, so the result equals batch ev2 and
+    its oracle applies; the per-user session ordinal is recovered as
+    the rank by start_s (sessions are disjoint and >= gap apart, so the
+    rank reproduces ev2's break-counter numbering exactly)."""
+    import os
+    import tempfile
+
+    from ..streaming import events as STE
+    from ..streaming.stateful import sessionize_stateful
+
+    stream = STE.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    name = os.path.basename(tempfile.mkdtemp(prefix="st2q_"))
+    out = STE.run_to_memory(sessionize_stateful(stream, gap_s=1800), name, "update")
+    latest = out.groupBy("user_id", "start_s").agg(
+        F.max("end_s").alias("end_s"), F.max("n_events").alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy("start_s")
+    return latest.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.row_number().over(w).cast("bigint").alias("session_id"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("start_s").cast("bigint").alias("start_s"),
+        F.col("end_s").cast("bigint").alias("end_s"),
+    )
+
+
 def ev2_sessionize(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.expr("ts_ns div 1000").cast("bigint").alias("tus")
@@ -1775,6 +1805,7 @@ QUERIES = {
     "ev2_sessionize": ev2_sessionize,
     "ev3_sliding_rollup": ev3_sliding_rollup,
     "st1_stream_hourly_rollup": st1_stream_hourly_rollup,
+    "st2_stream_sessionize_stateful": st2_stream_sessionize_stateful,
 }
 
 ORACLES = {
@@ -1836,6 +1867,7 @@ ORACLES = {
     "ev3_sliding_rollup": EV3_SQL,
     "st1_stream_hourly_rollup": EV1_SQL,
     "ev2_sessionize": EV2_SQL,
+    "st2_stream_sessionize_stateful": EV2_SQL,
 }
 
 
