@@ -71,6 +71,25 @@ def index_entities(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
 MAX_DRIVER_TRIPLES = 50_000_000
 
 
+def indexed_triples_df(
+    triples: DataFrame, ents: DataFrame, rels: DataFrame
+) -> DataFrame:
+    """(h, r, t) dense-int triple DataFrame — the distributed form of
+    the training input. Stays on the cluster; both the driver-collect
+    stage (:func:`collect_indexed_triples`) and the partitioned trainer
+    (:func:`train_kge_partitioned`) start from it.
+    """
+    return (
+        triples.join(ents.withColumnRenamed("e", "head"), "head")
+        .withColumnRenamed("idx", "h")
+        .join(rels.withColumnRenamed("r", "relation"), "relation")
+        .withColumnRenamed("idx", "r")
+        .join(ents.withColumnRenamed("e", "tail"), "tail")
+        .withColumnRenamed("idx", "t")
+        .select("h", "r", "t")
+    )
+
+
 def collect_indexed_triples(
     triples: DataFrame,
     ents: DataFrame,
@@ -83,31 +102,24 @@ def collect_indexed_triples(
 
     Guarded: counts before collecting and raises if the triple set
     exceeds ``max_triples`` — the single-node SGD stage is for
-    reference-scale graphs. At 100 TB, train distributed instead:
-    partition triples, run per-partition SGD via mapInPandas over
-    shared broadcast parameters, and tree-aggregate the deltas each
-    epoch (or hand the same (h, r, t) index array to a
-    TorchDistributor job); scoring downstream is unchanged — it only
+    reference-scale graphs. At 100 TB, use
+    :func:`train_kge_partitioned` instead: the triples stay a
+    DataFrame, each partition runs local SGD from broadcast
+    parameters, and the sparse parameter deltas are aggregated
+    Spark-side each epoch; scoring downstream is unchanged — it only
     needs the final entity-vector DataFrame.
     """
-    idx = (
-        triples.join(ents.withColumnRenamed("e", "head"), "head")
-        .withColumnRenamed("idx", "h")
-        .join(rels.withColumnRenamed("r", "relation"), "relation")
-        .withColumnRenamed("idx", "r")
-        .join(ents.withColumnRenamed("e", "tail"), "tail")
-        .withColumnRenamed("idx", "t")
-        .select("h", "r", "t")
-    )
+    idx = indexed_triples_df(triples, ents, rels)
     n = idx.count()
     if n > max_triples:
         raise ValueError(
             f"refusing to collect {n:,} triples to the driver "
             f"(cap {max_triples:,}): the single-node KGE SGD stage is for "
-            "reference-scale graphs. For larger graphs train distributed "
-            "(partition-wise SGD via mapInPandas + per-epoch parameter "
-            "aggregation, or TorchDistributor) and feed the resulting "
-            "entity vectors to the unchanged scoring path."
+            "reference-scale graphs. For larger graphs use "
+            "train_kge_partitioned (KGERecommender(trainer='partitioned')): "
+            "partition-wise SGD with Spark-side delta aggregation — the "
+            "triples never leave the cluster; the resulting entity vectors "
+            "feed the unchanged scoring path."
         )
     rows = idx.collect()
     return np.array([[r.h, r.r, r.t] for r in rows], dtype=np.int64)
@@ -400,6 +412,63 @@ KGE_MODELS = {
 }
 
 
+TRANSLATIONAL = ("transe", "transh", "transr", "transd", "rotate")
+
+
+def _run_epoch(
+    m: _KGEModel,
+    triples_idx: np.ndarray,
+    rng: np.random.Generator,
+    lr: float,
+    margin: float,
+    batch_size: int,
+    n_negatives: int,
+    adversarial_alpha: float | None,
+) -> None:
+    """One SGD pass over ``triples_idx`` (shared by the single-node
+    and partitioned trainers — bit-identical batch logic)."""
+    n = len(triples_idx)
+    n_ent = m.n_ent
+    order = rng.permutation(n)
+    for start in range(0, n, batch_size):
+        b = triples_idx[order[start : start + batch_size]]
+        h, r, t = b[:, 0], b[:, 1], b[:, 2]
+        fp = m.f(h, r, t)
+        negs = []
+        fns = []
+        for _i in range(n_negatives):
+            corrupt_head = rng.random(len(b)) < 0.5
+            rand_e = rng.integers(0, n_ent, len(b))
+            hn = np.where(corrupt_head, rand_e, h)
+            tn = np.where(corrupt_head, t, rand_e)
+            negs.append((hn, tn))
+            fns.append(m.f(hn, r, tn))
+        fns_m = np.stack(fns)  # (m, B)
+        active = (margin + fp[None, :] - fns_m) > 0
+        if not active.any():
+            continue
+        # no n_negatives > 1 gate: softmax over a single negative is
+        # w == 1 (same as uniform), so alpha is honored — not
+        # silently ignored — whatever the negative count
+        if adversarial_alpha is not None:
+            # harder negatives (lower f) weigh more; detached weights
+            logits = -adversarial_alpha * fns_m
+            logits -= logits.max(axis=0, keepdims=True)
+            w = np.exp(logits)
+            w /= w.sum(axis=0, keepdims=True)
+        else:
+            w = np.full_like(fns_m, 1.0 / n_negatives)
+        coeff_neg = active.astype(np.float64) * w  # (m, B)
+        # one pos/neg step PAIR per negative: gradient clipping is
+        # per step call, so pairing keeps the descend/ascend pulls
+        # symmetric (a single summed pos step would be clipped once
+        # against m neg steps and the relation vectors would drift)
+        for (hn, tn), cn in zip(negs, coeff_neg):
+            if cn.any():
+                m.step(h, r, t, cn, lr)  # descend f(pos)
+                m.step(hn, r, tn, -cn, lr)  # ascend f(neg)
+
+
 def train_kge(
     triples_idx: np.ndarray,
     n_ent: int,
@@ -425,49 +494,145 @@ def train_kge(
     """
     rng = np.random.default_rng(seed)
     m = KGE_MODELS[model](n_ent, n_rel, dim, rng)
-    n = len(triples_idx)
-    translational = model in ("transe", "transh", "transr", "transd", "rotate")
+    translational = model in TRANSLATIONAL
     for _ in range(epochs):
-        order = rng.permutation(n)
-        for start in range(0, n, batch_size):
-            b = triples_idx[order[start : start + batch_size]]
-            h, r, t = b[:, 0], b[:, 1], b[:, 2]
-            fp = m.f(h, r, t)
-            negs = []
-            fns = []
-            for _i in range(n_negatives):
-                corrupt_head = rng.random(len(b)) < 0.5
-                rand_e = rng.integers(0, n_ent, len(b))
-                hn = np.where(corrupt_head, rand_e, h)
-                tn = np.where(corrupt_head, t, rand_e)
-                negs.append((hn, tn))
-                fns.append(m.f(hn, r, tn))
-            fns_m = np.stack(fns)  # (m, B)
-            active = (margin + fp[None, :] - fns_m) > 0
-            if not active.any():
-                continue
-            # no n_negatives > 1 gate: softmax over a single negative is
-            # w == 1 (same as uniform), so alpha is honored — not
-            # silently ignored — whatever the negative count
-            if adversarial_alpha is not None:
-                # harder negatives (lower f) weigh more; detached weights
-                logits = -adversarial_alpha * fns_m
-                logits -= logits.max(axis=0, keepdims=True)
-                w = np.exp(logits)
-                w /= w.sum(axis=0, keepdims=True)
-            else:
-                w = np.full_like(fns_m, 1.0 / n_negatives)
-            coeff_neg = active.astype(np.float64) * w  # (m, B)
-            # one pos/neg step PAIR per negative: gradient clipping is
-            # per step call, so pairing keeps the descend/ascend pulls
-            # symmetric (a single summed pos step would be clipped once
-            # against m neg steps and the relation vectors would drift)
-            for (hn, tn), cn in zip(negs, coeff_neg):
-                if cn.any():
-                    m.step(h, r, t, cn, lr)  # descend f(pos)
-                    m.step(hn, r, tn, -cn, lr)  # ascend f(neg)
+        _run_epoch(
+            m, triples_idx, rng, lr, margin, batch_size, n_negatives,
+            adversarial_alpha,
+        )
         if translational:
             m.normalize()
+    return m
+
+
+def _param_tables(m: _KGEModel) -> dict[str, np.ndarray]:
+    """The model's numpy parameter tables (name -> array), sorted by
+    name. Every trainable array a subclass creates is an instance
+    attribute, so this is the generic transport surface for the
+    partitioned trainer — no per-model serialization code."""
+    return {k: v for k, v in sorted(vars(m).items()) if isinstance(v, np.ndarray)}
+
+
+def train_kge_partitioned(
+    triples_idx_df: DataFrame,
+    n_ent: int,
+    n_rel: int,
+    model: str = "transe",
+    dim: int = 32,
+    epochs: int = 5,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    batch_size: int = 1024,
+    seed: int = 42,
+    n_negatives: int = 1,
+    adversarial_alpha: float | None = None,
+    n_partitions: int = 8,
+) -> _KGEModel:
+    """Distributed KGE training: partition-wise SGD with per-epoch
+    parameter averaging (federated-averaging style). The scale path
+    the reference's single-GPU pykeen stage cannot offer.
+
+    Per epoch: current parameters are broadcast; each of
+    ``n_partitions`` deterministic triple partitions runs one local
+    SGD pass (the exact :func:`_run_epoch` batch logic) from the
+    broadcast snapshot; the SPARSE per-row parameter deltas (only
+    entities/relations a partition actually touched are nonzero) are
+    summed Spark-side with a groupBy — the triples and the per-
+    partition deltas never funnel through the driver; the driver
+    applies ``sum(delta)/n_partitions`` (equivalent to unweighted
+    model averaging) and re-projects onto the unit ball for the
+    translational family.
+
+    Driver memory holds ONE copy of the parameter tables (O(n_ent *
+    dim)) — the same footprint the scoring path needs anyway — while
+    the triple set is unbounded. Determinism: partition membership is
+    md5-derived from the triple itself, local order is sorted before a
+    seeded shuffle, and the local rng is seeded by (seed, epoch,
+    partition), so results are reproducible across runs and cluster
+    layouts.
+
+    Numerics differ from :func:`train_kge` (averaging vs one global
+    SGD sequence) — parity is metric-band, like the reference's own
+    GPU-nondeterminism stance (SURVEY §6).
+    """
+    import pandas as pd
+
+    from ..functions.hashing import md5_long
+
+    spark = triples_idx_df.sparkSession
+    model_cls = KGE_MODELS[model]
+    m = model_cls(n_ent, n_rel, dim, np.random.default_rng(seed))
+    translational = model in TRANSLATIONAL
+
+    parts = triples_idx_df.select(
+        F.col("h").cast("long"),
+        F.col("r").cast("long"),
+        F.col("t").cast("long"),
+        F.pmod(
+            md5_long(F.concat_ws(":", "h", "r", "t")), F.lit(n_partitions)
+        ).alias("part"),
+    ).persist()
+    out_schema = "tbl string, idx long, delta array<double>"
+
+    for epoch in range(epochs):
+        bc = spark.sparkContext.broadcast(
+            {k: np.ascontiguousarray(v) for k, v in _param_tables(m).items()}
+        )
+
+        def make_runner(_bc, _epoch):
+            def run_partition(key, pdf):
+                part_id = int(key[0])
+                local = model_cls(n_ent, n_rel, dim, np.random.default_rng(0))
+                for name, arr in _bc.value.items():
+                    setattr(local, name, arr.copy())
+                tri = (
+                    pdf[["h", "r", "t"]]
+                    .sort_values(["h", "r", "t"], kind="mergesort")
+                    .to_numpy(dtype=np.int64)
+                )
+                rng_l = np.random.default_rng([seed, _epoch, part_id])
+                _run_epoch(
+                    local, tri, rng_l, lr, margin, batch_size, n_negatives,
+                    adversarial_alpha,
+                )
+                rows: list[tuple[str, int, list[float]]] = []
+                for name, ref in _bc.value.items():
+                    delta = getattr(local, name) - ref
+                    flat = delta.reshape(len(delta), -1)
+                    touched = np.nonzero(np.any(flat != 0, axis=1))[0]
+                    comps = (
+                        ((":re", flat.real), (":im", flat.imag))
+                        if np.iscomplexobj(flat)
+                        else (("", flat),)
+                    )
+                    for suffix, mat in comps:
+                        for i in touched:
+                            rows.append(
+                                (name + suffix, int(i), [float(x) for x in mat[i]])
+                            )
+                return pd.DataFrame(rows, columns=["tbl", "idx", "delta"])
+
+            return run_partition
+
+        summed = (
+            parts.groupBy("part")
+            .applyInPandas(make_runner(bc, epoch), out_schema)
+            .select("tbl", "idx", F.posexplode("delta").alias("pos", "val"))
+            .groupBy("tbl", "idx", "pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        tables = _param_tables(m)
+        for row in summed:
+            name, _, suffix = row["tbl"].partition(":")
+            val = row["s"] / n_partitions
+            if suffix == "im":
+                val = 1j * val
+            tables[name][row["idx"]].reshape(-1)[row["pos"]] += val
+        bc.unpersist()
+        if translational:
+            m.normalize()
+    parts.unpersist()
     return m
 
 
@@ -494,7 +659,8 @@ class KGERecommender(Recommender):
                  epochs: int = 5, lr: float = 0.05, margin: float = 1.0,
                  seed: int = 42, scoring: str = "exact",
                  n_negatives: int = 1, adversarial_alpha: float | None = None,
-                 all_recs: bool = False):
+                 all_recs: bool = False, trainer: str = "driver",
+                 n_partitions: int = 8):
         if all_recs and scoring == "lsh":
             raise ValueError(
                 "all_recs needs the exact scoring path: LSH only surfaces "
@@ -507,6 +673,12 @@ class KGERecommender(Recommender):
         self.n_negatives = n_negatives
         self.adversarial_alpha = adversarial_alpha
         assert scoring in ("exact", "lsh", "broadcast"), scoring
+        # "driver" = reference-parity single-node SGD (triples collect,
+        # guarded); "partitioned" = distributed partition-wise SGD —
+        # triples never leave the cluster (train_kge_partitioned)
+        assert trainer in ("driver", "partitioned"), trainer
+        self.trainer = trainer
+        self.n_partitions = n_partitions
         self._train: DataFrame | None = None
         self._emb: DataFrame | None = None
 
@@ -527,14 +699,21 @@ class KGERecommender(Recommender):
             triples = triples.unionByName(extra_triples.select("head", "relation", "tail"))
         ents, rels = index_entities(triples)
         ents, rels = ents.persist(), rels.persist()
-        idx = collect_indexed_triples(triples, ents, rels)
-        m = train_kge(
-            idx, ents.count(), rels.count(), model=self.model_name,
-            dim=self.dim, epochs=self.epochs, lr=self.lr,
-            margin=self.margin, seed=self.seed,
+        hyper = dict(
+            model=self.model_name, dim=self.dim, epochs=self.epochs,
+            lr=self.lr, margin=self.margin, seed=self.seed,
             n_negatives=self.n_negatives,
             adversarial_alpha=self.adversarial_alpha,
         )
+        if self.trainer == "partitioned":
+            m = train_kge_partitioned(
+                indexed_triples_df(triples, ents, rels),
+                ents.count(), rels.count(),
+                n_partitions=self.n_partitions, **hyper,
+            )
+        else:
+            idx = collect_indexed_triples(triples, ents, rels)
+            m = train_kge(idx, ents.count(), rels.count(), **hyper)
         self._emb = embeddings_to_df(spark, m, ents).persist()
         return self
 

@@ -135,3 +135,72 @@ def test_multi_negative_adversarial_training(model):
     f_pos = m.f(pos[:, 0], pos[:, 1], pos[:, 2]).mean()
     f_neg = m.f(neg[keep, 0], neg[keep, 1], neg[keep, 2]).mean()
     assert f_pos < f_neg, (model, f_pos, f_neg)
+
+
+def _chain_df(spark, n_ent=20):
+    pos = [[i, 0, (i + 1) % n_ent] for i in range(n_ent)]
+    return (
+        spark.createDataFrame(pos, "h long, r long, t long"),
+        np.array(pos, dtype=np.int64),
+    )
+
+
+def test_partitioned_training_separates_pos_from_neg(spark):
+    """Distributed trainer (partition-wise SGD + Spark-side delta
+    aggregation) learns: positives score better than corruptions."""
+    df, pos = _chain_df(spark)
+    m = kge.train_kge_partitioned(
+        df, 20, 1, model="transe", dim=16, epochs=20, lr=0.15, seed=11,
+        n_partitions=2,
+    )
+    rng = np.random.default_rng(3)
+    neg = pos.copy()
+    neg[:, 2] = rng.integers(0, 20, len(neg))
+    keep = neg[:, 2] != pos[:, 2]
+    f_pos = m.f(pos[:, 0], pos[:, 1], pos[:, 2]).mean()
+    f_neg = m.f(neg[keep, 0], neg[keep, 1], neg[keep, 2]).mean()
+    assert f_pos < f_neg, (f_pos, f_neg)
+
+
+def test_partitioned_training_deterministic_under_repartitioning(spark):
+    """md5 partition membership + per-(seed, epoch, partition) rngs +
+    sorted local order => bit-identical results whatever the input's
+    physical layout."""
+    df, _ = _chain_df(spark)
+    kw = dict(model="transe", dim=16, epochs=3, lr=0.1, seed=11, n_partitions=3)
+    m1 = kge.train_kge_partitioned(df, 20, 1, **kw)
+    m2 = kge.train_kge_partitioned(df.repartition(7), 20, 1, **kw)
+    assert np.array_equal(m1.entity_vectors(), m2.entity_vectors())
+
+
+@pytest.mark.parametrize("model", ["rotate", "rescal"])
+def test_partitioned_trainer_complex_and_matrix_params(spark, model):
+    """Delta transport round-trips complex tables (re/im split) and
+    per-relation matrices, and training actually moves the params."""
+    df, _ = _chain_df(spark)
+    m = kge.train_kge_partitioned(
+        df, 20, 1, model=model, dim=8, epochs=3, lr=0.05, seed=11,
+        n_partitions=2,
+    )
+    fresh = kge.KGE_MODELS[model](20, 1, 8, np.random.default_rng(11))
+    assert np.isfinite(m.entity_vectors()).all()
+    assert not np.array_equal(m.entity_vectors(), fresh.entity_vectors())
+
+
+def test_kge_recommender_partitioned_end_to_end(spark):
+    ratings = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        (F.col("o_orderkey") % 50).alias("item_id"),
+        (F.col("o_orderkey") % 5 + 1).cast("double").alias("rating"),
+    ).limit(800)
+    rec = kge.KGERecommender(
+        "transe", k=5, dim=16, epochs=2, trainer="partitioned", n_partitions=4
+    ).train(ratings)
+    recs = rec.get_recommendations()
+    assert recs.columns == ["user_id", "item_id", "rank"]
+    assert recs.groupBy("user_id").count().agg(F.max("count")).collect()[0][0] <= 5
+    overlap = recs.join(
+        ratings.select(F.col("user_id").cast("string").alias("user_id"),
+                       F.col("item_id").cast("string").alias("item_id")),
+        ["user_id", "item_id"]).count()
+    assert overlap == 0
