@@ -1582,6 +1582,29 @@ def st2_stream_sessionize_stateful(spark, sf_dir):
     )
 
 
+def st3_stream_media_features(spark, sf_dir):
+    """Streaming multimodal in the driver contract: the mm3 feature
+    extraction executed over a file-source STREAM of media rows (the
+    fixture is materialized to parquet first — the batch `_media`
+    lineage can't be a stream source directly). The mapInPandas encode
+    stage is stateless, so append mode emits each row exactly once and
+    the mm3 oracle applies verbatim."""
+    import os
+    import tempfile
+
+    from ..streaming import media as STM
+    from ..streaming.events import run_to_memory
+
+    media_dir = tempfile.mkdtemp(prefix="st3_media_")
+    _media(spark, sf_dir).write.mode("overwrite").parquet(media_dir)
+    stream = STM.read_media_stream(spark, media_dir)
+    name = os.path.basename(tempfile.mkdtemp(prefix="st3q_"))
+    out = run_to_memory(
+        STM.media_features_stream(stream, dim=16), name, "append"
+    )
+    return out.select("media_id", "embedding")
+
+
 def ev2_sessionize(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.expr("ts_ns div 1000").cast("bigint").alias("tus")
@@ -1806,6 +1829,7 @@ QUERIES = {
     "ev3_sliding_rollup": ev3_sliding_rollup,
     "st1_stream_hourly_rollup": st1_stream_hourly_rollup,
     "st2_stream_sessionize_stateful": st2_stream_sessionize_stateful,
+    "st3_stream_media_features": st3_stream_media_features,
 }
 
 ORACLES = {
@@ -1868,6 +1892,7 @@ ORACLES = {
     "st1_stream_hourly_rollup": EV1_SQL,
     "ev2_sessionize": EV2_SQL,
     "st2_stream_sessionize_stateful": EV2_SQL,
+    "st3_stream_media_features": MM3_SQL,
 }
 
 

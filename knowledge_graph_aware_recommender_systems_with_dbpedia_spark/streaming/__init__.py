@@ -7,10 +7,20 @@ from .events import (
     sliding_rollup,
     with_event_time,
 )
+from .media import (
+    image_stats_stream,
+    media_features_stream,
+    media_kind_rollup,
+    read_media_stream,
+)
 from .stateful import sessionize_stateful
 
 __all__ = [
     "hourly_rollup",
+    "image_stats_stream",
+    "media_features_stream",
+    "media_kind_rollup",
+    "read_media_stream",
     "purchases_within_signup_window",
     "read_events_stream",
     "run_to_memory",

@@ -211,3 +211,54 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert set(latest) == set(exp)
     for k, r in latest.items():
         assert r.n == exp[k].n
+
+
+def test_stream_media_features_match_batch(spark, tmp_path):
+    """The batch multimodal operators run unchanged over a readStream:
+    stateless mapInPandas stages compose with file-source streams in
+    append mode, and the streamed result equals the batch result."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import multimodal as MM
+
+    media = MM.synth_media(spark, n=48)
+    media_dir = str(tmp_path / "media")
+    media.write.parquet(media_dir)
+
+    stream = ST.read_media_stream(spark, media_dir, max_files_per_trigger=1)
+    streamed = ST.run_to_memory(
+        ST.media_features_stream(stream, dim=8), "media_feat_s", "append"
+    )
+    batch = MM.media_features(media, dim=8)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_image_stats_match_batch(spark, tmp_path):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import multimodal as MM
+
+    media = MM.synth_media(spark, n=48)
+    media_dir = str(tmp_path / "media")
+    media.write.parquet(media_dir)
+
+    stream = ST.read_media_stream(spark, media_dir)
+    streamed = ST.run_to_memory(
+        ST.image_stats_stream(stream), "media_img_s", "append"
+    )
+    batch = MM.decode_image(media)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+    assert streamed.count() > 0  # the image third of the fixture
+
+
+def test_stream_media_kind_rollup_complete_mode(spark, tmp_path):
+    """Running per-kind ingest rollup (no event time -> complete mode);
+    final emission equals the batch aggregate."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import multimodal as MM
+
+    media = MM.synth_media(spark, n=48)
+    media_dir = str(tmp_path / "media")
+    media.write.parquet(media_dir)
+
+    stream = ST.read_media_stream(spark, media_dir)
+    streamed = ST.run_to_memory(
+        ST.media_kind_rollup(stream), "media_roll_s", "complete"
+    )
+    batch = ST.media_kind_rollup(media)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
