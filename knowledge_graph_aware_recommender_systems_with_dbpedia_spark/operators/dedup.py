@@ -427,3 +427,58 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, bench_id, n_overlap) for
+    every training doc sharing >= ``min_overlap`` distinct word
+    n-grams with an eval-set doc (the GPT-3/Dolma n-gram-overlap
+    decontamination step).
+
+    Scale shape: the benchmark side is an eval set — thousands of
+    rows against a 100 TB corpus — so its shingle table is broadcast
+    and the corpus-side scan never shuffles for the join; only the
+    surviving (doc, bench) pairs enter the count aggregation.
+    ``max_shingle_df`` (applied corpus-side) drops stop-phrase
+    shingles that would generate meaningless overlap.
+    """
+    c_sh = doc_shingles(docs, id_col, text_col, n, max_shingle_df)
+    b_sh = doc_shingles(
+        benchmark, bench_id_col or id_col, bench_text_col or text_col, n
+    ).select(F.col("id").alias("bench_id"), "shingle")
+    return (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(F.col("id").alias(id_col), "bench_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Training corpus with contaminated docs removed (anti-join on
+    the :func:`contamination_pairs` doc ids)."""
+    flagged = contamination_pairs(
+        docs, benchmark, n, min_overlap, id_col, text_col,
+        bench_id_col, bench_text_col, max_shingle_df,
+    ).select(id_col).distinct()
+    return docs.join(flagged, id_col, "left_anti")

@@ -221,3 +221,34 @@ def validation_subsplit(
     if method == "k_fold":
         raise ValueError("validation sub-split cannot be k_fold (reference parity)")
     return split_ratings(train, method=method, seed=seed, **kw)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_cols: list[str] | None = None,
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample — the training-mix
+    construction step of an LLM data pipeline (keep all of the
+    high-quality band, downsample the rest).
+
+    Membership is ``det_unit(key) < rate(stratum)`` — a pure function
+    of the row's key, so the sample is reproducible across runs,
+    repartitionings, and engines (det_hash_sql gives the DuckDB twin),
+    and the filter is embarrassingly parallel: no shuffle, no rand()
+    partition-sensitivity, survives speculative re-execution. Strata
+    missing from ``rates`` get ``default_rate``.
+    """
+    key_cols = key_cols or [df.columns[0]]
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in sorted(rates.items()) for x in kv]
+    )
+    rate = F.coalesce(
+        rate_map[F.col(strata_col)], F.lit(float(default_rate))
+    )
+    return df.filter(
+        det_unit(*[F.col(c) for c in key_cols], seed=seed) < rate
+    )

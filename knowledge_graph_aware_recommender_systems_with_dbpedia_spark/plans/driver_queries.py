@@ -1317,7 +1317,11 @@ def tx1_text_stats(spark, sf_dir):
     )
 
 
-def _tx1_sql() -> str:
+def _lang_sql_parts() -> tuple[dict[str, str], str]:
+    """(per-language marker-hit exprs over a ``toks`` list column,
+    CASE expr resolving ``h_<lang>`` columns to the winning language)
+    — the DuckDB twin of text.lang_id_from_tokens, shared by the tx*
+    oracles."""
     markers = {
         lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
         for lang, ws in TX.LANG_MARKERS.items()
@@ -1331,6 +1335,11 @@ def _tx1_sql() -> str:
     lang_case = f"CASE WHEN {gr} = 0 THEN 'und' " + " ".join(
         f"WHEN h_{lang} = {gr} THEN '{lang}'" for lang in langs[:-1]
     ) + f" ELSE '{langs[-1]}' END"
+    return hits, lang_case
+
+
+def _tx1_sql() -> str:
+    hits, lang_case = _lang_sql_parts()
     return f"""
 WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
 st AS (SELECT doc_id, text, toks,
@@ -1355,6 +1364,68 @@ FROM st LEFT JOIN fp ON st.doc_id = fp.doc_id
 
 
 TX1_SQL = _tx1_sql()
+
+
+def tx3_stratified_sample(spark, sf_dir):
+    """Deterministic stratified training-mix sampling: language-ID
+    every doc, keep all of the rare stratum and det-hash-downsample
+    the dominant one (splits.stratified_sample) — membership is a pure
+    function of doc_id, so the oracle replays it exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    langd = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("_toks")
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        TX.lang_id_from_tokens(F.col("_toks")).alias("lang"),
+    )
+    return SP.stratified_sample(
+        langd, "lang", {"en": 0.35, "und": 1.0}, key_cols=["doc_id"],
+        seed=SEED,
+    )
+
+
+def _tx3_sql() -> str:
+    hits, lang_case = _lang_sql_parts()
+    doc_hash = H.det_hash_sql("doc_id", seed=SEED)
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+st AS (SELECT doc_id,
+       {", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())}
+       FROM t),
+ld AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {lang_case} AS lang FROM st)
+SELECT doc_id, lang FROM ld
+WHERE ({doc_hash}) / 1000000.0 <
+      (CASE lang WHEN 'en' THEN 0.35 WHEN 'und' THEN 1.0 ELSE 0.0 END)
+"""
+
+
+TX3_SQL = _tx3_sql()
+
+
+def dd9_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/Dolma n-gram-overlap
+    step): docs sharing >= 2 distinct trigrams with the held-out
+    'benchmark' subset (doc_id % 20 == 3). The benchmark shingle table
+    broadcasts; the corpus side never shuffles for the join."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 3)
+    corpus = docs.filter(F.col("doc_id") % 20 != 3)
+    return DD.contamination_pairs(corpus, bench, n=3, min_overlap=2).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("bench_id").cast("bigint").alias("bench_id"),
+        "n_overlap",
+    )
+
+
+DD9_SQL = f"""
+WITH {_SHINGLES_SQL},
+c AS (SELECT * FROM sh WHERE id % 20 <> 3),
+b AS (SELECT id AS bench_id, shingle FROM sh WHERE id % 20 = 3)
+SELECT CAST(c.id AS BIGINT) AS doc_id, CAST(b.bench_id AS BIGINT) AS bench_id,
+       CAST(count(*) AS BIGINT) AS n_overlap
+FROM c JOIN b USING (shingle)
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
 
 
 def dd6_embedding_neardup(spark, sf_dir):
@@ -1811,10 +1882,12 @@ QUERIES = {
     "e3_ndcg_at_5": e3_ndcg_at_5,
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard": dd2_ngram_jaccard,
+    "dd9_decontaminate": dd9_decontaminate,
     "dd3_minhash_signatures": dd3_minhash_signatures,
     "dd4_minhash_lsh_pairs": dd4_minhash_lsh_pairs,
     "dd5_simhash": dd5_simhash,
     "tx1_text_stats": tx1_text_stats,
+    "tx3_stratified_sample": tx3_stratified_sample,
     "tx2_vocab_topk": tx2_vocab_topk,
     "dd6_embedding_neardup": dd6_embedding_neardup,
     "dd7_dedup_clusters": dd7_dedup_clusters,
@@ -1874,10 +1947,12 @@ ORACLES = {
     "e3_ndcg_at_5": E3_SQL,
     "dd1_exact_dedup": DD1_SQL,
     "dd2_ngram_jaccard": DD2_SQL,
+    "dd9_decontaminate": DD9_SQL,
     "dd3_minhash_signatures": DD3_SQL,
     "dd4_minhash_lsh_pairs": DD4_SQL,
     "dd5_simhash": DD5_SQL,
     "tx1_text_stats": TX1_SQL,
+    "tx3_stratified_sample": TX3_SQL,
     "tx2_vocab_topk": TX2_SQL,
     "dd6_embedding_neardup": DD6_SQL,
     "dd7_dedup_clusters": DD7_SQL,

@@ -286,3 +286,44 @@ def test_connected_components_and_canonical(spark):
     ).select(F.col("id").alias("doc_id"), "cluster_id")
     kept = {r.doc_id for r in DD.keep_canonical(docs, clusters).collect()}
     assert kept == {0, 4, 5, 7}
+
+
+def test_contamination_pairs_and_decontaminate(spark):
+    """Docs sharing >= min_overlap trigrams with a benchmark doc are
+    flagged; decontaminate drops exactly those."""
+    corpus = spark.createDataFrame(
+        [
+            (1, BASE),                                     # contains the bench trigrams
+            (2, "unrelated text about database engines and columnar storage"),
+            (3, BASE.replace("quick", "rapid")),           # still overlaps heavily
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    pairs = DD.contamination_pairs(corpus, bench, n=3, min_overlap=2)
+    got = {(r.doc_id, r.bench_id) for r in pairs.collect()}
+    assert (1, 100) in got and (3, 100) in got
+    assert all(d != 2 for d, _ in got)
+    clean = DD.decontaminate(corpus, bench, n=3, min_overlap=2)
+    assert {r.doc_id for r in clean.collect()} == {2}
+    # overlap counts are distinct-shingle counts
+    n1 = {r.doc_id: r.n_overlap for r in pairs.collect()}[1]
+    assert n1 >= 6  # the full bench text minus boundary trigrams
+
+
+def test_contamination_max_shingle_df_guard(spark):
+    """Stop-phrase shingles above the df cap generate no overlap."""
+    boiler = "lorem ipsum dolor sit amet " * 2
+    corpus = spark.createDataFrame(
+        [(i, boiler + f"doc {i} body") for i in range(1, 6)],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(9, boiler)], "doc_id int, text string")
+    with_cap = DD.contamination_pairs(corpus, bench, n=3, min_overlap=1,
+                                      max_shingle_df=2)
+    assert with_cap.count() == 0  # boilerplate appears in all 5 docs > cap
+    without = DD.contamination_pairs(corpus, bench, n=3, min_overlap=1)
+    assert without.count() == 5

@@ -158,3 +158,37 @@ def test_kfold_sklearn_sizing_property(spark):
             assert size == (n // k + 1 if fold < n % k else n // k)
 
     check()
+
+
+def test_stratified_sample_rates_and_determinism(ratings):
+    """Per-stratum det-hash Bernoulli: rate 1.0 keeps everything,
+    rate 0.0 / missing stratum drops everything; membership is stable
+    under repartitioning and a subset of the rate-1.0 stratum."""
+    df = ratings.withColumn(
+        "band", F.when(F.col("user_id") < 5, "lo").otherwise("hi")
+    )
+    full = splits.stratified_sample(
+        df, "band", {"hi": 1.0, "lo": 0.4}, key_cols=["user_id", "item_id"]
+    )
+    hi_in = df.filter(F.col("band") == "hi").count()
+    assert full.filter(F.col("band") == "hi").count() == hi_in
+    lo_in = df.filter(F.col("band") == "lo").count()
+    lo_kept = full.filter(F.col("band") == "lo").count()
+    assert 0 < lo_kept < lo_in
+    # default_rate drops strata missing from the rate map
+    none = splits.stratified_sample(
+        df, "band", {"hi": 1.0}, key_cols=["user_id", "item_id"]
+    )
+    assert none.filter(F.col("band") == "lo").count() == 0
+    # deterministic under physical layout changes
+    again = splits.stratified_sample(
+        df.repartition(13), "band", {"hi": 1.0, "lo": 0.4},
+        key_cols=["user_id", "item_id"],
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, again.collect()))
+    # a different seed changes membership
+    other = splits.stratified_sample(
+        df, "band", {"hi": 1.0, "lo": 0.4}, key_cols=["user_id", "item_id"],
+        seed=7,
+    )
+    assert sorted(map(tuple, full.collect())) != sorted(map(tuple, other.collect()))
