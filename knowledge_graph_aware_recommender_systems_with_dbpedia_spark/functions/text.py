@@ -162,3 +162,33 @@ def fingerprint_from_tokens(toks: Column, window: int = 16, mod: int = 214748364
 def doc_fingerprint(c: Column, window: int = 16, mod: int = 2147483647) -> Column:
     """Fingerprint straight from text (convenience form)."""
     return fingerprint_from_tokens(tokens(c), window, mod)
+
+
+# Conservative patterns shared (syntax-compatible) by Java regex and
+# DuckDB's RE2: character classes, +, bounded repeats only.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+"
+URL_RE = r"https?://[^ \t\n]+"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def count_pii(c: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_urls, n_ips) match counts — audit columns for the
+    scrub step. Order-independent counts, so URL-embedded IPs are
+    counted under both (documented; the scrub applies email->url->ip)."""
+    return (
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("bigint"),
+        F.regexp_count(c, F.lit(URL_RE)).cast("bigint"),
+        F.regexp_count(c, F.lit(IPV4_RE)).cast("bigint"),
+    )
+
+
+def scrub_pii(c: Column) -> Column:
+    """Redact emails/URLs/IPv4s to typed placeholder tokens — the
+    PII-scrub pass of a training-data pipeline. Pure regexp_replace
+    chain (JVM codegen); DuckDB twin: regexp_replace(..., 'g') in the
+    same email->url->ip order (emails first so user@host never
+    half-matches as a hostname; IPs inside URLs are already collapsed
+    by the URL pass)."""
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, URL_RE, "<URL>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")

@@ -1,0 +1,82 @@
+"""Sequence packing — greenfield LLM-training-pipeline operator.
+
+Packing concatenates documents into fixed-token-budget training
+sequences (the "sample packing" step every LLM pretraining pipeline
+runs between cleaning and tokenization). Exact first-fit packing is
+inherently sequential; the scalable form used here is bucketed
+next-fit-by-cumulative-sum:
+
+ * docs are hash-bucketed (md5 of the id — deterministic, uniform,
+   layout-independent), so packing parallelism == n_buckets and no
+   global single-partition window exists anywhere in the plan;
+ * within a bucket, docs are ordered by id and a running token cumsum
+   assigns ``seq_id = floor(cum_before / capacity)`` — a doc whose
+   tokens straddle a boundary stays whole in the sequence its prefix
+   started (next-fit semantics: sequences can overflow by up to one
+   doc, and a doc longer than ``capacity`` gets a sequence of its
+   own — standard greedy-packing behavior, callers that need hard
+   caps split long docs first);
+ * the whole plan is window + arithmetic: engine-portable (the DuckDB
+   oracle replays it with the same SQL window) and shuffle-bounded by
+   the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.text import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 512,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Assign every doc to a packed training sequence.
+
+    Returns (id, bucket, seq_id, n_tokens, cum_tokens) where
+    (bucket, seq_id) is the packed-sequence key and cum_tokens the
+    running total within the bucket (useful for offset computation
+    downstream). Pass ``n_tokens_col`` to reuse a precomputed token
+    count instead of tokenizing ``text_col``.
+    """
+    if n_tokens_col is None:
+        base = docs.select(
+            F.col(id_col).alias("id"),
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+    else:
+        base = docs.select(
+            F.col(id_col).alias("id"),
+            F.col(n_tokens_col).cast("bigint").alias("n_tokens"),
+        )
+    b = base.withColumn(
+        "bucket", F.pmod(md5_long(F.col("id")), F.lit(n_buckets))
+    )
+    w = Window.partitionBy("bucket").orderBy("id")
+    cum = F.sum("n_tokens").over(w)
+    return (
+        b.withColumn("cum_tokens", cum)
+        .withColumn(
+            "seq_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(capacity)),
+        )
+        .select("id", "bucket", "seq_id", "n_tokens", "cum_tokens")
+    )
+
+
+def sequence_stats(packed: DataFrame, capacity: int = 512) -> DataFrame:
+    """Per-sequence fill stats: (bucket, seq_id, n_docs, seq_tokens,
+    fill_ratio) — the packing-efficiency audit (mean fill_ratio is the
+    number a pipeline tunes capacity/bucketing against)."""
+    return packed.groupBy("bucket", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(capacity)), 6).alias("fill_ratio"),
+    )

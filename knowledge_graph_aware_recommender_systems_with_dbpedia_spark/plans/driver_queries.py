@@ -1402,6 +1402,131 @@ WHERE ({doc_hash}) / 1000000.0 <
 TX3_SQL = _tx3_sql()
 
 
+def tx4_scrub_pii(spark, sf_dir):
+    """PII scrub pass: the documents corpus salted with synthetic
+    doc_id-derived emails/URLs/IPs (so the scrubber has real work),
+    then redacted via the pure regexp_replace chain. Match counts +
+    md5 of the scrubbed text are the audit columns; both engines run
+    the same RE2/Java-compatible patterns."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    salted = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did, F.lit("@example.com"),
+            F.lit(" via https://host"), did, F.lit(".example/x"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" from 10.0."),
+                         (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    n_emails, n_urls, n_ips = TX.count_pii(F.col("text"))
+    clean = TX.scrub_pii(F.col("text"))
+    return salted.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        n_ips.alias("n_ips"),
+        F.md5(clean).alias("scrub_md5"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+    )
+
+
+TX4_SQL = f"""
+WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  text || ' contact user' || CAST(doc_id AS BIGINT) || '@example.com'
+       || ' via https://host' || CAST(doc_id AS BIGINT) || '.example/x'
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' from 10.0.' || CAST(doc_id % 256 AS BIGINT) || '.1'
+               ELSE '' END AS text
+  FROM documents),
+c AS (SELECT doc_id, text,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{TX.EMAIL_RE}', '<EMAIL>', 'g'),
+      '{TX.URL_RE}', '<URL>', 'g'),
+      '{TX.IPV4_RE}', '<IP>', 'g') AS clean
+  FROM s)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{TX.EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{TX.URL_RE}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(text, '{TX.IPV4_RE}')) AS BIGINT) AS n_ips,
+  md5(clean) AS scrub_md5,
+  CAST(length(clean) AS BIGINT) AS clean_len
+FROM c
+"""
+
+
+_PK_CAPACITY, _PK_BUCKETS = 256, 8
+
+
+def pk1_pack_sequences(spark, sf_dir):
+    """Sequence packing (sample packing for LLM pretraining): bucketed
+    next-fit-by-cumsum — md5 hash buckets bound the window parallelism
+    (no global single-partition window), the running token cumsum
+    assigns each doc its packed-sequence id."""
+    from ..operators import packing as PK
+
+    docs = load_table(spark, sf_dir, "documents")
+    return PK.pack_sequences(
+        docs, capacity=_PK_CAPACITY, n_buckets=_PK_BUCKETS
+    ).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "n_tokens",
+        "cum_tokens",
+    )
+
+
+_PK_BASE_SQL = f"""
+t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents),
+b AS (SELECT doc_id, n_tokens,
+             ({H.DUCKDB_MD5_LONG.format(expr="CAST(doc_id AS VARCHAR)")}) % {_PK_BUCKETS} AS bucket
+      FROM t),
+p AS (SELECT doc_id, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM b),
+pk AS (SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+              CAST(floor((cum_tokens - n_tokens) / {_PK_CAPACITY}.0) AS BIGINT) AS seq_id,
+              n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       FROM p)
+"""
+
+PK1_SQL = f"WITH {_PK_BASE_SQL} SELECT doc_id, bucket, seq_id, n_tokens, cum_tokens FROM pk"
+
+
+def pk2_sequence_stats(spark, sf_dir):
+    """Packing-efficiency audit: per-sequence doc count, token total,
+    fill ratio."""
+    from ..operators import packing as PK
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = PK.pack_sequences(docs, capacity=_PK_CAPACITY, n_buckets=_PK_BUCKETS)
+    return PK.sequence_stats(packed, capacity=_PK_CAPACITY).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "n_docs",
+        "seq_tokens",
+        "fill_ratio",
+    )
+
+
+PK2_SQL = f"""
+WITH {_PK_BASE_SQL}
+SELECT CAST(bucket AS BIGINT) AS bucket, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       round(sum(n_tokens) / {_PK_CAPACITY}.0, 6) AS fill_ratio
+FROM pk GROUP BY 1, 2
+"""
+
+
 def dd9_decontaminate(spark, sf_dir):
     """Benchmark decontamination (the GPT-3/Dolma n-gram-overlap
     step): docs sharing >= 2 distinct trigrams with the held-out
@@ -1888,6 +2013,9 @@ QUERIES = {
     "dd5_simhash": dd5_simhash,
     "tx1_text_stats": tx1_text_stats,
     "tx3_stratified_sample": tx3_stratified_sample,
+    "tx4_scrub_pii": tx4_scrub_pii,
+    "pk1_pack_sequences": pk1_pack_sequences,
+    "pk2_sequence_stats": pk2_sequence_stats,
     "tx2_vocab_topk": tx2_vocab_topk,
     "dd6_embedding_neardup": dd6_embedding_neardup,
     "dd7_dedup_clusters": dd7_dedup_clusters,
@@ -1953,6 +2081,9 @@ ORACLES = {
     "dd5_simhash": DD5_SQL,
     "tx1_text_stats": TX1_SQL,
     "tx3_stratified_sample": TX3_SQL,
+    "tx4_scrub_pii": TX4_SQL,
+    "pk1_pack_sequences": PK1_SQL,
+    "pk2_sequence_stats": PK2_SQL,
     "tx2_vocab_topk": TX2_SQL,
     "dd6_embedding_neardup": DD6_SQL,
     "dd7_dedup_clusters": DD7_SQL,

@@ -1,0 +1,55 @@
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import packing as PK
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "tok " * (10 + (i * 37) % 90)) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id int, text string").cache()
+
+
+def test_pack_every_doc_exactly_once(spark, docs):
+    packed = PK.pack_sequences(docs, capacity=100, n_buckets=4)
+    assert packed.count() == 200
+    assert packed.select("id").distinct().count() == 200
+    assert packed.filter(F.col("seq_id") < 0).count() == 0
+
+
+def test_pack_next_fit_bound(spark, docs):
+    """Next-fit semantics: a sequence never exceeds capacity + the max
+    single-doc length (overflow doc stays whole), and every non-final
+    sequence in a bucket reaches past capacity boundaries in cumsum
+    order (no gaps in seq ids)."""
+    cap = 100
+    packed = PK.pack_sequences(docs, capacity=cap, n_buckets=4)
+    max_doc = packed.agg(F.max("n_tokens")).collect()[0][0]
+    stats = PK.sequence_stats(packed, capacity=cap)
+    assert stats.agg(F.max("seq_tokens")).collect()[0][0] <= cap + max_doc
+    for b, seqs in [
+        (r.bucket, r.s) for r in
+        stats.groupBy("bucket").agg(F.sort_array(F.collect_list("seq_id")).alias("s")).collect()
+    ]:
+        assert seqs == list(range(len(seqs))), (b, seqs)
+
+
+def test_pack_deterministic_and_precomputed_tokens(spark, docs):
+    packed = PK.pack_sequences(docs, capacity=100, n_buckets=4)
+    again = PK.pack_sequences(docs.repartition(13), capacity=100, n_buckets=4)
+    assert sorted(map(tuple, packed.collect())) == sorted(map(tuple, again.collect()))
+    pre = docs.select(
+        "doc_id", "text", F.size(F.split(F.trim("text"), " +")).alias("ntok")
+    )
+    via_col = PK.pack_sequences(pre, capacity=100, n_buckets=4, n_tokens_col="ntok")
+    assert sorted(map(tuple, packed.collect())) == sorted(map(tuple, via_col.collect()))
+
+
+def test_pack_long_doc_gets_own_sequences(spark):
+    rows = [(1, "a " * 500), (2, "b " * 10), (3, "c " * 10)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    packed = PK.pack_sequences(df, capacity=50, n_buckets=1)
+    m = {r.id: r.seq_id for r in packed.collect()}
+    # doc 1 (500 toks, first in id order) spans seqs 0..9; docs 2-3
+    # start in the seq its cum_before lands in — all fully assigned
+    assert len(m) == 3 and all(v >= 0 for v in m.values())

@@ -86,3 +86,25 @@ def test_typed_csv_number_coercion(spark, tmp_path):
     rows = {r.id: r.score for r in df.collect()}
     assert rows["a"] == 1.5
     assert rows["b"] is None  # coerced like pd.to_numeric(errors=...)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "mail a.user+tag@sub.example.org or visit https://ex.com/p?q=1 "
+             "from 192.168.0.1 thanks"),
+         (2, "nothing sensitive here")],
+        "id int, t string",
+    )
+    n_e, n_u, n_i = TX.count_pii(F.col("t"))
+    out = df.select(
+        "id", TX.scrub_pii(F.col("t")).alias("clean"),
+        n_e.alias("e"), n_u.alias("u"), n_i.alias("i"),
+    ).orderBy("id").collect()
+    assert out[0].e == 1 and out[0].u == 1 and out[0].i == 1
+    clean = out[0].clean
+    assert "<EMAIL>" in clean and "<URL>" in clean and "<IP>" in clean
+    assert "@" not in clean and "192.168" not in clean
+    assert out[1].clean == "nothing sensitive here"
+    assert (out[1].e, out[1].u, out[1].i) == (0, 0, 0)
