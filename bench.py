@@ -33,6 +33,7 @@ HEADLINE = [
     "ss1_ann_cosine_topk",
     "mm1_image_stats",
     "mm3_media_features",
+    "dp1_training_pipeline",
     "ev1_hourly_rollup",
     "ev2_sessionize",
     "ev3_sliding_rollup",

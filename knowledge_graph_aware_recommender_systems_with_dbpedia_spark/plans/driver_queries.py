@@ -1527,6 +1527,100 @@ FROM pk GROUP BY 1, 2
 """
 
 
+def dp1_training_pipeline(spark, sf_dir):
+    """Flagship composed LLM training-data pipeline, one lineage:
+
+      exact dedup (keep min id per md5)  ->
+      benchmark decontamination (>=2 shared trigrams vs the held-out
+        doc_id % 20 == 3 eval subset)  ->
+      language-stratified det-hash sampling (en 0.5, und 1.0)  ->
+      bucketed next-fit sequence packing (capacity 256, 8 buckets).
+
+    Every stage is a deterministic pure function of row keys/content,
+    so the DuckDB oracle replays the whole composition and the final
+    packed assignment hash-matches. All joins are broadcast-or-
+    hash-bounded: dedup shuffles 32 B/doc, decontamination broadcasts
+    the eval shingles, sampling is a map-side filter, packing windows
+    are bucket-bounded."""
+    from ..operators import packing as PK
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 3)
+    corpus = docs.filter(F.col("doc_id") % 20 != 3)
+    keep = DD.exact_dedup(corpus).select(F.col("keep_id").alias("doc_id"))
+    kept = corpus.join(keep, "doc_id", "left_semi")
+    clean = DD.decontaminate(kept, bench, n=3, min_overlap=2)
+    langd = clean.select(
+        "doc_id", TX.tokens(F.col("text")).alias("_toks")
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        TX.lang_id_from_tokens(F.col("_toks")).alias("lang"),
+        F.size("_toks").cast("bigint").alias("ntok"),
+    )
+    sampled = SP.stratified_sample(
+        langd, "lang", {"en": 0.5, "und": 1.0}, key_cols=["doc_id"], seed=SEED
+    )
+    return PK.pack_sequences(
+        sampled, capacity=_PK_CAPACITY, n_buckets=_PK_BUCKETS,
+        id_col="doc_id", n_tokens_col="ntok",
+    ).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "n_tokens",
+        "cum_tokens",
+    )
+
+
+def _dp1_sql() -> str:
+    hits, lang_case = _lang_sql_parts()
+    doc_hash = H.det_hash_sql("doc_id", seed=SEED)
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+corpus AS (SELECT * FROM base WHERE doc_id % 20 <> 3),
+keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+kept AS (SELECT c.* FROM corpus c JOIN keep USING (doc_id)),
+tkk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM kept),
+shk AS (SELECT doc_id AS id, u.sh AS shingle FROM (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sls
+          FROM tkk) d, unnest(d.sls) AS u(sh)),
+tbb AS (SELECT doc_id, {TOKS_SQL} AS toks FROM base WHERE doc_id % 20 = 3),
+shb AS (SELECT doc_id AS bench_id, u.sh AS shingle FROM (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sls
+          FROM tbb) d, unnest(d.sls) AS u(sh)),
+contaminated AS (SELECT DISTINCT id AS doc_id FROM (
+          SELECT a.id, b.bench_id FROM shk a JOIN shb b USING (shingle)
+          GROUP BY a.id, b.bench_id HAVING count(*) >= 2)),
+clean AS (SELECT t.doc_id, t.toks FROM tkk t
+          WHERE t.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
+       {", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())}
+       FROM clean),
+ld AS (SELECT doc_id, ntok, {lang_case} AS lang FROM st),
+sampled AS (SELECT doc_id, ntok FROM ld
+  WHERE ({doc_hash}) / 1000000.0 <
+        (CASE lang WHEN 'en' THEN 0.5 WHEN 'und' THEN 1.0 ELSE 0.0 END)),
+bkt AS (SELECT doc_id, ntok,
+        ({H.DUCKDB_MD5_LONG.format(expr="CAST(doc_id AS VARCHAR)")}) % {_PK_BUCKETS} AS bucket
+        FROM sampled),
+pkd AS (SELECT doc_id, bucket, ntok,
+        SUM(ntok) OVER (PARTITION BY bucket ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM bkt)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(floor((cum_tokens - ntok) / {_PK_CAPACITY}.0) AS BIGINT) AS seq_id,
+       ntok AS n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM pkd
+"""
+
+
+DP1_SQL = _dp1_sql()
+
+
 def dd9_decontaminate(spark, sf_dir):
     """Benchmark decontamination (the GPT-3/Dolma n-gram-overlap
     step): docs sharing >= 2 distinct trigrams with the held-out
@@ -2008,6 +2102,7 @@ QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard": dd2_ngram_jaccard,
     "dd9_decontaminate": dd9_decontaminate,
+    "dp1_training_pipeline": dp1_training_pipeline,
     "dd3_minhash_signatures": dd3_minhash_signatures,
     "dd4_minhash_lsh_pairs": dd4_minhash_lsh_pairs,
     "dd5_simhash": dd5_simhash,
@@ -2076,6 +2171,7 @@ ORACLES = {
     "dd1_exact_dedup": DD1_SQL,
     "dd2_ngram_jaccard": DD2_SQL,
     "dd9_decontaminate": DD9_SQL,
+    "dp1_training_pipeline": DP1_SQL,
     "dd3_minhash_signatures": DD3_SQL,
     "dd4_minhash_lsh_pairs": DD4_SQL,
     "dd5_simhash": DD5_SQL,

@@ -327,3 +327,21 @@ def test_contamination_max_shingle_df_guard(spark):
     assert with_cap.count() == 0  # boilerplate appears in all 5 docs > cap
     without = DD.contamination_pairs(corpus, bench, n=3, min_overlap=1)
     assert without.count() == 5
+
+
+def test_dp1_training_pipeline_stages_monotone(spark):
+    """The composed dedup -> decontaminate -> sample -> pack pipeline:
+    each stage only removes docs, every surviving doc gets exactly one
+    packed slot, and the lineage is deterministic."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.driver_queries import (
+        dp1_training_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = dp1_training_pipeline(spark, sf).cache()
+    n = out.count()
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    assert 0 < n < docs.count()
+    assert out.select("doc_id").distinct().count() == n
+    again = dp1_training_pipeline(spark, sf)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
