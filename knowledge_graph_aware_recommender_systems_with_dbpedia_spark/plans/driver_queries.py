@@ -1459,6 +1459,51 @@ FROM c
 """
 
 
+def tx5_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality metrics: distinct-word fraction
+    and top-2-gram character coverage. The per-doc argmax is a
+    map-side-combinable min(struct(-cnt, ngram)) hash aggregate — no
+    per-doc sort window."""
+    from ..operators import quality as Q
+
+    return Q.repetition_stats(
+        load_table(spark, sf_dir, "documents"), n=2
+    ).withColumnRenamed("id", "doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens", "distinct_frac", "top_ngram", "top_ngram_n",
+        "top_ngram_char_frac",
+    )
+
+
+TX5_SQL = f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, {TOKS_SQL} AS toks
+           FROM documents),
+b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS ngs
+      FROM t),
+ngc AS (SELECT doc_id, u.ng AS ngram, CAST(count(*) AS BIGINT) AS cnt
+        FROM b, unnest(b.ngs) AS u(ng) GROUP BY 1, 2),
+top AS (SELECT doc_id, ngram, cnt FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY cnt DESC, ngram) AS rn
+          FROM ngc) WHERE rn = 1)
+SELECT b.doc_id, b.n_tokens,
+  CASE WHEN b.n_tokens > 0
+       THEN round(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6)
+       ELSE 0.0 END AS distinct_frac,
+  coalesce(top.ngram, '') AS top_ngram,
+  coalesce(top.cnt, 0) AS top_ngram_n,
+  CASE WHEN b.chars > 0
+       THEN round(CAST(coalesce(top.cnt, 0) * length(coalesce(top.ngram, '')) AS DOUBLE)
+                  / b.chars, 6)
+       ELSE 0.0 END AS top_ngram_char_frac
+FROM b LEFT JOIN top USING (doc_id)
+"""
+
+
 _PK_CAPACITY, _PK_BUCKETS = 256, 8
 
 
@@ -2109,6 +2154,7 @@ QUERIES = {
     "tx1_text_stats": tx1_text_stats,
     "tx3_stratified_sample": tx3_stratified_sample,
     "tx4_scrub_pii": tx4_scrub_pii,
+    "tx5_repetition_stats": tx5_repetition_stats,
     "pk1_pack_sequences": pk1_pack_sequences,
     "pk2_sequence_stats": pk2_sequence_stats,
     "tx2_vocab_topk": tx2_vocab_topk,
@@ -2178,6 +2224,7 @@ ORACLES = {
     "tx1_text_stats": TX1_SQL,
     "tx3_stratified_sample": TX3_SQL,
     "tx4_scrub_pii": TX4_SQL,
+    "tx5_repetition_stats": TX5_SQL,
     "pk1_pack_sequences": PK1_SQL,
     "pk2_sequence_stats": PK2_SQL,
     "tx2_vocab_topk": TX2_SQL,

@@ -1,0 +1,52 @@
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import quality as Q
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),          # one 2-gram dominates
+            (2, "a varied sentence with mostly unique words here"),
+            (3, "x"),                                       # 1 token, no 2-grams
+            (4, "ab cd ab cd ef gh"),                        # "ab cd" twice
+        ],
+        "doc_id int, text string",
+    ).cache()
+
+
+def test_repetition_stats_values(spark, docs):
+    rows = {r.id: r for r in Q.repetition_stats(docs, n=2).collect()}
+    assert rows[1].top_ngram == "spam spam" and rows[1].top_ngram_n == 5
+    assert rows[1].distinct_frac == pytest.approx(1 / 6, abs=1e-6)
+    assert rows[1].top_ngram_char_frac > 0.2
+    assert rows[2].distinct_frac == 1.0 and rows[2].top_ngram_n == 1
+    assert rows[3].top_ngram == "" and rows[3].top_ngram_n == 0
+    assert rows[3].top_ngram_char_frac == 0.0
+    assert rows[4].top_ngram == "ab cd" and rows[4].top_ngram_n == 2
+
+
+def test_repetition_tie_break_lexicographic(spark):
+    df = spark.createDataFrame(
+        [(1, "b a b a c d c d")], "doc_id int, text string"
+    )
+    r = Q.repetition_stats(df, n=2).collect()[0]
+    # "a b", "b a", "c d", "d c" counts: a b=2? tokens: b a b a c d c d
+    # 2-grams: "b a","a b","b a","a c","c d","d c","c d" -> "b a"=2,"c d"=2
+    assert r.top_ngram == "b a" and r.top_ngram_n == 2  # lexicographic min of the tied
+
+
+def test_filter_by_repetition(spark, docs):
+    kept = Q.filter_by_repetition(
+        docs, n=2, max_top_ngram_char_frac=0.3, min_distinct_frac=0.3
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 not in ids          # spam doc dropped on both rules
+    assert 2 in ids
+    # determinism under repartitioning
+    again = Q.filter_by_repetition(
+        docs.repartition(7), n=2, max_top_ngram_char_frac=0.3, min_distinct_frac=0.3
+    )
+    assert {r.doc_id for r in again.collect()} == ids
