@@ -262,3 +262,25 @@ def test_stream_media_kind_rollup_complete_mode(spark, tmp_path):
     )
     batch = ST.media_kind_rollup(media)
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_exact_dedup_matches_batch_keepers(spark, tmp_path):
+    """State-store dedup at ingest: on an id-ordered replay the
+    first-arrival keeper set equals the batch min-id keeper set, and
+    state never sees the text (md5 key only)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import dedup as DD
+
+    rows = [(i, f"text {i % 7}") for i in range(30)]  # 7 dup classes
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    docs_dir = str(tmp_path / "docs")
+    # one file in id order => deterministic first-arrival == min id
+    docs.coalesce(1).sortWithinPartitions("doc_id").write.parquet(docs_dir)
+
+    stream = ST.read_docs_stream(spark, docs_dir)
+    streamed = ST.run_to_memory(
+        ST.exact_dedup_stream(stream), "dedup_s", "append"
+    )
+    batch_keep = {r.keep_id for r in DD.exact_dedup(docs).collect()}
+    got = {r.doc_id for r in streamed.collect()}
+    assert got == batch_keep == set(range(7))
+    assert streamed.columns == ["doc_id", "text_hash"]
