@@ -198,11 +198,13 @@ def topk_by_cosine_lsh(
     train: DataFrame,
     n_planes: int = 6,
     over_fetch: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """The 100 TB scoring path: sign-LSH bucketed candidate generation
     instead of the exact O(U x I) crossJoin (same over-fetch ->
     anti-join -> truncate contract as topk_by_cosine; approximate —
-    recall is tuned by n_planes).
+    recall is tuned by n_planes per table and OR-amplified by
+    n_tables — see similarity.cosine_lsh_topk).
 
     User/item ids are prefix-tagged before the shared-id LSH join so a
     user and an item with the same raw id can never be confused.
@@ -218,7 +220,7 @@ def topk_by_cosine_lsh(
         F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("vec_id"),
         F.col("vec").alias("embedding"),
     )
-    cand = cosine_lsh_topk(items, users, k=n_fetch, n_planes=n_planes)
+    cand = cosine_lsh_topk(items, users, k=n_fetch, n_planes=n_planes, n_tables=n_tables)
     scored = cand.select(
         F.expr("substring(query_id, 3)").alias("user_id"),
         F.expr("substring(neighbor_id, 3)").alias("item_id"),

