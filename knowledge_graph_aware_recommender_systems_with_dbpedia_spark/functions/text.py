@@ -192,3 +192,21 @@ def scrub_pii(c: Column) -> Column:
     out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, URL_RE, "<URL>")
     return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def chunk_starts(toks: Column, chunk: int, stride: int) -> Column:
+    """0-based start offsets of token windows covering a materialized
+    token array: 0, stride, 2*stride, ... while start < len (always at
+    least one chunk for a non-empty doc; a doc shorter than ``chunk``
+    yields exactly one). ``stride < chunk`` gives overlapping windows."""
+    n = F.size(toks)
+    last = F.when(n > chunk, F.ceil((n - F.lit(chunk)) / F.lit(stride))).otherwise(F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(0), last.cast("int")), lambda i: i * F.lit(stride)
+    )
+
+
+def chunk_tokens(toks: Column, start: Column, chunk: int) -> Column:
+    """The ``chunk``-token window of a token array starting at a
+    0-based offset (Spark slice is 1-based)."""
+    return F.slice(toks, start + F.lit(1), chunk)

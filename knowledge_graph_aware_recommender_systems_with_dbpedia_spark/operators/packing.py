@@ -80,3 +80,44 @@ def sequence_stats(packed: DataFrame, capacity: int = 512) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
         F.round(F.sum("n_tokens") / F.lit(float(capacity)), 6).alias("fill_ratio"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split docs into (overlapping) token windows — the chunking step
+    before embedding/indexing in a RAG or embedding-training pipeline.
+
+    Chunk starts are 0, stride, 2*stride, ... with the last window
+    guaranteed to cover the doc tail (stride < chunk => overlap).
+    JVM-side throughout: materialized token array -> posexplode of the
+    start-offset array -> slice; no Python, no shuffle (the explode is
+    a map-side fan-out). Output: (id, chunk_idx, n_tokens,
+    chunk_text); empty docs yield no chunks.
+    """
+    from ..functions.text import chunk_starts, chunk_tokens, tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    exploded = toks.select(
+        "id",
+        "_toks",
+        F.posexplode(chunk_starts(F.col("_toks"), chunk, stride)).alias(
+            "chunk_idx", "_start"
+        ),
+    )
+    win = chunk_tokens(F.col("_toks"), F.col("_start"), chunk)
+    return (
+        exploded.select(
+            "id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.size(win).cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", win).alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )

@@ -1504,6 +1504,43 @@ FROM b LEFT JOIN top USING (doc_id)
 """
 
 
+def ck1_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (64-token chunks, stride 48 —
+    the embed/index prep step). Map-side posexplode fan-out, no
+    shuffle; chunk text is md5'd for the compare."""
+    from ..operators import packing as PK
+
+    chunks = PK.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk=64, stride=48
+    )
+    return chunks.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "chunk_idx",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+CK1_SQL = f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {TOKS_SQL} AS toks
+           FROM documents),
+s AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) > 64
+                  THEN CAST(ceil((len(toks) - 64) / 48.0) AS INT)
+                  ELSE 0 END AS last_i
+      FROM t),
+e AS (SELECT doc_id, toks, CAST(u.ci AS BIGINT) AS chunk_idx, u.ci * 48 AS start
+      FROM s, unnest(range(0, last_i + 1)) AS u(ci)),
+c AS (SELECT doc_id, chunk_idx,
+             list_slice(toks, start + 1, start + 64) AS win
+      FROM e)
+SELECT doc_id, chunk_idx,
+       CAST(len(win) AS BIGINT) AS n_tokens,
+       md5(array_to_string(win, ' ')) AS chunk_md5
+FROM c WHERE len(win) > 0
+"""
+
+
 _PK_CAPACITY, _PK_BUCKETS = 256, 8
 
 
@@ -2156,6 +2193,7 @@ QUERIES = {
     "tx4_scrub_pii": tx4_scrub_pii,
     "tx5_repetition_stats": tx5_repetition_stats,
     "pk1_pack_sequences": pk1_pack_sequences,
+    "ck1_chunk_documents": ck1_chunk_documents,
     "pk2_sequence_stats": pk2_sequence_stats,
     "tx2_vocab_topk": tx2_vocab_topk,
     "dd6_embedding_neardup": dd6_embedding_neardup,
@@ -2226,6 +2264,7 @@ ORACLES = {
     "tx4_scrub_pii": TX4_SQL,
     "tx5_repetition_stats": TX5_SQL,
     "pk1_pack_sequences": PK1_SQL,
+    "ck1_chunk_documents": CK1_SQL,
     "pk2_sequence_stats": PK2_SQL,
     "tx2_vocab_topk": TX2_SQL,
     "dd6_embedding_neardup": DD6_SQL,

@@ -53,3 +53,30 @@ def test_pack_long_doc_gets_own_sequences(spark):
     # doc 1 (500 toks, first in id order) spans seqs 0..9; docs 2-3
     # start in the seq its cum_before lands in — all fully assigned
     assert len(m) == 3 and all(v >= 0 for v in m.values())
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import packing as PK
+
+    toks = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b c"), (3, "")], "doc_id int, text string"
+    )
+    out = PK.chunk_documents(df, chunk=10, stride=7)
+    rows = sorted(map(tuple, out.collect()))
+    by_doc = {}
+    for did, ci, n, txt in rows:
+        by_doc.setdefault(did, []).append((ci, n, txt))
+    # doc 1: 25 toks, starts 0,7,14,21 -> 4 chunks, last has 4 tokens
+    assert [c[0] for c in by_doc[1]] == [0, 1, 2, 3]
+    assert [c[1] for c in by_doc[1]] == [10, 10, 10, 4]
+    # overlap: chunk 1 starts at w7 (stride 7 < chunk 10)
+    assert by_doc[1][1][2].startswith("w7 ")
+    # every token covered: union of chunk tokens == doc tokens
+    seen = set()
+    for _, _, txt in by_doc[1]:
+        seen.update(txt.split())
+    assert seen == {f"w{i}" for i in range(25)}
+    # short doc -> one whole chunk; empty doc -> no chunks
+    assert by_doc[2] == [(0, 3, "a b c")]
+    assert 3 not in by_doc
