@@ -33,6 +33,12 @@ HEADLINE = [
     "ss1_ann_cosine_topk",
     "mm1_image_stats",
     "mm3_media_features",
+    "dd9_decontaminate",
+    "tx3_stratified_sample",
+    "tx4_scrub_pii",
+    "tx5_repetition_stats",
+    "pk1_pack_sequences",
+    "ck1_chunk_documents",
     "dp1_training_pipeline",
     "ev1_hourly_rollup",
     "ev2_sessionize",

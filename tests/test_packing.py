@@ -80,3 +80,31 @@ def test_chunk_documents_coverage_and_overlap(spark):
     # short doc -> one whole chunk; empty doc -> no chunks
     assert by_doc[2] == [(0, 3, "a b c")]
     assert 3 not in by_doc
+
+
+def test_chunk_documents_matches_python_model_exhaustive(spark):
+    """Exhaustive model check for the window math: docs of 0..40
+    tokens against a pure-Python next-window reference, for several
+    (chunk, stride) shapes."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import packing as PK
+
+    for chunk, stride in ((10, 7), (10, 10), (5, 2)):
+        rows = [(n, " ".join(f"t{j}" for j in range(n))) for n in range(41)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {
+            (r.id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+            for r in PK.chunk_documents(df, chunk=chunk, stride=stride).collect()
+        }
+        expect = {}
+        for n, _ in rows:
+            toks = [f"t{j}" for j in range(n)]
+            if n == 0:
+                continue
+            starts = [0]
+            while starts[-1] + chunk < n:
+                starts.append(starts[-1] + stride)
+            for ci, st in enumerate(starts):
+                win = toks[st : st + chunk]
+                if win:
+                    expect[(n, ci)] = (len(win), " ".join(win))
+        assert got == expect, (chunk, stride)
