@@ -108,3 +108,41 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert "@" not in clean and "192.168" not in clean
     assert out[1].clean == "nothing sensitive here"
     assert (out[1].e, out[1].u, out[1].i) == (0, 0, 0)
+
+
+def test_pipeline_cli_end_to_end(spark, tmp_path):
+    """scripts/pipeline.py composes dedup -> decontaminate -> scrub ->
+    repetition filter -> sample -> chunk behind flags."""
+    import importlib.util
+
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "pipeline_cli",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "pipeline.py"),
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "docs_in")
+    bench_dir = str(tmp_path / "bench")
+    out_dir = str(tmp_path / "out")
+    docs.filter(F.col("doc_id") % 20 != 3).write.parquet(in_dir)
+    docs.filter(F.col("doc_id") % 20 == 3).write.parquet(bench_dir)
+
+    args = cli.build_parser().parse_args([
+        "-i", in_dir, "-o", out_dir,
+        "--exact-dedup", "--benchmark", bench_dir, "--min-overlap", "2",
+        "--scrub", "--sample", "en=0.6,und=1.0", "--chunk", "32", "--stride", "24",
+    ])
+    stats = cli.run(args, spark=spark)
+    # monotone non-increasing pipeline (sf0.001 has no exact dups,
+    # so dedup may be a no-op; sampling at 0.6 must strictly drop)
+    assert stats["input"] >= stats["exact_dedup"] >= stats["decontaminate"]
+    assert stats["sample"] < stats["decontaminate"]
+    assert stats["chunks"] >= stats["sample"]          # >=1 chunk per doc
+    assert stats["output_rows"] == stats["chunks"]
+    out = spark.read.parquet(out_dir)
+    assert set(out.columns) == {"id", "chunk_idx", "n_tokens", "chunk_text"}
