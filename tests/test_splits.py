@@ -192,3 +192,14 @@ def test_stratified_sample_rates_and_determinism(ratings):
         seed=7,
     )
     assert sorted(map(tuple, full.collect())) != sorted(map(tuple, other.collect()))
+
+
+def test_stratified_sample_rate_accuracy(spark):
+    """det_hash is uniform enough that the kept fraction tracks the
+    configured rate (20k keys, ±2% absolute)."""
+    df = spark.range(20000).select(
+        F.col("id").alias("k"), F.lit("s").alias("band")
+    )
+    for rate in (0.1, 0.5, 0.9):
+        kept = splits.stratified_sample(df, "band", {"s": rate}, key_cols=["k"]).count()
+        assert abs(kept / 20000 - rate) < 0.02, (rate, kept)
