@@ -32,6 +32,58 @@ def read_docs_stream(
     return reader.parquet(path)
 
 
+def ingest_pipeline_stream(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    min_overlap: int = 2,
+    scrub: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Clean-at-ingest: the batch pipeline stages applied to a doc
+    stream. Returns the started StreamingQuery (caller awaits).
+
+     * cross-batch exact dedup via the md5-keyed state store
+       (``dropDuplicates`` — first arrival wins, 16 B state/doc);
+     * benchmark decontamination + PII scrub run INSIDE
+       ``foreachBatch``: contamination is per-doc against a STATIC
+       eval set, so batch semantics per micro-batch are exactly
+       correct (no cross-batch state), and the benchmark shingle
+       table is broadcast once per batch;
+     * surviving rows append to parquet — exactly-once via the
+       checkpoint + idempotent file sink.
+    """
+    import os
+
+    from ..functions.text import scrub_pii
+    from ..operators.dedup import decontaminate
+
+    deduped = docs.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("_h")
+    ).dropDuplicates(["_h"]).drop("_h")
+
+    def process(batch: DataFrame, _batch_id: int) -> None:
+        clean = decontaminate(
+            batch, benchmark, n=n, min_overlap=min_overlap,
+            id_col=id_col, text_col=text_col,
+        )
+        if scrub:
+            clean = clean.select(
+                F.col(id_col), scrub_pii(F.col(text_col)).alias(text_col)
+            )
+        clean.write.mode("append").parquet(out_dir)
+
+    return (
+        deduped.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def exact_dedup_stream(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -284,3 +284,44 @@ def test_stream_exact_dedup_matches_batch_keepers(spark, tmp_path):
     got = {r.doc_id for r in streamed.collect()}
     assert got == batch_keep == set(range(7))
     assert streamed.columns == ["doc_id", "text_hash"]
+
+
+def test_stream_ingest_pipeline_matches_batch(spark, tmp_path):
+    """Clean-at-ingest stream (state-store dedup -> foreachBatch
+    decontaminate + scrub -> parquet append) equals the batch
+    composition of the same stages on an ordered replay."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions.text import scrub_pii
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import dedup as DD
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "totally unrelated words about columnar engines here"),
+        (4, "the quick brown fox jumps over the lazy dog also"),  # contaminated
+        (5, "email me at someone@example.com for details ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id bigint, text string"
+    )
+    docs_dir = str(tmp_path / "in")
+    docs.coalesce(1).sortWithinPartitions("doc_id").write.parquet(docs_dir)
+    out_dir = str(tmp_path / "out")
+
+    q = ST.ingest_pipeline_stream(
+        ST.read_docs_stream(spark, docs_dir), bench, out_dir,
+        str(tmp_path / "ckpt"), min_overlap=2,
+    )
+    q.awaitTermination()
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(out_dir).collect()}
+
+    kept = docs.join(
+        DD.exact_dedup(docs).selectExpr("keep_id AS doc_id"), "doc_id", "left_semi"
+    )
+    batch = DD.decontaminate(kept, bench, min_overlap=2).select(
+        "doc_id", scrub_pii(F.col("text")).alias("text")
+    )
+    expect = {(r.doc_id, r.text) for r in batch.collect()}
+    assert got == expect
+    assert {d for d, _ in got} == {3, 5}          # 1/4 contaminated, 2 dup
+    assert any("<EMAIL>" in t for _, t in got)    # scrub applied
