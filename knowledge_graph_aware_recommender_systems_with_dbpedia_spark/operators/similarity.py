@@ -259,6 +259,70 @@ def ivf_kmeans_topk(
     )
 
 
+def _ivf_centroids(nn: DataFrame, n_cells: int, seed: int) -> DataFrame:
+    """Deterministic centroid sample as a tiny (cell, cv) table.
+
+    The sample = the ``n_cells`` corpus ids with the smallest
+    ``md5_long(seed:id)``: orderBy + limit compiles to
+    TakeOrderedAndProject (distributed per-partition top-n + tiny
+    driver merge), NOT a global window — a Window.orderBy with no
+    partitionBy would funnel the whole corpus through one task. The
+    rows are inlined as a literal table (the ivf_kmeans_topk centers
+    pattern) so both corpus and query sides broadcast-assign without
+    re-evaluating the TakeOrdered."""
+    sample = (
+        nn.select(
+            md5_long(F.concat_ws(":", F.lit(seed), F.col("id"))).alias("_h"),
+            "id",
+            "v",
+        )
+        .orderBy("_h", "id")
+        .limit(n_cells)
+        .collect()
+    )
+    cents_rows = [(i + 1, [float(x) for x in r["v"]]) for i, r in enumerate(sample)]
+    return nn.sparkSession.createDataFrame(cents_rows, "cell int, cv array<double>")
+
+
+def _ivf_assign(df: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+    """Assign each (id, v) row to its ``n`` most-similar cells:
+    broadcast join against the tiny centroid table + per-row argmax
+    (the id-partitioned window ranks ~n_cells rows per id)."""
+    scored = df.join(F.broadcast(cents), F.lit(True)).select(
+        "id", "v", "cell", _dot(F.col("v"), F.col("cv")).alias("_sim")
+    )
+    ww = Window.partitionBy("id").orderBy(F.desc("_sim"), "cell")
+    return (
+        scored.withColumn("_cr", F.row_number().over(ww))
+        .filter(F.col("_cr") <= n)
+        .drop("_sim", "_cr")
+    )
+
+
+def _ivf_score(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Equi-join corpus/query cell assignments, exact-score the
+    candidates, keep each query's top k."""
+    scored = (
+        c.alias("c")
+        .join(
+            q.alias("q"),
+            (F.col("c.cell") == F.col("q.cell")) & (F.col("c.id") != F.col("q.id")),
+        )
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(_dot(F.col("q.v"), F.col("c.v")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -279,60 +343,61 @@ def ivf_topk(
     and reuse the centers; the assignment/probe plan is identical).
     The centroid table is tiny and broadcast; cell assignment is a
     broadcast join + per-row argmin, candidate generation an equi-join
-    on cell id — no crossJoin against the corpus.
+    on cell id — no crossJoin against the corpus. For repeated query
+    batches over a stable corpus, materialize the index once with
+    :func:`build_ivf_index` and probe via :func:`ivf_topk_from_index`
+    (partition-pruned corpus reads).
     """
     nn = _normalize(emb, id_col, vec_col)
-    # centroid sample = the n_cells smallest (md5_long(seed:id), id):
-    # orderBy + limit compiles to TakeOrderedAndProject (distributed
-    # per-partition top-n + tiny driver merge), NOT a global window —
-    # a Window.orderBy with no partitionBy would funnel the whole
-    # corpus through one task. The row_number below runs AFTER the
-    # limit, over exactly n_cells rows (bounded, like p6_dense_ids).
-    sample = (
-        nn.select(
-            md5_long(F.concat_ws(":", F.lit(seed), F.col("id"))).alias("_h"),
-            "id",
-            "v",
-        )
-        .orderBy("_h", "id")
-        .limit(n_cells)
-        .collect()
-    )
-    # n_cells tiny rows -> inline as a literal centroid table (the
-    # ivf_kmeans_topk centers pattern): no window, no re-evaluated
-    # TakeOrdered when both corpus and query sides assign cells
-    cents_rows = [(i + 1, [float(x) for x in r["v"]]) for i, r in enumerate(sample)]
-    spark = emb.sparkSession
-    cents = spark.createDataFrame(cents_rows, "cell int, cv array<double>")
+    cents = _ivf_centroids(nn, n_cells, seed)
+    c = _ivf_assign(nn, cents, 1)
+    q = _ivf_assign(_normalize(queries, id_col, vec_col), cents, n_probe)
+    return _ivf_score(c, q, k)
 
-    def assign(df: DataFrame, n: int) -> DataFrame:
-        scored = df.join(F.broadcast(cents), F.lit(True)).select(
-            "id", "v", "cell", _dot(F.col("v"), F.col("cv")).alias("_sim")
-        )
-        ww = Window.partitionBy("id").orderBy(F.desc("_sim"), "cell")
-        return (
-            scored.withColumn("_cr", F.row_number().over(ww))
-            .filter(F.col("_cr") <= n)
-            .drop("_sim", "_cr")
-        )
 
-    c = assign(nn, 1).alias("c")
-    q = assign(_normalize(queries, id_col, vec_col), n_probe).alias("q")
-    scored = (
-        c.join(q, (F.col("c.cell") == F.col("q.cell")) & (F.col("c.id") != F.col("q.id")))
-        .select(
-            F.col("q.id").alias("query_id"),
-            F.col("c.id").alias("neighbor_id"),
-            F.round(_dot(F.col("q.v"), F.col("c.v")), 6).alias("cosine"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: ``<path>/centroids`` (tiny) and
+    ``<path>/corpus`` — the normalized, cell-assigned corpus written
+    ``partitionBy("cell")``, so a probe of p cells physically reads
+    only p directories (partition pruning — asserted in tests). This
+    is the amortization move for a stable 100 TB corpus: normalize +
+    assign once, then every query batch is a broadcast-assign plus a
+    pruned scan."""
+    nn = _normalize(emb, id_col, vec_col)
+    cents = _ivf_centroids(nn, n_cells, seed)
+    corpus = _ivf_assign(nn, cents, 1)
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(path + "/corpus")
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized :func:`build_ivf_index`: assign query
+    cells against the stored centroids, then scan ONLY the probed
+    cell partitions of the stored corpus (``cell IN (...)`` reaches
+    the scan as a partition filter). Results are identical to
+    :func:`ivf_topk` with the same (n_cells, seed, n_probe)."""
+    cents = spark.read.parquet(path + "/centroids")
+    q = _ivf_assign(_normalize(queries, id_col, vec_col), cents, n_probe)
+    cells = [r.cell for r in q.select("cell").distinct().collect()]
+    corpus = spark.read.parquet(path + "/corpus").filter(
+        F.col("cell").isin(cells)
+    ).select("id", "v", "cell")
+    return _ivf_score(corpus, q, k)
 
 
 def cosine_lsh_topk(

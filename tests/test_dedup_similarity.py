@@ -377,3 +377,27 @@ def test_lsh_multi_table_or_amplification(spark):
     a = SIM.cosine_lsh_topk(emb, qs, k=5, n_planes=6, n_tables=4).collect()
     b = SIM.cosine_lsh_topk(emb.repartition(7), qs, k=5, n_planes=6, n_tables=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_index_build_probe_matches_inline(spark, tmp_path):
+    """Materialized IVF index: probe results identical to the inline
+    ivf_topk with the same params, and the corpus scan is partition-
+    pruned to the probed cells."""
+    import contextlib
+    import io
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb, idx, n_cells=8)
+    via_index = SIM.ivf_topk_from_index(spark, idx, qs, k=5, n_probe=3)
+    inline = SIM.ivf_topk(emb, qs, k=5, n_cells=8, n_probe=3)
+    assert sorted(map(tuple, via_index.collect())) == sorted(map(tuple, inline.collect()))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        via_index.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
