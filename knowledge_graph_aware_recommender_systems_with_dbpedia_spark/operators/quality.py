@@ -95,3 +95,43 @@ def filter_by_repetition(
         & (F.col("distinct_frac") >= min_distinct_frac)
     ).select(F.col("id").alias(id_col))
     return docs.join(keep, id_col, "left_semi")
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc mean token log-probability under the corpus's OWN
+    add-alpha-smoothed unigram LM — the cheap stand-in for the
+    KenLM-perplexity quality filter (docs of improbable tokens score
+    low; gibberish and boilerplate separate cleanly).
+
+    p(tok) = (tf + alpha) / (total + alpha * (V + 1)) with tf = 0 for
+    tokens outside the top-``vocab_size`` vocabulary (the +1 is the
+    OOV class). The vocabulary is deterministic (tf desc, token asc)
+    and broadcast; the two corpus scalars (total token count, kept
+    vocab size) collect as literals — the only driver traffic. Output:
+    (id, n_tokens, mean_logp) with mean_logp rounded to 6 (double
+    sums are engine-order-dependent past ~1e-12).
+    """
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = counts.agg(F.sum("tf")).collect()[0][0] or 0
+    vocab = counts.orderBy(F.desc("tf"), "tok").limit(vocab_size)
+    v = vocab.count()
+    denom = float(total) + alpha * (v + 1)
+    scored = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "id",
+        F.log((F.coalesce(F.col("tf"), F.lit(0)) + F.lit(alpha)) / F.lit(denom)).alias("_lp"),
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("mean_logp"),
+    )

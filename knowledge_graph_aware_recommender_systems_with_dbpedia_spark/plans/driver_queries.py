@@ -1504,6 +1504,37 @@ FROM b LEFT JOIN top USING (doc_id)
 """
 
 
+def tx6_unigram_logprob(spark, sf_dir):
+    """Self-trained smoothed-unigram LM quality score (vocab capped at
+    100 so the OOV smoothing path is exercised on this corpus)."""
+    from ..operators import quality as Q
+
+    return Q.unigram_logprob(
+        load_table(spark, sf_dir, "documents"), vocab_size=100, alpha=0.5
+    ).select(
+        F.col("id").cast("bigint").alias("doc_id"), "n_tokens", "mean_logp"
+    )
+
+
+TX6_SQL = f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({TOKS_SQL}) AS tok
+           FROM documents),
+c AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
+tot AS (SELECT sum(tf) AS total FROM c),
+vv AS (SELECT tok, tf FROM (
+         SELECT *, row_number() OVER (ORDER BY tf DESC, tok) AS rn FROM c)
+       WHERE rn <= 100),
+vn AS (SELECT count(*) AS v FROM vv),
+lp AS (SELECT t.doc_id,
+       ln((coalesce(vv.tf, 0) + 0.5)
+          / (CAST(tot.total AS DOUBLE) + 0.5 * (vn.v + 1))) AS lpt
+       FROM t LEFT JOIN vv USING (tok), tot, vn)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lpt), 6) AS mean_logp
+FROM lp GROUP BY doc_id
+"""
+
+
 def ck1_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (64-token chunks, stride 48 —
     the embed/index prep step). Map-side posexplode fan-out, no
@@ -2192,6 +2223,7 @@ QUERIES = {
     "tx3_stratified_sample": tx3_stratified_sample,
     "tx4_scrub_pii": tx4_scrub_pii,
     "tx5_repetition_stats": tx5_repetition_stats,
+    "tx6_unigram_logprob": tx6_unigram_logprob,
     "pk1_pack_sequences": pk1_pack_sequences,
     "ck1_chunk_documents": ck1_chunk_documents,
     "pk2_sequence_stats": pk2_sequence_stats,
@@ -2263,6 +2295,7 @@ ORACLES = {
     "tx3_stratified_sample": TX3_SQL,
     "tx4_scrub_pii": TX4_SQL,
     "tx5_repetition_stats": TX5_SQL,
+    "tx6_unigram_logprob": TX6_SQL,
     "pk1_pack_sequences": PK1_SQL,
     "ck1_chunk_documents": CK1_SQL,
     "pk2_sequence_stats": PK2_SQL,

@@ -50,3 +50,29 @@ def test_filter_by_repetition(spark, docs):
         docs.repartition(7), n=2, max_top_ngram_char_frac=0.3, min_distinct_frac=0.3
     )
     assert {r.doc_id for r in again.collect()} == ids
+
+
+def test_unigram_logprob_values_and_ordering(spark):
+    import math
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the the the"),          # all high-frequency tokens
+            (3, "zq xv qj"),             # rare tokens
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.id: r for r in Q.unigram_logprob(corpus, vocab_size=2, alpha=0.5).collect()}
+    # corpus tf: the=4, cat/sat/zq/xv/qj=1 each; total=9; vocab = top-2
+    # by (tf desc, tok asc) = {the:4, cat:1}; V=2, denom = 9 + 0.5*3
+    denom = 9 + 0.5 * 3
+    lp_the = math.log(4.5 / denom)
+    lp_cat = math.log(1.5 / denom)
+    lp_oov = math.log(0.5 / denom)
+    assert out[2].mean_logp == round(lp_the, 6)
+    assert out[1].mean_logp == round((lp_the + lp_cat + lp_oov) / 3, 6)
+    assert out[3].mean_logp == round(lp_oov, 6)
+    # frequent-token doc scores highest, gibberish lowest
+    assert out[2].mean_logp > out[1].mean_logp > out[3].mean_logp
+    assert out[1].n_tokens == 3
