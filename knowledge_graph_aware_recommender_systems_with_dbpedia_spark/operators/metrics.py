@@ -150,3 +150,57 @@ def evaluate(
         one = fn(test, recs, **kw).select(F.lit(name).alias("metric"), "value")
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def mrr_at_k(
+    test: DataFrame,
+    recs: DataFrame,
+    k: int,
+    relevance_threshold: float = 0.0,
+) -> DataFrame:
+    """Mean Reciprocal Rank at k (greenfield addition — the reference
+    ships MAP/nDCG only; same conventions: users with zero relevant
+    test items are excluded from the mean, users with relevant items
+    but no hit score 0). Returns a 1-row DataFrame (value)."""
+    per_user = first_hit_rank_per_user(test, recs, k, relevance_threshold)
+    rr = per_user.withColumn(
+        "rr",
+        F.when(F.col("first_hit").isNull(), F.lit(0.0)).otherwise(
+            F.lit(1.0) / F.col("first_hit")
+        ),
+    )
+    return rr.agg(F.avg("rr").alias("value"))
+
+
+def hit_rate_at_k(
+    test: DataFrame,
+    recs: DataFrame,
+    k: int,
+    relevance_threshold: float = 0.0,
+) -> DataFrame:
+    """Fraction of evaluated users with >= 1 relevant item in their
+    top-k (same user-exclusion conventions as the other metrics)."""
+    per_user = first_hit_rank_per_user(test, recs, k, relevance_threshold)
+    hr = per_user.withColumn(
+        "hr", F.when(F.col("first_hit").isNull(), F.lit(0.0)).otherwise(F.lit(1.0))
+    )
+    return hr.agg(F.avg("hr").alias("value"))
+
+
+def first_hit_rank_per_user(
+    test: DataFrame, recs: DataFrame, k: int, relevance_threshold: float = 0.0
+) -> DataFrame:
+    """(user_id, first_hit) — rank of the first relevant rec within
+    top-k (null = no hit), one row per user WITH relevant test items.
+    Shared per-user stage of MRR/HitRate: an inner equi-join of the
+    truncated recs against the relevant set, then a min() hash
+    aggregate — map-side combinable, no window."""
+    rel = _relevant(test, relevance_threshold)
+    users = rel.select("user_id").distinct()
+    hits = (
+        recs.filter(F.col("rank") <= k)
+        .join(rel.select("user_id", "item_id"), ["user_id", "item_id"])
+        .groupBy("user_id")
+        .agg(F.min("rank").alias("first_hit"))
+    )
+    return users.join(hits, "user_id", "left")

@@ -1082,6 +1082,50 @@ FROM relc LEFT JOIN ap ON relc.user_id = ap.user_id
 )
 
 
+def e4_mrr_at_5(spark, sf_dir):
+    """MRR@5 (greenfield metric — reference ships MAP/nDCG only);
+    shares the memoized split/popularity fragments with e2/e3."""
+    _, test = SP.train_test(_user_split(spark, sf_dir))
+    recs = _pop_recs(spark, sf_dir).withColumnRenamed("rec_rank", "rank")
+    return ME.mrr_at_k(
+        test.select("user_id", "item_id", "rating"), recs, 5, relevance_threshold=30
+    ).select(F.round("value", 6).alias("value"))
+
+
+E4_SQL = (
+    _METRIC_PRE_SQL
+    + """,
+hits AS (SELECT r5.user_id, min(r5.rec_rank) AS first_hit
+         FROM r5 JOIN rel ON r5.user_id = rel.user_id AND r5.item_id = rel.item_id
+         GROUP BY r5.user_id)
+SELECT round(avg(CASE WHEN h.first_hit IS NULL THEN 0.0
+                      ELSE 1.0 / h.first_hit END), 6) AS value
+FROM relc LEFT JOIN hits h ON relc.user_id = h.user_id
+"""
+)
+
+
+def e5_hitrate_at_5(spark, sf_dir):
+    """HitRate@5 (greenfield metric), same fragments as e2/e3/e4."""
+    _, test = SP.train_test(_user_split(spark, sf_dir))
+    recs = _pop_recs(spark, sf_dir).withColumnRenamed("rec_rank", "rank")
+    return ME.hit_rate_at_k(
+        test.select("user_id", "item_id", "rating"), recs, 5, relevance_threshold=30
+    ).select(F.round("value", 6).alias("value"))
+
+
+E5_SQL = (
+    _METRIC_PRE_SQL
+    + """,
+hits AS (SELECT r5.user_id, min(r5.rec_rank) AS first_hit
+         FROM r5 JOIN rel ON r5.user_id = rel.user_id AND r5.item_id = rel.item_id
+         GROUP BY r5.user_id)
+SELECT round(avg(CASE WHEN h.first_hit IS NULL THEN 0.0 ELSE 1.0 END), 6) AS value
+FROM relc LEFT JOIN hits h ON relc.user_id = h.user_id
+"""
+)
+
+
 def e3_ndcg_at_5(spark, sf_dir):
     _, test = SP.train_test(_user_split(spark, sf_dir))
     recs = _pop_recs(spark, sf_dir).withColumnRenamed("rec_rank", "rank")
@@ -2212,6 +2256,8 @@ QUERIES = {
     "rec_fixed_emb_top5": rec_fixed_emb_top5,
     "e2_map_at_5": e2_map_at_5,
     "e3_ndcg_at_5": e3_ndcg_at_5,
+    "e4_mrr_at_5": e4_mrr_at_5,
+    "e5_hitrate_at_5": e5_hitrate_at_5,
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard": dd2_ngram_jaccard,
     "dd9_decontaminate": dd9_decontaminate,
@@ -2284,6 +2330,8 @@ ORACLES = {
     "rec_fixed_emb_top5": REC_FIXED_SQL,
     "e2_map_at_5": E2_SQL,
     "e3_ndcg_at_5": E3_SQL,
+    "e4_mrr_at_5": E4_SQL,
+    "e5_hitrate_at_5": E5_SQL,
     "dd1_exact_dedup": DD1_SQL,
     "dd2_ngram_jaccard": DD2_SQL,
     "dd9_decontaminate": DD9_SQL,

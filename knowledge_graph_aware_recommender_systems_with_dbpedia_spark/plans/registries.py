@@ -81,6 +81,9 @@ MODELS = {
 METRICS = {
     "MAP": ME.map_at_k,
     "nDCG": ME.ndcg_at_k,
+    # greenfield additions beyond the reference's metric set
+    "MRR": ME.mrr_at_k,
+    "HitRate": ME.hit_rate_at_k,
 }
 
 # -------------------------------------------------------------- preprocess

@@ -73,3 +73,31 @@ def test_evaluate_suite(fixture):
     out = metrics.evaluate(test, recs).collect()
     names = {r.metric for r in out}
     assert names == {"MAP@5", "nDCG@5"}
+
+
+def test_mrr_and_hitrate(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import metrics as ME
+
+    test = spark.createDataFrame(
+        [
+            (1, 10, 5.0), (1, 11, 5.0),   # user 1: relevant 10, 11
+            (2, 20, 5.0),                  # user 2: relevant 20
+            (3, 30, 1.0),                  # user 3: below threshold -> excluded
+        ],
+        "user_id int, item_id int, rating double",
+    )
+    recs = spark.createDataFrame(
+        [
+            (1, 99, 1), (1, 10, 2), (1, 11, 3),   # user 1: first hit rank 2
+            (2, 21, 1), (2, 22, 2),               # user 2: no hit in top-k
+            (3, 30, 1),                            # user 3 excluded anyway
+        ],
+        "user_id int, item_id int, rank int",
+    )
+    mrr = ME.mrr_at_k(test, recs, 3, relevance_threshold=2.0).collect()[0].value
+    assert mrr == pytest.approx((0.5 + 0.0) / 2)
+    hr = ME.hit_rate_at_k(test, recs, 3, relevance_threshold=2.0).collect()[0].value
+    assert hr == pytest.approx(0.5)
+    # k cutoff: with k=1 user 1's hit at rank 2 no longer counts
+    mrr1 = ME.mrr_at_k(test, recs, 1, relevance_threshold=2.0).collect()[0].value
+    assert mrr1 == 0.0
