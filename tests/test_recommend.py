@@ -185,3 +185,37 @@ def test_salted_join_equals_plain_join(spark):
     got = salted_join(big, small, "k", n_salts=4).select("k", "payload", "v")
     want = big.join(small, "k").select("k", "payload", "v")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """The session's AQE skew-join posture actually fires: a join with
+    one pathological key gets its skewed partition split at runtime
+    (skew=true in the finalized adaptive plan). Complements
+    salted_join, which covers the cases AQE can't re-plan (e.g.
+    pre-shuffle bucket joins)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(60000).select(
+            F.when(F.col("id") < 55000, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        small = spark.range(50).select(F.col("id").alias("k"), F.lit("v").alias("val"))
+        j = big.join(small, "k")
+        assert len(j.collect()) == 60000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert plan.count("skew=true") >= 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
