@@ -211,3 +211,19 @@ def test_golden_transe_kfold(spark, tmp_path):
         golden = json.load(fh)
     got = {k: round(v, 6) for k, v in rows["transE"].items()}
     assert got == golden
+
+
+def test_experiment_with_mrr_hitrate_metrics(spark, tmp_path):
+    """The greenfield MRR/HitRate registry entries run through the
+    YAML experiment surface like the reference metrics."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.experiment import run_experiment
+
+    _make_dataset(tmp_path)
+    out = tmp_path / "res" / "run.csv"
+    cfg = _config(tmp_path, [{"name": "popularity"}], out,
+                  split={"method": "random_by_ratio", "p": 0.3, "level": "user"})
+    cfg["experiment"]["evaluation"]["metrics"] = ["MRR", "HitRate"]
+    res = run_experiment(spark, cfg)
+    vals = res["popularity"]
+    assert set(vals) == {"MRR@3", "HitRate@3"}
+    assert all(0.0 <= v <= 1.0 for v in vals.values())
