@@ -2052,6 +2052,69 @@ def st3_stream_media_features(spark, sf_dir):
     return out.select("media_id", "embedding")
 
 
+def st4_stream_ingest_pipeline(spark, sf_dir):
+    """Clean-at-ingest stream in the driver contract: state-store
+    exact dedup -> foreachBatch decontamination + PII scrub -> parquet
+    append, drained with availableNow over a SINGLE id-sorted input
+    file (one partition => dropDuplicates keeps the min-id row, so the
+    batch keep-min-id oracle applies). Corpus/benchmark split matches
+    dd9 (doc_id % 20)."""
+    import os
+    import tempfile
+
+    from ..streaming import dedup as STD
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 3)
+    corpus = docs.filter(F.col("doc_id") % 20 != 3)
+    in_dir = tempfile.mkdtemp(prefix="st4_in_")
+    out_dir = tempfile.mkdtemp(prefix="st4_out_")
+    ck_dir = tempfile.mkdtemp(prefix="st4_ck_")
+    corpus.coalesce(1).sortWithinPartitions("doc_id").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    q = STD.ingest_pipeline_stream(
+        STD.read_docs_stream(spark, in_dir), bench, out_dir, ck_dir,
+        n=3, min_overlap=2, scrub=True,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
+ST4_SQL = f"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+corpus AS (SELECT * FROM base WHERE doc_id % 20 <> 3),
+keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+kept AS (SELECT c.* FROM corpus c JOIN keep USING (doc_id)),
+tkk AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM kept),
+shk AS (SELECT doc_id AS id, u.sh AS shingle FROM (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sls
+          FROM tkk) d, unnest(d.sls) AS u(sh)),
+tbb AS (SELECT doc_id, {TOKS_SQL} AS toks FROM base WHERE doc_id % 20 = 3),
+shb AS (SELECT doc_id AS bench_id, u.sh AS shingle FROM (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sls
+          FROM tbb) d, unnest(d.sls) AS u(sh)),
+contaminated AS (SELECT DISTINCT id AS doc_id FROM (
+          SELECT a.id, b.bench_id FROM shk a JOIN shb b USING (shingle)
+          GROUP BY a.id, b.bench_id HAVING count(*) >= 2)),
+clean AS (SELECT t.doc_id, t.text FROM tkk t
+          WHERE t.doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT doc_id,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{TX.EMAIL_RE}', '<EMAIL>', 'g'),
+      '{TX.URL_RE}', '<URL>', 'g'),
+      '{TX.IPV4_RE}', '<IP>', 'g')) AS clean_md5
+FROM clean
+"""
+
+
 def ev2_sessionize(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.expr("ts_ns div 1000").cast("bigint").alias("tus")
@@ -2288,6 +2351,7 @@ QUERIES = {
     "st1_stream_hourly_rollup": st1_stream_hourly_rollup,
     "st2_stream_sessionize_stateful": st2_stream_sessionize_stateful,
     "st3_stream_media_features": st3_stream_media_features,
+    "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
 }
 
 ORACLES = {
@@ -2362,6 +2426,7 @@ ORACLES = {
     "ev2_sessionize": EV2_SQL,
     "st2_stream_sessionize_stateful": EV2_SQL,
     "st3_stream_media_features": MM3_SQL,
+    "st4_stream_ingest_pipeline": ST4_SQL,
 }
 
 
