@@ -27,16 +27,20 @@ HEADLINE = [
     "rec_fixed_emb_top5",
     "e2_map_at_5",
     "e3_ndcg_at_5",
+    "e4_mrr_at_5",
+    "e5_hitrate_at_5",
     "dd3_minhash_signatures",
     "dd4_minhash_lsh_pairs",
     "tx1_text_stats",
     "ss1_ann_cosine_topk",
     "mm1_image_stats",
     "mm3_media_features",
+    "dd8_neardup_lsh",
     "dd9_decontaminate",
     "tx3_stratified_sample",
     "tx4_scrub_pii",
     "tx5_repetition_stats",
+    "tx6_unigram_logprob",
     "pk1_pack_sequences",
     "ck1_chunk_documents",
     "dp1_training_pipeline",
@@ -52,8 +56,10 @@ def main() -> None:
     from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans import QUERIES
 
     spark = get_spark("bench")
-    # JVM/codegen warm-up on a trivial action so q1 doesn't pay startup
+    # JVM/codegen + parquet-reader warm-up so q1 doesn't pay one-time
+    # startup costs (reads the smallest table once)
     spark.range(1000).count()
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
