@@ -7,7 +7,12 @@ from .events import (
     sliding_rollup,
     with_event_time,
 )
-from .dedup import exact_dedup_stream, ingest_pipeline_stream, read_docs_stream
+from .dedup import (
+    exact_dedup_stream,
+    exact_dedup_stream_watermarked,
+    ingest_pipeline_stream,
+    read_docs_stream,
+)
 from .media import (
     image_stats_stream,
     media_features_stream,
@@ -18,6 +23,7 @@ from .stateful import sessionize_stateful
 
 __all__ = [
     "exact_dedup_stream",
+    "exact_dedup_stream_watermarked",
     "ingest_pipeline_stream",
     "read_docs_stream",
     "hourly_rollup",

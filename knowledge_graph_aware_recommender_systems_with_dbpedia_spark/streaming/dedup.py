@@ -103,3 +103,26 @@ def exact_dedup_stream(
     return docs.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")
     ).dropDuplicates(["text_hash"])
+
+
+def exact_dedup_stream_watermarked(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bounded-state streaming dedup for UNBOUNDED streams:
+    ``dropDuplicatesWithinWatermark`` guarantees dedup of duplicates
+    whose event times fall within ``delay`` of each other and lets the
+    state store EVICT hashes once the watermark passes — a re-arrival
+    beyond the horizon is emitted again (the correct trade: state
+    stays O(distinct docs per horizon) instead of O(all history)).
+    ``ts_col`` must be a timestamp column."""
+    return (
+        docs.withWatermark(ts_col, delay)
+        .select(
+            F.col(id_col), F.col(ts_col), F.md5(F.col(text_col)).alias("text_hash")
+        )
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )

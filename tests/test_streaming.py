@@ -325,3 +325,41 @@ def test_stream_ingest_pipeline_matches_batch(spark, tmp_path):
     assert got == expect
     assert {d for d, _ in got} == {3, 5}          # 1/4 contaminated, 2 dup
     assert any("<EMAIL>" in t for _, t in got)    # scrub applied
+
+
+def test_stream_watermarked_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates within the horizon
+    are dropped; a re-arrival far past the watermark is emitted again
+    (state evicted — the bounded-state trade for unbounded streams)."""
+    import time as _time
+
+    from datetime import datetime as _dt
+
+    schema = "doc_id bigint, ts timestamp, text string"
+    d = str(tmp_path / "wm_docs")
+    batch1 = spark.createDataFrame(
+        [(1, _dt(2024, 1, 1, 10, 0), "same text"),
+         (2, _dt(2024, 1, 1, 10, 10), "same text"),     # within horizon -> dropped
+         (3, _dt(2024, 1, 1, 10, 20), "other text")],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(d)
+    # the watermark advances at batch END and eviction applies it at
+    # the NEXT batch's start, so two advancer batches separate the
+    # original events from the past-horizon re-arrival
+    for i, rows in enumerate([
+        [(9, _dt(2024, 1, 1, 13, 30), "advancer")],
+        [(8, _dt(2024, 1, 1, 13, 45), "advancer2")],
+        [(4, _dt(2024, 1, 1, 14, 0), "same text")],     # past horizon
+    ]):
+        _time.sleep(1.1)  # distinct mtime so the file source orders batches
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    out = ST.run_to_memory(
+        ST.exact_dedup_stream_watermarked(stream, delay="1 hour"),
+        "wm_dedup", "append",
+    )
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 8, 9]
+    # 2 dropped (in-horizon duplicate); 4 re-emitted (state evicted)
