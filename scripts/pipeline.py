@@ -67,21 +67,21 @@ def run(args: argparse.Namespace, spark=None) -> dict:
         spark = get_spark("pipeline", cpus=args.cpus)
     stats: dict = {}
     docs = spark.read.parquet(args.input).select("doc_id", "text")
-    stats["input"] = docs.count()
+    n_rows = stats["input"] = docs.count()
 
     if args.exact_dedup:
         keep = DD.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
         docs = docs.join(keep, "doc_id", "left_semi")
-        stats["exact_dedup"] = docs.count()
+        n_rows = stats["exact_dedup"] = docs.count()
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark).select("doc_id", "text")
         docs = DD.decontaminate(
             docs, bench, n=args.ngram, min_overlap=args.min_overlap
         )
-        stats["decontaminate"] = docs.count()
+        n_rows = stats["decontaminate"] = docs.count()
     if args.scrub:
         docs = docs.select("doc_id", TX.scrub_pii(F.col("text")).alias("text"))
-        stats["scrub"] = stats.get("decontaminate", stats["input"])
+        stats["scrub"] = n_rows  # 1:1 transform
     if args.max_top_ngram_frac is not None:
         docs = Q.filter_by_repetition(
             docs,
