@@ -2277,6 +2277,64 @@ FROM t
 )
 
 
+def ev4_asof_enrich(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): every click event is
+    enriched with the user's most recent at-or-before purchase. The
+    Spark plan is the tagged-union + running-last-row window (ONE
+    shuffle on user_id, no inequality join, no per-key row explosion);
+    the oracle is DuckDB's native ASOF LEFT JOIN — two independent
+    implementations of the same semantics. Right side is
+    pre-aggregated to one row per (user, ts) so both are
+    deterministic. NULL no-match sentinels to -1 keep the compared
+    frames integer-typed."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").cast("bigint").alias("ts_us"),
+        "value",
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="ts_us",
+        by=["user_id"],
+        value_cols=["purchase_value"],
+        suffix="_p",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.coalesce(F.col("ts_us_p"), F.lit(-1)).cast("bigint").alias("purchase_us"),
+        F.coalesce(F.col("purchase_value_p"), F.lit(-1.0)).alias("purchase_value"),
+        F.coalesce(F.col("ts_us") - F.col("ts_us_p"), F.lit(-1)).cast("bigint").alias("gap_us"),
+    )
+
+
+EV4_SQL = """
+WITH l AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+           FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts_us,
+       CAST(COALESCE(r.ts_us, -1) AS BIGINT) AS purchase_us,
+       COALESCE(r.purchase_value, -1.0) AS purchase_value,
+       CAST(COALESCE(l.ts_us - r.ts_us, -1) AS BIGINT) AS gap_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "p1_typed_projection": p1_typed_projection,
@@ -2352,6 +2410,7 @@ QUERIES = {
     "st2_stream_sessionize_stateful": st2_stream_sessionize_stateful,
     "st3_stream_media_features": st3_stream_media_features,
     "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
+    "ev4_asof_enrich": ev4_asof_enrich,
 }
 
 ORACLES = {
@@ -2427,6 +2486,7 @@ ORACLES = {
     "st2_stream_sessionize_stateful": EV2_SQL,
     "st3_stream_media_features": MM3_SQL,
     "st4_stream_ingest_pipeline": ST4_SQL,
+    "ev4_asof_enrich": EV4_SQL,
 }
 
 
