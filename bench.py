@@ -36,6 +36,7 @@ HEADLINE = [
     "mm1_image_stats",
     "mm3_media_features",
     "dd8_neardup_lsh",
+    "dd10_canonical_keep",
     "dd9_decontaminate",
     "tx3_stratified_sample",
     "tx4_scrub_pii",
@@ -47,6 +48,7 @@ HEADLINE = [
     "ev1_hourly_rollup",
     "ev2_sessionize",
     "ev3_sliding_rollup",
+    "ev4_asof_enrich",
     "st1_stream_hourly_rollup",
 ]
 

@@ -482,3 +482,46 @@ def decontaminate(
         bench_id_col, bench_text_col, max_shingle_df,
     ).select(id_col).distinct()
     return docs.join(flagged, id_col, "left_anti")
+
+
+def cluster_keepers(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-cluster keeper summary — the "keep the best copy" step
+    between clustering and the training mix (score-ranked variant of
+    :func:`keep_canonical`, which keeps the component-minimum id).
+
+    ``clusters``: (id, cluster_id) from :func:`connected_components`;
+    ``scores``: (id, score) — any per-doc quality signal (e.g.
+    text.quality_score). Keeper = score-desc, id-asc within the
+    cluster, computed as a ``min(struct(-score, id))`` hash aggregate:
+    map-side combinable, one shuffle on cluster_id, no per-cluster
+    sort window anywhere (same argmax shape as quality.repetition_stats).
+
+    Output: (cluster_id, keep_id, keep_score, n_docs).
+    """
+    j = clusters.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("cluster_id")
+    ).join(
+        scores.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s")),
+        "_id",
+    )
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("_s")).alias("neg"), F.col("_id").alias("id"))
+            ).alias("_k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .select(
+            "cluster_id",
+            F.col("_k.id").alias("keep_id"),
+            (-F.col("_k.neg")).alias("keep_score"),
+            "n_docs",
+        )
+    )

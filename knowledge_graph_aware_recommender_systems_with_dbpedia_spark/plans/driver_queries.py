@@ -1320,6 +1320,66 @@ SELECT doc_id, cluster_id FROM comp
 DD7_SQL = _dd7_sql()
 
 
+def dd10_canonical_keep(spark, sf_dir):
+    """Cluster-canonical dedup: LSH pairs -> connected components ->
+    keep the best-quality doc per cluster (dedup.cluster_keepers).
+    Composes dd4 + dd7 + the tx1 quality score into the "one canonical
+    copy survives" step every training-data pipeline ends dedup with.
+    Keeper = quality desc, doc_id asc — a min(struct) hash aggregate,
+    no per-cluster sort window."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, bands=8, n_hashes=16, verify_threshold=0.1)
+    comp = DD.connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+    scores = docs.select(
+        F.col("doc_id").alias("id"), TX.quality_score(F.col("text")).alias("score")
+    )
+    return DD.cluster_keepers(comp, scores).select(
+        "cluster_id", "keep_id", F.round("keep_score", 6).alias("keep_quality"), "n_docs"
+    )
+
+
+def _dd10_sql() -> str:
+    # dd7's recursive-CTE components + tx1's quality expression +
+    # row_number argmax (quality desc, id asc) per cluster.
+    return f"""
+WITH RECURSIVE {_SHINGLES_SQL}, {_JACCARD_SQL},
+sig AS (SELECT id AS doc_id, {_minhash_min_exprs_sql()} FROM sh GROUP BY id),
+buckets AS ({_lsh_bands_sql(8, 16)}),
+cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+good AS (SELECT c.id1, c.id2 FROM cand c JOIN jac j
+         ON j.id1 = c.id1 AND j.id2 = c.id2 WHERE j.jaccard >= 0.1),
+ed AS (SELECT id1 AS a, id2 AS b FROM good UNION SELECT id2, id1 FROM good),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+q AS (SELECT doc_id,
+      round(0.4 * (CASE WHEN CAST(length(text) AS DOUBLE) > 0
+                        THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                             / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+          + 0.3 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+          + 0.3 * least((CASE WHEN CAST(len({TOKS_SQL}) AS DOUBLE) > 0
+                              THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                                   / CAST(len({TOKS_SQL}) AS DOUBLE) ELSE 0.0 END) / 6.0, 1.0), 6) AS score
+      FROM documents),
+ranked AS (SELECT comp.cluster_id, comp.doc_id, q.score,
+           row_number() OVER (PARTITION BY comp.cluster_id
+                              ORDER BY q.score DESC, comp.doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY comp.cluster_id) AS n_docs
+           FROM comp JOIN q USING (doc_id))
+SELECT cluster_id, doc_id AS keep_id, round(score, 6) AS keep_quality,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked WHERE rn = 1
+"""
+
+
+DD10_SQL = _dd10_sql()
+
+
 def dd5_simhash(spark, sf_dir):
     return DD.simhash(load_table(spark, sf_dir, "documents")).withColumnRenamed(
         "id", "doc_id"
@@ -2397,6 +2457,7 @@ QUERIES = {
     "tx2_vocab_topk": tx2_vocab_topk,
     "dd6_embedding_neardup": dd6_embedding_neardup,
     "dd7_dedup_clusters": dd7_dedup_clusters,
+    "dd10_canonical_keep": dd10_canonical_keep,
     "dd8_neardup_lsh": dd8_neardup_lsh,
     "ss1_ann_cosine_topk": ss1_ann_cosine_topk,
     "ss2_ann_ivf_topk": ss2_ann_ivf_topk,
@@ -2473,6 +2534,7 @@ ORACLES = {
     "tx2_vocab_topk": TX2_SQL,
     "dd6_embedding_neardup": DD6_SQL,
     "dd7_dedup_clusters": DD7_SQL,
+    "dd10_canonical_keep": DD10_SQL,
     "dd8_neardup_lsh": DD8_SQL,
     "ss1_ann_cosine_topk": SS1_SQL,
     "ss2_ann_ivf_topk": SS2_SQL,
