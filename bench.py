@@ -42,6 +42,8 @@ HEADLINE = [
     "tx4_scrub_pii",
     "tx5_repetition_stats",
     "tx6_unigram_logprob",
+    "tx7_lang_confusion",
+    "tx8_corpus_profile",
     "pk1_pack_sequences",
     "ck1_chunk_documents",
     "dp1_training_pipeline",
@@ -49,6 +51,7 @@ HEADLINE = [
     "ev2_sessionize",
     "ev3_sliding_rollup",
     "ev4_asof_enrich",
+    "ev5_overlap_pairs",
     "st1_stream_hourly_rollup",
 ]
 

@@ -2395,6 +2395,138 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
 """
 
 
+def ev5_overlap_pairs(spark, sf_dir):
+    """Interval-overlap range join (operators/rangejoin.py): per-user
+    daily error-activity spans, then every cross-user pair of spans
+    that overlap in time — a join with NO equi-key. The Spark plan is
+    the bucketed band join (explode to 1h buckets, equi-join, exact
+    re-check, overlap-start-bucket dedup — no crossJoin, no distinct);
+    the oracle is DuckDB's native inequality join. Output aggregates
+    to (user pair, n overlapping span pairs, total overlap µs)."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.expr("ts_ns div 1000").cast("bigint").alias("ts_us"))
+    )
+    iv = e.groupBy(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+    a = iv.select(
+        F.col("user_id").alias("u1"), F.col("lo").alias("lo1"), F.col("hi").alias("hi1")
+    )
+    b = iv.select(
+        F.col("user_id").alias("u2"), F.col("lo").alias("lo2"), F.col("hi").alias("hi2")
+    )
+    pairs = interval_overlap_join(
+        a, "lo1", "hi1", b, "lo2", "hi2", bucket_width=3_600_000_000
+    )
+    return (
+        pairs.filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+            F.sum(F.least("hi1", "hi2") - F.greatest("lo1", "lo2"))
+            .cast("bigint")
+            .alias("overlap_us"),
+        )
+    )
+
+
+EV5_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'error'),
+iv AS (SELECT user_id, t // 86400000000 AS day, min(t) AS lo, max(t) AS hi
+       FROM e GROUP BY 1, 2)
+SELECT a.user_id AS u1, b.user_id AS u2,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT) AS overlap_us
+FROM iv a JOIN iv b ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+GROUP BY 1, 2
+"""
+
+
+def tx7_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the stopword-marker heuristic
+    (functions/text.py lang_id_from_tokens — pure codegen CASE fold,
+    no UDF) against the labeled `lang` column. Tokens materialized in
+    a projection first (the transform-lambda CSE rule), then one
+    hash-aggregate on (true, predicted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("lang").alias("true_lang"), TX.tokens(F.col("text")).alias("toks")
+    )
+    pred = t.select(
+        "true_lang", TX.lang_id_from_tokens(F.col("toks")).alias("pred_lang")
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+def _tx7_sql() -> str:
+    # the same strictly-greater fold as lang_id_from_tokens: winner =
+    # lexicographically-first language achieving the max hit count,
+    # 'und' when no marker matched at all.
+    hit_cols = ",\n  ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang]), lang
+        )
+        for lang in sorted(TX.LANG_MARKERS)
+    )
+    langs = sorted(TX.LANG_MARKERS)
+    m = "greatest({})".format(", ".join(f"h_{la}" for la in langs))
+    case = f"CASE WHEN {m} = 0 THEN 'und'\n"
+    for la in langs[:-1]:
+        case += f"       WHEN h_{la} = {m} THEN '{la}'\n"
+    case += f"       ELSE '{langs[-1]}' END"
+    return f"""
+WITH t AS (SELECT lang AS true_lang, {TOKS_SQL} AS toks FROM documents),
+h AS (SELECT true_lang,
+  {hit_cols}
+  FROM t)
+SELECT true_lang,
+       {case} AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM h GROUP BY 1, 2
+"""
+
+
+TX7_SQL = _tx7_sql()
+
+
+def tx8_corpus_profile(spark, sf_dir):
+    """Per-source corpus length profile: doc counts, mean token count,
+    and exact interpolated token-count percentiles (p50/p90/p99).
+    Spark's `percentile` and DuckDB's `quantile_cont` share the
+    rank = p*(n-1) linear-interpolation definition; round(6) guards
+    the last-ulp. The scale path swaps in approx_percentile
+    (t-digest, single pass, no sort) — asserted close in the unit
+    test, not hash-compared."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", TX.token_count(F.col("text")).alias("tc"))
+    pct = F.expr("percentile(tc, array(0.5D, 0.9D, 0.99D))")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.sum("tc").cast("bigint") / F.count(F.lit(1)), 6).alias("mean_tokens"),
+        F.round(F.element_at(pct, 1), 6).alias("p50_tokens"),
+        F.round(F.element_at(pct, 2), 6).alias("p90_tokens"),
+        F.round(F.element_at(pct, 3), 6).alias("p99_tokens"),
+    )
+
+
+TX8_SQL = f"""
+WITH d AS (SELECT source, CAST(len({TOKS_SQL}) AS BIGINT) AS tc FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(tc) AS BIGINT) / count(*), 6) AS mean_tokens,
+       round(quantile_cont(tc, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(tc, 0.9), 6) AS p90_tokens,
+       round(quantile_cont(tc, 0.99), 6) AS p99_tokens
+FROM d GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "p1_typed_projection": p1_typed_projection,
@@ -2472,6 +2604,9 @@ QUERIES = {
     "st3_stream_media_features": st3_stream_media_features,
     "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
     "ev4_asof_enrich": ev4_asof_enrich,
+    "ev5_overlap_pairs": ev5_overlap_pairs,
+    "tx7_lang_confusion": tx7_lang_confusion,
+    "tx8_corpus_profile": tx8_corpus_profile,
 }
 
 ORACLES = {
@@ -2549,6 +2684,9 @@ ORACLES = {
     "st3_stream_media_features": MM3_SQL,
     "st4_stream_ingest_pipeline": ST4_SQL,
     "ev4_asof_enrich": EV4_SQL,
+    "ev5_overlap_pairs": EV5_SQL,
+    "tx7_lang_confusion": TX7_SQL,
+    "tx8_corpus_profile": TX8_SQL,
 }
 
 
