@@ -59,3 +59,32 @@ def test_similarity_ops_on_empty(spark, empty_emb):
     assert SIM.cosine_lsh_topk(empty_emb, q, n_tables=2).count() == 0
     assert DD.embedding_near_dups(empty_emb).count() == 0
     assert SIM.ivf_topk(empty_emb, empty_emb).count() == 0
+
+
+def test_range_join_ops_on_empty(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.rangejoin import (
+        interval_overlap_join,
+        point_in_interval_join,
+    )
+
+    empty_iv = spark.createDataFrame([], "id1 long, lo1 long, hi1 long")
+    iv = spark.createDataFrame([(2, 0, 10)], "id2 long, lo2 long, hi2 long")
+    assert interval_overlap_join(empty_iv, "lo1", "hi1", iv, "lo2", "hi2", 5).count() == 0
+    pts = spark.createDataFrame([], "pid long, v long")
+    assert point_in_interval_join(pts, "v", iv, "lo2", "hi2", 5).count() == 0
+    # empty INTERVAL side: inner drops the point, left keeps it
+    some_pts = spark.createDataFrame([(1, 3)], "pid long, v long")
+    empty_iv2 = spark.createDataFrame([], "iid long, lo long, hi long")
+    assert point_in_interval_join(some_pts, "v", empty_iv2, "lo", "hi", 5).count() == 0
+    assert (
+        point_in_interval_join(some_pts, "v", empty_iv2, "lo", "hi", 5, how="left").count()
+        == 1
+    )
+
+
+def test_cluster_keepers_on_empty(spark):
+    empty_cl = spark.createDataFrame([], "id bigint, cluster_id bigint")
+    empty_sc = spark.createDataFrame([], "id bigint, score double")
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.dedup import cluster_keepers
+
+    assert cluster_keepers(empty_cl, empty_sc).count() == 0

@@ -146,3 +146,18 @@ def test_pipeline_cli_end_to_end(spark, tmp_path):
     assert stats["output_rows"] == stats["chunks"]
     out = spark.read.parquet(out_dir)
     assert set(out.columns) == {"id", "chunk_idx", "n_tokens", "chunk_text"}
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """tx8's scale path: approx_percentile (t-digest, one pass, no
+    per-group sort) stays within a few percent of the exact
+    interpolated percentile on the documents fixture — the swap-in
+    documented in tx8_corpus_profile."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = docs.select(TX.token_count(F.col("text")).alias("tc"))
+    row = d.agg(
+        F.expr("percentile(tc, array(0.5D, 0.9D, 0.99D))").alias("exact"),
+        F.expr("approx_percentile(tc, array(0.5D, 0.9D, 0.99D), 10000)").alias("approx"),
+    ).first()
+    for e, a in zip(row.exact, row.approx):
+        assert abs(a - e) <= max(0.05 * e, 2.0), (e, a)
