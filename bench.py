@@ -44,7 +44,9 @@ HEADLINE = [
     "tx6_unigram_logprob",
     "tx7_lang_confusion",
     "tx8_corpus_profile",
+    "tx9_mixture_weights",
     "pk1_pack_sequences",
+    "pk3_shuffle_shards",
     "ck1_chunk_documents",
     "dp1_training_pipeline",
     "ev1_hourly_rollup",
@@ -52,6 +54,7 @@ HEADLINE = [
     "ev3_sliding_rollup",
     "ev4_asof_enrich",
     "ev5_overlap_pairs",
+    "ev6_point_in_span",
     "st1_stream_hourly_rollup",
 ]
 

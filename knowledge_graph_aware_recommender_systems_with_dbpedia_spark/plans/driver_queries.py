@@ -2527,6 +2527,115 @@ FROM d GROUP BY 1
 """
 
 
+def ev6_point_in_span(spark, sf_dir):
+    """Point-in-interval enrichment (rangejoin.point_in_interval_join,
+    left form): each click event annotated with how many daily
+    error-activity spans (across ALL users — no equi-key) contain its
+    timestamp. A point covers exactly one bucket, so the plan needs no
+    duplicate elimination at all; unmatched clicks survive the left
+    join with count 0."""
+    from ..operators.rangejoin import point_in_interval_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").cast("bigint").alias("ts_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "ts_us")
+    iv = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.expr("ts_us div 86400000000").alias("day"))
+        .agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+        .select("lo", "hi")
+    )
+    j = point_in_interval_join(
+        clicks, "ts_us", iv, "lo", "hi", bucket_width=3_600_000_000, how="left"
+    )
+    return j.groupBy("event_id").agg(
+        F.count("lo").cast("bigint").alias("n_error_spans")
+    )
+
+
+EV6_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+iv AS (SELECT user_id, t // 86400000000 AS day, min(t) AS lo, max(t) AS hi
+       FROM e WHERE event_type = 'error' GROUP BY 1, 2),
+c AS (SELECT event_id, t FROM e WHERE event_type = 'click')
+SELECT c.event_id, CAST(count(iv.lo) AS BIGINT) AS n_error_spans
+FROM c LEFT JOIN iv ON iv.lo <= c.t AND c.t <= iv.hi
+GROUP BY 1
+"""
+
+
+def tx9_mixture_weights(spark, sf_dir):
+    """Temperature-scaled training-mix weights per source: the
+    multilingual-LM sampling step (weight_i ∝ tokens_i^alpha,
+    alpha=0.3 flattens the head). Token totals are one hash aggregate;
+    the normalizer is a 1-row broadcast cross join — NOT a global
+    window, so the plan stays lint-clean at any source cardinality.
+    round(6) absorbs pow/sum last-ulp engine differences."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", TX.token_count(F.col("text")).alias("tc"))
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tc").cast("bigint").alias("n_tokens"),
+    )
+    p = agg.withColumn(
+        "_pw", F.pow(F.col("n_tokens").cast("double"), F.lit(0.3))
+    )
+    total = p.agg(F.sum("_pw").alias("_tot"))
+    return p.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("_pw") / F.col("_tot"), 6).alias("weight"),
+    )
+
+
+TX9_SQL = f"""
+WITH d AS (SELECT source, CAST(len({TOKS_SQL}) AS BIGINT) AS tc FROM documents),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tc) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1),
+p AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.3) AS pw FROM a)
+SELECT source, n_docs, n_tokens,
+       round(pw / (SELECT sum(pw) FROM p), 6) AS weight
+FROM p
+"""
+
+
+def pk3_shuffle_shards(spark, sf_dir):
+    """Deterministic corpus shuffle for training order: every doc gets
+    an md5 rank, a shard (rank mod 16), and a position within its
+    shard. The only window is PARTITIONED by shard — each partition
+    holds ~1/16 of the corpus, and shard count scales with the
+    cluster, so no single-task funnel (the p6/g5 rule). Reshuffling =
+    changing the salt; the assignment is reproducible across runs and
+    engines (md5 twin)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        H.md5_long(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":shuf42"))
+        ).alias("_r"),
+    ).withColumn("shard", F.pmod(F.col("_r"), F.lit(16)).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("_r", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
+PK3_SQL = """
+WITH k AS (SELECT doc_id,
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shuf42'), 1, 15)) AS BIGINT) AS r
+           FROM documents)
+SELECT doc_id, CAST(r % 16 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY r % 16 ORDER BY r, doc_id) AS BIGINT) AS pos
+FROM k
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "p1_typed_projection": p1_typed_projection,
@@ -2605,8 +2714,11 @@ QUERIES = {
     "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
     "ev4_asof_enrich": ev4_asof_enrich,
     "ev5_overlap_pairs": ev5_overlap_pairs,
+    "ev6_point_in_span": ev6_point_in_span,
     "tx7_lang_confusion": tx7_lang_confusion,
     "tx8_corpus_profile": tx8_corpus_profile,
+    "tx9_mixture_weights": tx9_mixture_weights,
+    "pk3_shuffle_shards": pk3_shuffle_shards,
 }
 
 ORACLES = {
@@ -2685,8 +2797,11 @@ ORACLES = {
     "st4_stream_ingest_pipeline": ST4_SQL,
     "ev4_asof_enrich": EV4_SQL,
     "ev5_overlap_pairs": EV5_SQL,
+    "ev6_point_in_span": EV6_SQL,
     "tx7_lang_confusion": TX7_SQL,
     "tx8_corpus_profile": TX8_SQL,
+    "tx9_mixture_weights": TX9_SQL,
+    "pk3_shuffle_shards": PK3_SQL,
 }
 
 
