@@ -33,6 +33,8 @@ HEADLINE = [
     "dd4_minhash_lsh_pairs",
     "tx1_text_stats",
     "ss1_ann_cosine_topk",
+    "ss3_quantize_embeddings",
+    "ss4_label_centroids",
     "mm1_image_stats",
     "mm3_media_features",
     "dd8_neardup_lsh",

@@ -2636,6 +2636,107 @@ FROM k
 """
 
 
+def ss3_quantize_embeddings(spark, sf_dir):
+    """Per-vector symmetric int8 quantization — the 4x storage/IO
+    compression step before shipping embeddings at corpus scale.
+    scale = max|x|/127, q = clamp(floor(x/scale + 0.5), ±127) (the
+    floor(+0.5) form is deterministic HALF-UP in both engines — the
+    floor-to-cents rule), plus the max reconstruction error as an
+    audit column. Every stage is a materialized projection, so no
+    aggregate expression is ever re-evaluated inside a lambda (the
+    transform-lambda CSE rule)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("_vd")
+    )
+    s = d.select(
+        "vec_id",
+        "_vd",
+        (F.array_max(F.transform("_vd", F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    q = s.select(
+        "vec_id",
+        "scale",
+        "_vd",
+        F.when(
+            F.col("scale") > 0,
+            F.transform(
+                "_vd",
+                lambda x: F.least(
+                    F.greatest(F.floor(x / F.col("scale") + F.lit(0.5)), F.lit(-127)),
+                    F.lit(127),
+                ).cast("bigint"),
+            ),
+        )
+        .otherwise(F.transform("_vd", lambda x: F.lit(0).cast("bigint")))
+        .alias("qvec"),
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        "qvec",
+        F.round(
+            F.array_max(
+                F.zip_with("qvec", "_vd", lambda qq, x: F.abs(qq * F.col("scale") - x))
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )
+
+
+SS3_SQL = """
+WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+           FROM embeddings),
+s AS (SELECT vec_id, vd,
+             list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale
+      FROM d),
+q AS (SELECT vec_id, scale, vd,
+             CASE WHEN scale > 0
+                  THEN list_transform(vd, x -> CAST(least(greatest(floor(x / scale + 0.5), -127), 127) AS BIGINT))
+                  ELSE list_transform(vd, x -> CAST(0 AS BIGINT)) END AS qvec
+      FROM s)
+SELECT vec_id, scale, qvec,
+       round(list_max(list_transform(range(1, len(vd) + 1),
+                                     i -> abs(qvec[i] * scale - vd[i]))), 6) AS max_abs_err
+FROM q
+"""
+
+
+def ss4_label_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding corpus (IVF seeding / drift
+    monitoring). The plan posexplodes to (label, pos, val) and
+    hash-aggregates — partial (map-side) aggregation collapses each
+    partition to labels x dim rows BEFORE the shuffle, so shuffle
+    volume is partitions x labels x dim regardless of corpus size.
+    Component means round(6) (engine sum-order rule); the array is
+    rebuilt with a deterministic sort_array(collect_list(struct))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    g = e.groupBy("label", "pos").agg(
+        F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+    )
+    return g.groupBy("label").agg(
+        F.max("n_vecs").alias("n_vecs"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid"),
+    )
+
+
+SS4_SQL = """
+WITH e AS (SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)),
+g AS (SELECT label, pos, round(sum(val) / count(*), 6) AS m,
+             CAST(count(*) AS BIGINT) AS n_vecs
+      FROM e GROUP BY 1, 2)
+SELECT label, max(n_vecs) AS n_vecs, list(m ORDER BY pos) AS centroid
+FROM g GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "p1_typed_projection": p1_typed_projection,
@@ -2719,6 +2820,8 @@ QUERIES = {
     "tx8_corpus_profile": tx8_corpus_profile,
     "tx9_mixture_weights": tx9_mixture_weights,
     "pk3_shuffle_shards": pk3_shuffle_shards,
+    "ss3_quantize_embeddings": ss3_quantize_embeddings,
+    "ss4_label_centroids": ss4_label_centroids,
 }
 
 ORACLES = {
@@ -2802,6 +2905,8 @@ ORACLES = {
     "tx8_corpus_profile": TX8_SQL,
     "tx9_mixture_weights": TX9_SQL,
     "pk3_shuffle_shards": PK3_SQL,
+    "ss3_quantize_embeddings": SS3_SQL,
+    "ss4_label_centroids": SS4_SQL,
 }
 
 
