@@ -41,6 +41,7 @@ HEADLINE = [
     "dd10_canonical_keep",
     "dd9_decontaminate",
     "tx3_stratified_sample",
+    "sp9_stratified_head",
     "tx4_scrub_pii",
     "tx5_repetition_stats",
     "tx6_unigram_logprob",

@@ -252,3 +252,49 @@ def stratified_sample(
     return df.filter(
         det_unit(*[F.col(c) for c in key_cols], seed=seed) < rate
     )
+
+
+def stratified_head(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    key_cols: list[str] | None = None,
+    seed: int = 42,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Exactly the first ``n`` rows of each stratum in deterministic
+    ``det_unit`` order — eval-set construction ("exactly 500 docs per
+    language"), the exact-count complement of
+    :func:`stratified_sample`'s rate-based Bernoulli.
+
+    Scale-safe: NEVER a whole-stratum window (a hot stratum would
+    funnel through one task). Rows hash-bucket within each stratum;
+    the within-(stratum, bucket) row_number plus broadcast per-stratum
+    bucket offsets give the exact per-stratum rank — the
+    ``_global_rank`` two-pass pattern generalized to a group key. The
+    offsets frame is strata x n_buckets rows, so its window is free.
+    Membership is a pure function of the row's key: reproducible
+    across runs, repartitionings, and engines.
+    """
+    key_cols = key_cols or [df.columns[0]]
+    u = det_unit(*[F.col(c) for c in key_cols], seed=seed)
+    keyed = df.withColumn("_u", u).withColumn(
+        "_bkt",
+        F.least(F.floor(F.col("_u") * n_buckets).cast("int"), F.lit(n_buckets - 1)),
+    )
+    order = [F.col("_u").asc()] + [F.col(c).asc() for c in key_cols]
+    w = Window.partitionBy(strata_col, "_bkt").orderBy(*order)
+    keyed = keyed.withColumn("_brn", F.row_number().over(w))
+    counts = keyed.groupBy(strata_col, "_bkt").agg(F.count(F.lit(1)).alias("_bc"))
+    off_w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn("_off", F.coalesce(F.sum("_bc").over(off_w), F.lit(0)))
+    joined = keyed.join(
+        F.broadcast(offs.select(strata_col, "_bkt", "_off")), [strata_col, "_bkt"]
+    )
+    return joined.filter(F.col("_off") + F.col("_brn") <= F.lit(int(n))).drop(
+        "_u", "_bkt", "_brn", "_off"
+    )

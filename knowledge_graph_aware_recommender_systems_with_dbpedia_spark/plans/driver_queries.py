@@ -2737,6 +2737,35 @@ FROM g GROUP BY 1
 """
 
 
+def sp9_stratified_head(spark, sf_dir):
+    """Exact-count eval-set construction: the first 15 documents per
+    source in deterministic det-hash order (splits.stratified_head —
+    the two-pass bucketed per-stratum rank, no whole-stratum window).
+    The oracle replays it as a plain per-stratum row_number, which is
+    only safe at DuckDB's single-node scale — the Spark plan computes
+    the identical rank without ever forming a per-stratum task."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    return SP.stratified_head(docs, "source", n=15, key_cols=["doc_id"], seed=SEED)
+
+
+def _sp9_sql() -> str:
+    u = H.det_hash_sql("doc_id", seed=SEED)
+    return f"""
+WITH k AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                  ({u}) / 1000000.0 AS u
+           FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+      FROM k)
+SELECT doc_id, source FROM r WHERE rn <= 15
+"""
+
+
+SP9_SQL = _sp9_sql()
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "p1_typed_projection": p1_typed_projection,
@@ -2822,6 +2851,7 @@ QUERIES = {
     "pk3_shuffle_shards": pk3_shuffle_shards,
     "ss3_quantize_embeddings": ss3_quantize_embeddings,
     "ss4_label_centroids": ss4_label_centroids,
+    "sp9_stratified_head": sp9_stratified_head,
 }
 
 ORACLES = {
@@ -2907,6 +2937,7 @@ ORACLES = {
     "pk3_shuffle_shards": PK3_SQL,
     "ss3_quantize_embeddings": SS3_SQL,
     "ss4_label_centroids": SS4_SQL,
+    "sp9_stratified_head": SP9_SQL,
 }
 
 

@@ -203,3 +203,40 @@ def test_stratified_sample_rate_accuracy(spark):
     for rate in (0.1, 0.5, 0.9):
         kept = splits.stratified_sample(df, "band", {"s": rate}, key_cols=["k"]).count()
         assert abs(kept / 20000 - rate) < 0.02, (rate, kept)
+
+
+def test_stratified_head_exact_and_stable(spark):
+    """stratified_head == the naive whole-stratum window rank, takes
+    exactly min(n, |stratum|) rows, and is invariant under
+    repartitioning (pure function of the key)."""
+    from pyspark.sql import Window
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions.hashing import det_unit
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.splits import stratified_head
+
+    rows = [(i, "abc"[i % 3]) for i in range(90)] + [(1000, "d")]
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+    got = stratified_head(df, "grp", n=7, key_cols=["id"], n_buckets=4)
+    picked = {(r.grp, r.id) for r in got.collect()}
+
+    naive = (
+        df.withColumn("_u", det_unit(F.col("id")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("grp").orderBy("_u", "id")),
+        )
+        .filter(F.col("_rn") <= 7)
+    )
+    want = {(r.grp, r.id) for r in naive.collect()}
+    assert picked == want
+    from collections import Counter
+
+    sizes = Counter(g for g, _ in picked)
+    assert sizes == {"a": 7, "b": 7, "c": 7, "d": 1}
+    re_got = {
+        (r.grp, r.id)
+        for r in stratified_head(
+            df.repartition(7), "grp", n=7, key_cols=["id"], n_buckets=4
+        ).collect()
+    }
+    assert re_got == picked
