@@ -39,6 +39,7 @@ HEADLINE = [
     "mm3_media_features",
     "dd8_neardup_lsh",
     "dd10_canonical_keep",
+    "dd11_incremental_dedup",
     "dd9_decontaminate",
     "tx3_stratified_sample",
     "sp9_stratified_head",

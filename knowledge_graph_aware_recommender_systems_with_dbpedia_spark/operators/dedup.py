@@ -525,3 +525,97 @@ def cluster_keepers(
             "n_docs",
         )
     )
+
+
+def minhash_lsh_pairs_between(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    bands: int = 4,
+    n_hashes: int = N_HASHES,
+    n: int = 3,
+    verify_threshold: float | None = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus banded-LSH near-dup pairs: (new_id, corpus_id
+    [, jaccard]). Signatures use the same fixed hash family on both
+    sides, so a doc's bands are identical whichever frame it sits in —
+    the incremental form of :func:`minhash_lsh_pairs` (new batch vs
+    existing corpus instead of corpus vs itself). The join is band ×
+    bucket equi only; nothing ever compares all new docs to all corpus
+    docs."""
+    def _buckets(docs: DataFrame) -> DataFrame:
+        rows = n_hashes // bands
+        sig = minhash_signatures(docs, n_hashes, n, id_col, text_col)
+        band_cols = []
+        for bi in range(bands):
+            cols = [F.col(f"mh{bi * rows + j}").cast("string") for j in range(rows)]
+            band_cols.append(
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.md5(F.concat_ws("_", *cols)).alias("bkey"),
+                )
+            )
+        return sig.select(
+            "id", F.explode(F.array(*band_cols)).alias("bk")
+        ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    nb = _buckets(new_docs).select(
+        F.col("id").alias("new_id"), "band", "bkey"
+    )
+    cb = _buckets(corpus).select(
+        F.col("id").alias("corpus_id"), "band", "bkey"
+    )
+    cands = nb.join(cb, ["band", "bkey"]).select("new_id", "corpus_id").distinct()
+    if verify_threshold is None:
+        return cands
+    cands = cands.cache()
+    sh_new = doc_shingles(new_docs, id_col, text_col, n).join(
+        cands.select(F.col("new_id").alias("id")).distinct(), "id", "left_semi"
+    )
+    sh_c = doc_shingles(corpus, id_col, text_col, n).join(
+        cands.select(F.col("corpus_id").alias("id")).distinct(), "id", "left_semi"
+    )
+    sn = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
+    sc = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n2"))
+    common = (
+        sh_new.select(F.col("id").alias("new_id"), "shingle")
+        .join(sh_c.select(F.col("id").alias("corpus_id"), "shingle"), "shingle")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cands, ["new_id", "corpus_id"], "left_semi")
+    )
+    return (
+        common.join(sn.select(F.col("id").alias("new_id"), "n1"), "new_id")
+        .join(sc.select(F.col("id").alias("corpus_id"), "n2"), "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    bands: int = 4,
+    n_hashes: int = N_HASHES,
+    n: int = 3,
+    verify_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingest dedup: the new batch minus every doc that is
+    a verified near-dup of something ALREADY in the corpus — the
+    production shape of dedup (daily crawl vs accumulated corpus),
+    where re-running the full self-join would redo work proportional
+    to the corpus instead of the batch."""
+    flagged = minhash_lsh_pairs_between(
+        new_docs, corpus, bands, n_hashes, n, verify_threshold, id_col, text_col
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new_docs.join(flagged, id_col, "left_anti")

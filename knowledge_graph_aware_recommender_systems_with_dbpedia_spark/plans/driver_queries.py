@@ -2766,6 +2766,38 @@ SELECT doc_id, source FROM r WHERE rn <= 15
 SP9_SQL = _sp9_sql()
 
 
+def dd11_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup (dedup.dedup_against_corpus): the
+    "new batch" (doc_id % 5 == 0) minus everything near-dup with the
+    existing corpus (the other 80%). Same band family as dd4 so a
+    doc's buckets are identical on either side; the oracle replays
+    bands + cross-pair verify in SQL and anti-selects. Survivors
+    only — the production daily-crawl shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    out = DD.dedup_against_corpus(
+        new, corpus, bands=8, n_hashes=16, verify_threshold=0.1
+    )
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+DD11_SQL = f"""
+WITH {_SHINGLES_SQL}, {_JACCARD_SQL},
+sig AS (SELECT id AS doc_id, {_minhash_min_exprs_sql()} FROM sh GROUP BY id),
+buckets AS ({_lsh_bands_sql(8, 16)}),
+cand AS (SELECT DISTINCT a.id AS nid, b.id AS cid
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
+         WHERE a.id % 5 = 0 AND b.id % 5 <> 0),
+flagged AS (SELECT DISTINCT c.nid FROM cand c
+            JOIN jac j ON j.id1 = least(c.nid, c.cid)
+                      AND j.id2 = greatest(c.nid, c.cid)
+            WHERE j.jaccard >= 0.1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT nid FROM flagged)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "p1_typed_projection": p1_typed_projection,
@@ -2852,6 +2884,7 @@ QUERIES = {
     "ss3_quantize_embeddings": ss3_quantize_embeddings,
     "ss4_label_centroids": ss4_label_centroids,
     "sp9_stratified_head": sp9_stratified_head,
+    "dd11_incremental_dedup": dd11_incremental_dedup,
 }
 
 ORACLES = {
@@ -2938,6 +2971,7 @@ ORACLES = {
     "ss3_quantize_embeddings": SS3_SQL,
     "ss4_label_centroids": SS4_SQL,
     "sp9_stratified_head": SP9_SQL,
+    "dd11_incremental_dedup": DD11_SQL,
 }
 
 

@@ -401,3 +401,44 @@ def test_ivf_index_build_probe_matches_inline(spark, tmp_path):
         via_index.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_dedup_against_corpus_incremental(spark):
+    """Cross-corpus LSH pairs agree with the self-join run on the
+    union (restricted to cross pairs), and survivors are exactly the
+    new docs with no verified corpus near-dup."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (1, base),                                    # new: dup of corpus 2
+        (3, "completely different text about spark catalyst optimizer internals"),
+        (5, base.replace("quick", "rapid")),          # new: near-dup of 2
+        (2, base),                                    # corpus
+        (4, "unrelated corpus document mentioning columnar parquet storage"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    new = df.filter(F.col("doc_id") % 2 == 1)
+    corpus = df.filter(F.col("doc_id") % 2 == 0)
+
+    pairs = DD.minhash_lsh_pairs_between(
+        new, corpus, bands=8, n_hashes=16, verify_threshold=0.1
+    )
+    got = {(r.new_id, r.corpus_id) for r in pairs.collect()}
+    self_pairs = DD.minhash_lsh_pairs(
+        df, bands=8, n_hashes=16, verify_threshold=0.1
+    )
+    cross = {
+        (a, b) if a % 2 == 1 else (b, a)
+        for r in self_pairs.collect()
+        for a, b in [(r.id1, r.id2)]
+        if (a % 2) != (b % 2)
+    }
+    assert got == cross and (1, 2) in got
+
+    survivors = {
+        r.doc_id
+        for r in DD.dedup_against_corpus(
+            new, corpus, bands=8, n_hashes=16, verify_threshold=0.1
+        ).collect()
+    }
+    assert survivors == {1, 3, 5} - {p[0] for p in got}
+    assert 3 in survivors
