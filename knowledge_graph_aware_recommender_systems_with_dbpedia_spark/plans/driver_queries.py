@@ -2798,6 +2798,68 @@ WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT nid FROM flagged)
 """
 
 
+def rec_itemknn_top5(spark, sf_dir):
+    """Item-item co-rating cosine KNN (operators/itemknn.py) through
+    the reference's scoring contract (J6/O4). Fully deterministic and
+    SQL-checkable: integral ratings make dot products / squared norms
+    exact BIGINT aggregates; each sim is ONE float division of exact
+    ints; the score fold is evaluated in pinned rated-item order
+    (exact_order=True), so DuckDB's list_reduce over an ordered list
+    replays the float sum bit-for-bit. Reference recommender contract:
+    framework/recommender/recommender.py:11-31."""
+    from ..operators.itemknn import ItemKNNRecommender
+
+    train, _ = SP.train_test(_user_split(spark, sf_dir))
+    rec = ItemKNNRecommender(k=5, m=10, min_support=2).train(
+        train.select("user_id", "item_id", "rating")
+    )
+    return rec.get_recommendations(5).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("item_id").cast("bigint").alias("item_id"),
+        F.col("rank").cast("bigint").alias("rec_rank"),
+    )
+
+
+REC_ITEMKNN_SQL = (
+    "WITH "
+    + _split_user_sql(0.2)
+    + """,
+train AS (SELECT user_id, item_id, CAST(rating AS BIGINT) AS rq FROM sp WHERE is_test = 0),
+n2 AS (SELECT item_id, sum(rq * rq) AS n2 FROM train GROUP BY 1),
+pairs AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+                 sum(a.rq * b.rq) AS dot, count(*) AS n_common
+          FROM train a JOIN train b ON a.user_id = b.user_id AND a.item_id < b.item_id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+sym AS (SELECT item_a, item_b, dot, n_common FROM pairs
+        UNION ALL
+        SELECT item_b AS item_a, item_a AS item_b, dot, n_common FROM pairs),
+sims AS (SELECT s.item_a, s.item_b,
+                CAST(s.dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) AS sim
+         FROM sym s
+         JOIN n2 na ON na.item_id = s.item_a
+         JOIN n2 nb ON nb.item_id = s.item_b),
+nbr AS (SELECT item_a, item_b, sim FROM (
+          SELECT sims.*, row_number() OVER (PARTITION BY item_a ORDER BY sim DESC, item_b) AS rn
+          FROM sims) t
+        WHERE rn <= 10),
+contrib AS (SELECT t.user_id, n.item_b AS cand, t.item_id AS ri,
+                   n.sim * CAST(t.rq AS DOUBLE) AS c
+            FROM train t JOIN nbr n ON n.item_a = t.item_id),
+scored AS (SELECT user_id, cand AS item_id,
+                  list_reduce(list(c ORDER BY ri), (x, y) -> x + y) AS score
+           FROM contrib GROUP BY 1, 2),
+unrated AS (SELECT s.user_id, s.item_id, s.score FROM scored s
+            ANTI JOIN train t ON t.user_id = s.user_id AND t.item_id = s.item_id),
+rk AS (SELECT user_id, item_id,
+              row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_id) AS rec_rank
+       FROM unrated)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(item_id AS BIGINT) AS item_id,
+       CAST(rec_rank AS BIGINT) AS rec_rank
+FROM rk WHERE rec_rank <= 5
+"""
+)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "p1_typed_projection": p1_typed_projection,

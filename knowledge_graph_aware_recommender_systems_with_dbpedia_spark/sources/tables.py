@@ -30,19 +30,54 @@ TPCH_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def shape_events(df: DataFrame) -> DataFrame:
+    """Normalize an events DataFrame to the canonical shape every
+    consumer expects: ``ts_ns`` (bigint, nanoseconds since epoch) in
+    place of the raw ``ts`` column, plus a microsecond-precision
+    TimestampType ``ts`` appended last.
+
+    Schema-adaptive: the driver testdata has shipped ``events.ts`` as
+    parquet TIMESTAMP(NANOS) (arrives as LongType under the
+    ``nanosAsLong`` legacy conf) and as TIMESTAMP(MICROS)
+    (arrives as TIMESTAMP_NTZ, or TIMESTAMP when inference is off).
+    Branch on the ACTUAL read type — never on a session conf, which a
+    pre-built driver session may ignore.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):  # raw nanos
+        ns = F.col("ts")
+    elif isinstance(t, TimestampNTZType):
+        # naive micros == stored micros; timestampdiff between two NTZ
+        # values is pure field arithmetic — session-timezone-independent
+        # (unlike cast-to-timestamp / to_utc_timestamp, which shift by
+        # the session zone). Matches DuckDB's epoch_ns(ts) exactly.
+        ns = (
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+            * 1000
+        )
+    elif isinstance(t, TimestampType):
+        ns = F.unix_micros(F.col("ts")) * 1000
+    else:
+        raise TypeError(f"unexpected events.ts type: {t}")
+    shaped = df.withColumn("ts_ns", ns.cast("bigint")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    # ts_ns takes ts's original position, ts goes last (the historical
+    # column order — query output schemas depend on it)
+    return shaped.select(
+        *[("ts_ns" if c == "ts" else c) for c in df.columns], "ts"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-        # timestamp type, so read it as a long and derive a microsecond
-        # timestamp column alongside the raw nanos.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        return df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts_ns") / F.lit(1000)).cast("bigint"))
-        )
+        return shape_events(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

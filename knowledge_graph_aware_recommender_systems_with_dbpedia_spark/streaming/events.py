@@ -7,8 +7,9 @@ incremental plans with watermarks, so a 100 TB/day event firehose is a
 `readStream` swap away — the aggregation code is identical.
 
 Design:
- * event time = parquet TIMESTAMP(NANOS) read as long (Spark has no ns
-   type), floored to a microsecond ``ts`` column;
+ * event time = whatever physical type events.ts carries in the
+   parquet (nanos-long or micros timestamp), normalized schema-
+   adaptively to ts_ns + a microsecond ``ts`` column;
  * tumbling/sliding rollups: ``window(ts, ...)`` + watermark — late
    rows beyond the watermark are dropped instead of corrupting closed
    windows;
@@ -31,9 +32,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_FIELDS = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-
-
 def read_events_stream(
     spark: SparkSession,
     path: str,
@@ -41,9 +39,15 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream of events parquet (a directory of files or a
     single file). ``max_files_per_trigger`` throttles replay so tests
-    can exercise multi-batch incremental execution."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_FIELDS)
+    can exercise multi-batch incremental execution.
+
+    The stream schema is inferred from a batch footer read of the same
+    path, so whatever physical type ``ts`` carries (nanos-long or
+    micros timestamp — the driver testdata has shipped both) is the
+    type the file source declares; ``with_event_time`` then normalizes
+    it schema-adaptively.
+    """
+    reader = spark.readStream.schema(spark.read.parquet(path).schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(path):
@@ -57,12 +61,14 @@ def read_events_stream(
 
 
 def with_event_time(events: DataFrame) -> DataFrame:
-    """ts(ns long) -> ts_ns + microsecond-precision ``ts`` timestamp."""
+    """Normalize to ts_ns (bigint ns) + microsecond TimestampType ``ts``
+    whatever the raw ``ts`` type is (nanos-long / NTZ / timestamp) —
+    shared with the batch loader (sources/tables.py:shape_events)."""
     if "ts_ns" in events.columns:  # already shaped (batch loader)
         return events
-    return events.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts_ns") / F.lit(1000)).cast("bigint"))
-    )
+    from ..sources.tables import shape_events
+
+    return shape_events(events)
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -67,13 +67,14 @@ def test_stateful_sessionizer_matches_native(spark, tmp_path):
 def test_stateful_incremental_two_batches(spark, tmp_path):
     # split events at the median timestamp into two files fed one per
     # trigger — sessions spanning the cut must merge via state
-    ev = spark.read.parquet(EVENTS)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    cut = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import shape_events
+
+    ev = shape_events(spark.read.parquet(EVENTS))
+    cut = ev.approxQuantile("ts_ns", [0.5], 0.0)[0]
     feed = tmp_path / "feed"
-    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(feed / "p1"))
+    ev.filter(F.col("ts_ns") <= cut).coalesce(1).write.parquet(str(feed / "p1"))
     time.sleep(1.1)  # file source orders by modification time
-    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(feed / "p2"))
+    ev.filter(F.col("ts_ns") > cut).coalesce(1).write.parquet(str(feed / "p2"))
 
     stream = ST.read_events_stream(
         spark, str(feed / "p*" / "*.parquet"), max_files_per_trigger=1
@@ -160,13 +161,14 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     # two files fed one per trigger; the query is STOPPED after batch 1
     # and restarted from the SAME checkpoint — recovery must process
     # only the remaining file (no dups, no loss)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(EVENTS)
-    cut = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import shape_events
+
+    ev = shape_events(spark.read.parquet(EVENTS))
+    cut = ev.approxQuantile("ts_ns", [0.5], 0.0)[0]
     feed = tmp_path / "feed"
-    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(feed / "p1"))
+    ev.filter(F.col("ts_ns") <= cut).coalesce(1).write.parquet(str(feed / "p1"))
     time.sleep(1.1)
-    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(feed / "p2"))
+    ev.filter(F.col("ts_ns") > cut).coalesce(1).write.parquet(str(feed / "p2"))
     ckpt = str(tmp_path / "ckpt")
     out_dir = str(tmp_path / "sink")
 
