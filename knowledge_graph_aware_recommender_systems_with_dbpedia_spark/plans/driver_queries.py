@@ -2860,7 +2860,14 @@ FROM rk WHERE rec_rank <= 5
 )
 
 
+# Ordered for driver visibility: the driver's correctness gate samples
+# the FIRST 50 entries, so one oracled representative of every operator
+# family (core TPC-H-ish, graph, splits, integration, recommenders,
+# metrics, dedup, ANN, text, packing, multimodal, events, streaming,
+# composed pipeline) sits inside the first 50; variants and the two
+# no-oracle stochastic recommenders follow.
 QUERIES = {
+    # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
     "p1_typed_projection": p1_typed_projection,
     "p5_dedup_ratings": p5_dedup_ratings,
@@ -2868,9 +2875,13 @@ QUERIES = {
     "p11_binarize": p11_binarize,
     "p12_distinct_keys": p12_distinct_keys,
     "j1_left_enrich": j1_left_enrich,
+    "j3_key_reconstruction": j3_key_reconstruction,
     "j4_semi_join": j4_semi_join,
     "j6_anti_join": j6_anti_join,
+    # --- aggregations / ordering / unions (11-20)
     "a1_group_concat": a1_group_concat,
+    "a2_o1_user_rating_lists": a2_o1_user_rating_lists,
+    "a3_item_reverse_index": a3_item_reverse_index,
     "a5_coverage_stats": a5_coverage_stats,
     "a6_mean_std": a6_mean_std,
     "a8_max_degree": a8_max_degree,
@@ -2878,6 +2889,7 @@ QUERIES = {
     "o2_global_sort": o2_global_sort,
     "o3_topk_per_group": o3_topk_per_group,
     "u1_union_distinct": u1_union_distinct,
+    # --- graph + splits + integration (21-32)
     "g3_graph_summary": g3_graph_summary,
     "g4_kcore_user": g4_kcore_user,
     "g4_kcore_alternating": g4_kcore_alternating,
@@ -2885,68 +2897,69 @@ QUERIES = {
     "g8_triples": g8_triples,
     "sp1_random_global": _split_query("random_by_ratio", p=0.25, level="global"),
     "sp2_random_user": _split_query("random_by_ratio", p=0.2, level="user"),
-    "sp3_temporal_global": _split_query("timestamp_by_ratio", p=0.3, level="global"),
-    "sp4_temporal_user": _split_query("timestamp_by_ratio", p=0.3, level="user"),
-    "sp5_fixed_timestamp": _split_query("fixed_timestamp", timestamp=2750),
     "sp6_kfold_global": _split_query("k_fold", k=5, level="global"),
-    "sp7_kfold_user": _split_query("k_fold", k=4, level="user"),
-    "j3_key_reconstruction": j3_key_reconstruction,
-    "a2_o1_user_rating_lists": a2_o1_user_rating_lists,
-    "a3_item_reverse_index": a3_item_reverse_index,
+    "sp9_stratified_head": sp9_stratified_head,
     "di1_title_normalize": di1_title_normalize,
     "di2_entity_link": di2_entity_link,
     "di3_json_props": di3_json_props,
+    # --- recommenders + metrics (33-38)
     "rec_popularity_top5": rec_popularity_top5,
-    "rec_node2vec_top5": rec_node2vec_top5,
-    "rec_kge_transe_top5": rec_kge_transe_top5,
     "rec_fixed_emb_top5": rec_fixed_emb_top5,
+    "rec_itemknn_top5": rec_itemknn_top5,
     "e2_map_at_5": e2_map_at_5,
     "e3_ndcg_at_5": e3_ndcg_at_5,
     "e4_mrr_at_5": e4_mrr_at_5,
-    "e5_hitrate_at_5": e5_hitrate_at_5,
+    # --- one representative per LLM-pipeline family (39-50)
     "dd1_exact_dedup": dd1_exact_dedup,
-    "dd2_ngram_jaccard": dd2_ngram_jaccard,
-    "dd9_decontaminate": dd9_decontaminate,
-    "dp1_training_pipeline": dp1_training_pipeline,
-    "dd3_minhash_signatures": dd3_minhash_signatures,
     "dd4_minhash_lsh_pairs": dd4_minhash_lsh_pairs,
-    "dd5_simhash": dd5_simhash,
+    "dd9_decontaminate": dd9_decontaminate,
+    "dd11_incremental_dedup": dd11_incremental_dedup,
+    "ss2_ann_ivf_topk": ss2_ann_ivf_topk,
     "tx1_text_stats": tx1_text_stats,
+    "pk1_pack_sequences": pk1_pack_sequences,
+    "mm1_image_stats": mm1_image_stats,
+    "ev1_hourly_rollup": ev1_hourly_rollup,
+    "ev4_asof_enrich": ev4_asof_enrich,
+    "st1_stream_hourly_rollup": st1_stream_hourly_rollup,
+    "dp1_training_pipeline": dp1_training_pipeline,
+    # --- variants beyond the 50-query sample window
+    "e5_hitrate_at_5": e5_hitrate_at_5,
+    "rec_node2vec_top5": rec_node2vec_top5,
+    "rec_kge_transe_top5": rec_kge_transe_top5,
+    "sp3_temporal_global": _split_query("timestamp_by_ratio", p=0.3, level="global"),
+    "sp4_temporal_user": _split_query("timestamp_by_ratio", p=0.3, level="user"),
+    "sp5_fixed_timestamp": _split_query("fixed_timestamp", timestamp=2750),
+    "sp7_kfold_user": _split_query("k_fold", k=4, level="user"),
+    "dd2_ngram_jaccard": dd2_ngram_jaccard,
+    "dd3_minhash_signatures": dd3_minhash_signatures,
+    "dd5_simhash": dd5_simhash,
+    "dd6_embedding_neardup": dd6_embedding_neardup,
+    "dd7_dedup_clusters": dd7_dedup_clusters,
+    "dd8_neardup_lsh": dd8_neardup_lsh,
+    "dd10_canonical_keep": dd10_canonical_keep,
+    "ss1_ann_cosine_topk": ss1_ann_cosine_topk,
+    "ss3_quantize_embeddings": ss3_quantize_embeddings,
+    "ss4_label_centroids": ss4_label_centroids,
+    "tx2_vocab_topk": tx2_vocab_topk,
     "tx3_stratified_sample": tx3_stratified_sample,
     "tx4_scrub_pii": tx4_scrub_pii,
     "tx5_repetition_stats": tx5_repetition_stats,
     "tx6_unigram_logprob": tx6_unigram_logprob,
-    "pk1_pack_sequences": pk1_pack_sequences,
-    "ck1_chunk_documents": ck1_chunk_documents,
-    "pk2_sequence_stats": pk2_sequence_stats,
-    "tx2_vocab_topk": tx2_vocab_topk,
-    "dd6_embedding_neardup": dd6_embedding_neardup,
-    "dd7_dedup_clusters": dd7_dedup_clusters,
-    "dd10_canonical_keep": dd10_canonical_keep,
-    "dd8_neardup_lsh": dd8_neardup_lsh,
-    "ss1_ann_cosine_topk": ss1_ann_cosine_topk,
-    "ss2_ann_ivf_topk": ss2_ann_ivf_topk,
-    "mm1_image_stats": mm1_image_stats,
-    "mm2_frame_fanout": mm2_frame_fanout,
-    "mm3_media_features": mm3_media_features,
-    "ev1_hourly_rollup": ev1_hourly_rollup,
-    "ev2_sessionize": ev2_sessionize,
-    "ev3_sliding_rollup": ev3_sliding_rollup,
-    "st1_stream_hourly_rollup": st1_stream_hourly_rollup,
-    "st2_stream_sessionize_stateful": st2_stream_sessionize_stateful,
-    "st3_stream_media_features": st3_stream_media_features,
-    "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
-    "ev4_asof_enrich": ev4_asof_enrich,
-    "ev5_overlap_pairs": ev5_overlap_pairs,
-    "ev6_point_in_span": ev6_point_in_span,
     "tx7_lang_confusion": tx7_lang_confusion,
     "tx8_corpus_profile": tx8_corpus_profile,
     "tx9_mixture_weights": tx9_mixture_weights,
+    "pk2_sequence_stats": pk2_sequence_stats,
     "pk3_shuffle_shards": pk3_shuffle_shards,
-    "ss3_quantize_embeddings": ss3_quantize_embeddings,
-    "ss4_label_centroids": ss4_label_centroids,
-    "sp9_stratified_head": sp9_stratified_head,
-    "dd11_incremental_dedup": dd11_incremental_dedup,
+    "ck1_chunk_documents": ck1_chunk_documents,
+    "mm2_frame_fanout": mm2_frame_fanout,
+    "mm3_media_features": mm3_media_features,
+    "ev2_sessionize": ev2_sessionize,
+    "ev3_sliding_rollup": ev3_sliding_rollup,
+    "ev5_overlap_pairs": ev5_overlap_pairs,
+    "ev6_point_in_span": ev6_point_in_span,
+    "st2_stream_sessionize_stateful": st2_stream_sessionize_stateful,
+    "st3_stream_media_features": st3_stream_media_features,
+    "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
 }
 
 ORACLES = {
@@ -2987,6 +3000,7 @@ ORACLES = {
     "sp7_kfold_user": _sp_kfold_sql(4, "user"),
     "rec_popularity_top5": REC_POP_SQL,
     "rec_fixed_emb_top5": REC_FIXED_SQL,
+    "rec_itemknn_top5": REC_ITEMKNN_SQL,
     "e2_map_at_5": E2_SQL,
     "e3_ndcg_at_5": E3_SQL,
     "e4_mrr_at_5": E4_SQL,

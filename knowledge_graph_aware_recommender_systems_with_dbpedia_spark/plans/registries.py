@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators import metrics as ME
 from ..operators.graph import filter_kcore
+from ..operators.itemknn import ItemKNNRecommender
 from ..operators.kge import KGERecommender
 from ..operators.node2vec import Node2VecRecommender
 from ..operators.recommend import PopularityRecommender
@@ -60,6 +61,18 @@ def _popularity(parameters: dict, seed: int):
     return PopularityRecommender()
 
 
+def _itemknn(parameters: dict, seed: int):
+    p = parameters
+    return ItemKNNRecommender(
+        k=p.get("k", 5),
+        m=p.get("n_neighbors", p.get("m", 10)),
+        min_support=p.get("min_support", 1),
+        max_user_degree=p.get("max_user_degree"),
+        exact_order=p.get("exact_order", True),
+        all_recs=p.get("all_recs", False),
+    )
+
+
 # reference spelling preserved (model2class.py) + the rebuild's baseline
 MODELS = {
     "deepwalk_based": _deepwalk,
@@ -73,6 +86,8 @@ MODELS = {
     "rESCAL": _kge("rescal"),
     "complEx": _kge("complex"),
     "popularity": _popularity,
+    # greenfield deterministic neighborhood model (operators/itemknn.py)
+    "itemKNN": _itemknn,
 }
 
 # ----------------------------------------------------------------- metrics

@@ -1,0 +1,171 @@
+"""Unit tests for the item-item neighborhood recommenders
+(operators/itemknn.py): exact-integer similarity math against
+hand-computed values, scoring vs a brute-force replay, the Recommender
+contract, and the MODELS registry wiring."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import itemknn as IK
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.registries import MODELS
+
+RATINGS = [
+    # user, item, rating
+    (1, 10, 4), (1, 20, 2), (1, 30, 5),
+    (2, 10, 3), (2, 20, 1),
+    (3, 10, 5), (3, 30, 2),
+    (4, 20, 4), (4, 30, 4),
+]
+
+
+@pytest.fixture()
+def ratings(spark):
+    return spark.createDataFrame(RATINGS, "user_id bigint, item_id bigint, rating bigint")
+
+
+def _expected_sims():
+    """Hand-replay of co-rating cosine over RATINGS."""
+    by_item = {}
+    for u, i, r in RATINGS:
+        by_item.setdefault(i, {})[u] = r
+    items = sorted(by_item)
+    out = {}
+    for a in items:
+        for b in items:
+            if a >= b:
+                continue
+            common = set(by_item[a]) & set(by_item[b])
+            if not common:
+                continue
+            dot = sum(by_item[a][u] * by_item[b][u] for u in common)
+            n2a = sum(v * v for v in by_item[a].values())
+            n2b = sum(v * v for v in by_item[b].values())
+            out[(a, b)] = (len(common), dot / math.sqrt(n2a * n2b))
+    return out
+
+def test_item_cosine_similarity_exact(spark, ratings):
+    got = {
+        (r.item_a, r.item_b): (r.n_common, r.sim)
+        for r in IK.item_cosine_similarity(ratings).collect()
+        if r.item_a < r.item_b
+    }
+    want = _expected_sims()
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-12)
+    # mirrored direction present and identical
+    sym = {
+        (r.item_a, r.item_b): r.sim
+        for r in IK.item_cosine_similarity(ratings).collect()
+    }
+    for (a, b), (_, s) in want.items():
+        assert sym[(b, a)] == sym[(a, b)]
+
+
+def test_min_support_prunes(spark, ratings):
+    got = IK.item_cosine_similarity(ratings, min_support=2).collect()
+    for r in got:
+        assert r.n_common >= 2
+
+
+def test_max_user_degree_drops_power_users(spark, ratings):
+    # user 1 rated 3 items; cap at 2 removes them from pair generation
+    capped = {
+        (r.item_a, r.item_b): r.n_common
+        for r in IK.item_cosine_similarity(ratings, max_user_degree=2).collect()
+        if r.item_a < r.item_b
+    }
+    # (10,20): users {1,2} -> only 2 left; (20,30): users {1,4} -> only 4
+    assert capped[(10, 20)] == 1
+    assert capped[(20, 30)] == 1
+
+
+def test_kg_item_similarity_jaccard(spark):
+    edges = [
+        (10, "e1"), (10, "e2"), (10, "e3"),
+        (20, "e2"), (20, "e3"),
+        (30, "e4"),
+    ]
+    e = spark.createDataFrame(edges, "item_id bigint, entity string")
+    got = {
+        (r.item_a, r.item_b): (r.n_shared, r.sim)
+        for r in IK.kg_item_similarity(e).collect()
+    }
+    assert got[(10, 20)] == (2, 2 / 3)  # |A u B| = 3
+    assert got[(20, 10)] == (2, 2 / 3)
+    assert (10, 30) not in got
+
+
+def test_kg_max_entity_df_prunes_hot_entities(spark):
+    edges = [(i, "hot") for i in range(10, 60, 10)] + [(10, "rare"), (20, "rare")]
+    e = spark.createDataFrame(edges, "item_id bigint, entity string")
+    got = {
+        (r.item_a, r.item_b): (r.n_shared, r.sim)
+        for r in IK.kg_item_similarity(e, max_entity_df=3).collect()
+    }
+    # "hot" (df=5) pruned everywhere: only the rare pair remains, and
+    # set sizes are computed over the PRUNED universe (|A|=|B|=1)
+    assert got == {(10, 20): (1, 1.0), (20, 10): (1, 1.0)}
+
+
+def test_score_by_neighbors_matches_bruteforce(spark, ratings):
+    neighbors = IK.topm_neighbors(IK.item_cosine_similarity(ratings), m=10)
+    got = {
+        (r.user_id, r.item_id): r.rank
+        for r in IK.score_by_neighbors(ratings, neighbors, k=5).collect()
+    }
+    # brute force: score(u, c) = sum sim(ri, c) * r_u(ri) over rated ri
+    sims = {}
+    for (a, b), (_, s) in _expected_sims().items():
+        sims[(a, b)] = s
+        sims[(b, a)] = s
+    rated = {}
+    for u, i, r in RATINGS:
+        rated.setdefault(u, {})[i] = r
+    want = {}
+    for u, ur in rated.items():
+        scores = {}
+        for (ri, cand), s in [((ri, c), sims.get((ri, c))) for ri in ur for c in {10, 20, 30}]:
+            if s is None or cand in ur:
+                continue
+            scores[cand] = scores.get(cand, 0.0) + s * ur[ri]
+        for rank, (cand, _) in enumerate(
+            sorted(scores.items(), key=lambda kv: (-kv[1], kv[0])), 1
+        ):
+            want[(u, cand)] = rank
+    assert got == want
+
+
+def test_recommender_contract(spark, ratings):
+    rec = IK.ItemKNNRecommender(k=2).train(ratings)
+    recs = rec.get_recommendations()
+    assert recs.columns == ["user_id", "item_id", "rank"]
+    per_user = recs.groupBy("user_id").count().collect()
+    assert all(r["count"] <= 2 for r in per_user)
+    # rated items never recommended
+    overlap = recs.join(ratings, ["user_id", "item_id"], "inner").count()
+    assert overlap == 0
+    # single-user slice == filter of the full plan
+    u1_full = {(r.item_id, r.rank) for r in recs.filter(F.col("user_id") == 1).collect()}
+    u1 = {(r.item_id, r.rank) for r in rec.get_user_recommendation(1).collect()}
+    assert u1 == u1_full
+
+
+def test_kgsim_recommender_cold_start(spark, ratings):
+    # item 40 has NO ratings but is KG-linked to 30 -> recommendable
+    edges = [(10, "d1"), (20, "d1"), (30, "g1"), (40, "g1")]
+    e = spark.createDataFrame(edges, "item_id bigint, entity string")
+    rec = IK.KGSimRecommender(k=3).train(ratings, e)
+    got = rec.get_recommendations()
+    assert got.filter(F.col("item_id") == 40).count() > 0
+
+
+def test_models_registry_wiring(spark, ratings):
+    maker = MODELS["itemKNN"]
+    rec = maker({"k": 2, "n_neighbors": 5, "min_support": 1}, seed=42)
+    out = rec.train(ratings).get_recommendations()
+    assert out.count() > 0
+    assert out.columns == ["user_id", "item_id", "rank"]
