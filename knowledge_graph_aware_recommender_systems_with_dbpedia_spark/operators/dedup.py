@@ -92,6 +92,21 @@ def doc_shingles(
     return sh
 
 
+def bench_shingle_table(
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(bench_id, shingle) eval-set shingle table for decontamination.
+    Build once, ``persist()``, and pass as ``bench_shingles`` to
+    :func:`contamination_pairs` / :func:`decontaminate` — the streaming
+    ingest path reuses it across every micro-batch."""
+    return doc_shingles(benchmark, id_col, text_col, n).select(
+        F.col("id").alias("bench_id"), "shingle"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -390,12 +405,28 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_vectors: int | None = 100_000,
 ) -> DataFrame:
     """Pairs of embeddings with cosine >= threshold (id1 < id2).
 
-    Exact O(n^2) within-partition path for correctness; the scale path
-    buckets by random-hyperplane signs first (similarity.py).
+    This is the exact all-pairs PARITY path — O(n^2) by construction,
+    kept because it is deterministically DuckDB-checkable. The
+    production path at corpus scale is :func:`embedding_near_dups_lsh`
+    (hyperplane-bucketed candidates + exact verify, dd8), which returns
+    the same schema. ``max_vectors`` fail-fasts this path beyond parity
+    scale so the crossJoin can never be reached on a real corpus (the
+    same guard pattern as the KGE driver-collect cap); pass ``None``
+    only if you have explicitly decided n^2 is affordable.
     """
+    if max_vectors is not None:
+        n = emb.count()
+        if n > max_vectors:
+            raise ValueError(
+                f"embedding_near_dups is the exact all-pairs parity path "
+                f"(O(n^2) crossJoin): {n} vectors > max_vectors={max_vectors}. "
+                f"Use embedding_near_dups_lsh at scale, or pass a higher "
+                f"max_vectors / None to override explicitly."
+            )
     # double-cast array + norm materialized BEFORE the division lambda
     # (aggregate exprs referenced inside transform lambdas re-evaluate
     # per element — the text.ngrams_from_tokens pitfall)
@@ -439,6 +470,7 @@ def contamination_pairs(
     bench_id_col: str | None = None,
     bench_text_col: str | None = None,
     max_shingle_df: int | None = None,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: (doc_id, bench_id, n_overlap) for
     every training doc sharing >= ``min_overlap`` distinct word
@@ -451,11 +483,19 @@ def contamination_pairs(
     surviving (doc, bench) pairs enter the count aggregation.
     ``max_shingle_df`` (applied corpus-side) drops stop-phrase
     shingles that would generate meaningless overlap.
+
+    ``bench_shingles``: pre-built (bench_id, shingle) table (see
+    :func:`bench_shingle_table`). Streaming callers build it ONCE and
+    persist it so every micro-batch broadcasts the cached table
+    instead of re-shingling the eval set per trigger.
     """
     c_sh = doc_shingles(docs, id_col, text_col, n, max_shingle_df)
-    b_sh = doc_shingles(
-        benchmark, bench_id_col or id_col, bench_text_col or text_col, n
-    ).select(F.col("id").alias("bench_id"), "shingle")
+    if bench_shingles is not None:
+        b_sh = bench_shingles
+    else:
+        b_sh = doc_shingles(
+            benchmark, bench_id_col or id_col, bench_text_col or text_col, n
+        ).select(F.col("id").alias("bench_id"), "shingle")
     return (
         c_sh.join(F.broadcast(b_sh), "shingle")
         .groupBy(F.col("id").alias(id_col), "bench_id")
@@ -474,12 +514,13 @@ def decontaminate(
     bench_id_col: str | None = None,
     bench_text_col: str | None = None,
     max_shingle_df: int | None = None,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Training corpus with contaminated docs removed (anti-join on
     the :func:`contamination_pairs` doc ids)."""
     flagged = contamination_pairs(
         docs, benchmark, n, min_overlap, id_col, text_col,
-        bench_id_col, bench_text_col, max_shingle_df,
+        bench_id_col, bench_text_col, max_shingle_df, bench_shingles,
     ).select(id_col).distinct()
     return docs.join(flagged, id_col, "left_anti")
 

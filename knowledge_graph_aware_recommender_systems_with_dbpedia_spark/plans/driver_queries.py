@@ -1866,7 +1866,14 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 
 def dd6_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.9) — the fifth
-    dedup modality (exact/jaccard/minhash/simhash/embedding)."""
+    dedup modality (exact/jaccard/minhash/simhash/embedding).
+
+    PARITY PATH, not the production one: embedding_near_dups is the
+    exact all-pairs O(n^2) plan, oracled here precisely because it is
+    hash-checkable, and guarded by max_vectors so it fail-fasts beyond
+    parity scale. The production scale path with the same output
+    schema is dd8 (embedding_near_dups_lsh: hyperplane-bucketed
+    candidates + exact verify)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return DD.embedding_near_dups(emb, threshold=0.9).select(
         "id1", "id2", F.round("cosine", 6).alias("cosine")
@@ -2172,6 +2179,47 @@ SELECT doc_id,
       '{TX.URL_RE}', '<URL>', 'g'),
       '{TX.IPV4_RE}', '<IP>', 'g')) AS clean_md5
 FROM clean
+"""
+
+
+def st5_stream_decontaminate(spark, sf_dir):
+    """Incremental streaming decontamination: the corpus replayed as
+    FOUR files, one per micro-batch (maxFilesPerTrigger=1), each batch
+    anti-joined against the once-persisted benchmark shingle table
+    (streaming/dedup.decontaminate_stream). Decontamination is
+    stateless per doc, so the survivor set is batching-invariant and
+    the batch dd9-style oracle applies exactly. Corpus/benchmark split
+    matches dd9 (doc_id % 20)."""
+    import tempfile
+
+    from ..streaming import dedup as STD
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 3)
+    corpus = docs.filter(F.col("doc_id") % 20 != 3)
+    in_dir = tempfile.mkdtemp(prefix="st5_in_")
+    out_dir = tempfile.mkdtemp(prefix="st5_out_")
+    ck_dir = tempfile.mkdtemp(prefix="st5_ck_")
+    corpus.repartition(4).write.mode("overwrite").parquet(in_dir)
+    q = STD.decontaminate_stream(
+        STD.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
+        bench, out_dir, ck_dir, n=3, min_overlap=2,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+
+
+ST5_SQL = f"""
+WITH {_SHINGLES_SQL},
+c AS (SELECT * FROM sh WHERE id % 20 <> 3),
+b AS (SELECT id AS bench_id, shingle FROM sh WHERE id % 20 = 3),
+contaminated AS (SELECT DISTINCT doc_id FROM (
+    SELECT c.id AS doc_id, b.bench_id FROM c JOIN b USING (shingle)
+    GROUP BY 1, 2 HAVING count(*) >= 2))
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id % 20 <> 3 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
 
 
@@ -2960,6 +3008,7 @@ QUERIES = {
     "st2_stream_sessionize_stateful": st2_stream_sessionize_stateful,
     "st3_stream_media_features": st3_stream_media_features,
     "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
+    "st5_stream_decontaminate": st5_stream_decontaminate,
 }
 
 ORACLES = {
@@ -3040,6 +3089,7 @@ ORACLES = {
     "ev4_asof_enrich": EV4_SQL,
     "ev5_overlap_pairs": EV5_SQL,
     "ev6_point_in_span": EV6_SQL,
+    "st5_stream_decontaminate": ST5_SQL,
     "tx7_lang_confusion": TX7_SQL,
     "tx8_corpus_profile": TX8_SQL,
     "tx9_mixture_weights": TX9_SQL,

@@ -8,6 +8,7 @@ from .events import (
     with_event_time,
 )
 from .dedup import (
+    decontaminate_stream,
     exact_dedup_stream,
     exact_dedup_stream_watermarked,
     ingest_pipeline_stream,
@@ -22,6 +23,7 @@ from .media import (
 from .stateful import sessionize_stateful
 
 __all__ = [
+    "decontaminate_stream",
     "exact_dedup_stream",
     "exact_dedup_stream_watermarked",
     "ingest_pipeline_stream",

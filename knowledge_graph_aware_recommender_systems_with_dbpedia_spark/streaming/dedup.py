@@ -51,24 +51,28 @@ def ingest_pipeline_stream(
      * benchmark decontamination + PII scrub run INSIDE
        ``foreachBatch``: contamination is per-doc against a STATIC
        eval set, so batch semantics per micro-batch are exactly
-       correct (no cross-batch state), and the benchmark shingle
-       table is broadcast once per batch;
+       correct (no cross-batch state). The eval-set shingle table is
+       built and persisted ONCE here, then broadcast into every
+       micro-batch's join — the stream never re-shingles the
+       benchmark per trigger;
      * surviving rows append to parquet — exactly-once via the
        checkpoint + idempotent file sink.
     """
     import os
 
     from ..functions.text import scrub_pii
-    from ..operators.dedup import decontaminate
+    from ..operators.dedup import bench_shingle_table, decontaminate
 
     deduped = docs.select(
         F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("_h")
     ).dropDuplicates(["_h"]).drop("_h")
 
+    b_sh = bench_shingle_table(benchmark, n=n, id_col=id_col, text_col=text_col).persist()
+
     def process(batch: DataFrame, _batch_id: int) -> None:
         clean = decontaminate(
             batch, benchmark, n=n, min_overlap=min_overlap,
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, bench_shingles=b_sh,
         )
         if scrub:
             clean = clean.select(
@@ -79,6 +83,44 @@ def ingest_pipeline_stream(
     return (
         deduped.writeStream.foreachBatch(process)
         .option("checkpointLocation", os.path.join(checkpoint_dir, "ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    min_overlap: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Incremental benchmark decontamination: each arriving micro-batch
+    is anti-joined against the (persisted, broadcast) eval-set shingle
+    table; survivors append to parquet. Contamination is per-doc
+    against a static eval set — stateless across batches — so the
+    streamed survivor set EQUALS the batch :func:`~..operators.dedup.
+    decontaminate` result under any batching (parity asserted in
+    tests and via the st5 driver oracle). Returns the started query.
+    """
+    import os
+
+    from ..operators.dedup import bench_shingle_table, decontaminate
+
+    b_sh = bench_shingle_table(benchmark, n=n, id_col=id_col, text_col=text_col).persist()
+
+    def process(batch: DataFrame, _batch_id: int) -> None:
+        decontaminate(
+            batch, benchmark, n=n, min_overlap=min_overlap,
+            id_col=id_col, text_col=text_col, bench_shingles=b_sh,
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "decon"))
         .trigger(availableNow=True)
         .start()
     )

@@ -71,6 +71,22 @@ def test_embedding_near_dups(spark):
     assert pairs == {(1, 2)}
 
 
+def test_embedding_near_dups_guard_failfast(spark):
+    """The exact all-pairs path must refuse to run beyond parity scale
+    and point at the LSH twin (no unguarded O(n^2) crossJoin reachable
+    from queries())."""
+    import pytest
+
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="embedding_near_dups_lsh"):
+        DD.embedding_near_dups(emb, 0.95, max_vectors=5)
+    # explicit opt-out still works
+    assert DD.embedding_near_dups(emb, 0.95, max_vectors=None).count() == 45
+
+
 def test_cosine_topk_matches_numpy(spark):
     import numpy as np
 

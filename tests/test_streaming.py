@@ -329,6 +329,39 @@ def test_stream_ingest_pipeline_matches_batch(spark, tmp_path):
     assert any("<EMAIL>" in t for _, t in got)    # scrub applied
 
 
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Incremental decontamination (one file per micro-batch, persisted
+    benchmark shingles) emits exactly the batch decontaminate survivor
+    set — contamination is stateless per doc, so batching must not
+    change the result."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import dedup as DD
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "totally unrelated words about columnar engines here"),
+        (3, "the quick brown fox jumps over the fence today"),   # contaminated
+        (4, "sparse matrices and shuffle partitions for breakfast"),
+        (5, "another clean document with its own unique phrasing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id bigint, text string"
+    )
+    in_dir = str(tmp_path / "in")
+    # 3 files -> 3 micro-batches under maxFilesPerTrigger=1
+    docs.repartition(3).write.parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+
+    q = ST.decontaminate_stream(
+        ST.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
+        bench, out_dir, str(tmp_path / "ckpt"), min_overlap=2,
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    want = {r.doc_id for r in DD.decontaminate(docs, bench, min_overlap=2).collect()}
+    assert got == want == {2, 4, 5}
+
+
 def test_stream_watermarked_dedup_bounded_state(spark, tmp_path):
     """dropDuplicatesWithinWatermark: duplicates within the horizon
     are dropped; a re-arrival far past the watermark is emitted again
