@@ -54,6 +54,38 @@ def _single_partition_count(plan: str) -> int:
     )
 
 
+def test_fold_lineages_share_cached_split_scan(spark):
+    """SP6/E5 fold loop: every fold's train/test must be a lineage
+    filter over the ONE persisted split DataFrame — never a re-read of
+    the source parquet per fold (a k-fold run would otherwise re-scan
+    the corpus k+1 times at 100 TB)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.driver_queries import _ratings
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.experiment import _folds
+
+    ratings = _ratings(spark, SF)
+    pairs = _folds(ratings, {"seed": 42, "test": {"method": "k_fold", "k": 3, "level": "global"}})
+    assert len(pairs) == 3
+    try:
+        for train, test in pairs:
+            for df in (train, test):
+                # explain prints the cached subtree UNDER InMemoryRelation;
+                # a parquet scan is only legitimate inside that subtree.
+                # Anything scanning parquet ABOVE the cache point means the
+                # fold re-reads the source.
+                tree = _formatted(df).split("\n\n")[0].splitlines()
+                cache_at = next(
+                    (i for i, ln in enumerate(tree) if "InMemoryRelation" in ln), None
+                )
+                assert cache_at is not None, "\n".join(tree)
+                scans = [i for i, ln in enumerate(tree) if "Scan parquet" in ln]
+                assert all(i > cache_at for i in scans), (
+                    "fold lineage re-reads the source above the cached split:\n"
+                    + "\n".join(tree)
+                )
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_no_unexpected_single_partition_exchanges(spark):
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
