@@ -25,6 +25,7 @@ HEADLINE = [
     "sp2_random_user",
     "rec_popularity_top5",
     "rec_fixed_emb_top5",
+    "rec_itemknn_top5",
     "e2_map_at_5",
     "e3_ndcg_at_5",
     "e4_mrr_at_5",

@@ -102,9 +102,12 @@ def item_cosine_similarity(
     # dot, n2a, n2b are exact integers; ONE float division per pair.
     # n2a*n2b stays in BIGINT — overflows only past ~3e9 sum-of-squares
     # per item (deg ~1e6 at rating<=50), far beyond any capped degree.
+    # n2 is one row per ITEM (the dim table) — broadcast both sides so
+    # the pair table (the big side, sum(deg^2)-bounded) never sorts or
+    # re-shuffles for the norm lookups.
     return (
-        sym.join(na, "item_a")
-        .join(nb, "item_b")
+        sym.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
         .select(
             "item_a",
             "item_b",
@@ -163,9 +166,11 @@ def kg_item_similarity(
     )
     sa = sizes.select(F.col("item_id").alias("item_a"), F.col("n_ent").alias("na"))
     sb = sizes.select(F.col("item_id").alias("item_b"), F.col("n_ent").alias("nb"))
+    # per-item set sizes = dim-table cardinality; broadcast (see
+    # item_cosine_similarity)
     return (
-        sym.join(sa, "item_a")
-        .join(sb, "item_b")
+        sym.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
         .select(
             "item_a",
             "item_b",
@@ -212,11 +217,15 @@ def score_by_neighbors(
     nondeterminism in the last bits.
     """
     r = train.select("user_id", "item_id", F.col("rating").cast("bigint").alias("rq"))
+    # the neighbor model is bounded at items x m rows — broadcast it so
+    # the ratings fact table joins map-side (no shuffle of train here)
     contrib = r.join(
-        neighbors.select(
-            F.col("item_a").alias("item_id"),
-            F.col("item_b").alias("cand"),
-            "sim",
+        F.broadcast(
+            neighbors.select(
+                F.col("item_a").alias("item_id"),
+                F.col("item_b").alias("cand"),
+                "sim",
+            )
         ),
         "item_id",
     ).select(
