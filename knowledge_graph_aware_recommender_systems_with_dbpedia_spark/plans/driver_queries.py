@@ -1134,6 +1134,76 @@ def e3_ndcg_at_5(spark, sf_dir):
     ).select(F.round("value", 6).alias("value"))
 
 
+def e6_kfold_map_popularity(spark, sf_dir):
+    """E5 fold loop, oracled end-to-end: 2-fold global split -> per
+    fold train popularity -> top-5 recs -> MAP@5 — the reference's
+    experiment loop (framework/experiment.py:31-113) as ONE
+    deterministic lineage. Both fold lineages are filters over the one
+    persisted split (the plan-lint invariant); the oracle replays each
+    fold as an independent scalar subquery and unions."""
+    ratings = _ratings(spark, sf_dir)
+    split = _memoized(
+        (id(spark), sf_dir, "kfold2_global"),
+        lambda: SP.split_ratings(ratings, "k_fold", seed=SEED, k=2, level="global"),
+    )
+    folds = []
+    for i in range(2):
+        train, test = SP.train_test(split, fold=i)
+        recs = (
+            RC.PopularityRecommender(k=5)
+            .train(train.select("user_id", "item_id", "rating", "ts"))
+            .get_recommendations(5)
+        )
+        m = ME.map_at_k(
+            test.select("user_id", "item_id", "rating"), recs, 5, relevance_threshold=30
+        )
+        folds.append(
+            m.select(
+                F.lit(i).cast("bigint").alias("fold"),
+                F.round("value", 6).alias("map5"),
+            )
+        )
+    return folds[0].unionByName(folds[1])
+
+
+def _e6_fold_sql(i: int) -> str:
+    """One fold of the 2-fold popularity-MAP experiment as a scalar
+    subquery (nested WITH — each fold is fully independent SQL)."""
+    return f"""
+SELECT CAST({i} AS BIGINT) AS fold, (
+  WITH kf AS ({_sp_kfold_sql(2, "global")}),
+  train AS (SELECT user_id, item_id FROM kf WHERE fold <> {i}),
+  test AS (SELECT user_id, item_id, rating FROM kf WHERE fold = {i}),
+  pop AS (SELECT item_id, count(*) AS pop FROM train GROUP BY item_id),
+  deg AS (SELECT max(c) AS m FROM (SELECT count(*) AS c FROM train GROUP BY user_id) dd),
+  topi AS (SELECT item_id, pop, row_number() OVER (ORDER BY pop DESC, item_id) AS prn FROM pop),
+  cand AS (SELECT u.user_id, t.item_id, t.pop
+           FROM (SELECT DISTINCT user_id FROM train) u CROSS JOIN topi t
+           WHERE t.prn <= (SELECT m FROM deg) + 5),
+  filt AS (SELECT c.user_id, c.item_id, c.pop FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM train tr
+                             WHERE tr.user_id = c.user_id AND tr.item_id = c.item_id)),
+  rk AS (SELECT user_id, item_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY pop DESC, item_id) AS rec_rank FROM filt),
+  rel AS (SELECT user_id, item_id FROM test WHERE rating >= 30),
+  relc AS (SELECT user_id, count(*) AS n_rel FROM rel GROUP BY user_id),
+  r5 AS (SELECT user_id, item_id, rec_rank FROM rk WHERE rec_rank <= 5),
+  hit AS (SELECT r5.user_id, r5.rec_rank,
+          CASE WHEN rel.item_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM r5 LEFT JOIN rel ON r5.user_id = rel.user_id AND r5.item_id = rel.item_id),
+  sc AS (SELECT user_id, rec_rank, hit,
+         SUM(hit) OVER (PARTITION BY user_id ORDER BY rec_rank) AS cum FROM hit),
+  ap AS (SELECT user_id, SUM(CASE WHEN hit = 1 THEN CAST(cum AS DOUBLE) / rec_rank ELSE 0.0 END) AS ap_num
+         FROM sc GROUP BY user_id)
+  SELECT round(avg(CAST(coalesce(ap.ap_num, 0.0) AS DOUBLE) / CAST(least(relc.n_rel, 5) AS DOUBLE)), 6)
+  FROM relc LEFT JOIN ap ON relc.user_id = ap.user_id
+) AS map5
+"""
+
+
+E6_SQL = _e6_fold_sql(0) + " UNION ALL " + _e6_fold_sql(1)
+
+
 E3_SQL = (
     _METRIC_PRE_SQL
     + """,
@@ -2956,7 +3026,7 @@ QUERIES = {
     "rec_itemknn_top5": rec_itemknn_top5,
     "e2_map_at_5": e2_map_at_5,
     "e3_ndcg_at_5": e3_ndcg_at_5,
-    "e4_mrr_at_5": e4_mrr_at_5,
+    "e6_kfold_map_popularity": e6_kfold_map_popularity,
     # --- one representative per LLM-pipeline family (39-50)
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd4_minhash_lsh_pairs": dd4_minhash_lsh_pairs,
@@ -2971,6 +3041,7 @@ QUERIES = {
     "st1_stream_hourly_rollup": st1_stream_hourly_rollup,
     "dp1_training_pipeline": dp1_training_pipeline,
     # --- variants beyond the 50-query sample window
+    "e4_mrr_at_5": e4_mrr_at_5,
     "e5_hitrate_at_5": e5_hitrate_at_5,
     "rec_node2vec_top5": rec_node2vec_top5,
     "rec_kge_transe_top5": rec_kge_transe_top5,
@@ -3054,6 +3125,7 @@ ORACLES = {
     "e3_ndcg_at_5": E3_SQL,
     "e4_mrr_at_5": E4_SQL,
     "e5_hitrate_at_5": E5_SQL,
+    "e6_kfold_map_popularity": E6_SQL,
     "dd1_exact_dedup": DD1_SQL,
     "dd2_ngram_jaccard": DD2_SQL,
     "dd9_decontaminate": DD9_SQL,

@@ -29,6 +29,10 @@ ALLOWED = {
     "e3_ndcg_at_5": 1,         # final 1-row metric mean
     "e4_mrr_at_5": 1,          # final 1-row metric mean
     "e5_hitrate_at_5": 1,      # final 1-row metric mean
+    # 2 final 1-row metric means (one per fold) + the shared split's
+    # bounded bucket-count window (64 rows) + the popularity candidate
+    # rank over the items-bounded pop table — all bounded by construction
+    "e6_kfold_map_popularity": 4,
     "tx9_mixture_weights": 1,  # 1-row pow-sum normalizer over #sources rows
     "p6_dense_ids": 1,         # bounded dim-table window (documented)
     "sp1_random_global": 1,    # two-pass rank: window over n_buckets counts
