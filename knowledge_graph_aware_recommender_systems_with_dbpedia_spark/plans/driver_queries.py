@@ -657,6 +657,38 @@ FROM ratings
 """
 
 
+def sp8_validation_subsplit(spark, sf_dir):
+    """SP8: validation carved out of the TRAIN side of the user split
+    with the derived seed (reference dataloader.py:23-46; the
+    experiment loop uses seed+1) — the second-level det-hash ranked
+    split, oracled end-to-end over both levels."""
+    train, _ = SP.train_test(_user_split(spark, sf_dir))
+    v = SP.validation_subsplit(
+        train, method="random_by_ratio", seed=SEED + 1, p=0.25, level="user"
+    )
+    return v.select(
+        "user_id", "item_id", "rating", "ts",
+        F.col("is_test").cast("bigint").alias("is_val"),
+    )
+
+
+SP8_SQL = (
+    "WITH "
+    + _split_user_sql(0.2)
+    + f""",
+train AS (SELECT user_id, item_id, rating, ts FROM sp WHERE is_test = 0),
+h2 AS (SELECT train.*, ({H.det_hash_sql("user_id", "item_id", seed=SEED + 1)}) / 1000000.0 AS _u2 FROM train),
+w2 AS (SELECT h2.*, row_number() OVER (
+         PARTITION BY user_id
+         ORDER BY _u2 DESC, user_id DESC, item_id DESC, rating DESC, ts DESC) AS _rn,
+       count(*) OVER (PARTITION BY user_id) AS _n FROM h2)
+SELECT user_id, item_id, rating, ts,
+       CAST(CASE WHEN _rn <= ceil(_n * 0.25) THEN 1 ELSE 0 END AS BIGINT) AS is_val
+FROM w2
+"""
+)
+
+
 def j3_key_reconstruction(spark, sf_dir):
     """J3 (douban-movie.py:69-70): facts keyed by a natural name
     column joined back to synthesized dense ids — P6's row_number ids
@@ -3049,6 +3081,7 @@ QUERIES = {
     "sp4_temporal_user": _split_query("timestamp_by_ratio", p=0.3, level="user"),
     "sp5_fixed_timestamp": _split_query("fixed_timestamp", timestamp=2750),
     "sp7_kfold_user": _split_query("k_fold", k=4, level="user"),
+    "sp8_validation_subsplit": sp8_validation_subsplit,
     "dd2_ngram_jaccard": dd2_ngram_jaccard,
     "dd3_minhash_signatures": dd3_minhash_signatures,
     "dd5_simhash": dd5_simhash,
@@ -3118,6 +3151,7 @@ ORACLES = {
     "sp5_fixed_timestamp": SP5_SQL,
     "sp6_kfold_global": _sp_kfold_sql(5, "global"),
     "sp7_kfold_user": _sp_kfold_sql(4, "user"),
+    "sp8_validation_subsplit": SP8_SQL,
     "rec_popularity_top5": REC_POP_SQL,
     "rec_fixed_emb_top5": REC_FIXED_SQL,
     "rec_itemknn_top5": REC_ITEMKNN_SQL,
