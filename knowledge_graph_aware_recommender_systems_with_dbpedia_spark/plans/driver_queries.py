@@ -549,6 +549,60 @@ FROM (SELECT DISTINCT node_id FROM nodes) n
 """
 
 
+def g6_walks(spark, sf_dir):
+    """G6 first-order random walks, ORACLED: every sampling decision is
+    md5(walk_id, step) over the sorted adjacency list (operators/
+    walks.py), so DuckDB replays the whole walk table with unrolled
+    step CTEs — walks become hash-checkable, not just rows-counted.
+    Small deterministic slice (users % 25 == 0, 2 walks x len 5) keeps
+    the oracle cheap; the Spark path is the same state-DataFrame
+    advance rec_node2vec uses at full scale."""
+    from ..operators import walks as WK
+
+    r = _ratings(spark, sf_dir).filter(F.pmod(F.col("user_id"), F.lit(25)) == 0)
+    edges = r.select(
+        F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("i:"), F.col("item_id")).alias("dst"),
+    )
+    return WK.random_walks(edges, n_walks=2, walk_len=5, seed=SEED).select(
+        "walk_id", F.array_join("walk", ">").alias("walk")
+    )
+
+
+def _g6_sql() -> str:
+    # _unit(walk_id, step) = pmod(md5_long(walk_id <US> step), 1e6)/1e6
+    def unit(step: int) -> str:
+        h = f"CAST(('0x' || substring(md5(walk_id || chr(31) || '{step}'), 1, 15)) AS BIGINT)"
+        return f"(({h}) % 1000000) / 1000000.0"
+
+    steps = []
+    for s in range(1, 5):
+        steps.append(f"""
+s{s} AS (SELECT walk_id, nxt AS cur, path || '>' || nxt AS path FROM (
+    SELECT t.walk_id, t.path,
+           a.nbrs[CAST(floor(({unit(s)}) * len(a.nbrs)) AS INT) + 1] AS nxt
+    FROM s{s - 1} t JOIN adj a ON a.node = t.cur) q)""")
+    return (
+        f"""
+WITH ratings AS ({RATINGS_SQL}),
+e AS (SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+             'i:' || CAST(item_id AS VARCHAR) AS dst
+      FROM ratings WHERE user_id % 25 = 0),
+bid AS (SELECT DISTINCT * FROM (
+        SELECT src AS node, dst AS nbr FROM e
+        UNION ALL SELECT dst AS node, src AS nbr FROM e) u),
+adj AS (SELECT node, list(nbr ORDER BY nbr) AS nbrs FROM bid GROUP BY node),
+s0 AS (SELECT node || '#' || CAST(w.widx AS VARCHAR) || '#{SEED}' AS walk_id,
+              node AS cur, node AS path
+       FROM adj, unnest([0, 1]) AS w(widx)),"""
+        + ",".join(steps)
+        + "\nSELECT walk_id, path AS walk FROM s4"
+    )
+
+
+G6_SQL = _g6_sql()
+
+
 def g8_triples(spark, sf_dir):
     return G.triples(_graph(spark, sf_dir), which="all")
 
@@ -3042,8 +3096,8 @@ QUERIES = {
     # --- graph + splits + integration (21-32)
     "g3_graph_summary": g3_graph_summary,
     "g4_kcore_user": g4_kcore_user,
-    "g4_kcore_alternating": g4_kcore_alternating,
     "g5_relabel": g5_relabel,
+    "g6_walks": g6_walks,
     "g8_triples": g8_triples,
     "sp1_random_global": _split_query("random_by_ratio", p=0.25, level="global"),
     "sp2_random_user": _split_query("random_by_ratio", p=0.2, level="user"),
@@ -3073,6 +3127,7 @@ QUERIES = {
     "st1_stream_hourly_rollup": st1_stream_hourly_rollup,
     "dp1_training_pipeline": dp1_training_pipeline,
     # --- variants beyond the 50-query sample window
+    "g4_kcore_alternating": g4_kcore_alternating,
     "e4_mrr_at_5": e4_mrr_at_5,
     "e5_hitrate_at_5": e5_hitrate_at_5,
     "rec_node2vec_top5": rec_node2vec_top5,
@@ -3143,6 +3198,7 @@ ORACLES = {
     "g4_kcore_user": G4_USER_SQL,
     "g4_kcore_alternating": G4_ALT_SQL,
     "g5_relabel": G5_SQL,
+    "g6_walks": G6_SQL,
     "g8_triples": G8_SQL,
     "sp1_random_global": _sp_ratio_sql(0.25, "global"),
     "sp2_random_user": _sp_ratio_sql(0.2, "user"),
