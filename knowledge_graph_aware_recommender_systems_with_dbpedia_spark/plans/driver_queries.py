@@ -3070,6 +3070,83 @@ FROM rk WHERE rec_rank <= 5
 # metrics, dedup, ANN, text, packing, multimodal, events, streaming,
 # composed pipeline) sits inside the first 50; variants and the two
 # no-oracle stochastic recommenders follow.
+def rec_kgsim_top5(spark, sf_dir):
+    """KG-aware neighborhood recommender (operators/itemknn.py:
+    KGSimRecommender) — the reference's namesake idea re-expressed:
+    item-item similarity comes from the item KNOWLEDGE GRAPH (here the
+    part table's brand/type attributes as entity links, the TPC-H-ish
+    stand-in for DBpedia properties), not from co-ratings, so items
+    with zero rating history are recommendable (cold start). Exact
+    integer Jaccard + the pinned-order float fold make the whole plan
+    hash-checkable like rec_itemknn. Reference contract:
+    framework/recommender/recommender.py:11-31, graph fan-out
+    framework/dataset/graph.py."""
+    from ..operators.itemknn import KGSimRecommender
+
+    train, _ = SP.train_test(_user_split(spark, sf_dir))
+    part = load_table(spark, sf_dir, "part")
+    ent = part.select(
+        F.col("p_partkey").cast("bigint").alias("item_id"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("brand:"), F.col("p_brand")),
+                F.concat(F.lit("type:"), F.col("p_type")),
+            )
+        ).alias("entity"),
+    )
+    rec = KGSimRecommender(k=5, m=10, min_shared=1).train(
+        train.select("user_id", "item_id", "rating"), ent
+    )
+    return rec.get_recommendations(5).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("item_id").cast("bigint").alias("item_id"),
+        F.col("rank").cast("bigint").alias("rec_rank"),
+    )
+
+
+REC_KGSIM_SQL = (
+    "WITH "
+    + _split_user_sql(0.2)
+    + """,
+train AS (SELECT user_id, item_id, CAST(rating AS BIGINT) AS rq FROM sp WHERE is_test = 0),
+ent AS (SELECT DISTINCT item_id, entity FROM (
+    SELECT CAST(p_partkey AS BIGINT) AS item_id, 'brand:' || p_brand AS entity FROM part
+    UNION ALL
+    SELECT CAST(p_partkey AS BIGINT) AS item_id, 'type:' || p_type AS entity FROM part) u),
+sizes AS (SELECT item_id, count(*) AS n_ent FROM ent GROUP BY 1),
+pairs AS (SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS n_shared
+          FROM ent a JOIN ent b ON a.entity = b.entity AND a.item_id < b.item_id
+          GROUP BY 1, 2 HAVING count(*) >= 1),
+sym AS (SELECT item_a, item_b, n_shared FROM pairs
+        UNION ALL
+        SELECT item_b AS item_a, item_a AS item_b, n_shared FROM pairs),
+sims AS (SELECT s.item_a, s.item_b,
+                CAST(s.n_shared AS DOUBLE) / CAST(sa.n_ent + sb.n_ent - s.n_shared AS DOUBLE) AS sim
+         FROM sym s
+         JOIN sizes sa ON sa.item_id = s.item_a
+         JOIN sizes sb ON sb.item_id = s.item_b),
+nbr AS (SELECT item_a, item_b, sim FROM (
+          SELECT sims.*, row_number() OVER (PARTITION BY item_a ORDER BY sim DESC, item_b) AS rn
+          FROM sims) t
+        WHERE rn <= 10),
+contrib AS (SELECT t.user_id, n.item_b AS cand, t.item_id AS ri,
+                   n.sim * CAST(t.rq AS DOUBLE) AS c
+            FROM train t JOIN nbr n ON n.item_a = t.item_id),
+scored AS (SELECT user_id, cand AS item_id,
+                  list_reduce(list(c ORDER BY ri), (x, y) -> x + y) AS score
+           FROM contrib GROUP BY 1, 2),
+unrated AS (SELECT s.user_id, s.item_id, s.score FROM scored s
+            ANTI JOIN train t ON t.user_id = s.user_id AND t.item_id = s.item_id),
+rk AS (SELECT user_id, item_id,
+              row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_id) AS rec_rank
+       FROM unrated)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(item_id AS BIGINT) AS item_id,
+       CAST(rec_rank AS BIGINT) AS rec_rank
+FROM rk WHERE rec_rank <= 5
+"""
+)
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -3109,7 +3186,7 @@ QUERIES = {
     # --- recommenders + metrics (33-38)
     "rec_popularity_top5": rec_popularity_top5,
     "rec_fixed_emb_top5": rec_fixed_emb_top5,
-    "rec_itemknn_top5": rec_itemknn_top5,
+    "rec_kgsim_top5": rec_kgsim_top5,
     "e2_map_at_5": e2_map_at_5,
     "e3_ndcg_at_5": e3_ndcg_at_5,
     "e6_kfold_map_popularity": e6_kfold_map_popularity,
@@ -3127,6 +3204,7 @@ QUERIES = {
     "st1_stream_hourly_rollup": st1_stream_hourly_rollup,
     "dp1_training_pipeline": dp1_training_pipeline,
     # --- variants beyond the 50-query sample window
+    "rec_itemknn_top5": rec_itemknn_top5,
     "g4_kcore_alternating": g4_kcore_alternating,
     "e4_mrr_at_5": e4_mrr_at_5,
     "e5_hitrate_at_5": e5_hitrate_at_5,
@@ -3211,6 +3289,7 @@ ORACLES = {
     "rec_popularity_top5": REC_POP_SQL,
     "rec_fixed_emb_top5": REC_FIXED_SQL,
     "rec_itemknn_top5": REC_ITEMKNN_SQL,
+    "rec_kgsim_top5": REC_KGSIM_SQL,
     "e2_map_at_5": E2_SQL,
     "e3_ndcg_at_5": E3_SQL,
     "e4_mrr_at_5": E4_SQL,
