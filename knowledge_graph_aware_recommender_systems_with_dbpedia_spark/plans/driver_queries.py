@@ -603,6 +603,81 @@ s0 AS (SELECT node || '#' || CAST(w.widx AS VARCHAR) || '#{SEED}' AS walk_id,
 G6_SQL = _g6_sql()
 
 
+def g7_walks_biased(spark, sf_dir):
+    """G7 node2vec SECOND-ORDER walks (true p/q bias — the path the
+    reference's vendored BiasedRandomWalker implements but never runs,
+    SURVEY §7 risk register), ORACLED: transition weights (1/p return,
+    1 toward prev's neighbors, 1/q outward) and the cumulative-weight
+    pick are all deterministic functions of (walk_id, step) and the
+    sorted adjacency, so DuckDB replays the exact left-associative
+    float fold with list_slice prefix sums. Tiny slice, 1 walk x
+    len 4, p=2 q=0.5."""
+    from ..operators import walks as WK
+
+    r = _ratings(spark, sf_dir).filter(F.pmod(F.col("user_id"), F.lit(25)) == 0)
+    edges = r.select(
+        F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("i:"), F.col("item_id")).alias("dst"),
+    )
+    return WK.random_walks(
+        edges, n_walks=1, walk_len=4, p=2.0, q=0.5, seed=SEED
+    ).select("walk_id", F.array_join("walk", ">").alias("walk"))
+
+
+def _g7_sql(p: float = 2.0, q: float = 0.5) -> str:
+    def unit(step: int) -> str:
+        h = f"CAST(('0x' || substring(md5(walk_id || chr(31) || '{step}'), 1, 15)) AS BIGINT)"
+        return f"(({h}) % 1000000) / 1000000.0"
+
+    steps = []
+    for s in range(1, 4):
+        # four layers per step: join+weights -> target -> pick -> reshape.
+        # the pick index = (#prefix sums strictly below target) + 1,
+        # capped at len (Spark's coalesce-to-last float-edge fallback);
+        # prefix sums replay Spark's left-associative aggregate fold.
+        steps.append(f"""
+s{s} AS (
+  SELECT walk_id, cur AS prev, nbrs AS prev_nbrs,
+         nbrs[least(CAST(len(list_filter(range(1, len(nbrs) + 1),
+               i -> list_reduce(list_slice(wts, 1, i), (x, y) -> x + y) < target)) AS INT) + 1,
+               CAST(len(nbrs) AS INT))] AS cur,
+         path || '>' || nbrs[least(CAST(len(list_filter(range(1, len(nbrs) + 1),
+               i -> list_reduce(list_slice(wts, 1, i), (x, y) -> x + y) < target)) AS INT) + 1,
+               CAST(len(nbrs) AS INT))] AS path
+  FROM (
+    SELECT walk_id, cur, path, nbrs, wts,
+           ({unit(s)}) * list_reduce(wts, (x, y) -> x + y) AS target
+    FROM (
+      SELECT t.walk_id, t.cur, t.path, a.nbrs,
+             list_transform(a.nbrs, n -> CASE
+                WHEN t.prev IS NULL THEN CAST(1.0 AS DOUBLE)
+                WHEN n = t.prev THEN CAST({1.0 / p} AS DOUBLE)
+                WHEN t.prev_nbrs IS NOT NULL AND list_contains(t.prev_nbrs, n) THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST({1.0 / q} AS DOUBLE) END) AS wts
+      FROM s{s - 1} t JOIN adj a ON a.node = t.cur) w1) w2)""")
+    return (
+        f"""
+WITH ratings AS ({RATINGS_SQL}),
+e AS (SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+             'i:' || CAST(item_id AS VARCHAR) AS dst
+      FROM ratings WHERE user_id % 25 = 0),
+bid AS (SELECT DISTINCT * FROM (
+        SELECT src AS node, dst AS nbr FROM e
+        UNION ALL SELECT dst AS node, src AS nbr FROM e) u),
+adj AS (SELECT node, list(nbr ORDER BY nbr) AS nbrs FROM bid GROUP BY node),
+s0 AS (SELECT node || '#0#{SEED}' AS walk_id,
+              CAST(NULL AS VARCHAR) AS prev,
+              CAST(NULL AS VARCHAR[]) AS prev_nbrs,
+              node AS cur, node AS path
+       FROM adj),"""
+        + ",".join(steps)
+        + "\nSELECT walk_id, path AS walk FROM s3"
+    )
+
+
+G7_SQL = _g7_sql()
+
+
 def g8_triples(spark, sf_dir):
     return G.triples(_graph(spark, sf_dir), which="all")
 
@@ -3206,6 +3281,7 @@ QUERIES = {
     # --- variants beyond the 50-query sample window
     "rec_itemknn_top5": rec_itemknn_top5,
     "g4_kcore_alternating": g4_kcore_alternating,
+    "g7_walks_biased": g7_walks_biased,
     "e4_mrr_at_5": e4_mrr_at_5,
     "e5_hitrate_at_5": e5_hitrate_at_5,
     "rec_node2vec_top5": rec_node2vec_top5,
@@ -3277,6 +3353,7 @@ ORACLES = {
     "g4_kcore_alternating": G4_ALT_SQL,
     "g5_relabel": G5_SQL,
     "g6_walks": G6_SQL,
+    "g7_walks_biased": G7_SQL,
     "g8_triples": G8_SQL,
     "sp1_random_global": _sp_ratio_sql(0.25, "global"),
     "sp2_random_user": _sp_ratio_sql(0.2, "user"),
