@@ -61,6 +61,19 @@ def kg_extra_edges(graph: KGraph) -> DataFrame:
     return e.select(_walk_ns("src").alias("src"), _walk_ns("dst").alias("dst"))
 
 
+def kg_item_entities(graph: KGraph) -> DataFrame:
+    """(item_id, entity) edge table for KG-similarity models: the
+    item-side has_property fan-out (genre/subject/starring... — the
+    DBpedia enrichment) with the ``item::`` prefix stripped so the
+    ids join back to the fact table."""
+    e = graph.edges.filter(
+        (F.col("edge_type") == "has_property") & F.col("src").startswith("item::")
+    )
+    return e.select(
+        F.expr("substring(src, 7)").alias("item_id"), F.col("dst").alias("entity")
+    )
+
+
 def kg_extra_triples(graph: KGraph) -> DataFrame:
     """Non-rating triples for the KGE models (G8 relations: user
     properties 'is', item properties 'has', social 'friends_with')."""
@@ -165,6 +178,7 @@ def run_experiment(spark: SparkSession, config) -> dict:
 
     extra_edges = kg_extra_edges(graph)
     extra_triples = kg_extra_triples(graph)
+    item_entities = kg_item_entities(graph)
 
     results: dict[str, list[list[float]]] = {}
     times: dict[str, list[float]] = {}
@@ -185,6 +199,14 @@ def run_experiment(spark: SparkSession, config) -> dict:
                 model.train(train_df, extra_edges=extra_edges)
             elif "extra_triples" in sig:
                 model.train(train_df, extra_triples=extra_triples)
+            elif "item_entities" in sig:
+                # KG-similarity models: entity ids join the fact table,
+                # so match the train side's item_id type
+                ie = item_entities.withColumn(
+                    "item_id",
+                    F.col("item_id").cast(dict(train_df.dtypes)["item_id"]),
+                )
+                model.train(train_df, ie)
             else:
                 model.train(train_df)
             # metric join keys must agree in type with the test side

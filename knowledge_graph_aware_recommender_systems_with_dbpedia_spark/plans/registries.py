@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators import metrics as ME
 from ..operators.graph import filter_kcore
-from ..operators.itemknn import ItemKNNRecommender
+from ..operators.itemknn import ItemKNNRecommender, KGSimRecommender
 from ..operators.kge import KGERecommender
 from ..operators.node2vec import Node2VecRecommender
 from ..operators.recommend import PopularityRecommender
@@ -61,6 +61,18 @@ def _popularity(parameters: dict, seed: int):
     return PopularityRecommender()
 
 
+def _kgsim(parameters: dict, seed: int):
+    p = parameters
+    return KGSimRecommender(
+        k=p.get("k", 5),
+        m=p.get("n_neighbors", p.get("m", 10)),
+        min_shared=p.get("min_shared", 1),
+        max_entity_df=p.get("max_entity_df"),
+        exact_order=p.get("exact_order", True),
+        all_recs=p.get("all_recs", False),
+    )
+
+
 def _itemknn(parameters: dict, seed: int):
     p = parameters
     return ItemKNNRecommender(
@@ -86,8 +98,9 @@ MODELS = {
     "rESCAL": _kge("rescal"),
     "complEx": _kge("complex"),
     "popularity": _popularity,
-    # greenfield deterministic neighborhood model (operators/itemknn.py)
+    # greenfield deterministic neighborhood models (operators/itemknn.py)
     "itemKNN": _itemknn,
+    "kgSim": _kgsim,
 }
 
 # ----------------------------------------------------------------- metrics

@@ -304,6 +304,22 @@ def test_connected_components_and_canonical(spark):
     assert kept == {0, 4, 5, 7}
 
 
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """Pointer jumping must collapse a 60-node chain within O(log n)
+    rounds — max_iter=8 would be impossible for pure one-hop label
+    propagation (needs ~59 rounds) but is ample for path halving."""
+    n = 60
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    comp = {
+        r.id: r.cluster_id
+        for r in DD.connected_components(ids, pairs, max_iter=8).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+
+
 def test_contamination_pairs_and_decontaminate(spark):
     """Docs sharing >= min_overlap trigrams with a benchmark doc are
     flagged; decontaminate drops exactly those."""

@@ -112,6 +112,27 @@ def test_experiment_holdout_deterministic(spark, tmp_path):
     assert set(r1["popularity"]) == {"MAP@3", "nDCG@3"}  # hold-out: no fold cols
 
 
+def test_experiment_kgsim_uses_item_entities(spark, tmp_path):
+    """The kgSim model trains on the graph's item has_property fan-out
+    (genre + enriched subject entities) via the item_entities dispatch
+    branch — the YAML-usable KG-aware neighborhood recommender."""
+    _make_dataset(tmp_path)
+    split = {"method": "random_by_ratio", "level": "global", "p": 0.3}
+    rows = EX.run_experiment(
+        spark,
+        _config(
+            tmp_path,
+            [{"name": "kgSim", "parameters": {"n_neighbors": 5}}],
+            tmp_path / "kg.csv",
+            split=split,
+        ),
+    )
+    assert set(rows) == {"kgSim"}
+    vals = rows["kgSim"]
+    assert set(vals) == {"MAP@3", "nDCG@3"}
+    assert all(0.0 <= v <= 1.0 for v in vals.values())
+
+
 def test_experiment_deepwalk_with_kg_edges(spark, tmp_path):
     _make_dataset(tmp_path)
     cfg = _config(
