@@ -223,6 +223,50 @@ def validation_subsplit(
     return split_ratings(train, method=method, seed=seed, **kw)
 
 
+def quota_by_score(
+    df: DataFrame,
+    strata_col: str,
+    score_col: str,
+    n: int,
+    key_cols: list[str] | None = None,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Per-stratum quota: keep each stratum's ``n`` BEST rows by
+    ``score_col`` (desc; ``key_cols`` asc tie-break) — the "cap every
+    domain at its N highest-quality docs" curation step of a corpus
+    mix.
+
+    ``score_col`` must be in [0, 1] (quality_score's contract). Same
+    scale shape as :func:`stratified_head` — never a whole-stratum
+    window: rows range-bucket by ``floor((1 - score) * B)`` (bucket
+    asc == score desc, so the bucket id is the primary sort key),
+    rank within (stratum, bucket), and broadcast per-stratum bucket
+    offsets reconstruct the exact per-stratum rank.
+    """
+    key_cols = key_cols or [df.columns[0]]
+    bkt = F.least(
+        F.floor((F.lit(1.0) - F.col(score_col)) * n_buckets).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    keyed = df.withColumn("_bkt", F.greatest(bkt, F.lit(0)))
+    order = [F.col(score_col).desc()] + [F.col(c).asc() for c in key_cols]
+    w = Window.partitionBy(strata_col, "_bkt").orderBy(*order)
+    keyed = keyed.withColumn("_brn", F.row_number().over(w))
+    counts = keyed.groupBy(strata_col, "_bkt").agg(F.count(F.lit(1)).alias("_bc"))
+    off_w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn("_off", F.coalesce(F.sum("_bc").over(off_w), F.lit(0)))
+    joined = keyed.join(
+        F.broadcast(offs.select(strata_col, "_bkt", "_off")), [strata_col, "_bkt"]
+    )
+    return joined.filter(F.col("_off") + F.col("_brn") <= F.lit(int(n))).drop(
+        "_bkt", "_brn", "_off"
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -3045,6 +3045,42 @@ SELECT doc_id, source FROM r WHERE rn <= 15
 SP9_SQL = _sp9_sql()
 
 
+def tx10_domain_quota(spark, sf_dir):
+    """Per-domain quality quota (splits.quota_by_score): cap every
+    source at its 15 highest-quality docs — the "don't let one domain
+    dominate the mix" curation step. Quality range-buckets (bucket asc
+    == score desc), so the per-stratum rank is reconstructed from
+    within-(source, bucket) row_numbers + broadcast offsets — never a
+    whole-stratum window. The oracle replays it as a plain per-source
+    rank, safe only at DuckDB's single-node scale."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "text"
+    )
+    scored = docs.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("quality")
+    )
+    return SP.quota_by_score(
+        scored, "source", "quality", n=15, key_cols=["doc_id"]
+    ).select("doc_id", "source", "quality")
+
+
+TX10_SQL = f"""
+WITH t AS (SELECT doc_id, text, source, {TOKS_SQL} AS toks FROM documents),
+st AS (SELECT doc_id, source,
+       CAST(length(text) AS DOUBLE) AS n_chars,
+       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       CAST(len(toks) AS DOUBLE) AS n_toks
+       FROM t),
+q AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      round(0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+          + 0.3 * least(n_chars / 400.0, 1.0)
+          + 0.3 * least((CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END) / 6.0, 1.0), 6) AS quality
+      FROM st),
+r AS (SELECT q.*, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn FROM q)
+SELECT doc_id, source, quality FROM r WHERE rn <= 15
+"""
+
+
 def dd11_incremental_dedup(spark, sf_dir):
     """Incremental ingest dedup (dedup.dedup_against_corpus): the
     "new batch" (doc_id % 5 == 0) minus everything near-dup with the
@@ -3309,6 +3345,7 @@ QUERIES = {
     "tx7_lang_confusion": tx7_lang_confusion,
     "tx8_corpus_profile": tx8_corpus_profile,
     "tx9_mixture_weights": tx9_mixture_weights,
+    "tx10_domain_quota": tx10_domain_quota,
     "pk2_sequence_stats": pk2_sequence_stats,
     "pk3_shuffle_shards": pk3_shuffle_shards,
     "ck1_chunk_documents": ck1_chunk_documents,
@@ -3411,6 +3448,7 @@ ORACLES = {
     "tx7_lang_confusion": TX7_SQL,
     "tx8_corpus_profile": TX8_SQL,
     "tx9_mixture_weights": TX9_SQL,
+    "tx10_domain_quota": TX10_SQL,
     "pk3_shuffle_shards": PK3_SQL,
     "ss3_quantize_embeddings": SS3_SQL,
     "ss4_label_centroids": SS4_SQL,

@@ -240,3 +240,43 @@ def test_stratified_head_exact_and_stable(spark):
         ).collect()
     }
     assert re_got == picked
+
+
+def test_quota_by_score_matches_naive_window(spark):
+    """quota_by_score == the naive whole-stratum (score desc, id) rank;
+    exact per-stratum sizes; repartition-invariant; boundary scores
+    (0.0 / 1.0) bucket safely."""
+    from pyspark.sql import Window
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.splits import quota_by_score
+
+    rows = [
+        (i, "ab"[i % 2], round(((i * 37) % 101) / 100.0, 6)) for i in range(80)
+    ] + [(900, "a", 0.0), (901, "a", 1.0), (902, "c", 0.5)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, score double")
+    got = {
+        (r.grp, r.id)
+        for r in quota_by_score(df, "grp", "score", n=9, key_cols=["id"], n_buckets=4).collect()
+    }
+    naive = (
+        df.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("grp").orderBy(F.desc("score"), "id")
+            ),
+        ).filter(F.col("_rn") <= 9)
+    )
+    want = {(r.grp, r.id) for r in naive.collect()}
+    assert got == want
+    from collections import Counter
+
+    sizes = Counter(g for g, _ in got)
+    assert sizes == {"a": 9, "b": 9, "c": 1}
+    assert ("a", 901) in got  # score 1.0 always survives a top-9 quota
+    re_got = {
+        (r.grp, r.id)
+        for r in quota_by_score(
+            df.repartition(7), "grp", "score", n=9, key_cols=["id"], n_buckets=4
+        ).collect()
+    }
+    assert re_got == got
