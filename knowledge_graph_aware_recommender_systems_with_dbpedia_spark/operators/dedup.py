@@ -582,6 +582,52 @@ def cluster_keepers(
     )
 
 
+def band_buckets(
+    docs: DataFrame,
+    bands: int,
+    n_hashes: int = N_HASHES,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, band, bkey) LSH band buckets from minhash signatures —
+    the fixed hash family means a doc's buckets are identical
+    whichever table it sits in (the cross-corpus join invariant)."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, n, id_col, text_col)
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"mh{bi * rows + j}").cast("string") for j in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("bkey"),
+            )
+        )
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+
+def build_corpus_dedup_index(
+    corpus: DataFrame,
+    bands: int = 4,
+    n_hashes: int = N_HASHES,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Persistable corpus-side state for incremental dedup:
+    ``(band_buckets, shingles)``. Build once, ``persist()`` both, and
+    pass as ``corpus_state`` to :func:`minhash_lsh_pairs_between` /
+    :func:`dedup_against_corpus` — a streaming ingest then pays
+    corpus-side signature cost once, not per micro-batch."""
+    return (
+        band_buckets(corpus, bands, n_hashes, n, id_col, text_col),
+        doc_shingles(corpus, id_col, text_col, n),
+    )
+
+
 def minhash_lsh_pairs_between(
     new_docs: DataFrame,
     corpus: DataFrame,
@@ -591,6 +637,7 @@ def minhash_lsh_pairs_between(
     verify_threshold: float | None = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_state: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Cross-corpus banded-LSH near-dup pairs: (new_id, corpus_id
     [, jaccard]). Signatures use the same fixed hash family on both
@@ -598,29 +645,22 @@ def minhash_lsh_pairs_between(
     the incremental form of :func:`minhash_lsh_pairs` (new batch vs
     existing corpus instead of corpus vs itself). The join is band ×
     bucket equi only; nothing ever compares all new docs to all corpus
-    docs."""
-    def _buckets(docs: DataFrame) -> DataFrame:
-        rows = n_hashes // bands
-        sig = minhash_signatures(docs, n_hashes, n, id_col, text_col)
-        band_cols = []
-        for bi in range(bands):
-            cols = [F.col(f"mh{bi * rows + j}").cast("string") for j in range(rows)]
-            band_cols.append(
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.md5(F.concat_ws("_", *cols)).alias("bkey"),
-                )
-            )
-        return sig.select(
-            "id", F.explode(F.array(*band_cols)).alias("bk")
-        ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    docs.
 
-    nb = _buckets(new_docs).select(
+    ``corpus_state``: optional pre-built ``(buckets, shingles)`` from
+    :func:`build_corpus_dedup_index` — streaming ingest builds it ONCE
+    (persisted) so each micro-batch re-signatures only the batch,
+    never the corpus."""
+    if corpus_state is not None:
+        corpus_buckets, corpus_shingles = corpus_state
+    else:
+        corpus_buckets = band_buckets(corpus, bands, n_hashes, n, id_col, text_col)
+        corpus_shingles = doc_shingles(corpus, id_col, text_col, n)
+
+    nb = band_buckets(new_docs, bands, n_hashes, n, id_col, text_col).select(
         F.col("id").alias("new_id"), "band", "bkey"
     )
-    cb = _buckets(corpus).select(
-        F.col("id").alias("corpus_id"), "band", "bkey"
-    )
+    cb = corpus_buckets.select(F.col("id").alias("corpus_id"), "band", "bkey")
     cands = nb.join(cb, ["band", "bkey"]).select("new_id", "corpus_id").distinct()
     if verify_threshold is None:
         return cands
@@ -628,7 +668,7 @@ def minhash_lsh_pairs_between(
     sh_new = doc_shingles(new_docs, id_col, text_col, n).join(
         cands.select(F.col("new_id").alias("id")).distinct(), "id", "left_semi"
     )
-    sh_c = doc_shingles(corpus, id_col, text_col, n).join(
+    sh_c = corpus_shingles.join(
         cands.select(F.col("corpus_id").alias("id")).distinct(), "id", "left_semi"
     )
     sn = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
@@ -664,13 +704,16 @@ def dedup_against_corpus(
     verify_threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_state: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: the new batch minus every doc that is
     a verified near-dup of something ALREADY in the corpus — the
     production shape of dedup (daily crawl vs accumulated corpus),
     where re-running the full self-join would redo work proportional
-    to the corpus instead of the batch."""
+    to the corpus instead of the batch. ``corpus_state``: see
+    :func:`build_corpus_dedup_index`."""
     flagged = minhash_lsh_pairs_between(
-        new_docs, corpus, bands, n_hashes, n, verify_threshold, id_col, text_col
+        new_docs, corpus, bands, n_hashes, n, verify_threshold, id_col, text_col,
+        corpus_state,
     ).select(F.col("new_id").alias(id_col)).distinct()
     return new_docs.join(flagged, id_col, "left_anti")

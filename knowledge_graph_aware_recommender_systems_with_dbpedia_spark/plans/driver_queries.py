@@ -2454,6 +2454,35 @@ WHERE doc_id % 20 <> 3 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
 
 
+def st6_stream_incremental_dedup(spark, sf_dir):
+    """dd11's daily-crawl dedup AT INGEST: the 'new batch' (doc_id %
+    5 == 0) replayed as a 3-file stream, each micro-batch LSH-banded
+    against the once-persisted corpus index and exact-verified
+    (streaming/dedup.incremental_dedup_stream). Verdicts are per-doc
+    vs the static corpus, so the survivor set is batching-invariant —
+    the batch dd11 oracle applies exactly."""
+    import tempfile
+
+    from ..streaming import dedup as STD
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    in_dir = tempfile.mkdtemp(prefix="st6_in_")
+    out_dir = tempfile.mkdtemp(prefix="st6_out_")
+    ck_dir = tempfile.mkdtemp(prefix="st6_ck_")
+    new.repartition(3).write.mode("overwrite").parquet(in_dir)
+    q = STD.incremental_dedup_stream(
+        STD.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
+        corpus, out_dir, ck_dir,
+        bands=8, n_hashes=16, verify_threshold=0.1,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+
+
 def ev2_sessionize(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.expr("ts_ns div 1000").cast("bigint").alias("tus")
@@ -3359,6 +3388,7 @@ QUERIES = {
     "st3_stream_media_features": st3_stream_media_features,
     "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
     "st5_stream_decontaminate": st5_stream_decontaminate,
+    "st6_stream_incremental_dedup": st6_stream_incremental_dedup,
 }
 
 ORACLES = {
@@ -3445,6 +3475,7 @@ ORACLES = {
     "ev5_overlap_pairs": EV5_SQL,
     "ev6_point_in_span": EV6_SQL,
     "st5_stream_decontaminate": ST5_SQL,
+    "st6_stream_incremental_dedup": DD11_SQL,
     "tx7_lang_confusion": TX7_SQL,
     "tx8_corpus_profile": TX8_SQL,
     "tx9_mixture_weights": TX9_SQL,

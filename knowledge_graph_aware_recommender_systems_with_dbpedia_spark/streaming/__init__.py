@@ -10,6 +10,7 @@ from .events import (
 from .dedup import (
     decontaminate_stream,
     exact_dedup_stream,
+    incremental_dedup_stream,
     exact_dedup_stream_watermarked,
     ingest_pipeline_stream,
     read_docs_stream,
@@ -25,6 +26,7 @@ from .stateful import sessionize_stateful
 __all__ = [
     "decontaminate_stream",
     "exact_dedup_stream",
+    "incremental_dedup_stream",
     "exact_dedup_stream_watermarked",
     "ingest_pipeline_stream",
     "read_docs_stream",

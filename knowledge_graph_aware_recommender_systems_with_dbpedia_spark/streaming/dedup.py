@@ -126,6 +126,49 @@ def decontaminate_stream(
     )
 
 
+def incremental_dedup_stream(
+    docs: DataFrame,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    bands: int = 4,
+    n_hashes: int = 16,
+    n: int = 3,
+    verify_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Daily-crawl dedup AT INGEST: each arriving micro-batch is
+    LSH-banded, joined against the ONCE-BUILT (persisted) corpus
+    band/shingle index, exact-verified, and its survivors append to
+    parquet. Per-trigger cost is proportional to the batch, never the
+    corpus — the streaming twin of ``dedup.dedup_against_corpus``
+    (dd11). Each doc's verdict depends only on (doc, corpus), so the
+    survivor set is batching-invariant and the batch oracle applies.
+    Returns the started query."""
+    import os
+
+    from ..operators.dedup import build_corpus_dedup_index, dedup_against_corpus
+
+    buckets, shingles = build_corpus_dedup_index(
+        corpus, bands, n_hashes, n, id_col, text_col
+    )
+    state = (buckets.persist(), shingles.persist())
+
+    def process(batch: DataFrame, _batch_id: int) -> None:
+        dedup_against_corpus(
+            batch, corpus, bands, n_hashes, n, verify_threshold,
+            id_col, text_col, corpus_state=state,
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "incdedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def exact_dedup_stream(
     docs: DataFrame,
     id_col: str = "doc_id",

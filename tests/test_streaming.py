@@ -362,6 +362,47 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     assert got == want == {2, 4, 5}
 
 
+def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
+    """Incremental corpus dedup at ingest (one file per micro-batch,
+    once-persisted corpus band/shingle index) emits exactly the batch
+    dedup_against_corpus survivor set — verdicts are per-doc vs the
+    static corpus, so batching must not change the result."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import dedup as DD
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely different corpus text about engines")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                                     # near-dup of 100
+            (2, base.replace("quick", "rapid")),           # still near-dup
+            (3, "fresh unseen content with its own words entirely"),
+            (4, "another novel document nothing like the corpus"),
+        ],
+        "doc_id bigint, text string",
+    )
+    in_dir = str(tmp_path / "in")
+    new.repartition(2).write.parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+
+    q = ST.incremental_dedup_stream(
+        ST.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
+        corpus, out_dir, str(tmp_path / "ckpt"),
+        bands=8, n_hashes=16, verify_threshold=0.1,
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    want = {
+        r.doc_id
+        for r in DD.dedup_against_corpus(
+            new, corpus, bands=8, n_hashes=16, verify_threshold=0.1
+        ).collect()
+    }
+    assert got == want == {3, 4}
+
+
 def test_stream_watermarked_dedup_bounded_state(spark, tmp_path):
     """dropDuplicatesWithinWatermark: duplicates within the horizon
     are dropped; a re-arrival far past the watermark is emitted again
