@@ -1,0 +1,81 @@
+"""Physical-layout writer tests: partition pruning + row-group
+statistics actually materialize (checked via parquet footers), and
+compaction fixes the small-files problem without losing rows."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources import layout as LY
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_sorted_layout_enables_skipping(spark, tmp_path):
+    ev = load_table(spark, SF, "events").select("event_id", "ts_ns", "event_type")
+    out = str(tmp_path / "ev_layout")
+    LY.write_partitioned_sorted(
+        ev, out, partition_by=["event_type"], sort_by=["ts_ns"], files_per_partition=4
+    )
+    # hive partition dirs exist -> directory-level pruning
+    kinds = {r.event_type for r in ev.select("event_type").distinct().collect()}
+    for k in kinds:
+        assert os.path.isdir(os.path.join(out, f"event_type={k}"))
+
+    # footer stats: per-file ts ranges must be dramatically tighter than
+    # the global range (that tightness IS row-group skipping)
+    stats = LY.parquet_file_stats(out, "ts_ns")
+    assert len(stats) >= 4
+    glob_lo = min(s[1] for s in stats)
+    glob_hi = max(s[2] for s in stats)
+    spread = sum(s[2] - s[1] for s in stats)
+    n_parts = len(kinds)
+    # unsorted random writes would give every file ~the full range:
+    # spread ≈ n_files * global. Sorted-salted gives per-file ranges
+    # that overlap only via the salt, bounded by files * global / files_per_partition-ish;
+    # assert we at least beat the unsorted bound by 2x.
+    assert spread < len(stats) * (glob_hi - glob_lo) / 2
+
+    # round-trips: same rows, and a pruned read touches one partition
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    one = back.filter(F.col("event_type") == sorted(kinds)[0])
+    assert one.count() == ev.filter(F.col("event_type") == sorted(kinds)[0]).count()
+
+
+def test_partition_filter_prunes_at_scan(spark, tmp_path):
+    ev = load_table(spark, SF, "events").select("event_id", "ts_ns", "event_type")
+    out = str(tmp_path / "ev_prune")
+    LY.write_partitioned_sorted(ev, out, ["event_type"], ["ts_ns"])
+    import contextlib
+    import io
+
+    k = ev.select("event_type").distinct().orderBy("event_type").first().event_type
+    pruned = spark.read.parquet(out).filter(F.col("event_type") == k)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    frag = str(tmp_path / "frag")
+    docs.repartition(40).write.parquet(frag)  # the small-files problem
+    n_in = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_in >= 30
+
+    out = str(tmp_path / "compact")
+    n_rows = docs.count()
+    n_files = LY.compact_parquet(spark, frag, out, target_rows_per_file=n_rows // 2, sort_by=["doc_id"])
+    got_files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(got_files) == n_files <= 3
+    assert spark.read.parquet(out).count() == n_rows
+    # sort preserved within files -> tight doc_id footer ranges
+    stats = LY.parquet_file_stats(out, "doc_id")
+    spans = sorted((lo, hi) for _, lo, hi in stats)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint id ranges across compacted files
