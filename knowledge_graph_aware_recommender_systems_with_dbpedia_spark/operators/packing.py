@@ -121,3 +121,29 @@ def chunk_documents(
         )
         .filter(F.col("n_tokens") > 0)
     )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shuf42",
+) -> DataFrame:
+    """Deterministic corpus shuffle for training order: every doc gets
+    an md5 rank, a shard (rank mod ``n_shards``), and a position
+    within its shard. The only window is PARTITIONED by shard — each
+    partition holds ~1/n_shards of the corpus, and the shard count
+    scales with the cluster, so no single-task funnel. Reshuffling =
+    changing the salt; the assignment is reproducible across runs and
+    engines (md5 twin — pk3's oracle replays it in DuckDB).
+
+    Output: input columns + (shard bigint, pos bigint).
+    """
+    keyed = docs.withColumn(
+        "_r",
+        md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
+    ).withColumn("shard", F.pmod(F.col("_r"), F.lit(n_shards)).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("_r", id_col)
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("bigint")).drop("_r")
+    )

@@ -2920,18 +2920,12 @@ def pk3_shuffle_shards(spark, sf_dir):
     holds ~1/16 of the corpus, and shard count scales with the
     cluster, so no single-task funnel (the p6/g5 rule). Reshuffling =
     changing the salt; the assignment is reproducible across runs and
-    engines (md5 twin)."""
+    engines (md5 twin). Library form: packing.shuffle_shards (also
+    behind scripts/pipeline.py --shards)."""
+    from ..operators.packing import shuffle_shards
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    keyed = docs.select(
-        "doc_id",
-        H.md5_long(
-            F.concat(F.col("doc_id").cast("string"), F.lit(":shuf42"))
-        ).alias("_r"),
-    ).withColumn("shard", F.pmod(F.col("_r"), F.lit(16)).cast("bigint"))
-    w = Window.partitionBy("shard").orderBy("_r", "doc_id")
-    return keyed.select(
-        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
-    )
+    return shuffle_shards(docs, n_shards=16).select("doc_id", "shard", "pos")
 
 
 PK3_SQL = """

@@ -10,13 +10,17 @@ canonical cleaning order):
         [--scrub] \
         [--max-top-ngram-frac 0.2 --min-distinct-frac 0.2] \
         [--sample en=0.35,und=1.0 --seed 42] \
+        [--quota 1000] \
         [--pack 512 | --chunk 128 --stride 96] \
+        [--shards 16] \
         [--cpus 8]
 
 Stages: exact dedup -> benchmark decontamination -> PII scrub ->
-repetition filter -> language-stratified sampling -> packing OR
-chunking. Writes the resulting parquet to -o and prints one JSON
-stats line (rows in/out per stage) to stdout.
+repetition filter -> language-stratified sampling -> per-language
+quality quota -> packing OR chunking -> deterministic shard/pos
+training order (output partitioned by shard). Writes the resulting
+parquet to -o and prints one JSON stats line (rows in/out per stage)
+to stdout.
 """
 
 from __future__ import annotations
@@ -41,6 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-top-ngram-frac", type=float, default=None)
     p.add_argument("--min-distinct-frac", type=float, default=0.0)
     p.add_argument("--sample", help="stratum=rate[,stratum=rate...] on lang-ID")
+    p.add_argument(
+        "--quota", type=int, default=None, metavar="N",
+        help="cap each lang-ID stratum at its N highest-quality docs",
+    )
+    p.add_argument(
+        "--shards", type=int, default=None, metavar="K",
+        help="assign deterministic (shard, pos) training order and write partitioned by shard",
+    )
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--pack", type=int, default=None, metavar="CAPACITY")
     p.add_argument("--n-buckets", type=int, default=32)
@@ -101,6 +113,20 @@ def run(args: argparse.Namespace, spark=None) -> dict:
             langd, "lang", rates, key_cols=["doc_id"], seed=args.seed
         ).select("doc_id", "text")
         stats["sample"] = docs.count()
+    if args.quota:
+        from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.splits import quota_by_score
+
+        scored = docs.select(
+            "doc_id", "text", TX.tokens(F.col("text")).alias("_toks")
+        ).select(
+            "doc_id", "text",
+            TX.lang_id_from_tokens(F.col("_toks")).alias("lang"),
+            TX.quality_score(F.col("text")).alias("_q"),
+        )
+        docs = quota_by_score(
+            scored, "lang", "_q", n=args.quota, key_cols=["doc_id"]
+        ).select("doc_id", "text")
+        stats["quota"] = docs.count()
 
     if args.pack:
         out = PK.pack_sequences(docs, capacity=args.pack, n_buckets=args.n_buckets)
@@ -112,7 +138,15 @@ def run(args: argparse.Namespace, spark=None) -> dict:
         stats["chunks"] = out.count()
     else:
         out = docs
-    out.write.mode("overwrite").parquet(args.output)
+    if args.shards:
+        from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.packing import shuffle_shards
+
+        key = "doc_id" if "doc_id" in out.columns else out.columns[0]
+        out = shuffle_shards(out, n_shards=args.shards, id_col=key)
+        out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
+        stats["shards"] = args.shards
+    else:
+        out.write.mode("overwrite").parquet(args.output)
     stats["output_rows"] = spark.read.parquet(args.output).count()
     if own_spark:
         spark.stop()

@@ -148,6 +148,45 @@ def test_pipeline_cli_end_to_end(spark, tmp_path):
     assert set(out.columns) == {"id", "chunk_idx", "n_tokens", "chunk_text"}
 
 
+def test_pipeline_cli_quota_and_shards(spark, tmp_path):
+    """--quota caps each lang stratum at its N best docs; --shards
+    writes a shard-partitioned layout with per-shard positions."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "pipeline_cli2",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "pipeline.py"),
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    docs.select("doc_id", "text").write.parquet(in_dir)
+
+    args = cli.build_parser().parse_args(
+        ["-i", in_dir, "-o", out_dir, "--quota", "10", "--shards", "4"]
+    )
+    stats = cli.run(args, spark=spark)
+    assert stats["quota"] <= stats["input"]
+    assert stats["shards"] == 4 and stats["output_rows"] == stats["quota"]
+    out = spark.read.parquet(out_dir)
+    assert {"shard", "pos"} <= set(out.columns)
+    assert out.select("shard").distinct().count() <= 4
+    # per-lang cap of 10 held
+    assert out.count() == stats["quota"]
+    assert os.path.isdir(os.path.join(out_dir, "shard=0"))
+    # positions are 1..n within each shard
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    ).collect()
+    for r in per:
+        assert (r.mn, r.mx) == (1, r.n)
+
+
 def test_approx_percentile_close_to_exact(spark):
     """tx8's scale path: approx_percentile (t-digest, one pass, no
     per-group sort) stays within a few percent of the exact
