@@ -2413,6 +2413,33 @@ FROM clean
 """
 
 
+def ev7_trending(spark, sf_dir):
+    """Top-3 event types per day by volume — the windowed-top-k-
+    per-time-bucket pattern (trending dashboards / anomaly triage).
+    The rank window partitions by day and holds #event_types rows per
+    partition (a handful), so parallelism scales with days and no
+    partition is ever corpus-sized."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 86400000000000").cast("bigint").alias("day"), "event_type"
+    )
+    counts = e.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("day", "event_type", "n", "rnk")
+    )
+
+
+EV7_SQL = """
+WITH e AS (SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day, event_type
+           FROM events),
+c AS (SELECT day, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+r AS (SELECT c.*, row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk FROM c)
+SELECT day, event_type, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+"""
+
+
 def st5_stream_decontaminate(spark, sf_dir):
     """Incremental streaming decontamination: the corpus replayed as
     FOUR files, one per micro-batch (maxFilesPerTrigger=1), each batch
@@ -3378,6 +3405,7 @@ QUERIES = {
     "ev3_sliding_rollup": ev3_sliding_rollup,
     "ev5_overlap_pairs": ev5_overlap_pairs,
     "ev6_point_in_span": ev6_point_in_span,
+    "ev7_trending": ev7_trending,
     "st2_stream_sessionize_stateful": st2_stream_sessionize_stateful,
     "st3_stream_media_features": st3_stream_media_features,
     "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
@@ -3468,6 +3496,7 @@ ORACLES = {
     "ev4_asof_enrich": EV4_SQL,
     "ev5_overlap_pairs": EV5_SQL,
     "ev6_point_in_span": EV6_SQL,
+    "ev7_trending": EV7_SQL,
     "st5_stream_decontaminate": ST5_SQL,
     "st6_stream_incremental_dedup": DD11_SQL,
     "tx7_lang_confusion": TX7_SQL,
