@@ -422,6 +422,76 @@ def a9_value_counts(spark, sf_dir):
 A9_SQL = "SELECT event_type, count(*) AS count FROM events GROUP BY event_type"
 
 
+def a10_rollup_profile(spark, sf_dir):
+    """Multi-level aggregation in ONE pass: ROLLUP(source, lang) over
+    the documents table — per-(source, lang) counts/volume, per-source
+    subtotals, and the grand total, computed by a single hash-aggregate
+    with map-side partials (at 100 TB, three separate groupBys would
+    scan the corpus three times; rollup scans once). Grouping nulls
+    are coalesced to '<ALL>' so both engines label subtotal rows
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<ALL>")).alias("source"),
+            F.coalesce("lang", F.lit("<ALL>")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+A10_SQL = """
+SELECT coalesce(source, '<ALL>') AS source, coalesce(lang, '<ALL>') AS lang,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+
+def a11_moving_avg(spark, sf_dir):
+    """Frame-based window: 7-day moving average of per-user daily
+    event value (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW over the
+    pre-aggregated per-(user, day) table). The window partitions by
+    user — frames never cross users, parallelism scales with users,
+    and the pre-aggregation bounds each partition at #active-days
+    rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 86400000000000").cast("bigint").alias("day"),
+        "value",
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.round(F.sum("value"), 4).alias("day_value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.round(F.avg("day_value").over(w), 4).alias("avg7"),
+    )
+
+
+A11_SQL = """
+WITH e AS (SELECT user_id, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day, value
+           FROM events),
+d AS (SELECT user_id, day, round(sum(value), 4) AS day_value FROM e GROUP BY 1, 2)
+SELECT user_id, day, day_value,
+       round(avg(day_value) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg7
+FROM d
+"""
+
+
 def o2_global_sort(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -3406,6 +3476,8 @@ QUERIES = {
     "ev5_overlap_pairs": ev5_overlap_pairs,
     "ev6_point_in_span": ev6_point_in_span,
     "ev7_trending": ev7_trending,
+    "a10_rollup_profile": a10_rollup_profile,
+    "a11_moving_avg": a11_moving_avg,
     "st2_stream_sessionize_stateful": st2_stream_sessionize_stateful,
     "st3_stream_media_features": st3_stream_media_features,
     "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
@@ -3497,6 +3569,8 @@ ORACLES = {
     "ev5_overlap_pairs": EV5_SQL,
     "ev6_point_in_span": EV6_SQL,
     "ev7_trending": EV7_SQL,
+    "a10_rollup_profile": A10_SQL,
+    "a11_moving_avg": A11_SQL,
     "st5_stream_decontaminate": ST5_SQL,
     "st6_stream_incremental_dedup": DD11_SQL,
     "tx7_lang_confusion": TX7_SQL,
