@@ -3201,6 +3201,54 @@ SELECT doc_id, source, quality FROM r WHERE rn <= 15
 """
 
 
+def dp2_curation_pipeline(spark, sf_dir):
+    """Second composed pipeline (the curation side): exact dedup ->
+    per-source quality quota (top 20) -> deterministic shard/pos
+    training order, ONE lineage vs ONE composed oracle. Composes
+    dd1 + tx10 + pk3's operators (exact_dedup, quota_by_score,
+    shuffle_shards) the way scripts/pipeline.py wires them."""
+    from ..operators.packing import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "text"
+    )
+    keep = DD.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep, "doc_id", "left_semi")
+    scored = kept.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("quality")
+    )
+    quota = SP.quota_by_score(scored, "source", "quality", n=20, key_cols=["doc_id"])
+    return shuffle_shards(quota.select("doc_id", "source"), n_shards=8).select(
+        "doc_id", "source", "shard", "pos"
+    )
+
+
+DP2_SQL = f"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text FROM documents),
+keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+kept AS (SELECT b.* FROM base b JOIN keep USING (doc_id)),
+t AS (SELECT doc_id, source, text, {TOKS_SQL} AS toks FROM kept),
+st AS (SELECT doc_id, source,
+       CAST(length(text) AS DOUBLE) AS n_chars,
+       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       CAST(len(toks) AS DOUBLE) AS n_toks
+       FROM t),
+q AS (SELECT doc_id, source,
+      round(0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+          + 0.3 * least(n_chars / 400.0, 1.0)
+          + 0.3 * least((CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END) / 6.0, 1.0), 6) AS quality
+      FROM st),
+r AS (SELECT q.*, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn FROM q),
+surv AS (SELECT doc_id, source FROM r WHERE rn <= 20),
+k AS (SELECT doc_id, source,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shuf42'), 1, 15)) AS BIGINT) AS _r
+      FROM surv)
+SELECT doc_id, source, CAST(_r % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY _r % 8 ORDER BY _r, doc_id) AS BIGINT) AS pos
+FROM k
+"""
+
+
 def dd11_incremental_dedup(spark, sf_dir):
     """Incremental ingest dedup (dedup.dedup_against_corpus): the
     "new batch" (doc_id % 5 == 0) minus everything near-dup with the
@@ -3478,6 +3526,7 @@ QUERIES = {
     "ev7_trending": ev7_trending,
     "a10_rollup_profile": a10_rollup_profile,
     "a11_moving_avg": a11_moving_avg,
+    "dp2_curation_pipeline": dp2_curation_pipeline,
     "st2_stream_sessionize_stateful": st2_stream_sessionize_stateful,
     "st3_stream_media_features": st3_stream_media_features,
     "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
@@ -3571,6 +3620,7 @@ ORACLES = {
     "ev7_trending": EV7_SQL,
     "a10_rollup_profile": A10_SQL,
     "a11_moving_avg": A11_SQL,
+    "dp2_curation_pipeline": DP2_SQL,
     "st5_stream_decontaminate": ST5_SQL,
     "st6_stream_incremental_dedup": DD11_SQL,
     "tx7_lang_confusion": TX7_SQL,
