@@ -422,6 +422,55 @@ def a9_value_counts(spark, sf_dir):
 A9_SQL = "SELECT event_type, count(*) AS count FROM events GROUP BY event_type"
 
 
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way customer/orders/lineitem join with
+    selective filters on every side, revenue aggregation, global
+    top-10. Catalyst broadcasts the filtered customer dim; date
+    filters push to the parquet scans; the top-10 is a TakeOrdered,
+    not a global sort. Revenue sums exact cents (the q1 rule) so the
+    float total is engine-order-independent."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1995-03-15").cast("date")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1995-03-15").cast("date")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(cents).cast("double") / 100).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.col("o_orderpriority").alias("o_orderpriority"),
+            "revenue",
+        )
+    )
+
+
+Q3_SQL = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       o_orderpriority,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS DOUBLE) / 100 AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 def a10_rollup_profile(spark, sf_dir):
     """Multi-level aggregation in ONE pass: ROLLUP(source, lang) over
     the documents table — per-(source, lang) counts/volume, per-source
@@ -3527,6 +3576,7 @@ QUERIES = {
     "a10_rollup_profile": a10_rollup_profile,
     "a11_moving_avg": a11_moving_avg,
     "dp2_curation_pipeline": dp2_curation_pipeline,
+    "q3_shipping_priority": q3_shipping_priority,
     "st2_stream_sessionize_stateful": st2_stream_sessionize_stateful,
     "st3_stream_media_features": st3_stream_media_features,
     "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
@@ -3621,6 +3671,7 @@ ORACLES = {
     "a10_rollup_profile": A10_SQL,
     "a11_moving_avg": A11_SQL,
     "dp2_curation_pipeline": DP2_SQL,
+    "q3_shipping_priority": Q3_SQL,
     "st5_stream_decontaminate": ST5_SQL,
     "st6_stream_incremental_dedup": DD11_SQL,
     "tx7_lang_confusion": TX7_SQL,
