@@ -471,6 +471,111 @@ LIMIT 10
 """
 
 
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join (region -> nation -> customer
+    -> orders -> lineitem -> supplier) with the "local supplier"
+    equi-constraint s_nationkey = c_nationkey. Plan shape for scale:
+    the region-filtered nation dim and supplier broadcast (small
+    sides); the only shuffles are the two fact joins
+    (orders |x| customer, lineitem |x| orders) — the classic TPC-H Q5
+    physical plan. Year filter pushes to the orders scan; revenue
+    sums exact cents so the double total is engine-order-independent."""
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(cents).cast("double") / 100).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS DOUBLE) / 100 AS revenue
+FROM region JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: find orders whose total quantity exceeds a
+    threshold (HAVING over a fact-table groupBy), then enrich with
+    customer and order attributes. The groupBy is map-side-combinable
+    on l_orderkey; the HAVING filter runs BEFORE the enrichment joins
+    so only the tiny qualifying set joins back — at 100 TB the
+    qualifying orders are a broadcastable fraction of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .filter(F.col("total_qty") > 25)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_name, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_totalprice,
+       CAST(total_qty AS BIGINT) AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 25) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
 def a10_rollup_profile(spark, sf_dir):
     """Multi-level aggregation in ONE pass: ROLLUP(source, lang) over
     the documents table — per-(source, lang) counts/volume, per-source
@@ -1756,6 +1861,41 @@ SELECT doc_id, simhash, {bands} FROM sh
 
 
 DD5_SQL = _simhash_sql()
+
+
+def dd12_simhash_pairs(spark, sf_dir):
+    """EXACT hamming<=3 SimHash pairs via the pigeonhole block join
+    (dedup.simhash_pairs): 4 disjoint 8-bit blocks -> per-block
+    equi-join (perfect recall by pigeonhole) -> bit_count(xor) exact
+    verify. Same result as the O(n^2) scan, no crossJoin anywhere."""
+    return DD.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), bits=32, max_hamming=3
+    )
+
+
+def _simhash_pairs_sql(bits=32, max_hamming=3) -> str:
+    h = H.DUCKDB_MD5_LONG.format(expr="tok")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ((({h}) % {2**bits}) // {2**i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sim = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END" for i in range(bits)
+    )
+    # brute-force O(n^2) hamming scan — the exactness claim under test
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+tok AS (SELECT doc_id AS id, u.tok AS tok FROM t, unnest(t.toks) AS u(tok)),
+sums AS (SELECT id, {bit_sums} FROM tok GROUP BY id),
+sh AS (SELECT id AS doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+DD12_SQL = _simhash_pairs_sql()
 
 
 def tx1_text_stats(spark, sf_dir):
@@ -3547,6 +3687,7 @@ QUERIES = {
     "dd2_ngram_jaccard": dd2_ngram_jaccard,
     "dd3_minhash_signatures": dd3_minhash_signatures,
     "dd5_simhash": dd5_simhash,
+    "dd12_simhash_pairs": dd12_simhash_pairs,
     "dd6_embedding_neardup": dd6_embedding_neardup,
     "dd7_dedup_clusters": dd7_dedup_clusters,
     "dd8_neardup_lsh": dd8_neardup_lsh,
@@ -3577,6 +3718,8 @@ QUERIES = {
     "a11_moving_avg": a11_moving_avg,
     "dp2_curation_pipeline": dp2_curation_pipeline,
     "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q18_large_orders": q18_large_orders,
     "st2_stream_sessionize_stateful": st2_stream_sessionize_stateful,
     "st3_stream_media_features": st3_stream_media_features,
     "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
@@ -3639,6 +3782,7 @@ ORACLES = {
     "dd3_minhash_signatures": DD3_SQL,
     "dd4_minhash_lsh_pairs": DD4_SQL,
     "dd5_simhash": DD5_SQL,
+    "dd12_simhash_pairs": DD12_SQL,
     "tx1_text_stats": TX1_SQL,
     "tx3_stratified_sample": TX3_SQL,
     "tx4_scrub_pii": TX4_SQL,
@@ -3672,6 +3816,8 @@ ORACLES = {
     "a11_moving_avg": A11_SQL,
     "dp2_curation_pipeline": DP2_SQL,
     "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "q18_large_orders": Q18_SQL,
     "st5_stream_decontaminate": ST5_SQL,
     "st6_stream_incremental_dedup": DD11_SQL,
     "tx7_lang_confusion": TX7_SQL,

@@ -58,6 +58,43 @@ def test_simhash_near_dup_close(docs):
     assert ham < ham_far
 
 
+def test_simhash_pairs_exact_vs_bruteforce(spark):
+    # 12 docs: exact dups, word-swapped near dups, and unrelated text.
+    rows = [(i, BASE) for i in range(1, 4)]
+    rows += [(i, BASE.replace("warm", w)) for i, w in [(4, "cold"), (5, "hot")]]
+    rows += [
+        (6, "spark dataframes shuffle partitions across executors"),
+        (7, "spark dataframes shuffle partitions across machines"),
+        (8, "entirely unrelated musings on sourdough fermentation"),
+        (9, "entirely unrelated musings on sourdough fermentation today"),
+        (10, BASE + " extra trailing words appended here"),
+        (11, "short text"),
+        (12, "short test"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id1, r.id2): r.hamming
+        for r in DD.simhash_pairs(docs, bits=32, max_hamming=3).collect()
+    }
+    # brute-force reference over the same signatures
+    sig = {r.id: r.simhash for r in DD.simhash(docs).collect()}
+    want = {}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sig[a] ^ sig[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want  # perfect recall AND precision — pigeonhole is exact
+    assert (1, 2) in got and got[(1, 2)] == 0
+
+
+def test_simhash_pairs_rejects_indivisible_blocks(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        DD.simhash_pairs(docs, bits=32, max_hamming=4)  # 5 blocks !| 32
+
+
 def test_embedding_near_dups(spark):
     emb = spark.createDataFrame(
         [
