@@ -400,6 +400,164 @@ def ivf_topk_from_index(
     return _ivf_score(corpus, q, k)
 
 
+def pq_codebook(
+    nn: DataFrame, n_subspaces: int, n_codes: int, seed: int
+) -> DataFrame:
+    """Deterministic product-quantization codebook as a tiny
+    (subspace, code, cv) table: the ``n_codes`` corpus rows with the
+    smallest ``md5_long(seed:id)`` are the codewords, sliced per
+    subspace (the md5-ranked-sample trick of :func:`_ivf_centroids`;
+    at 100 TB you'd k-means each subspace once and reuse — the
+    encode/score plans are identical). TakeOrderedAndProject, never a
+    global window; rows inlined as a literal so both the encode and
+    the query dot-table sides broadcast it without recomputation."""
+    first = nn.select(F.size("v").alias("d")).limit(1).collect()
+    dim = int(first[0]["d"]) if first else 0
+    if dim % n_subspaces:
+        raise ValueError(f"dim={dim} not divisible by {n_subspaces} subspaces")
+    width = dim // n_subspaces
+    sample = (
+        nn.select(
+            md5_long(F.concat_ws(":", F.lit(seed), F.col("id"))).alias("_h"),
+            "id",
+            "v",
+        )
+        .orderBy("_h", "id")
+        .limit(n_codes)
+        .collect()
+    )
+    rows = [
+        (s, j + 1, [float(x) for x in r["v"]][s * width : (s + 1) * width])
+        for s in range(n_subspaces)
+        for j, r in enumerate(sample)
+    ]
+    return nn.sparkSession.createDataFrame(
+        rows, "subspace int, code int, cv array<double>"
+    )
+
+
+def _pq_dist2(sub, cv):
+    """Squared L2 via the dot identity ||a||^2 - 2 a.b + ||b||^2 — each
+    term an in-element-order fold, so any engine replaying the same
+    folds gets the same double."""
+    return _dot(sub, sub) - 2.0 * _dot(sub, cv) + _dot(cv, cv)
+
+
+def pq_encode(nn: DataFrame, codebook: DataFrame, n_subspaces: int) -> DataFrame:
+    """Encode each (id, v) row to (id, codes array<int>): per subspace
+    the nearest codeword by squared L2 (code-id tie-break). Plan: one
+    explode to (id, subspace, sub), a broadcast join against the tiny
+    codebook, an (id, subspace)-partitioned argmin window, and a
+    groupBy re-assembling the code array in subspace order. The
+    output is m small ints per vector — the 32x-compressed corpus
+    representation that makes 100 TB ADC scans cheap."""
+    first = nn.select(F.size("v").alias("d")).limit(1).collect()
+    dim = int(first[0]["d"]) if first else 0
+    width = dim // n_subspaces if n_subspaces else 0
+    subs = nn.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.slice("v", s * width + 1, width).alias("sub"),
+                    )
+                    for s in range(n_subspaces)
+                ]
+            )
+        ).alias("ss"),
+    ).select("id", F.col("ss.subspace").alias("subspace"), F.col("ss.sub").alias("sub"))
+    scored = subs.join(F.broadcast(codebook), "subspace").select(
+        "id", "subspace", "code", _pq_dist2(F.col("sub"), F.col("cv")).alias("_d2")
+    )
+    w = Window.partitionBy("id", "subspace").orderBy("_d2", "code")
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return best.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ADC top-k: corpus vectors compress to
+    ``n_subspaces`` small codes; each query scores the WHOLE corpus as
+    a sum of ``n_subspaces`` table lookups instead of a ``dim``-wide
+    dot product.
+
+    Approximate but fully deterministic (md5-ranked codebook, argmin
+    code tie-break, pinned-subspace-order score fold), so a SQL oracle
+    replays it exactly. Scale shape: the per-(query, subspace, code)
+    dot table is queries x m x n_codes rows — broadcast; the corpus
+    side touches only the m-int code arrays (never re-reads the float
+    vectors), explodes to m rows per vector, joins map-side, and
+    aggregates back with one shuffle on (query, id); the final top-k
+    is a per-query window. approx_cosine = sum_s q_s . c_codeword —
+    the standard asymmetric-distance estimate of the true cosine."""
+    nn = _normalize(emb, id_col, vec_col)
+    cb = pq_codebook(nn, n_subspaces, n_codes, seed)
+    codes = pq_encode(nn, cb, n_subspaces)
+    qn = _normalize(queries, id_col, vec_col)
+    first = qn.select(F.size("v").alias("d")).limit(1).collect()
+    dim = int(first[0]["d"]) if first else 0
+    width = dim // n_subspaces if n_subspaces else 0
+    qsubs = qn.select(
+        F.col("id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.slice("v", s * width + 1, width).alias("sub"),
+                    )
+                    for s in range(n_subspaces)
+                ]
+            )
+        ).alias("ss"),
+    ).select(
+        "query_id", F.col("ss.subspace").alias("subspace"), F.col("ss.sub").alias("sub")
+    )
+    # (query, subspace, code) -> partial dot; tiny (Q x m x n_codes)
+    dots = qsubs.join(F.broadcast(cb), "subspace").select(
+        "query_id", "subspace", "code", _dot(F.col("sub"), F.col("cv")).alias("d")
+    )
+    ccodes = codes.select(
+        F.col("id").alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    contrib = ccodes.join(F.broadcast(dots), ["subspace", "code"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    # pinned-subspace-order fold => bit-reproducible, SQL-replayable
+    scored = contrib.groupBy("query_id", "neighbor_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("subspace", "d"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["d"],
+            ),
+            6,
+        ).alias("approx_cosine")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("approx_cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_cosine")
+    )
+
+
 def cosine_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -2429,6 +2429,70 @@ FROM rk WHERE rec_rank <= 5
 """
 
 
+def ss5_pq_topk(spark, sf_dir):
+    """Product-quantization ADC ANN (similarity.pq_topk): corpus
+    compresses to 4 codes/vector against an md5-ranked 16-codeword
+    codebook per subspace; each query scores the corpus via 4 table
+    lookups summed in pinned subspace order. Approximate but fully
+    deterministic — the oracle replays codebook, encoding, and the
+    ADC fold exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_subspaces=4, n_codes=16
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rec_rank"),
+        "approx_cosine",
+    )
+
+
+def _pq_sql(n_subspaces=4, n_codes=16, width=16, k=5) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+md AS (SELECT vec_id, v,
+       CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       FROM n),
+samp AS (SELECT vec_id, v, h FROM md ORDER BY h, vec_id LIMIT {n_codes}),
+cw AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS code, v AS wv FROM samp),
+ss AS (SELECT unnest(range({n_subspaces})) AS subspace),
+cb AS (SELECT ss.subspace, cw.code,
+       list_slice(cw.wv, ss.subspace * {width} + 1, (ss.subspace + 1) * {width}) AS cv
+       FROM cw CROSS JOIN ss),
+csub AS (SELECT n.vec_id, ss.subspace,
+         list_slice(n.v, ss.subspace * {width} + 1, (ss.subspace + 1) * {width}) AS sub
+         FROM n CROSS JOIN ss),
+ad AS (SELECT c.vec_id, c.subspace, cb.code,
+       list_dot_product(c.sub, c.sub) - 2 * list_dot_product(c.sub, cb.cv)
+         + list_dot_product(cb.cv, cb.cv) AS d2
+       FROM csub c JOIN cb ON c.subspace = cb.subspace),
+best AS (SELECT vec_id, subspace, code FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2, code) AS rn FROM ad)
+         WHERE rn = 1),
+qd AS (SELECT q.vec_id AS query_id, q.subspace, cb.code,
+       list_dot_product(q.sub, cb.cv) AS d
+       FROM csub q JOIN cb ON q.subspace = cb.subspace
+       WHERE q.vec_id < 8),
+contrib AS (SELECT qd.query_id, b.vec_id AS neighbor_id, qd.subspace, qd.d
+            FROM best b JOIN qd ON b.subspace = qd.subspace AND b.code = qd.code
+            WHERE b.vec_id <> qd.query_id),
+sc AS (SELECT query_id, neighbor_id,
+       round(list_reduce(list(d ORDER BY subspace), (x, y) -> x + y), 6) AS approx_cosine
+       FROM contrib GROUP BY query_id, neighbor_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS rec_rank FROM sc)
+SELECT query_id, neighbor_id, CAST(rec_rank AS BIGINT) AS rec_rank, approx_cosine
+FROM rk WHERE rec_rank <= {k}
+"""
+
+
+SS5_SQL = _pq_sql()
+
+
 def tx2_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: top-50 tokens by document frequency and
     total count — the vocab-building pass of a tokenizer/BPE pipeline.
@@ -3695,6 +3759,7 @@ QUERIES = {
     "ss1_ann_cosine_topk": ss1_ann_cosine_topk,
     "ss3_quantize_embeddings": ss3_quantize_embeddings,
     "ss4_label_centroids": ss4_label_centroids,
+    "ss5_pq_topk": ss5_pq_topk,
     "tx2_vocab_topk": tx2_vocab_topk,
     "tx3_stratified_sample": tx3_stratified_sample,
     "tx4_scrub_pii": tx4_scrub_pii,
@@ -3827,6 +3892,7 @@ ORACLES = {
     "pk3_shuffle_shards": PK3_SQL,
     "ss3_quantize_embeddings": SS3_SQL,
     "ss4_label_centroids": SS4_SQL,
+    "ss5_pq_topk": SS5_SQL,
     "sp9_stratified_head": SP9_SQL,
     "dd11_incremental_dedup": DD11_SQL,
 }

@@ -185,6 +185,63 @@ def test_ivf_topk_structure_and_full_probe_recall(spark):
     assert got == want
 
 
+def test_pq_encode_codeword_self_assignment(spark):
+    """A vector that IS a codeword must encode to its own codes (its
+    per-subspace distance to itself is 0), and every code array has
+    exactly n_subspaces entries."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(20, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    nn = SIM._normalize(emb, "vec_id", "embedding")
+    cb = SIM.pq_codebook(nn, n_subspaces=2, n_codes=4, seed=42)
+    codes = {r.id: list(r.codes) for r in SIM.pq_encode(nn, cb, 2).collect()}
+    assert all(len(c) == 2 for c in codes.values())
+    # map each codeword row back to the sampled corpus id it came from
+    cb_rows = cb.collect()
+    nn_rows = {r.id: list(r.v) for r in nn.collect()}
+    for r in cb_rows:
+        owner = next(
+            i for i, v in nn_rows.items()
+            if v[r.subspace * 4 : (r.subspace + 1) * 4] == list(r.cv)
+        )
+        assert codes[owner][r.subspace] == r.code
+
+
+def test_pq_topk_structure_and_singlecode_exactness(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    mat = rng.randn(30, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    rows = SIM.pq_topk(emb, q, k=4, n_subspaces=2, n_codes=8).collect()
+    for r in rows:
+        assert r.neighbor_id != r.query_id and 1 <= r.rank <= 4
+    assert len({(r.query_id, r.rank) for r in rows}) == len(rows)
+    # determinism: a second run is bit-identical
+    rows2 = SIM.pq_topk(emb, q, k=4, n_subspaces=2, n_codes=8).collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.approx_cosine)
+    assert sorted(map(key, rows)) == sorted(map(key, rows2))
+    # with n_codes == corpus size every vector is its own codeword, so
+    # ADC degenerates to the EXACT cosine ranking
+    small = emb.filter(F.col("vec_id") < 12)
+    exact = SIM.cosine_topk(small, small.filter(F.col("vec_id") < 2), k=3)
+    adc = SIM.pq_topk(
+        small, small.filter(F.col("vec_id") < 2), k=3, n_subspaces=2, n_codes=12
+    )
+    got = {(r.query_id, r.rank): r.neighbor_id for r in adc.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    assert got == want
+
+
 def test_ivf_centroid_pick_is_distributed_take_ordered(spark):
     """The centroid sample must compile to TakeOrderedAndProject
     (per-partition top-n + driver merge), never a global row_number
