@@ -17,6 +17,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
     "a2_o1_user_rating_lists",
     "di2_entity_link",
     "o3_topk_per_group",
@@ -32,8 +34,10 @@ HEADLINE = [
     "e5_hitrate_at_5",
     "dd3_minhash_signatures",
     "dd4_minhash_lsh_pairs",
+    "dd12_simhash_pairs",
     "tx1_text_stats",
     "ss1_ann_cosine_topk",
+    "ss5_pq_topk",
     "ss3_quantize_embeddings",
     "ss4_label_centroids",
     "mm1_image_stats",

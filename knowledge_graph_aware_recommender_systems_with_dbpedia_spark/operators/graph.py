@@ -334,3 +334,85 @@ def relabel_nodes(nodes: DataFrame, n_buckets: int = 32) -> DataFrame:
         ids, [F.col("node_id")], descending=False, boundaries=boundaries
     )
     return ranked.select("node_id", (F.col("_rn") - 1).alias("int_id"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    exact_order: bool = True,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list ->
+    (node, pr). Greenfield graph-analytics operator (the reference
+    stops at walks/k-core; same iterative-propagation family as
+    :func:`~..operators.dedup.connected_components`).
+
+    pr_{t+1}(v) = (1-d)/N + d * sum over in-edges (u,v) of
+    pr_t(u)/outdeg(u). No dangling-mass redistribution: callers
+    passing an undirected graph (both edge directions, the ratings
+    bipartite case) have outdeg >= 1 everywhere by construction;
+    nodes with no in-links get the (1-d)/N floor via the left join.
+
+    Determinism: with ``exact_order=True`` the per-node contribution
+    sum is a fold over (src, contrib) pairs in pinned src order, so
+    after any number of iterations the doubles are bit-reproducible
+    and a SQL engine replaying the same fold gets identical values
+    (the itemKNN scoring trick applied to an ITERATIVE computation).
+    ``exact_order=False`` swaps in a plain sum() for map-side partial
+    aggregation — the max-scale variant.
+
+    Scale shape per iteration: one equi-join of the edge list against
+    the (node, pr) table + outdeg (both shuffles on the same key, so
+    a bucketed/pre-partitioned edge table reuses its layout), one
+    groupBy(dst), one left join back to the node table. Lineage is
+    cut with localCheckpoint every iteration (5 chained iterations
+    would otherwise compound the plan; checkpointing changes nothing
+    about the values).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = (1.0 - damping) / n_nodes
+    pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.col("src").alias("_src"),
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+            )
+        )
+        if exact_order:
+            sums = contribs.groupBy("node").agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("_src", "c"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["c"],
+                ).alias("s")
+            )
+        else:
+            sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr

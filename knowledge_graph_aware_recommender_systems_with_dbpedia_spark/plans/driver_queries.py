@@ -921,6 +921,56 @@ SELECT 'user::' || CAST(c_custkey AS VARCHAR), 'is', 'property:segment:' || c_mk
 """
 
 
+def g9_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (graph.pagerank) over the undirected
+    user-item rating bipartite graph, 3 iterations, d=0.85. An
+    ITERATIVE distributed algorithm hash-checked end-to-end: the
+    per-node contribution sum is a pinned-src-order fold each
+    iteration, so DuckDB replays all three propagation rounds as
+    unrolled CTEs with bit-identical doubles."""
+    r = _ratings(spark, sf_dir)
+    e0 = r.select(
+        F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("i:"), F.col("item_id")).alias("dst"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = G.pagerank(edges, iterations=3, damping=0.85, exact_order=True)
+    return pr.select("node", F.round("pr", 10).alias("pr"))
+
+
+def _pagerank_sql(iterations=3, damping=0.85) -> str:
+    steps = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""s{i} AS (SELECT e.dst AS node,
+       list_reduce(list(p.pr / d.outdeg ORDER BY e.src), (x, y) -> x + y) AS s
+       FROM edges e JOIN {prev} p ON p.node = e.src JOIN deg d ON d.src = e.src
+       GROUP BY e.dst),
+pr{i} AS (SELECT nodes.node, (1 - {damping}) / nn.n + {damping} * coalesce(s{i}.s, 0.0) AS pr
+        FROM nodes CROSS JOIN nn LEFT JOIN s{i} ON s{i}.node = nodes.node)"""
+        )
+        prev = f"pr{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH ratings AS ({RATINGS_SQL}),
+e0 AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+              'i:' || CAST(item_id AS VARCHAR) AS dst FROM ratings),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+{chain}
+SELECT node, round(pr, 10) AS pr FROM {prev}
+"""
+
+
+G9_SQL = _pagerank_sql()
+
+
 def g4_kcore_user(spark, sf_dir):
     return G.filter_kcore(_ratings(spark, sf_dir), k=8, target="user", iterations=1)
 
@@ -3739,6 +3789,7 @@ QUERIES = {
     "rec_itemknn_top5": rec_itemknn_top5,
     "g4_kcore_alternating": g4_kcore_alternating,
     "g7_walks_biased": g7_walks_biased,
+    "g9_pagerank": g9_pagerank,
     "e4_mrr_at_5": e4_mrr_at_5,
     "e5_hitrate_at_5": e5_hitrate_at_5,
     "rec_node2vec_top5": rec_node2vec_top5,
@@ -3823,6 +3874,7 @@ ORACLES = {
     "g6_walks": G6_SQL,
     "g7_walks_biased": G7_SQL,
     "g8_triples": G8_SQL,
+    "g9_pagerank": G9_SQL,
     "sp1_random_global": _sp_ratio_sql(0.25, "global"),
     "sp2_random_user": _sp_ratio_sql(0.2, "user"),
     "sp3_temporal_global": _sp_ratio_sql(0.3, "global", by_ts=True),

@@ -100,3 +100,49 @@ def test_kcore_early_stop_and_cascade(spark):
     # iterating an already-stable core changes nothing (early stop)
     out2 = G.filter_kcore(out, k=3, target="user", iterations=3)
     assert out2.count() == out.count()
+
+
+def test_pagerank_matches_hand_rolled(spark):
+    """Undirected triangle + pendant: compare against a plain python
+    power iteration with identical update rule."""
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    got = {r.node: r.pr for r in G.pagerank(edges, iterations=4).collect()}
+
+    nodes = sorted({x for e in und for x in e})
+    out = {n: 0 for n in nodes}
+    adj = {n: [] for n in nodes}
+    for s, d in und + [(d, s) for s, d in und]:
+        out[s] += 1
+        adj[d].append(s)
+    pr = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(4):
+        nxt = {}
+        for v in nodes:
+            s = 0.0
+            for u in sorted(adj[v]):  # pinned src order, like exact_order
+                s += pr[u] / out[u]
+            nxt[v] = (1.0 - 0.85) / len(nodes) + 0.85 * s
+        pr = nxt
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n] == pr[n], (n, got[n], pr[n])  # bit-identical fold
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # no dangling: mass conserved
+    # degree order: c (deg 3) > a,b (2) > d (1)
+    assert got["c"] > got["a"] == got["b"] > got["d"]
+
+
+def test_pagerank_exact_order_matches_plain_sum_approximately(spark):
+    und = [("a", "b"), ("b", "c"), ("a", "c")]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    exact = {r.node: r.pr for r in G.pagerank(edges, iterations=3).collect()}
+    fast = {
+        r.node: r.pr
+        for r in G.pagerank(edges, iterations=3, exact_order=False).collect()
+    }
+    for n in exact:
+        assert abs(exact[n] - fast[n]) < 1e-12
