@@ -2920,6 +2920,65 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def ev8_covisitation(spark, sf_dir):
+    """Session co-visitation matrix: how many sessions contain BOTH
+    event types — the classic 'viewed X also viewed Y' recsys/
+    training-signal aggregate. Composes ev2's gap sessionizer with a
+    within-session pair self-join. Scale bounds: distinct types per
+    session are capped at 20 (session-partitioned window, never
+    corpus-sized) so the pair fan-out is <= cap^2 per session; the
+    pair join keys on (user, session) — co-visitation never becomes
+    an all-pairs join across sessions."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts_ns div 1000").cast("bigint").alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    brk = F.when(
+        F.col("_prev").isNull() | (F.col("tus") - F.col("_prev") > gap_us), 1
+    ).otherwise(0)
+    sess = (
+        e.withColumn("_prev", F.lag("tus").over(w))
+        .withColumn("_brk", brk)
+        .withColumn("session_id", F.sum("_brk").over(w))
+    )
+    types = sess.select("user_id", "session_id", "event_type").distinct()
+    w2 = Window.partitionBy("user_id", "session_id").orderBy("event_type")
+    capped = (
+        types.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= 20)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+
+
+EV8_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+l AS (SELECT e.*, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+f AS (SELECT l.*, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+s AS (SELECT f.*, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS session_id FROM f),
+t AS (SELECT DISTINCT user_id, session_id, event_type FROM s),
+c AS (SELECT t.*, row_number() OVER (PARTITION BY user_id, session_id ORDER BY event_type) AS rn FROM t),
+k AS (SELECT user_id, session_id, event_type FROM c WHERE rn <= 20)
+SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_sessions
+FROM k a JOIN k b ON a.user_id = b.user_id AND a.session_id = b.session_id
+                 AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3830,6 +3889,7 @@ QUERIES = {
     "ev5_overlap_pairs": ev5_overlap_pairs,
     "ev6_point_in_span": ev6_point_in_span,
     "ev7_trending": ev7_trending,
+    "ev8_covisitation": ev8_covisitation,
     "a10_rollup_profile": a10_rollup_profile,
     "a11_moving_avg": a11_moving_avg,
     "dp2_curation_pipeline": dp2_curation_pipeline,
@@ -3929,6 +3989,7 @@ ORACLES = {
     "ev5_overlap_pairs": EV5_SQL,
     "ev6_point_in_span": EV6_SQL,
     "ev7_trending": EV7_SQL,
+    "ev8_covisitation": EV8_SQL,
     "a10_rollup_profile": A10_SQL,
     "a11_moving_avg": A11_SQL,
     "dp2_curation_pipeline": DP2_SQL,
