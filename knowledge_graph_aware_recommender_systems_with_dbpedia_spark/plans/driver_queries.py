@@ -646,6 +646,61 @@ FROM d
 """
 
 
+def a12_linreg_trend(spark, sf_dir):
+    """Distributed closed-form least squares per group — one
+    hash-aggregate of five EXACT BIGINT sums (n, Sx, Sy, Sxx, Sxy),
+    then slope/intercept as scalar float expressions over them. The
+    q1 exactness rule applied to model fitting: x = hours since the
+    window start (offset keeps n*Sxx and (Sx)^2 far from BIGINT
+    range under ANSI mode), y = exact cents; every sum is map-side
+    combinable and order-independent, so the fitted coefficients are
+    bit-identical on any engine. The 'train a tiny model per key
+    without collect' pattern — at 100 TB this is one scan + one
+    shuffle of 5 longs per key."""
+    e = load_table(spark, sf_dir, "events")
+    x = (F.expr("ts_ns div 3600000000000") - F.lit(473352)).alias("x")
+    y = F.floor(F.col("value") * 100).cast("bigint").alias("y")
+    agg = (
+        e.select("event_type", x, y)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    agg = agg.withColumn("slope", slope)
+    intercept = (
+        F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return agg.select(
+        "event_type",
+        "n",
+        F.round("slope", 6).alias("slope_cents_per_hour"),
+        F.round(intercept, 6).alias("intercept_cents"),
+    )
+
+
+A12_SQL = """
+WITH e AS (SELECT event_type,
+           CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) - 473352 AS x,
+           CAST(floor(value * 100) AS BIGINT) AS y
+           FROM events),
+a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM e GROUP BY event_type),
+s AS (SELECT a.*, CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope FROM a)
+SELECT event_type, n, round(slope, 6) AS slope_cents_per_hour,
+       round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_cents
+FROM s
+"""
+
+
 def o2_global_sort(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -3892,6 +3947,7 @@ QUERIES = {
     "ev8_covisitation": ev8_covisitation,
     "a10_rollup_profile": a10_rollup_profile,
     "a11_moving_avg": a11_moving_avg,
+    "a12_linreg_trend": a12_linreg_trend,
     "dp2_curation_pipeline": dp2_curation_pipeline,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -3992,6 +4048,7 @@ ORACLES = {
     "ev8_covisitation": EV8_SQL,
     "a10_rollup_profile": A10_SQL,
     "a11_moving_avg": A11_SQL,
+    "a12_linreg_trend": A12_SQL,
     "dp2_curation_pipeline": DP2_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
