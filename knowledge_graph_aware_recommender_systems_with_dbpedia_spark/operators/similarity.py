@@ -401,7 +401,7 @@ def ivf_topk_from_index(
 
 
 def pq_codebook(
-    nn: DataFrame, n_subspaces: int, n_codes: int, seed: int
+    nn: DataFrame, n_subspaces: int, n_codes: int, seed: int, dim: int | None = None
 ) -> DataFrame:
     """Deterministic product-quantization codebook as a tiny
     (subspace, code, cv) table: the ``n_codes`` corpus rows with the
@@ -411,8 +411,9 @@ def pq_codebook(
     encode/score plans are identical). TakeOrderedAndProject, never a
     global window; rows inlined as a literal so both the encode and
     the query dot-table sides broadcast it without recomputation."""
-    first = nn.select(F.size("v").alias("d")).limit(1).collect()
-    dim = int(first[0]["d"]) if first else 0
+    if dim is None:
+        first = nn.select(F.size("v").alias("d")).limit(1).collect()
+        dim = int(first[0]["d"]) if first else 0
     if dim % n_subspaces:
         raise ValueError(f"dim={dim} not divisible by {n_subspaces} subspaces")
     width = dim // n_subspaces
@@ -443,7 +444,9 @@ def _pq_dist2(sub, cv):
     return _dot(sub, sub) - 2.0 * _dot(sub, cv) + _dot(cv, cv)
 
 
-def pq_encode(nn: DataFrame, codebook: DataFrame, n_subspaces: int) -> DataFrame:
+def pq_encode(
+    nn: DataFrame, codebook: DataFrame, n_subspaces: int, dim: int | None = None
+) -> DataFrame:
     """Encode each (id, v) row to (id, codes array<int>): per subspace
     the nearest codeword by squared L2 (code-id tie-break). Plan: one
     explode to (id, subspace, sub), a broadcast join against the tiny
@@ -451,8 +454,9 @@ def pq_encode(nn: DataFrame, codebook: DataFrame, n_subspaces: int) -> DataFrame
     groupBy re-assembling the code array in subspace order. The
     output is m small ints per vector — the 32x-compressed corpus
     representation that makes 100 TB ADC scans cheap."""
-    first = nn.select(F.size("v").alias("d")).limit(1).collect()
-    dim = int(first[0]["d"]) if first else 0
+    if dim is None:
+        first = nn.select(F.size("v").alias("d")).limit(1).collect()
+        dim = int(first[0]["d"]) if first else 0
     width = dim // n_subspaces if n_subspaces else 0
     subs = nn.select(
         "id",
@@ -505,12 +509,16 @@ def pq_topk(
     aggregates back with one shuffle on (query, id); the final top-k
     is a per-query window. approx_cosine = sum_s q_s . c_codeword —
     the standard asymmetric-distance estimate of the true cosine."""
-    nn = _normalize(emb, id_col, vec_col)
-    cb = pq_codebook(nn, n_subspaces, n_codes, seed)
-    codes = pq_encode(nn, cb, n_subspaces)
-    qn = _normalize(queries, id_col, vec_col)
-    first = qn.select(F.size("v").alias("d")).limit(1).collect()
+    # normalize ONCE and persist: the codebook sample collect, the
+    # encode pass, and (when queries come from the same table) the
+    # query side would otherwise each re-evaluate the normalize
+    # lineage; the dim probe is likewise done once and threaded down
+    nn = _normalize(emb, id_col, vec_col).persist()
+    first = nn.select(F.size("v").alias("d")).limit(1).collect()
     dim = int(first[0]["d"]) if first else 0
+    cb = pq_codebook(nn, n_subspaces, n_codes, seed, dim=dim)
+    codes = pq_encode(nn, cb, n_subspaces, dim=dim)
+    qn = _normalize(queries, id_col, vec_col)
     width = dim // n_subspaces if n_subspaces else 0
     qsubs = qn.select(
         F.col("id").alias("query_id"),
