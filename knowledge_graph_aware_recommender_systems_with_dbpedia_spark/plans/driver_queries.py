@@ -3618,6 +3618,104 @@ SELECT doc_id, source, quality FROM r WHERE rn <= 15
 """
 
 
+def tx11_quality_deciles(spark, sf_dir):
+    """Global feature binning WITHOUT a global window: every doc's
+    quality decile via the two-pass range-bucketed rank
+    (splits._global_rank — quality range buckets, within-bucket
+    row_number, broadcast offsets) and the exact ntile identity
+    ntile(B) == floor((rn-1)*B/n) + 1. The oracle uses DuckDB's
+    native ntile(10) OVER a true global ORDER BY — safe only
+    single-node; the Spark plan never funnels the corpus through one
+    partition (plan-lint enforced)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    ranked = SP._global_rank(
+        docs,
+        [F.col("quality"), F.col("doc_id")],
+        descending=False,
+        boundaries=[i / 20 for i in range(1, 20)],
+    )
+    return ranked.select(
+        "doc_id",
+        "quality",
+        (F.floor((F.col("_rn") - 1) * 10 / F.col("_n")) + 1)
+        .cast("bigint")
+        .alias("decile"),
+    )
+
+
+TX11_SQL = f"""
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+st AS (SELECT doc_id,
+       CAST(length(text) AS DOUBLE) AS n_chars,
+       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       CAST(len(toks) AS DOUBLE) AS n_toks
+       FROM t),
+q AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      round(0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+          + 0.3 * least(n_chars / 400.0, 1.0)
+          + 0.3 * least((CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END) / 6.0, 1.0), 6) AS quality
+      FROM st)
+SELECT doc_id, quality,
+       CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS BIGINT) AS decile
+FROM q
+"""
+
+
+def ev9_outlier_events(spark, sf_dir):
+    """Per-group z-score outlier flagging — the data-cleaning filter
+    of a training pipeline. Mean/variance per event type derive from
+    EXACT integer sums (cents; var = E[y^2] - mean^2 evaluated in
+    doubles so no BIGINT product of two corpus-scale sums is ever
+    formed); the tiny per-type stats table broadcasts back onto the
+    fact scan, so flagging is one aggregate + one map-side join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    mean = F.col("sy").cast("double") / F.col("n").cast("double")
+    stats = stats.withColumn("mean", mean)
+    var = F.col("syy").cast("double") / F.col("n").cast("double") - F.col(
+        "mean"
+    ) * F.col("mean")
+    stats = stats.withColumn("std", F.sqrt(var))
+    z = (F.col("y").cast("double") - F.col("mean")) / F.col("std")
+    return (
+        e.join(F.broadcast(stats.select("event_type", "mean", "std")), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "event_type",
+            F.col("y").alias("value_cents"),
+            F.round("z", 6).alias("z"),
+        )
+    )
+
+
+EV9_SQL = """
+WITH e AS (SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+a AS (SELECT event_type, count(*) AS n, sum(y) AS sy, sum(y * y) AS syy FROM e GROUP BY event_type),
+m AS (SELECT event_type, CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean, n, syy FROM a),
+s AS (SELECT event_type, mean,
+             sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean) AS std FROM m),
+z AS (SELECT e.event_id, e.event_type, e.y,
+             (CAST(e.y AS DOUBLE) - s.mean) / s.std AS z
+      FROM e JOIN s USING (event_type))
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type, y AS value_cents,
+       round(z, 6) AS z
+FROM z WHERE abs(z) > 3.0
+"""
+
+
 def dp2_curation_pipeline(spark, sf_dir):
     """Second composed pipeline (the curation side): exact dedup ->
     per-source quality quota (top 20) -> deterministic shard/pos
@@ -3934,6 +4032,8 @@ QUERIES = {
     "tx8_corpus_profile": tx8_corpus_profile,
     "tx9_mixture_weights": tx9_mixture_weights,
     "tx10_domain_quota": tx10_domain_quota,
+    "tx11_quality_deciles": tx11_quality_deciles,
+    "ev9_outlier_events": ev9_outlier_events,
     "pk2_sequence_stats": pk2_sequence_stats,
     "pk3_shuffle_shards": pk3_shuffle_shards,
     "ck1_chunk_documents": ck1_chunk_documents,
@@ -4059,6 +4159,8 @@ ORACLES = {
     "tx8_corpus_profile": TX8_SQL,
     "tx9_mixture_weights": TX9_SQL,
     "tx10_domain_quota": TX10_SQL,
+    "tx11_quality_deciles": TX11_SQL,
+    "ev9_outlier_events": EV9_SQL,
     "pk3_shuffle_shards": PK3_SQL,
     "ss3_quantize_embeddings": SS3_SQL,
     "ss4_label_centroids": SS4_SQL,
