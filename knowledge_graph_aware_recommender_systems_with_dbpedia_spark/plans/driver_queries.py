@@ -2975,6 +2975,69 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def a13_pivot_daily(spark, sf_dir):
+    """Relational pivot: day x event_type value matrix in ONE pass
+    (groupBy().pivot() with EXPLICIT values — the value list keeps
+    the output schema static so no extra distinct-scan job runs and
+    the plan stays a single hash aggregate; at 100 TB an implicit
+    pivot would first scan the corpus just to learn the columns).
+    Cells sum exact cents then divide once, so the doubles are
+    shuffle-order-independent."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    day = F.expr("ts_ns div 86400000000000").cast("bigint").alias("day")
+    piv = (
+        e.select(day, "event_type", cents.alias("y"))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .sum("y")
+    )
+    out = piv.select(
+        "day",
+        *[
+            (F.coalesce(F.col(t), F.lit(0)).cast("double") / 100).alias(t)
+            for t in _EVENT_TYPES
+        ],
+    )
+    return out
+
+
+A13_SQL = """
+SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+""" + ",\n".join(
+    f"       CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100 AS {t}"
+    for t in _EVENT_TYPES
+) + """
+FROM events GROUP BY 1
+"""
+
+
+def a14_unpivot_melt(spark, sf_dir):
+    """Relational unpivot (melt): a13's wide day x type matrix back to
+    long (day, event_type, total) via the native unpivot operator —
+    the wide-to-long reshape of a feature pipeline. Null cells (the
+    pivot's missing combinations are 0 here, but the filter guards
+    the general case) are dropped so the result equals the direct
+    long-form aggregate, which is what the oracle computes."""
+    wide = a13_pivot_daily(spark, sf_dir)
+    long = wide.unpivot("day", _EVENT_TYPES, "event_type", "total")
+    return long.filter(F.col("total").isNotNull() & (F.col("total") != 0.0)).select(
+        "day", "event_type", "total"
+    )
+
+
+A14_SQL = """
+WITH e AS (SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day, event_type,
+                  CAST(floor(value * 100) AS BIGINT) AS y FROM events)
+SELECT day, event_type, CAST(sum(y) AS DOUBLE) / 100 AS total
+FROM e GROUP BY day, event_type
+HAVING CAST(sum(y) AS DOUBLE) / 100 <> 0.0
+"""
+
+
 def ev8_covisitation(spark, sf_dir):
     """Session co-visitation matrix: how many sessions contain BOTH
     event types — the classic 'viewed X also viewed Y' recsys/
@@ -3032,6 +3095,60 @@ FROM k a JOIN k b ON a.user_id = b.user_id AND a.session_id = b.session_id
                  AND a.event_type < b.event_type
 GROUP BY 1, 2
 """
+
+
+def st7_stream_anomaly(spark, sf_dir):
+    """Streaming z-score anomaly flagging at ingest: the per-type
+    mean/std table (exact-integer sums — ev9's stats, in production
+    yesterday's batch job) is computed ONCE batch-side and broadcast
+    into the stream; each micro-batch flags |z| > 3 rows with a
+    map-side stream-static join, no state store. Stateless => append
+    emits each anomaly exactly once and ev9's batch oracle applies
+    verbatim."""
+    import os
+    import tempfile
+
+    from ..streaming import events as STE
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("y")
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    mean = F.col("sy").cast("double") / F.col("n").cast("double")
+    stats = stats.withColumn("mean", mean)
+    stats = stats.withColumn(
+        "std",
+        F.sqrt(
+            F.col("syy").cast("double") / F.col("n").cast("double")
+            - F.col("mean") * F.col("mean")
+        ),
+    ).select("event_type", "mean", "std")
+
+    stream = STE.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    flagged = (
+        stream.select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("y"),
+        )
+        .join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "z", (F.col("y").cast("double") - F.col("mean")) / F.col("std")
+        )
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "event_type",
+            F.col("y").alias("value_cents"),
+            F.round("z", 6).alias("z"),
+        )
+    )
+    name = os.path.basename(tempfile.mkdtemp(prefix="st7q_"))
+    return STE.run_to_memory(flagged, name, "append")
 
 
 # --------------------------------------------------------------------------
@@ -4048,6 +4165,8 @@ QUERIES = {
     "a10_rollup_profile": a10_rollup_profile,
     "a11_moving_avg": a11_moving_avg,
     "a12_linreg_trend": a12_linreg_trend,
+    "a13_pivot_daily": a13_pivot_daily,
+    "a14_unpivot_melt": a14_unpivot_melt,
     "dp2_curation_pipeline": dp2_curation_pipeline,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -4057,6 +4176,7 @@ QUERIES = {
     "st4_stream_ingest_pipeline": st4_stream_ingest_pipeline,
     "st5_stream_decontaminate": st5_stream_decontaminate,
     "st6_stream_incremental_dedup": st6_stream_incremental_dedup,
+    "st7_stream_anomaly": st7_stream_anomaly,
 }
 
 ORACLES = {
@@ -4149,12 +4269,15 @@ ORACLES = {
     "a10_rollup_profile": A10_SQL,
     "a11_moving_avg": A11_SQL,
     "a12_linreg_trend": A12_SQL,
+    "a13_pivot_daily": A13_SQL,
+    "a14_unpivot_melt": A14_SQL,
     "dp2_curation_pipeline": DP2_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
     "q18_large_orders": Q18_SQL,
     "st5_stream_decontaminate": ST5_SQL,
     "st6_stream_incremental_dedup": DD11_SQL,
+    "st7_stream_anomaly": EV9_SQL,
     "tx7_lang_confusion": TX7_SQL,
     "tx8_corpus_profile": TX8_SQL,
     "tx9_mixture_weights": TX9_SQL,
