@@ -1,0 +1,128 @@
+"""Byte-pair-encoding merge learning — the tokenizer-training step of
+an LLM data pipeline (Sennrich et al., ACL'16), distributed.
+
+Greenfield operator (no reference counterpart; the reference stops at
+word-level token counts). Scale shape — the part that matters at
+100 TB:
+
+ * the CORPUS is touched exactly once, to build the (word, count)
+   table; every merge iteration then runs over that table, whose size
+   is bounded by the VOCABULARY (unique pre-tokens), not the corpus —
+   the same two-phase structure production tokenizer trainers use;
+ * each iteration is one map-side pair fan-out + one combinable
+   hash-aggregate + a TakeOrdered(1); the only driver transfer is the
+   single best (pair, count) row per iteration (the bounded-scalar
+   collect pattern of similarity._ivf_centroids);
+ * the merge rewrite is a literal string replace over the wrapped
+   symbol sequence (below) — embarrassingly parallel.
+
+Determinism / oracle contract: symbol sequences are stored as
+``\\x01 sym \\x02`` wrapped strings (tokens are [a-z0-9]+ so the
+delimiters cannot collide). SQL ``replace()`` scans left-to-right and
+never rescans replaced output, which is EXACTLY classic BPE's greedy
+non-overlapping merge ("aaa" + (a,a) -> [aa, a]); both engines share
+that semantic, so a DuckDB oracle replays every iteration verbatim.
+Ties on pair count break lexicographically (smallest (left, right)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+D1, D2 = "\x01", "\x02"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over the corpus — the one corpus-scale pass."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _wrapped_chars(word):
+    """'abc' -> '\\x01a\\x02\\x01b\\x02\\x01c\\x02'."""
+    return F.concat(
+        F.lit(D1), F.array_join(F.split(word, ""), D2 + D1), F.lit(D2)
+    )
+
+
+def _symbols(seq):
+    """Wrapped string -> array of symbols."""
+    return F.split(F.expr(f"substring({seq}, 2, length({seq}) - 2)"), D2 + D1)
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus vocabulary ->
+    (step, left_sym, right_sym, merged, pair_count), step 1-based.
+
+    Stops early if no adjacent pair remains. The returned DataFrame is
+    driver-materialized (n_merges rows) — the distributed work is the
+    per-iteration pair count over the persisted vocab table.
+    """
+    spark = docs.sparkSession
+    words = word_counts(docs, text_col).persist()
+    seqs = words.select("cnt", _wrapped_chars(F.col("word")).alias("seq"))
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = seqs.select("cnt", _symbols("seq").alias("s"))
+        pairs = (
+            syms.select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("s"), 1, F.size("s") - 1),
+                        F.slice(F.col("s"), 2, F.size("s") - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = pairs.orderBy(F.desc("pair_count"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["pair_count"])
+        merges.append((step, a, b, a + b, cnt))
+        seqs = seqs.select(
+            "cnt",
+            F.replace(
+                F.col("seq"), F.lit(D1 + a + D2 + D1 + b + D2), F.lit(D1 + a + b + D2)
+            ).alias("seq"),
+        )
+    return spark.createDataFrame(
+        merges,
+        "step bigint, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
+
+
+def segment_words(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Apply an ordered merge list to the vocab -> (word, cnt, pieces).
+
+    The tokenize-with-a-trained-BPE step: replays each merge (in
+    learned order) over the wrapped sequences, then splits back to
+    symbol arrays. Pure string ops — map-side, corpus-scale safe.
+    """
+    words = word_counts(docs, text_col)
+    seq = _wrapped_chars(F.col("word"))
+    out = words.select("word", "cnt", seq.alias("seq"))
+    for a, b in merges:
+        out = out.select(
+            "word",
+            "cnt",
+            F.replace(
+                F.col("seq"), F.lit(D1 + a + D2 + D1 + b + D2), F.lit(D1 + a + b + D2)
+            ).alias("seq"),
+        )
+    return out.select("word", "cnt", _symbols("seq").alias("pieces"))

@@ -3781,6 +3781,53 @@ FROM q
 """
 
 
+def tx12_bpe_merges(spark, sf_dir):
+    """Tokenizer training: the first 3 BPE merges learned over the
+    corpus vocabulary (operators/bpe.py). The corpus is scanned once
+    for word counts; each merge iteration is a vocab-bounded pair
+    count + TakeOrdered(1); the merge rewrite is a literal string
+    replace whose greedy left-to-right non-overlap semantics match
+    classic BPE AND SQL replace(), so DuckDB replays all three
+    iterations verbatim."""
+    from ..operators import bpe as BPE
+
+    return BPE.learn_bpe_merges(
+        load_table(spark, sf_dir, "documents"), n_merges=3
+    )
+
+
+def _bpe_sql(n_merges=3) -> str:
+    d1, d2 = "chr(1)", "chr(2)"
+    steps = []
+    prev = "seq0"
+    for i in range(1, n_merges + 1):
+        steps.append(
+            f"""s{i} AS (SELECT cnt, string_split(substr(seq, 2, length(seq) - 2), {d2} || {d1}) AS s FROM {prev}),
+z{i} AS (SELECT cnt, unnest(list_zip(list_slice(s, 1, len(s) - 1), list_slice(s, 2, len(s)))) AS z FROM s{i}),
+p{i} AS (SELECT z[1] AS a, z[2] AS b, sum(cnt) AS pair_count FROM z{i} GROUP BY 1, 2),
+best{i} AS (SELECT a, b, pair_count FROM p{i} ORDER BY pair_count DESC, a, b LIMIT 1),
+seq{i} AS (SELECT cnt, replace(seq, {d1} || best{i}.a || {d2} || {d1} || best{i}.b || {d2},
+                               {d1} || best{i}.a || best{i}.b || {d2}) AS seq
+           FROM {prev} CROSS JOIN best{i})"""
+        )
+        prev = f"seq{i}"
+    chain = ",\n".join(steps)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, a AS left_sym, b AS right_sym, a || b AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+WITH t AS (SELECT {TOKS_SQL} AS toks FROM documents),
+w AS (SELECT u.tok AS word, count(*) AS cnt FROM t, unnest(t.toks) AS u(tok) GROUP BY 1),
+seq0 AS (SELECT cnt, {d1} || array_to_string(string_split(word, ''), {d2} || {d1}) || {d2} AS seq FROM w),
+{chain}
+{selects}
+"""
+
+
+TX12_SQL = _bpe_sql()
+
+
 def ev9_outlier_events(spark, sf_dir):
     """Per-group z-score outlier flagging — the data-cleaning filter
     of a training pipeline. Mean/variance per event type derive from
@@ -4150,6 +4197,7 @@ QUERIES = {
     "tx9_mixture_weights": tx9_mixture_weights,
     "tx10_domain_quota": tx10_domain_quota,
     "tx11_quality_deciles": tx11_quality_deciles,
+    "tx12_bpe_merges": tx12_bpe_merges,
     "ev9_outlier_events": ev9_outlier_events,
     "pk2_sequence_stats": pk2_sequence_stats,
     "pk3_shuffle_shards": pk3_shuffle_shards,
@@ -4283,6 +4331,7 @@ ORACLES = {
     "tx9_mixture_weights": TX9_SQL,
     "tx10_domain_quota": TX10_SQL,
     "tx11_quality_deciles": TX11_SQL,
+    "tx12_bpe_merges": TX12_SQL,
     "ev9_outlier_events": EV9_SQL,
     "pk3_shuffle_shards": PK3_SQL,
     "ss3_quantize_embeddings": SS3_SQL,

@@ -200,3 +200,43 @@ def test_approx_percentile_close_to_exact(spark):
     ).first()
     for e, a in zip(row.exact, row.approx):
         assert abs(a - e) <= max(0.05 * e, 2.0), (e, a)
+
+
+def test_bpe_merges_match_classic_example(spark):
+    """The Sennrich fixture (low/lower/newest/widest): merges must be
+    (e,s) -> (es,t) -> (l,o) with counts 9, 9, 7 (tie e,s < s,t)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in BPE.learn_bpe_merges(docs, n_merges=3).orderBy("step").collect()
+    ]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+    ]
+
+
+def test_bpe_segment_words_applies_merges_in_order(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [(1, "newest newest widest aaa")], "doc_id long, text string"
+    )
+    pieces = {
+        r.word: list(r.pieces)
+        for r in BPE.segment_words(docs, [("e", "s"), ("es", "t")]).collect()
+    }
+    assert pieces["newest"] == ["n", "e", "w", "est"]
+    assert pieces["widest"] == ["w", "i", "d", "est"]
+    # greedy non-overlapping: "aaa" under merge (a,a) -> [aa, a]
+    seg = {
+        r.word: list(r.pieces)
+        for r in BPE.segment_words(docs, [("a", "a")]).collect()
+    }
+    assert seg["aaa"] == ["aa", "a"]
