@@ -4105,6 +4105,289 @@ FROM rk WHERE rec_rank <= 5
 )
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate — no join, no
+    window; the canonical 'does everything push down' probe. All
+    three predicates (date range, discount band, quantity cap) reach
+    the parquet scan as PushedFilters, projection prunes to 4 of 11
+    columns, and the single global sum is a two-stage partial/final
+    agg (one row crosses the network per task). Revenue = sum of
+    exact micro-cents (price-cents x discount-basis-points — both
+    integers) so the float total is engine-order-independent."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    microcents = F.floor(F.col("l_extendedprice") * 100) * F.floor(
+        F.col("l_discount") * 100
+    )
+    return li.agg(
+        (F.sum(microcents).cast("double") / 10000).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q6_SQL = """
+SELECT CAST(sum(floor(l_extendedprice * 100) * floor(l_discount * 100)) AS DOUBLE) / 10000 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-semi-join aggregate — orders in a
+    quarter counted per priority, keeping only orders with at least
+    one lineitem shipped after the order date (the env tables carry
+    no commit/receipt dates; ship-after-order is the same
+    correlated-exists shape). The semi join never materializes
+    matched lineitems (first match short-circuits) and both scans
+    keep their filters pushed; the final groupBy has 5 keys."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def ev10_funnel(spark, sf_dir):
+    """Strict ordered conversion funnel (view -> click -> purchase):
+    per stage, how many users reached it IN ORDER — first click at or
+    after the user's first view, first purchase at or after that
+    click. Three conditional min-aggregations chained by equi-joins,
+    every one keyed on user_id: the events scan shuffles on a single
+    key and each stage table is bounded by #users (a tiny fraction of
+    the fact table), so the chain joins stay cheap and AQE can
+    broadcast the later stages at 100 TB."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_ns") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_ns") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("p_ts"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users")
+        ).select(F.lit(label).alias("stage"), "n_users")
+
+    return (
+        stage(v, "1_view")
+        .unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+    )
+
+
+EV10_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+v AS (SELECT user_id, min(ts_ns) AS v_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(ts_ns) AS c_ts FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts_ns >= v_ts GROUP BY 1),
+p AS (SELECT e.user_id, min(ts_ns) AS p_ts FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts_ns >= c_ts GROUP BY 1)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+def ev11_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-active day
+    (cohort), counted on each later active day as a (cohort_day,
+    day_offset) matrix — the standard growth-analytics rollup. The
+    (user, day) table is deduped FIRST so the cohort join carries one
+    row per user-day, both aggregations and the join share the
+    user_id shuffle key, and the output is bounded by days^2 — at
+    100 TB the only fact-table pass is the initial distinct."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 86400000000000").cast("bigint").alias("day")
+    )
+    days = e.distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+EV11_SQL = """
+WITH days AS (SELECT DISTINCT user_id,
+                     CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+              FROM events),
+first AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM days JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def a15_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (p50/p90/p99) of event value
+    per event_type — SLA/latency-style distribution reporting. Values
+    go through exact cents first (the q1 rule) so both engines
+    interpolate over identical integers; Spark's `percentile` is the
+    exact sort-based aggregate (percentile_approx is the sketch
+    variant for when a 1e-4 error is acceptable at 100 TB — this
+    query pins the exact path, and the groupBy bounds each sort to
+    one event_type's rows)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(cents, 0.5)") / 100, 4).alias("p50"),
+        F.round(F.expr("percentile(cents, 0.9)") / 100, 4).alias("p90"),
+        F.round(F.expr("percentile(cents, 0.99)") / 100, 4).alias("p99"),
+    )
+
+
+A15_SQL = """
+WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+SELECT event_type,
+       round(quantile_cont(cents, 0.5) / 100, 4) AS p50,
+       round(quantile_cont(cents, 0.9) / 100, 4) AS p90,
+       round(quantile_cont(cents, 0.99) / 100, 4) AS p99
+FROM e GROUP BY event_type
+"""
+
+
+def st8_stream_stream_join(spark, sf_dir):
+    """Watermarked STREAM-STREAM interval join in the driver
+    contract: purchases attributed to a signup by the same user
+    within 2 hours (streaming/events.purchases_within_signup_window).
+    Both stream sides carry watermarks and the join condition bounds
+    purchase time to [signup, signup + 2h], so the state store evicts
+    rows past watermark + delay — the bounded-state form of the
+    classic attribution join. availableNow drains the static dir in
+    one batch; the join is stateless across batches given the
+    watermark bound, so the batch interval-join oracle applies."""
+    import os
+    import tempfile
+
+    from ..streaming import events as STE
+
+    stream = STE.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    name = os.path.basename(tempfile.mkdtemp(prefix="st8q_"))
+    out = STE.run_to_memory(
+        STE.purchases_within_signup_window(stream), name, "append"
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("signup_id").cast("bigint").alias("signup_id"),
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        "signup_s",
+        "purchase_s",
+        "value",
+    )
+
+
+ST8_SQL = """
+WITH s AS (SELECT user_id, event_id AS signup_id,
+                  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS signup_s
+           FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, event_id AS purchase_id,
+             CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS purchase_s, value
+      FROM events WHERE event_type = 'purchase')
+SELECT CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(signup_id AS BIGINT) AS signup_id,
+       CAST(purchase_id AS BIGINT) AS purchase_id,
+       signup_s, purchase_s, value
+FROM p JOIN s ON p.user_id = s.user_id
+             AND purchase_s >= signup_s
+             AND purchase_s <= signup_s + 7200
+"""
+
+
+def st9_stream_static_enrich(spark, sf_dir):
+    """Stream-static BROADCAST enrichment at ingest: the events
+    stream joined to the static customer dimension (user_id ->
+    mktsegment) inside the streaming plan, then aggregated per
+    (segment, event_type). The static side is broadcast into every
+    micro-batch — no stream-side shuffle for the join, the canonical
+    dimension-enrichment shape for a 100 TB/day firehose. Enrichment
+    is stateless per row, so the batch join oracle applies exactly."""
+    import os
+    import tempfile
+
+    from ..streaming import events as STE
+
+    stream = STE.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    agg = enriched.groupBy(
+        F.coalesce("c_mktsegment", F.lit("<NONE>")).alias("segment"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.floor(F.col("value") * 100)).cast("double") / 100).alias(
+            "sum_value"
+        ),
+    )
+    name = os.path.basename(tempfile.mkdtemp(prefix="st9q_"))
+    out = STE.run_to_memory(agg, name, "update")
+    # single availableNow batch -> one emission per key; max is a
+    # defensive no-op that keeps reruns idempotent (st1's pattern)
+    return out.groupBy("segment", "event_type").agg(
+        F.max("n").alias("n"), F.max("sum_value").alias("sum_value")
+    )
+
+
+ST9_SQL = """
+SELECT coalesce(c_mktsegment, '<NONE>') AS segment, event_type,
+       count(*) AS n,
+       CAST(sum(floor(value * 100)) AS DOUBLE) / 100 AS sum_value
+FROM events LEFT JOIN customer ON c_custkey = user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4225,6 +4508,13 @@ QUERIES = {
     "st5_stream_decontaminate": st5_stream_decontaminate,
     "st6_stream_incremental_dedup": st6_stream_incremental_dedup,
     "st7_stream_anomaly": st7_stream_anomaly,
+    "q4_priority_exists": q4_priority_exists,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "ev10_funnel": ev10_funnel,
+    "ev11_retention": ev11_retention,
+    "a15_value_percentiles": a15_value_percentiles,
+    "st8_stream_stream_join": st8_stream_stream_join,
+    "st9_stream_static_enrich": st9_stream_static_enrich,
 }
 
 ORACLES = {
@@ -4339,6 +4629,13 @@ ORACLES = {
     "ss5_pq_topk": SS5_SQL,
     "sp9_stratified_head": SP9_SQL,
     "dd11_incremental_dedup": DD11_SQL,
+    "q4_priority_exists": Q4_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "ev10_funnel": EV10_SQL,
+    "ev11_retention": EV11_SQL,
+    "a15_value_percentiles": A15_SQL,
+    "st8_stream_stream_join": ST8_SQL,
+    "st9_stream_static_enrich": ST9_SQL,
 }
 
 

@@ -40,6 +40,9 @@ ALLOWED = {
     "sp6_kfold_global": 1,
     "g5_relabel": 1,
     "j3_key_reconstruction": 1,
+    "tx11_quality_deciles": 1,  # two-pass rank: window over boundary-bucket counts (20 rows)
+    "q6_forecast_revenue": 1,   # final 1-row global sum
+    "ev10_funnel": 3,           # three final 1-row stage counts
 }
 
 
