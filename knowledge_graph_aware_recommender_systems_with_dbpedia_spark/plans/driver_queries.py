@@ -4388,6 +4388,120 @@ GROUP BY 1, 2
 """
 
 
+def ev12_scd2_intervals(spark, sf_dir):
+    """SCD-2 dimension build from a change stream: each user's events
+    become validity intervals [valid_from, valid_to) via lead() over
+    the per-user time order, with the open (current) row flagged — the
+    classic warehouse slowly-changing-dimension reconstruction. The
+    only shuffle is the user_id window partition; interval math is
+    pure map-side after it."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("tus"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    return e.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("tus").cast("bigint").alias("valid_from_us"),
+        F.lead("tus").over(w).cast("bigint").alias("valid_to_us"),
+        F.when(F.lead("tus").over(w).isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_current"),
+        "value",
+    )
+
+
+EV12_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus, value FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+       CAST(tus AS BIGINT) AS valid_from_us,
+       CAST(lead(tus) OVER w AS BIGINT) AS valid_to_us,
+       CAST(CASE WHEN lead(tus) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+       value
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+"""
+
+
+def ev13_resample_fill(spark, sf_dir):
+    """Time-series resampling with gap filling: per-user hourly value
+    sums on a DENSE hour grid (every hour between the user's first and
+    last activity, zero-filled where no events landed) — the
+    regularization step before any sliding-window feature. The grid is
+    generated distributively (sequence + explode per user, bounded by
+    each user's active span) and left-joins the pre-aggregated hourly
+    table on the same (user, hour) key — no driver-side calendar, no
+    global range table."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 3600000000000").cast("bigint").alias("hour"),
+        F.floor(F.col("value") * 100).alias("cents"),
+    )
+    hourly = e.groupBy("user_id", "hour").agg(
+        (F.sum("cents").cast("double") / 100).alias("v")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
+        )
+    )
+    return grid.join(hourly, ["user_id", "hour"], "left").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "hour",
+        F.coalesce("v", F.lit(0.0)).alias("hour_value"),
+    )
+
+
+EV13_SQL = """
+WITH e AS (SELECT user_id, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
+                  floor(value * 100) AS cents
+           FROM events),
+hourly AS (SELECT user_id, hour, CAST(sum(cents) AS DOUBLE) / 100 AS v
+           FROM e GROUP BY 1, 2),
+span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1),
+grid AS (SELECT user_id, g.h AS hour
+         FROM span, unnest(generate_series(h0, h1)) AS g(h))
+SELECT CAST(grid.user_id AS BIGINT) AS user_id, grid.hour,
+       coalesce(v, 0.0) AS hour_value
+FROM grid LEFT JOIN hourly ON grid.user_id = hourly.user_id AND grid.hour = hourly.hour
+"""
+
+
+def tx14_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each doc draws a reproducible uniform
+    u from det_hash(doc_id) and competes with key ln(u)/w (the
+    log-space form of u^(1/w)), w = token count + 1 — longer docs are
+    proportionally likelier to be kept, the standard
+    probability-proportional-to-size corpus downsample. Top-200 by
+    key is a distributed TakeOrdered (no global sort, no single
+    partition); keys are rounded before ranking with doc_id
+    tie-break so the selected set is engine-exact."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (TX.token_count(F.col("text")) + 1).cast("bigint").alias("w"),
+    )
+    u = (H.det_hash(F.col("doc_id"), seed=SEED) + 0.5) / 1000000.0
+    keyed = docs.select(
+        "doc_id",
+        "w",
+        F.round(F.log(u) / F.col("w"), 6).alias("key"),
+    )
+    return keyed.orderBy(F.desc("key"), "doc_id").limit(200)
+
+
+TX14_SQL = f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, {TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, CAST(len(toks) + 1 AS BIGINT) AS w,
+             ({H.det_hash_sql('doc_id', seed=SEED)} + 0.5) / 1000000.0 AS u
+      FROM t)
+SELECT doc_id, w, round(ln(u) / w, 6) AS key
+FROM d ORDER BY key DESC, doc_id LIMIT 200
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4515,6 +4629,9 @@ QUERIES = {
     "a15_value_percentiles": a15_value_percentiles,
     "st8_stream_stream_join": st8_stream_stream_join,
     "st9_stream_static_enrich": st9_stream_static_enrich,
+    "ev12_scd2_intervals": ev12_scd2_intervals,
+    "ev13_resample_fill": ev13_resample_fill,
+    "tx14_weighted_sample": tx14_weighted_sample,
 }
 
 ORACLES = {
@@ -4636,6 +4753,9 @@ ORACLES = {
     "a15_value_percentiles": A15_SQL,
     "st8_stream_stream_join": ST8_SQL,
     "st9_stream_static_enrich": ST9_SQL,
+    "ev12_scd2_intervals": EV12_SQL,
+    "ev13_resample_fill": EV13_SQL,
+    "tx14_weighted_sample": TX14_SQL,
 }
 
 
