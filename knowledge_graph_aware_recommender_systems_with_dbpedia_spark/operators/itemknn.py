@@ -124,6 +124,7 @@ def kg_item_similarity(
     item_entities: DataFrame,
     min_shared: int = 1,
     max_entity_df: int | None = None,
+    max_items_per_entity: int | None = None,
     item_col: str = "item_id",
     entity_col: str = "entity",
 ) -> DataFrame:
@@ -136,7 +137,21 @@ def kg_item_similarity(
     universe is used consistently, so sim stays a true Jaccard over the
     kept entities). Set sizes and intersections are exact integers; the
     Jaccard is one float division.
+
+    ``max_items_per_entity`` (the softer cap) keeps hot entities but
+    bounds the quadratic pair fan-out: for an entity linked to DF
+    items, each (entity, item) edge survives iff
+    ``det_hash(entity, item) * DF < cap * 1e6`` — a deterministic
+    ~cap-sized uniform subsample, pure integer arithmetic, evaluated
+    map-side after a broadcast DF lookup (no per-entity window task).
+    Entities with DF <= cap are untouched, so at small scale the op
+    stays EXACT while at 100 TB the self-join is bounded at
+    ~cap^2/2 x #entities pairs instead of sum(DF^2). The capped edge
+    universe is used consistently (sizes included), like
+    ``max_entity_df``.
     """
+    from ..functions.hashing import MOD, det_hash
+
     e = item_entities.select(
         F.col(item_col).alias("item_id"), F.col(entity_col).alias("entity")
     ).distinct()
@@ -145,6 +160,19 @@ def kg_item_similarity(
         e = e.join(
             F.broadcast(df_tbl.filter(F.col("_df") <= max_entity_df).drop("_df")),
             "entity",
+        )
+    if max_items_per_entity is not None:
+        df_tbl = e.groupBy("entity").agg(F.count(F.lit(1)).alias("_df"))
+        e = (
+            e.join(F.broadcast(df_tbl), "entity")
+            .filter(
+                (F.col("_df") <= max_items_per_entity)
+                | (
+                    det_hash(F.col("entity"), F.col("item_id")) * F.col("_df")
+                    < F.lit(max_items_per_entity * MOD)
+                )
+            )
+            .drop("_df")
         )
     sizes = e.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_ent"))
     a, b = e.alias("a"), e.alias("b")
@@ -274,7 +302,11 @@ class ItemKNNRecommender(Recommender):
         self._neighbors: DataFrame | None = None
 
     def train(self, train_ratings: DataFrame) -> "ItemKNNRecommender":
-        self._train = train_ratings
+        # the train lineage is consumed three times (pair generation,
+        # scoring contribs, rated-exclusion anti-join) — persist it so
+        # an expensive upstream lineage (e.g. a det-hash split over the
+        # corpus) is computed once, not per consumer
+        self._train = train_ratings.persist()
         self._neighbors = topm_neighbors(
             item_cosine_similarity(
                 train_ratings,
@@ -309,6 +341,7 @@ class KGSimRecommender(Recommender):
         m: int = 10,
         min_shared: int = 1,
         max_entity_df: int | None = None,
+        max_items_per_entity: int | None = None,
         exact_order: bool = True,
         all_recs: bool = False,
     ):
@@ -316,6 +349,7 @@ class KGSimRecommender(Recommender):
         self.m = m
         self.min_shared = min_shared
         self.max_entity_df = max_entity_df
+        self.max_items_per_entity = max_items_per_entity
         self.exact_order = exact_order
         self.all_recs = all_recs
         self._train: DataFrame | None = None
@@ -324,12 +358,14 @@ class KGSimRecommender(Recommender):
     def train(
         self, train_ratings: DataFrame, item_entities: DataFrame
     ) -> "KGSimRecommender":
-        self._train = train_ratings
+        # persisted for the same three-consumer reason as ItemKNN
+        self._train = train_ratings.persist()
         self._neighbors = topm_neighbors(
             kg_item_similarity(
                 item_entities,
                 min_shared=self.min_shared,
                 max_entity_df=self.max_entity_df,
+                max_items_per_entity=self.max_items_per_entity,
             ),
             self.m,
         ).persist()

@@ -4052,7 +4052,7 @@ def rec_kgsim_top5(spark, sf_dir):
             )
         ).alias("entity"),
     )
-    rec = KGSimRecommender(k=5, m=10, min_shared=1).train(
+    rec = KGSimRecommender(k=5, m=10, min_shared=1, max_items_per_entity=150).train(
         train.select("user_id", "item_id", "rating"), ent
     )
     return rec.get_recommendations(5).select(
@@ -4067,10 +4067,15 @@ REC_KGSIM_SQL = (
     + _split_user_sql(0.2)
     + """,
 train AS (SELECT user_id, item_id, CAST(rating AS BIGINT) AS rq FROM sp WHERE is_test = 0),
-ent AS (SELECT DISTINCT item_id, entity FROM (
+ent0 AS (SELECT DISTINCT item_id, entity FROM (
     SELECT CAST(p_partkey AS BIGINT) AS item_id, 'brand:' || p_brand AS entity FROM part
     UNION ALL
     SELECT CAST(p_partkey AS BIGINT) AS item_id, 'type:' || p_type AS entity FROM part) u),
+edf AS (SELECT entity, count(*) AS df FROM ent0 GROUP BY 1),
+ent AS (SELECT item_id, ent0.entity FROM ent0 JOIN edf USING (entity)
+        WHERE df <= 150 OR """
+    + H.det_hash_sql("entity", "item_id", seed=SEED)
+    + """ * df < 150000000),
 sizes AS (SELECT item_id, count(*) AS n_ent FROM ent GROUP BY 1),
 pairs AS (SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS n_shared
           FROM ent a JOIN ent b ON a.entity = b.entity AND a.item_id < b.item_id

@@ -111,6 +111,26 @@ def test_kg_max_entity_df_prunes_hot_entities(spark):
     assert got == {(10, 20): (1, 1.0), (20, 10): (1, 1.0)}
 
 
+def test_kg_max_items_per_entity_bounds_hot_fanout(spark):
+    # one hot entity (df=40) + one cold (df=3, below the cap -> exact)
+    edges = [(i, "hot") for i in range(40)] + [(100, "cold"), (101, "cold"), (102, "cold")]
+    e = spark.createDataFrame(edges, "item_id bigint, entity string")
+    capped = IK.kg_item_similarity(e, max_items_per_entity=8)
+    pairs = capped.filter(F.col("item_a") < F.col("item_b")).count()
+    # hot fan-out bounded near C(cap, 2) instead of C(40, 2) = 780;
+    # the det-hash subsample keeps ~cap edges (binomial, loose bound)
+    assert pairs < 200
+    # cold entity untouched: all 3 of its pairs survive exactly
+    cold = {
+        (r.item_a, r.item_b)
+        for r in capped.filter(F.col("item_a") >= 100).collect()
+    }
+    assert {(100, 101), (100, 102), (101, 102)} <= cold
+    # deterministic: same input -> same pair set
+    again = IK.kg_item_similarity(e, max_items_per_entity=8)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, again.collect()))
+
+
 def test_score_by_neighbors_matches_bruteforce(spark, ratings):
     neighbors = IK.topm_neighbors(IK.item_cosine_similarity(ratings), m=10)
     got = {
