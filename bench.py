@@ -17,7 +17,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q4_priority_exists",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "q18_large_orders",
     "a2_o1_user_rating_lists",
     "di2_entity_link",
@@ -28,6 +30,8 @@ HEADLINE = [
     "rec_popularity_top5",
     "rec_fixed_emb_top5",
     "rec_itemknn_top5",
+    "rec_kgsim_top5",
+    "e7_coverage_diversity",
     "e2_map_at_5",
     "e3_ndcg_at_5",
     "e4_mrr_at_5",
@@ -58,13 +62,20 @@ HEADLINE = [
     "pk3_shuffle_shards",
     "ck1_chunk_documents",
     "dp1_training_pipeline",
+    "tx14_weighted_sample",
+    "a15_value_percentiles",
     "ev1_hourly_rollup",
     "ev2_sessionize",
     "ev3_sliding_rollup",
     "ev4_asof_enrich",
     "ev5_overlap_pairs",
     "ev6_point_in_span",
+    "ev10_funnel",
+    "ev11_retention",
+    "ev12_scd2_intervals",
+    "ev13_resample_fill",
     "st1_stream_hourly_rollup",
+    "st9_stream_static_enrich",
 ]
 
 

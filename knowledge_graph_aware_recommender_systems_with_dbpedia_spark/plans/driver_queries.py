@@ -4507,6 +4507,173 @@ FROM d ORDER BY key DESC, doc_id LIMIT 200
 """
 
 
+def e7_coverage_diversity(spark, sf_dir):
+    """Beyond-accuracy evaluation (Herlocker/Castells line of work):
+    catalog COVERAGE (share of train items the recommender ever
+    surfaces) and mean intra-list DIVERSITY (avg pairwise KG distance
+    1 - Jaccard inside each user's top-5, entity sets = part
+    brand/type — each item's set has exactly 2 elements, so
+    |A n B| is two equality checks and |A u B| = 4 - |A n B|, all
+    exact integers). Pair fan-out is C(5,2) = 10 per user — bounded
+    by construction; attribute lookups broadcast (items-dim); the
+    two 1-row reductions are the only single-partition exchanges."""
+    recs = _pop_recs(spark, sf_dir).filter(F.col("rec_rank") <= 5)
+    train, _ = SP.train_test(_user_split(spark, sf_dir))
+    attrs = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("item_id"), "p_brand", "p_type"
+    )
+    cov = (
+        recs.agg(F.countDistinct("item_id").alias("n_rec"))
+        .crossJoin(train.agg(F.countDistinct("item_id").alias("n_cat")))
+        .select(
+            F.round(F.col("n_rec").cast("double") / F.col("n_cat"), 6).alias(
+                "coverage"
+            )
+        )
+    )
+    a, b = recs.alias("a"), recs.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("a.item_id") < F.col("b.item_id"))
+        .select(
+            "user_id",
+            F.col("a.item_id").alias("ia"),
+            F.col("b.item_id").alias("ib"),
+        )
+        .join(F.broadcast(attrs.select(F.col("item_id").alias("ia"),
+                                       F.col("p_brand").alias("ba"),
+                                       F.col("p_type").alias("ta"))), "ia")
+        .join(F.broadcast(attrs.select(F.col("item_id").alias("ib"),
+                                       F.col("p_brand").alias("bb"),
+                                       F.col("p_type").alias("tb"))), "ib")
+    )
+    inter = (F.col("ba") == F.col("bb")).cast("int") + (
+        F.col("ta") == F.col("tb")
+    ).cast("int")
+    ild = (
+        pairs.select(
+            "user_id",
+            (1.0 - inter.cast("double") / (4 - inter)).alias("d"),
+        )
+        .groupBy("user_id")
+        .agg(F.avg("d").alias("u_ild"))
+        .agg(F.round(F.avg("u_ild"), 6).alias("mean_ild"))
+    )
+    return cov.crossJoin(ild)
+
+
+E7_SQL = (
+    POP_RECS_SQL
+    + """,
+recs AS (SELECT user_id, item_id FROM rk WHERE rec_rank <= 5),
+attrs AS (SELECT CAST(p_partkey AS BIGINT) AS item_id, p_brand, p_type FROM part),
+prs AS (SELECT a.user_id,
+               (CASE WHEN pa.p_brand = pb.p_brand THEN 1 ELSE 0 END +
+                CASE WHEN pa.p_type = pb.p_type THEN 1 ELSE 0 END) AS inter
+        FROM recs a JOIN recs b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        JOIN attrs pa ON pa.item_id = a.item_id
+        JOIN attrs pb ON pb.item_id = b.item_id),
+ild AS (SELECT user_id, avg(1.0 - CAST(inter AS DOUBLE) / (4 - inter)) AS u_ild
+        FROM prs GROUP BY 1)
+SELECT round(CAST((SELECT count(DISTINCT item_id) FROM recs) AS DOUBLE)
+           / (SELECT count(DISTINCT item_id) FROM train), 6) AS coverage,
+       round((SELECT avg(u_ild) FROM ild), 6) AS mean_ild
+"""
+)
+
+
+def rec_rrf_top5(spark, sf_dir):
+    """Hybrid recommender via reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09): the three deterministic models' top-5 lists (popularity,
+    co-rating itemKNN, KG-Jaccard kgSim) fused with
+    score(u,i) = sum over models of 1/(60 + rank_m(u,i)), missing
+    ranks contributing 0. Every constituent ranking is itself
+    hash-exact, each RRF term is one IEEE division of small integers,
+    and the three terms sum in pinned expression order — so the fused
+    ranking is engine-exact too. The fusion is two full-outer joins on
+    (user, item) over users x 5-row tables (tiny vs the fact table)
+    plus a per-user rank window — at 100 TB the model outputs are the
+    bounded artifacts, never the corpus."""
+    pop = rec_popularity_top5(spark, sf_dir).withColumnRenamed("rec_rank", "r_p")
+    knn = rec_itemknn_top5(spark, sf_dir).withColumnRenamed("rec_rank", "r_k")
+    kg = rec_kgsim_top5(spark, sf_dir).withColumnRenamed("rec_rank", "r_g")
+
+    def term(c: str) -> F.Column:
+        return F.when(
+            F.col(c).isNotNull(), F.lit(1.0) / (F.lit(60.0) + F.col(c))
+        ).otherwise(F.lit(0.0))
+
+    fused = (
+        pop.join(knn, ["user_id", "item_id"], "full_outer")
+        .join(kg, ["user_id", "item_id"], "full_outer")
+        .select(
+            "user_id",
+            "item_id",
+            (term("r_p") + term("r_k") + term("r_g")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), "item_id")
+    return (
+        fused.withColumn("rec_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rec_rank") <= 5)
+        .select("user_id", "item_id", "rec_rank")
+    )
+
+
+def _ns_body(body: str, names: tuple[str, ...], prefix: str) -> str:
+    """Prefix every listed CTE name in a WITH-clause body fragment so
+    independently-authored fragments compose into one WITH clause."""
+    import re
+
+    for n in names:
+        body = re.sub(rf"\b{n}\b", f"{prefix}_{n}", body)
+    return body
+
+
+_FINAL_MARK = "\nSELECT CAST(user_id AS BIGINT)"
+REC_RRF_SQL = (
+    "WITH "
+    + _split_user_sql(0.2)
+    + _ns_body(
+        POP_RECS_SQL.split(_split_user_sql(0.2), 1)[1],
+        ("train", "pop", "deg", "topi", "cand", "filt", "rk"),
+        "p",
+    )
+    + _ns_body(
+        REC_ITEMKNN_SQL.split(_split_user_sql(0.2), 1)[1].rsplit(_FINAL_MARK, 1)[0],
+        ("train", "n2", "pairs", "sym", "sims", "nbr", "contrib", "scored",
+         "unrated", "rk"),
+        "k",
+    )
+    + _ns_body(
+        REC_KGSIM_SQL.split(_split_user_sql(0.2), 1)[1].rsplit(_FINAL_MARK, 1)[0],
+        ("train", "ent0", "edf", "ent", "sizes", "pairs", "sym", "sims", "nbr",
+         "contrib", "scored", "unrated", "rk"),
+        "g",
+    )
+    + """,
+fused AS (
+  SELECT coalesce(p.user_id, k.user_id, g.user_id) AS user_id,
+         coalesce(p.item_id, k.item_id, g.item_id) AS item_id,
+         (CASE WHEN p.rec_rank IS NOT NULL THEN 1.0 / (60.0 + p.rec_rank) ELSE 0.0 END
+        + CASE WHEN k.rec_rank IS NOT NULL THEN 1.0 / (60.0 + k.rec_rank) ELSE 0.0 END
+        + CASE WHEN g.rec_rank IS NOT NULL THEN 1.0 / (60.0 + g.rec_rank) ELSE 0.0 END) AS score
+  FROM (SELECT * FROM p_rk WHERE rec_rank <= 5) p
+  FULL JOIN (SELECT * FROM k_rk WHERE rec_rank <= 5) k
+    ON p.user_id = k.user_id AND p.item_id = k.item_id
+  FULL JOIN (SELECT * FROM g_rk WHERE rec_rank <= 5) g
+    ON coalesce(p.user_id, k.user_id) = g.user_id
+   AND coalesce(p.item_id, k.item_id) = g.item_id),
+frk AS (SELECT user_id, item_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_id) AS rec_rank
+        FROM fused)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(item_id AS BIGINT) AS item_id,
+       CAST(rec_rank AS BIGINT) AS rec_rank
+FROM frk WHERE rec_rank <= 5
+"""
+)
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4637,6 +4804,8 @@ QUERIES = {
     "ev12_scd2_intervals": ev12_scd2_intervals,
     "ev13_resample_fill": ev13_resample_fill,
     "tx14_weighted_sample": tx14_weighted_sample,
+    "e7_coverage_diversity": e7_coverage_diversity,
+    "rec_rrf_top5": rec_rrf_top5,
 }
 
 ORACLES = {
@@ -4761,6 +4930,8 @@ ORACLES = {
     "ev12_scd2_intervals": EV12_SQL,
     "ev13_resample_fill": EV13_SQL,
     "tx14_weighted_sample": TX14_SQL,
+    "e7_coverage_diversity": E7_SQL,
+    "rec_rrf_top5": REC_RRF_SQL,
 }
 
 

@@ -43,6 +43,7 @@ ALLOWED = {
     "tx11_quality_deciles": 1,  # two-pass rank: window over boundary-bucket counts (20 rows)
     "q6_forecast_revenue": 1,   # final 1-row global sum
     "ev10_funnel": 3,           # three final 1-row stage counts
+    "e7_coverage_diversity": 3, # 1-row coverage + 1-row mean-ILD + their 1x1 join
 }
 
 
