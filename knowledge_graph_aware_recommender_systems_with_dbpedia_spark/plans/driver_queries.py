@@ -4674,6 +4674,107 @@ FROM frk WHERE rec_rank <= 5
 )
 
 
+def dd13_repeated_spans(spark, sf_dir):
+    """Cross-document repeated-span report (the exact-substring
+    duplication signal of Lee et al., 'Deduplicating Training Data
+    Makes Language Models Better', ACL'22, at span granularity n=5
+    tokens): every 5-token span occurring in 2+ DISTINCT documents,
+    with its document frequency and the first/last doc carrying it.
+    One shingle explode + one hash agg keyed on the span — map-side
+    partials absorb within-doc repeats, the df>=2 filter runs after
+    the agg, and nothing is ever pairwise: at 100 TB this is the
+    linear-cost dup report you run BEFORE deciding on pair-level
+    dedup."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.ngrams_from_tokens(F.col("toks"), 5))
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
+DD13_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sp5 AS (SELECT doc_id, u.sh AS span FROM (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 4, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                 toks[i+3] || ' ' || toks[i+4])) AS sls
+          FROM t) d, unnest(d.sls) AS u(sh))
+SELECT span, count(*) AS df,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM sp5 GROUP BY span HAVING count(*) >= 2
+"""
+
+
+def ss6_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (the metric-learning /
+    embedding-training data op): for each anchor vector (deterministic
+    ~2.5% slice, vec_id % 40 == 0) the top-3 most-cosine-similar
+    vectors with a DIFFERENT label — exactly the negatives that make
+    contrastive losses informative. The anchor set is the broadcast
+    side (bounded slice, rec_fixed_emb's posture); the corpus streams
+    map-side with no shuffle before the per-anchor top-k window. At
+    full scale swap the exact scorer for the LSH/IVF bucketed paths
+    (ss2/ss5) — same output contract."""
+    from ..operators.similarity import _dot, _normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select(F.col("vec_id").alias("id"), "label")
+    nn = _normalize(emb, "vec_id", "embedding").join(labels, "id")
+    anchors = nn.filter(F.col("id") % 40 == 0).select(
+        F.col("id").alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("label").alias("alabel"),
+    )
+    scored = nn.join(
+        F.broadcast(anchors), F.col("label") != F.col("alabel")
+    ).select(
+        "anchor_id",
+        F.col("id").alias("negative_id"),
+        F.round(_dot(F.col("av"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), "negative_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("anchor_id", "negative_id", "rank", "cosine")
+    )
+
+
+SS6_SQL = """
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, label,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+a AS (SELECT vec_id AS anchor_id, label AS alabel, v AS av FROM n WHERE vec_id % 40 = 0),
+s AS (SELECT a.anchor_id, n.vec_id AS negative_id,
+             round(list_dot_product(a.av, n.v), 6) AS cosine
+      FROM n JOIN a ON n.label <> a.alabel),
+r AS (SELECT s.*, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS rank FROM s)
+SELECT anchor_id, negative_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4806,6 +4907,8 @@ QUERIES = {
     "tx14_weighted_sample": tx14_weighted_sample,
     "e7_coverage_diversity": e7_coverage_diversity,
     "rec_rrf_top5": rec_rrf_top5,
+    "dd13_repeated_spans": dd13_repeated_spans,
+    "ss6_hard_negatives": ss6_hard_negatives,
 }
 
 ORACLES = {
@@ -4932,6 +5035,8 @@ ORACLES = {
     "tx14_weighted_sample": TX14_SQL,
     "e7_coverage_diversity": E7_SQL,
     "rec_rrf_top5": REC_RRF_SQL,
+    "dd13_repeated_spans": DD13_SQL,
+    "ss6_hard_negatives": SS6_SQL,
 }
 
 
