@@ -49,6 +49,7 @@ HEADLINE = [
     "dd8_neardup_lsh",
     "dd10_canonical_keep",
     "dd11_incremental_dedup",
+    "dd13_repeated_spans",
     "dd9_decontaminate",
     "tx3_stratified_sample",
     "sp9_stratified_head",
@@ -61,7 +62,9 @@ HEADLINE = [
     "pk1_pack_sequences",
     "pk3_shuffle_shards",
     "ck1_chunk_documents",
+    "sp10_balanced_labels",
     "dp1_training_pipeline",
+    "dp3_forget_users",
     "tx14_weighted_sample",
     "a15_value_percentiles",
     "ev1_hourly_rollup",

@@ -4775,6 +4775,90 @@ FROM r WHERE rank <= 3
 """
 
 
+def sp10_balanced_labels(spark, sf_dir):
+    """Class-balanced training-set capping: every label downsampled to
+    at most 300 vectors, chosen by deterministic det-hash priority
+    (so the kept set is a uniform subsample, stable under retries and
+    replayable in SQL). Reuses the two-pass range-bucketed per-stratum
+    rank (splits.quota_by_score) — no whole-label window task even
+    when one class dominates the corpus, the classic imbalance
+    hazard."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+    scored = emb.withColumn("u", H.det_unit(F.col("vec_id"), seed=SEED))
+    kept = SP.quota_by_score(scored, "label", "u", 300, key_cols=["vec_id"])
+    return kept.select("label", "vec_id")
+
+
+SP10_SQL = f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label
+           FROM embeddings),
+s AS (SELECT e.*, {H.det_hash_sql('vec_id', seed=SEED)} / 1000000.0 AS u FROM e),
+r AS (SELECT s.*, row_number() OVER (
+        PARTITION BY label ORDER BY u DESC, vec_id) AS rn FROM s)
+SELECT label, vec_id FROM r WHERE rn <= 300
+"""
+
+
+def dp3_forget_users(spark, sf_dir):
+    """Right-to-be-forgotten sweep (GDPR Art. 17 / CCPA deletion): a
+    deletion cohort (user_id % 97 == 0 — in production, the DSR queue)
+    is propagated across every user-keyed derived table in one job,
+    and the output is the per-table deletion AUDIT (rows before /
+    after / deleted) a compliance run must produce. The cohort is a
+    pure key predicate, so each table needs exactly ONE scan with a
+    map-side conditional count (in production with a DSR id list, the
+    predicate becomes a broadcast anti-join — same single-scan shape);
+    tables process independently so the sweep parallelizes across
+    tables AND within each scan at 100 TB."""
+    cohort_filter = F.col("user_id") % 97 == 0
+
+    ratings = _ratings(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey"
+    )
+
+    def audit(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("rows_before"),
+            F.sum(F.when(cohort_filter, 1).otherwise(0))
+            .cast("bigint")
+            .alias("deleted"),
+        ).select(
+            F.lit(name).alias("table_name"),
+            "rows_before",
+            (F.col("rows_before") - F.col("deleted")).alias("rows_after"),
+            "deleted",
+        )
+
+    return (
+        audit("ratings", ratings)
+        .unionAll(audit("events", events))
+        .unionAll(audit("orders", orders))
+    )
+
+
+DP3_SQL = f"""
+WITH ratings AS ({RATINGS_SQL}),
+a AS (SELECT 'ratings' AS table_name, count(*) AS rows_before,
+             sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS deleted
+      FROM ratings),
+b AS (SELECT 'events' AS table_name, count(*) AS rows_before,
+             sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS deleted
+      FROM events),
+c AS (SELECT 'orders' AS table_name, count(*) AS rows_before,
+             sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS deleted
+      FROM orders)
+SELECT table_name, rows_before,
+       CAST(rows_before - deleted AS BIGINT) AS rows_after,
+       CAST(deleted AS BIGINT) AS deleted
+FROM (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c) u
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4909,6 +4993,8 @@ QUERIES = {
     "rec_rrf_top5": rec_rrf_top5,
     "dd13_repeated_spans": dd13_repeated_spans,
     "ss6_hard_negatives": ss6_hard_negatives,
+    "sp10_balanced_labels": sp10_balanced_labels,
+    "dp3_forget_users": dp3_forget_users,
 }
 
 ORACLES = {
@@ -5037,6 +5123,8 @@ ORACLES = {
     "rec_rrf_top5": REC_RRF_SQL,
     "dd13_repeated_spans": DD13_SQL,
     "ss6_hard_negatives": SS6_SQL,
+    "sp10_balanced_labels": SP10_SQL,
+    "dp3_forget_users": DP3_SQL,
 }
 
 

@@ -44,6 +44,7 @@ ALLOWED = {
     "q6_forecast_revenue": 1,   # final 1-row global sum
     "ev10_funnel": 3,           # three final 1-row stage counts
     "e7_coverage_diversity": 3, # 1-row coverage + 1-row mean-ILD + their 1x1 join
+    "dp3_forget_users": 3,      # three per-table 1-row deletion audits
 }
 
 
