@@ -4859,6 +4859,39 @@ FROM (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c) u
 """
 
 
+def st10_materialized_rollup(spark, sf_dir):
+    """Streaming materialized view in the driver contract: the events
+    table replayed as FOUR files, one per micro-batch, maintaining the
+    hourly rollup as a merge-on-read parquet log (foreachBatch appends
+    changed keys stamped with the batch id; the reader resolves
+    latest-batch-wins — streaming/events.materialized_hourly_rollup /
+    read_materialized). Cumulative state + latest-wins make the final
+    view batching-invariant, so the batch ev1 oracle applies
+    exactly."""
+    import os
+    import tempfile
+
+    from ..streaming import events as STE
+
+    e = load_table(spark, sf_dir, "events")
+    in_dir = tempfile.mkdtemp(prefix="st10_in_")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="st10_out_"), "mv")
+    ck_dir = tempfile.mkdtemp(prefix="st10_ck_")
+    e.repartition(4).write.mode("overwrite").parquet(in_dir)
+    q = STE.materialized_hourly_rollup(
+        STE.read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        out_dir,
+        ck_dir,
+    )
+    q.awaitTermination()
+    return STE.read_materialized(spark, out_dir, ["hour_idx", "event_type"]).select(
+        F.col("hour_idx").cast("bigint").alias("hour_idx"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4995,6 +5028,7 @@ QUERIES = {
     "ss6_hard_negatives": ss6_hard_negatives,
     "sp10_balanced_labels": sp10_balanced_labels,
     "dp3_forget_users": dp3_forget_users,
+    "st10_materialized_rollup": st10_materialized_rollup,
 }
 
 ORACLES = {
@@ -5125,6 +5159,7 @@ ORACLES = {
     "ss6_hard_negatives": SS6_SQL,
     "sp10_balanced_labels": SP10_SQL,
     "dp3_forget_users": DP3_SQL,
+    "st10_materialized_rollup": EV1_SQL,
 }
 
 

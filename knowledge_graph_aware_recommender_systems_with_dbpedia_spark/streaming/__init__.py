@@ -1,7 +1,9 @@
 from .events import (
     hourly_rollup,
+    materialized_hourly_rollup,
     purchases_within_signup_window,
     read_events_stream,
+    read_materialized,
     run_to_memory,
     sessionize,
     sliding_rollup,
