@@ -20,7 +20,11 @@ HEADLINE = [
     "q4_priority_exists",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q14_promo_share",
     "q18_large_orders",
+    "q19_disjunctive_filter",
     "a2_o1_user_rating_lists",
     "di2_entity_link",
     "o3_topk_per_group",
@@ -77,6 +81,7 @@ HEADLINE = [
     "ev11_retention",
     "ev12_scd2_intervals",
     "ev13_resample_fill",
+    "ev14_transition_matrix",
     "st1_stream_hourly_rollup",
     "st9_stream_static_enrich",
 ]

@@ -4892,6 +4892,212 @@ def st10_materialized_rollup(spark, sf_dir):
     )
 
 
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by lost revenue from returned
+    items in a quarter. GroupBy on the enriched fact rows, exact-cents
+    revenue, then a distributed TakeOrdered(20) — no global sort. The
+    return-flag and date filters push to their scans; customer is the
+    broadcast dim."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg((F.sum(cents).cast("double") / 100).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            "c_acctbal",
+            "revenue",
+        )
+    )
+
+
+Q10_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS DOUBLE) / 100 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON c_custkey = o_custkey
+WHERE l_returnflag = 'R'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: conditional aggregation — per return flag,
+    how many lineitems belong to urgent/high vs other orders (the
+    CASE-inside-sum pattern that turns two passes into one). One fact
+    shuffle on the groupBy key; orders is the broadcast side."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    ).select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: a ratio of two conditional sums in ONE scan
+    (promo revenue share for a month) — numerator and denominator as
+    exact-cent conditional aggregates, one float division at the end.
+    Part is the broadcast dim; the month filter pushes to the fact
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-03-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    promo = F.col("p_type").startswith("PROMO")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(promo, cents).otherwise(0)).alias("_pc"),
+            F.sum(cents).alias("_tc"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0) * F.col("_pc").cast("double") / F.col("_tc"), 6
+            ).alias("promo_pct"),
+            (F.col("_tc").cast("double") / 100).alias("total_revenue"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN floor(l_extendedprice * (1 - l_discount) * 100) ELSE 0 END) AS DOUBLE)
+             / sum(floor(l_extendedprice * (1 - l_discount) * 100)), 6) AS promo_pct,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS DOUBLE) / 100 AS total_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+"""
+
+
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive predicates (OR of
+    brand/quantity bands) across a join — the classic test that the
+    optimizer pushes the common join key while keeping the OR residual
+    evaluable post-join; revenue is exact cents. Part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cond = (
+        (F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 11))
+    ) | (
+        (F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 20))
+    ) | (
+        (F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 30))
+    )
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            (F.sum(cents).cast("double") / 100).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS DOUBLE) / 100 AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def ev14_transition_matrix(spark, sf_dir):
+    """Clickstream path analysis: the within-session event-type
+    transition matrix (prev_type -> type counts) — the input to any
+    Markov-chain / next-action model. Sessions are ev2's 30-min gap
+    sessions; the lag window partitions by (user, session) so no
+    partition outlives a session, and the final matrix is bounded at
+    #types^2 rows however large the corpus."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts_ns div 1000").cast("bigint").alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    brk = F.when(
+        F.col("_prev").isNull() | (F.col("tus") - F.col("_prev") > gap_us), 1
+    ).otherwise(0)
+    sess = (
+        e.withColumn("_prev", F.lag("tus").over(w))
+        .withColumn("_brk", brk)
+        .withColumn("session_id", F.sum("_brk").over(w))
+    )
+    sw = Window.partitionBy("user_id", "session_id").orderBy("tus", "event_id")
+    trans = sess.withColumn("prev_type", F.lag("event_type").over(sw)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    return trans.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+EV14_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus FROM events),
+lagged AS (SELECT e.*, lag(tus) OVER w AS prev_t FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+sess AS (SELECT *, sum(CASE WHEN prev_t IS NULL OR tus - prev_t > 1800000000
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY tus, event_id) AS session_id
+         FROM lagged),
+trans AS (SELECT event_type AS next_type,
+                 lag(event_type) OVER (PARTITION BY user_id, session_id
+                                       ORDER BY tus, event_id) AS prev_type
+          FROM sess)
+SELECT prev_type, next_type, count(*) AS n
+FROM trans WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5029,6 +5235,11 @@ QUERIES = {
     "sp10_balanced_labels": sp10_balanced_labels,
     "dp3_forget_users": dp3_forget_users,
     "st10_materialized_rollup": st10_materialized_rollup,
+    "q10_returned_items": q10_returned_items,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q14_promo_share": q14_promo_share,
+    "q19_disjunctive_filter": q19_disjunctive_filter,
+    "ev14_transition_matrix": ev14_transition_matrix,
 }
 
 ORACLES = {
@@ -5160,6 +5371,11 @@ ORACLES = {
     "sp10_balanced_labels": SP10_SQL,
     "dp3_forget_users": DP3_SQL,
     "st10_materialized_rollup": EV1_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q12_shipmode_priority": Q12_SQL,
+    "q14_promo_share": Q14_SQL,
+    "q19_disjunctive_filter": Q19_SQL,
+    "ev14_transition_matrix": EV14_SQL,
 }
 
 

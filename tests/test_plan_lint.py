@@ -45,6 +45,8 @@ ALLOWED = {
     "ev10_funnel": 3,           # three final 1-row stage counts
     "e7_coverage_diversity": 3, # 1-row coverage + 1-row mean-ILD + their 1x1 join
     "dp3_forget_users": 3,      # three per-table 1-row deletion audits
+    "q14_promo_share": 1,       # final 1-row ratio of conditional sums
+    "q19_disjunctive_filter": 1,  # final 1-row global sum
 }
 
 
