@@ -5098,6 +5098,136 @@ GROUP BY 1, 2
 """
 
 
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume — revenue between
+    (supplier nation, customer nation) pairs per year, for two chosen
+    nations in either direction. The two nation dims broadcast twice
+    under different aliases; the only shuffles are the fact joins and
+    the final (nation, nation, year) groupBy; the disjunctive
+    nation-pair predicate is a residual on broadcast columns."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    pair = (
+        (F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1")
+    ) | (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate")).cast("bigint").alias("l_year"),
+        )
+        .agg((F.sum(cents).cast("double") / 100).alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+       CAST(sum(cents) AS DOUBLE) / 100 AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             floor(l_extendedprice * (1 - l_discount) * 100) AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+                    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+         OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')) t
+GROUP BY 1, 2, 3
+"""
+
+
+def tx15_bigram_logprob(spark, sf_dir):
+    """Corpus bigram LM quality scoring (the n-gram step up from tx6's
+    unigram LM — the KenLM-style perplexity filter of every production
+    corpus pipeline, minus the external model): train add-0.5-smoothed
+    bigram probabilities ON the corpus itself, then score each doc by
+    its mean bigram log-probability. Count tables are plain hash aggs
+    (vocab- and bigram-bounded, shuffle-joined on their keys); each
+    doc's float log-sum is folded in PINNED position order so the
+    score is bit-reproducible under any shuffle and replayable as a
+    DuckDB ordered list_reduce. Docs with < 2 tokens have no bigrams
+    and drop out (inner-join semantics, mirrored by the oracle)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    )
+    bg = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (x, i) -> struct(x as w1, toks[i + 1] as w2))"
+            )
+        ).alias("pos", "s"),
+    ).select("doc_id", "pos", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = docs.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    lnp = F.log(
+        (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("v"))
+    ).alias("lnp")
+    scored = (
+        bg.join(pairs, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "pos", lnp)
+    )
+    return (
+        scored.groupBy(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("pos", "lnp"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["lnp"],
+            ).alias("_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("_sum") / F.col("n_bigrams"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+TX15_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+bg AS (SELECT doc_id, u.pos, toks[u.pos] AS w1, toks[u.pos + 1] AS w2
+       FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(pos)),
+uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+pairs AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM t)),
+scored AS (SELECT bg.doc_id, bg.pos,
+                  ln((c2 + 0.5) / (c1 + 0.5 * (SELECT v FROM vocab))) AS lnp
+           FROM bg JOIN pairs USING (w1, w2) JOIN uni USING (w1))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, count(*) AS n_bigrams,
+       round(list_reduce(list_prepend(0.0, list(lnp ORDER BY pos)), (x, y) -> x + y)
+             / count(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5240,6 +5370,8 @@ QUERIES = {
     "q14_promo_share": q14_promo_share,
     "q19_disjunctive_filter": q19_disjunctive_filter,
     "ev14_transition_matrix": ev14_transition_matrix,
+    "q7_nation_volume": q7_nation_volume,
+    "tx15_bigram_logprob": tx15_bigram_logprob,
 }
 
 ORACLES = {
@@ -5376,6 +5508,8 @@ ORACLES = {
     "q14_promo_share": Q14_SQL,
     "q19_disjunctive_filter": Q19_SQL,
     "ev14_transition_matrix": EV14_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "tx15_bigram_logprob": TX15_SQL,
 }
 
 

@@ -47,6 +47,7 @@ ALLOWED = {
     "dp3_forget_users": 3,      # three per-table 1-row deletion audits
     "q14_promo_share": 1,       # final 1-row ratio of conditional sums
     "q19_disjunctive_filter": 1,  # final 1-row global sum
+    "tx15_bigram_logprob": 1,   # 1-row vocab-size normalizer (broadcast)
 }
 
 
