@@ -5228,6 +5228,79 @@ FROM scored GROUP BY doc_id
 """
 
 
+def dp4_session_features(spark, sf_dir):
+    """Feature-engineering pipeline for ML training: raw events ->
+    30-min gap sessions (ev2's sessionizer) -> per-session features
+    (length, duration, conversion) -> per-user feature vector
+    (session counts, mean length/duration, conversion rate) — ONE
+    lineage producing the feature-store row per user. Every feature
+    is derived from exact integer aggregates with at most one float
+    division at the end; the two aggregation levels share the user_id
+    shuffle key, so the second groupBy never re-shuffles the fact
+    table."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts_ns div 1000").cast("bigint").alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    brk = F.when(
+        F.col("_prev").isNull() | (F.col("tus") - F.col("_prev") > gap_us), 1
+    ).otherwise(0)
+    sess = (
+        e.withColumn("_prev", F.lag("tus").over(w))
+        .withColumn("_brk", brk)
+        .withColumn("session_id", F.sum("_brk").over(w))
+    )
+    sess_feats = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(tus) - min(tus)) div 1000000").cast("bigint").alias("dur_s"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return sess_feats.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_session_events"),
+        F.round(
+            F.sum("dur_s").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_session_dur_s"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )
+
+
+DP4_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tus FROM events),
+lagged AS (SELECT e.*, lag(tus) OVER w AS prev_t FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+sess AS (SELECT *, sum(CASE WHEN prev_t IS NULL OR tus - prev_t > 1800000000
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY tus, event_id) AS session_id
+         FROM lagged),
+sf AS (SELECT user_id, session_id, count(*) AS n_events,
+              (max(tus) - min(tus)) // 1000000 AS dur_s,
+              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+       FROM sess GROUP BY 1, 2)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS mean_session_events,
+       round(CAST(sum(dur_s) AS DOUBLE) / count(*), 6) AS mean_session_dur_s,
+       round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conversion_rate
+FROM sf GROUP BY user_id
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5372,6 +5445,7 @@ QUERIES = {
     "ev14_transition_matrix": ev14_transition_matrix,
     "q7_nation_volume": q7_nation_volume,
     "tx15_bigram_logprob": tx15_bigram_logprob,
+    "dp4_session_features": dp4_session_features,
 }
 
 ORACLES = {
@@ -5510,6 +5584,7 @@ ORACLES = {
     "ev14_transition_matrix": EV14_SQL,
     "q7_nation_volume": Q7_SQL,
     "tx15_bigram_logprob": TX15_SQL,
+    "dp4_session_features": DP4_SQL,
 }
 
 
