@@ -5301,6 +5301,64 @@ FROM sf GROUP BY user_id
 """
 
 
+def tx16_zipf_slope(spark, sf_dir):
+    """Corpus-law profiling: the Zipf exponent — least-squares slope
+    of ln(freq) vs ln(rank) over the top-1000 vocabulary terms (a
+    healthy natural-language corpus sits near -1; a flat or broken
+    slope flags boilerplate/spam, which is why corpus-QA dashboards
+    track it). The term-frequency agg is corpus-wide map-side
+    combinable; the top-1000 cut is a distributed TakeOrdered, and
+    the only window runs over those 1000 collected rows (bounded dim
+    table, p6's documented posture). Closed-form slope from five
+    sums, like a12 but over the bounded top-N — not the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        TX.tokens(F.col("text")).alias("toks")
+    )
+    tf = (
+        docs.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), "term").limit(1000)
+    w = Window.orderBy(F.desc("freq"), "term")
+    pts = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+TX16_SQL = f"""
+WITH t AS (SELECT {TOKS_SQL} AS toks FROM documents),
+tf AS (SELECT u.term, count(*) AS freq FROM t, unnest(t.toks) AS u(term) GROUP BY 1),
+top AS (SELECT term, freq FROM tf ORDER BY freq DESC, term LIMIT 1000),
+pts AS (SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE)) AS x,
+               ln(CAST(freq AS DOUBLE)) AS y
+        FROM top),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy FROM pts)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+FROM s
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5446,6 +5504,7 @@ QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "tx15_bigram_logprob": tx15_bigram_logprob,
     "dp4_session_features": dp4_session_features,
+    "tx16_zipf_slope": tx16_zipf_slope,
 }
 
 ORACLES = {
@@ -5585,6 +5644,7 @@ ORACLES = {
     "q7_nation_volume": Q7_SQL,
     "tx15_bigram_logprob": TX15_SQL,
     "dp4_session_features": DP4_SQL,
+    "tx16_zipf_slope": TX16_SQL,
 }
 
 
