@@ -5359,6 +5359,301 @@ FROM s
 """
 
 
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — for PROMO-type parts
+    sold to EUROPE-region customers, the yearly fraction of revenue
+    supplied from NATION_0. All five dims (part-filtered, supplier,
+    nation x2, region) broadcast; the fact side shuffles only for the
+    two fact-fact joins (lineitem-orders, orders-customer) and the
+    final per-year agg. Share = ratio of two exact cent sums, so the
+    double division is bit-stable under any aggregation order."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("crk")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(r.select("r_regionkey")), F.col("crk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .groupBy(F.year(F.col("o_orderdate")).cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_0", cents).otherwise(F.lit(0))).alias(
+                "_num"
+            ),
+            F.sum(cents).alias("_den"),
+        )
+        .select(
+            "o_year",
+            (F.col("_num").cast("double") / F.col("_den").cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+Q8_SQL = """
+WITH t AS (
+  SELECT year(o_orderdate) AS o_year,
+         floor(l_extendedprice * (1 - l_discount) * 100) AS cents,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'EUROPE')
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_0' THEN cents ELSE 0 END) AS DOUBLE)
+         / CAST(sum(cents) AS DOUBLE) AS mkt_share
+FROM t GROUP BY 1
+"""
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count histogram. Orders
+    pre-aggregate to one row per customer BEFORE the outer join (the
+    classic Q13 rewrite — joining raw orders then double-grouping
+    shuffles the fact twice; pre-agg shuffles it once and the
+    left join carries only counts), then customers with no qualifying
+    orders coalesce to 0 and the second agg is over a
+    |distinct counts|-sized table."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        c.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders
+  FROM orders WHERE o_orderpriority <> '5-LOW' GROUP BY 1)
+SELECT COALESCE(n_orders, 0) AS c_count, count(*) AS custdist
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier by revenue over a shipdate
+    quarter. The per-supplier revenue view aggregates once (exact
+    cents); the max-revenue scalar is a 1-row agg over that bounded
+    view, broadcast back as an equi-join (Spark's equivalent of the
+    correlated `= (SELECT max(...))` — no second scan of the fact).
+    Ties all surface (no LIMIT), keeping the row set deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_shipdate") < "2000-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        ).alias("cents")
+    )
+    mx = rev.agg(F.max("cents").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("cents") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("cents").cast("double") / 100).alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(cents AS DOUBLE) / 100 AS total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE cents = (SELECT max(cents) FROM rev)
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue loss from small-quantity orders of one
+    brand — the correlated per-part AVG subquery, decorrelated the way
+    Catalyst plans it: per-part quantity sums aggregate on l_partkey,
+    then join back to the brand-filtered lines ON THE SAME KEY, so the
+    agg's shuffle partitioning is reused by the join (one exchange
+    total on the fact; no broadcast of a potentially huge per-part
+    table at 100 TB). The 0.2*avg threshold is computed as
+    0.2 * (sum/count) in both engines — identical IEEE op order —
+    and quantities are integral doubles, so the comparison is exact."""
+    pk = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = li.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = brand_lines.groupBy(F.col("l_partkey").alias("pp")).agg(
+        F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("cq")
+    )
+    thresh = F.lit(0.2) * (F.col("sq") / F.col("cq"))
+    return (
+        brand_lines.join(per_part, F.col("l_partkey") == F.col("pp"))
+        .filter(F.col("l_quantity") < thresh)
+        .agg(
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 100)).cast("double")
+                / F.lit(700.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+Q17_SQL = """
+WITH brand_lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'),
+per_part AS (
+  SELECT l_partkey AS pp, sum(l_quantity) AS sq, count(*) AS cq
+  FROM brand_lines GROUP BY 1)
+SELECT CAST(sum(floor(l_extendedprice * 100)) AS DOUBLE) / 700.0 AS avg_yearly
+FROM brand_lines JOIN per_part ON l_partkey = pp
+WHERE l_quantity < 0.2 * (sq / cq)
+"""
+
+
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier order ("kept the order waiting"). The reference
+    query is a quadruple self-join (lineitem x3 + EXISTS/NOT EXISTS);
+    here it collapses to two stacked aggregations — per
+    (order, supplier) lateness, then per-order supplier/late counts —
+    joined back on l_orderkey so the second agg reuses the first's
+    partitioning. One fact shuffle chain, no self-join blowup at
+    100 TB. Late = shipped > 60 days after the order date (this
+    schema has no commit/receipt dates)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    per_supp = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("nsupp"), F.sum("is_late").alias("nlate")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter(
+            (F.col("is_late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+per_order AS (
+  SELECT l_orderkey AS ok, count(*) AS nsupp, sum(is_late) AS nlate
+  FROM per_supp GROUP BY 1)
+SELECT s_name, count(*) AS numwait
+FROM per_supp JOIN per_order ON l_orderkey = ok
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE is_late = 1 AND nsupp > 1 AND nlate = 1
+GROUP BY 1
+"""
+
+
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: high-balance customers with no recent orders,
+    profiled per market segment. The global average balance is a 1-row
+    agg cross-joined in (broadcast scalar, the `> (SELECT avg ...)`
+    subquery); "no recent orders" is a left_anti join against the
+    date-filtered orders (NOT EXISTS — anti-join shuffles on custkey
+    once, never materializes the negation). Balances sum as exact
+    cents."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(F.floor(F.col("c_acctbal") * 100)) / F.count(F.lit(1))).alias("ab"))
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.floor(F.col("c_acctbal") * 100) > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(F.floor(F.col("c_acctbal") * 100)).cast("double") / 100).alias(
+                "totacctbal"
+            ),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(floor(c_acctbal * 100)) AS DOUBLE) / 100 AS totacctbal
+FROM customer
+WHERE floor(c_acctbal * 100) >
+      (SELECT sum(floor(c_acctbal * 100)) / count(*) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5505,6 +5800,12 @@ QUERIES = {
     "tx15_bigram_logprob": tx15_bigram_logprob,
     "dp4_session_features": dp4_session_features,
     "tx16_zipf_slope": tx16_zipf_slope,
+    "q8_market_share": q8_market_share,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q22_dormant_customers": q22_dormant_customers,
 }
 
 ORACLES = {
@@ -5645,6 +5946,12 @@ ORACLES = {
     "tx15_bigram_logprob": TX15_SQL,
     "dp4_session_features": DP4_SQL,
     "tx16_zipf_slope": TX16_SQL,
+    "q8_market_share": Q8_SQL,
+    "q13_order_count_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q21_waiting_supplier": Q21_SQL,
+    "q22_dormant_customers": Q22_SQL,
 }
 
 
