@@ -22,9 +22,15 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q12_shipmode_priority",
+    "q8_market_share",
+    "q13_order_count_distribution",
     "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_filter",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
     "a2_o1_user_rating_lists",
     "di2_entity_link",
     "o3_topk_per_group",

@@ -787,3 +787,59 @@ def dedup_against_corpus(
         corpus_state,
     ).select(F.col("new_id").alias(id_col)).distinct()
     return new_docs.join(flagged, id_col, "left_anti")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-containment join: pairs where the SMALLER doc's
+    shingle set is >= ``threshold``-contained in the larger doc's —
+    the quote/boilerplate/supersede case exact-duplicate and Jaccard
+    dedup both miss (a doc fully quoted inside a longer one has low
+    Jaccard but containment 1.0).
+
+    C(A,B) = |S(A) n S(B)| / |S(A)| with |S(A)| <= |S(B)|
+    (ties on size broken by id order so each unordered pair appears
+    once, as (contained_id, container_id)).
+
+    Same PPJoin-lite shape as :func:`ngram_jaccard_pairs` — shingle
+    inverted index, equi-join per shingle, per-pair intersection
+    count — so the cost is sum(df^2) over shingles, NOT all-pairs;
+    ``max_shingle_df`` caps hot-shingle fan-out at scale (stopword-only
+    shingles carry no containment signal).
+    """
+    sh = doc_shingles(docs, id_col, text_col, n, max_shingle_df).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    joined = common.join(
+        sizes.select(F.col("id").alias("ida"), F.col("n_sh").alias("na")), "ida"
+    ).join(sizes.select(F.col("id").alias("idb"), F.col("n_sh").alias("nb")), "idb")
+    # orient: contained = smaller set (id order breaks size ties)
+    oriented = joined.select(
+        F.when(F.col("na") <= F.col("nb"), F.col("ida")).otherwise(F.col("idb")).alias(
+            "contained_id"
+        ),
+        F.when(F.col("na") <= F.col("nb"), F.col("idb")).otherwise(F.col("ida")).alias(
+            "container_id"
+        ),
+        F.col("n_common"),
+        F.least(F.col("na"), F.col("nb")).alias("n_small"),
+    )
+    return oriented.select(
+        "contained_id",
+        "container_id",
+        (F.col("n_common").cast("double") / F.col("n_small").cast("double")).alias(
+            "containment"
+        ),
+    ).filter(F.col("containment") >= threshold)

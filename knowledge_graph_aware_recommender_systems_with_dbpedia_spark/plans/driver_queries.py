@@ -5654,6 +5654,96 @@ GROUP BY 1
 """
 
 
+def dd14_containment(spark, sf_dir):
+    """Near-containment dedup (dedup.containment_pairs): the
+    quote/supersede case Jaccard misses — a short doc fully embedded
+    in a longer one. Inverted-index pair generation (sum(df^2), not
+    all-pairs), asymmetric |A n B| / |A| score oriented
+    smaller-into-larger."""
+    return DD.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, n=3
+    ).select(
+        "contained_id", "container_id", F.round("containment", 6).alias("containment")
+    )
+
+
+DD14_SQL = f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+common AS (SELECT a.id AS ida, b.id AS idb, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+           GROUP BY a.id, b.id),
+oriented AS (
+  SELECT CASE WHEN s1.n_sh <= s2.n_sh THEN ida ELSE idb END AS contained_id,
+         CASE WHEN s1.n_sh <= s2.n_sh THEN idb ELSE ida END AS container_id,
+         n_common, least(s1.n_sh, s2.n_sh) AS n_small
+  FROM common JOIN sizes s1 ON s1.id = ida JOIN sizes s2 ON s2.id = idb)
+SELECT contained_id, container_id,
+       round(CAST(n_common AS DOUBLE) / CAST(n_small AS DOUBLE), 6) AS containment
+FROM oriented
+WHERE CAST(n_common AS DOUBLE) / CAST(n_small AS DOUBLE) >= 0.5
+"""
+
+
+def tx17_tfidf_keywords(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by tf-idf with
+    smoothed idf ln((N+1)/(df+1)). Term counts and doc frequencies are
+    two hash aggs off one exploded scan (df derives FROM the per-doc
+    tf table — no second tokenize); the N scalar is a broadcast 1-row
+    agg; the per-doc top-3 is a doc-partitioned row_number (bounded
+    partitions — one doc's vocabulary). Both engines compute the
+    identical int-derived doubles, so ranking ties only at equal
+    (tf, df), broken by term order."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rk").cast("bigint").alias("rk"),
+            "term",
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
+TX17_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+tf AS (SELECT doc_id, u.term, count(*) AS tf
+       FROM t, unnest(t.toks) AS u(term) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM t),
+scored AS (SELECT doc_id, term,
+                  tf * ln((n_docs + 1.0) / (df + 1.0)) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (SELECT doc_id, term, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rk
+           FROM scored)
+SELECT doc_id, rk, term, round(tfidf, 6) AS tfidf
+FROM ranked WHERE rk <= 3
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5806,6 +5896,8 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q21_waiting_supplier": q21_waiting_supplier,
     "q22_dormant_customers": q22_dormant_customers,
+    "dd14_containment": dd14_containment,
+    "tx17_tfidf_keywords": tx17_tfidf_keywords,
 }
 
 ORACLES = {
@@ -5952,6 +6044,8 @@ ORACLES = {
     "q17_small_quantity_revenue": Q17_SQL,
     "q21_waiting_supplier": Q21_SQL,
     "q22_dormant_customers": Q22_SQL,
+    "dd14_containment": DD14_SQL,
+    "tx17_tfidf_keywords": TX17_SQL,
 }
 
 

@@ -568,3 +568,38 @@ def test_dedup_against_corpus_incremental(spark):
     }
     assert survivors == {1, 3, 5} - {p[0] for p in got}
     assert 3 in survivors
+
+
+def test_containment_finds_embedded_quote(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    container = (
+        "intro words before the quote " + short + " and plenty of trailing "
+        "commentary that makes this document much longer than the quoted one"
+    )
+    other = "unrelated corpus text about distributed joins and shuffles here"
+    docs = spark.createDataFrame(
+        [(1, short), (2, container), (3, other)], "doc_id long, text string"
+    )
+    out = {
+        (r.contained_id, r.container_id): r.containment
+        for r in DD.containment_pairs(docs, threshold=0.9).collect()
+    }
+    # every shingle of the short doc occurs in the container -> containment 1.0
+    assert out[(1, 2)] == 1.0
+    assert not any(3 in p for p in out)
+    # Jaccard on the same pair is well below 1 (the asymmetric case)
+    jac = {
+        (r.id1, r.id2): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    assert jac[(1, 2)] < 0.5
+
+
+def test_containment_orientation_ties_break_by_id(spark):
+    # identical docs: equal set sizes -> (smaller id, larger id)
+    docs = spark.createDataFrame(
+        [(7, BASE), (5, BASE)], "doc_id long, text string"
+    )
+    rows = DD.containment_pairs(docs, threshold=0.9).collect()
+    assert len(rows) == 1
+    assert (rows[0].contained_id, rows[0].container_id) == (5, 7)
