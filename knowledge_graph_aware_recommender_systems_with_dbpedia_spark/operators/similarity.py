@@ -635,3 +635,90 @@ def cosine_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def candidate_pair_sims(
+    emb: DataFrame,
+    cand_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine among a BOUNDED candidate set: (id1, id2, sim)
+    with id1 < id2, rounded to 6. ``cand_ids`` must be small (a
+    retrieval top-N) — both sides broadcast, so the pair join never
+    shuffles the corpus."""
+    cands = _normalize(
+        emb.join(F.broadcast(cand_ids.select(F.col(cand_ids.columns[0]).alias("id"))),
+                 F.col(id_col) == F.col("id"), "left_semi"),
+        id_col,
+        vec_col,
+    )
+    a = cands.alias("a")
+    b = cands.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.round(_dot(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+    )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    top_n: int = 12,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Maximal Marginal Relevance re-ranking: retrieve ``top_n``
+    candidates by exact cosine (distributed — the scale path), then
+    greedily pick ``k`` balancing relevance against redundancy:
+
+        argmax_d  lam * rel(d) - mu * max_{s in S} sim(d, s)
+
+    The greedy loop runs on the DRIVER over the bounded ``top_n``
+    candidate scalars (rel + pairwise sims, both computed by Spark
+    with the pinned left-fold dot product and rounded to 6 before any
+    comparison — so selection order is engine-reproducible). Bounded
+    driver state is the package's documented posture for top-N-sized
+    model state (cf. IVF centroids, KGE entity tables).
+
+    ``lam``/``mu`` are independent literals, NOT lam/1-lam: 1-0.7 is
+    not the double 0.3, and the oracle replays with literal 0.3.
+
+    Returns list[(rank, cand_id, score)] plus the candidate DataFrames
+    via ``mmr_rerank_df`` for the query surface.
+    """
+    rel_df = cosine_topk(
+        emb, emb.filter(F.col(id_col) == query_id), k=top_n,
+        id_col=id_col, vec_col=vec_col, query_id_col=id_col,
+    ).select(F.col("neighbor_id").alias("id"), F.col("cosine").alias("rel"))
+    rel = {r.id: r.rel for r in rel_df.collect()}  # bounded: top_n rows
+    sims_df = candidate_pair_sims(
+        emb, rel_df.select("id"), id_col=id_col, vec_col=vec_col
+    )
+    sim = {}
+    for r in sims_df.collect():  # bounded: top_n^2/2 rows
+        sim[(r.id1, r.id2)] = r.sim
+        sim[(r.id2, r.id1)] = r.sim
+    selected: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    for rank in range(1, min(k, len(rel)) + 1):
+        best = None
+        for cid in sorted(rel):
+            if cid in chosen:
+                continue
+            if not chosen:
+                score = rel[cid]
+            else:
+                score = lam * rel[cid] - mu * max(sim[(cid, s)] for s in chosen)
+            if best is None or score > best[1] or (score == best[1] and cid < best[0]):
+                best = (cid, score)
+        chosen.append(best[0])
+        selected.append((rank, best[0], round(best[1], 6)))
+    return selected

@@ -5744,6 +5744,58 @@ FROM ranked WHERE rk <= 3
 """
 
 
+def ss7_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking (similarity.mmr_rerank): retrieve
+    top-12 exact-cosine candidates for query vec 0 (distributed), then
+    greedy lam*rel - mu*max-sim-to-selected over the BOUNDED candidate
+    scalars. All floats entering a comparison are Spark-computed
+    pinned-fold dots rounded to 6, so the greedy selection replays
+    bit-identically in the unrolled DuckDB CTE chain."""
+    sel = SIM.mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"), query_id=0, k=5, top_n=12
+    )
+    return spark.createDataFrame(sel, "rk long, vec_id long, score double")
+
+
+def _mmr_oracle_sql(k: int = 5, top_n: int = 12, lam: str = "0.7", mu: str = "0.3") -> str:
+    base = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+cands AS (SELECT c.vec_id AS id, round(list_dot_product(q.v, c.v), 6) AS rel, c.v AS v
+          FROM n c, (SELECT v FROM n WHERE vec_id = 0) q
+          WHERE c.vec_id <> 0
+          ORDER BY rel DESC, id LIMIT %(top_n)d),
+sims AS (SELECT a.id AS id1, b.id AS id2, round(list_dot_product(a.v, b.v), 6) AS sim
+         FROM cands a JOIN cands b ON a.id < b.id)""" % {"top_n": top_n}
+    steps = [
+        "s1 AS (SELECT id, CAST(1 AS BIGINT) AS rk, rel AS score FROM cands ORDER BY rel DESC, id LIMIT 1)"
+    ]
+    for i in range(2, k + 1):
+        sel = " UNION ALL ".join(f"SELECT id FROM s{j}" for j in range(1, i))
+        steps.append(
+            f"s{i} AS (SELECT id, CAST({i} AS BIGINT) AS rk, {lam} * rel - {mu} * ms AS score FROM ("
+            f"SELECT c.id, c.rel, (SELECT max(sim) FROM sims"
+            f" WHERE (id1 = c.id AND id2 IN ({sel}))"
+            f" OR (id2 = c.id AND id1 IN ({sel}))) AS ms"
+            f" FROM cands c WHERE c.id NOT IN ({sel})) t"
+            f" ORDER BY score DESC, id LIMIT 1)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(1, k + 1))
+    return (
+        base
+        + ",\n"
+        + ",\n".join(steps)
+        + f"\nSELECT rk, id AS vec_id, round(score, 6) AS score FROM ({union}) z"
+    )
+
+
+SS7_SQL = _mmr_oracle_sql()
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5898,6 +5950,7 @@ QUERIES = {
     "q22_dormant_customers": q22_dormant_customers,
     "dd14_containment": dd14_containment,
     "tx17_tfidf_keywords": tx17_tfidf_keywords,
+    "ss7_mmr_rerank": ss7_mmr_rerank,
 }
 
 ORACLES = {
@@ -6046,6 +6099,7 @@ ORACLES = {
     "q22_dormant_customers": Q22_SQL,
     "dd14_containment": DD14_SQL,
     "tx17_tfidf_keywords": TX17_SQL,
+    "ss7_mmr_rerank": SS7_SQL,
 }
 
 

@@ -603,3 +603,25 @@ def test_containment_orientation_ties_break_by_id(spark):
     rows = DD.containment_pairs(docs, threshold=0.9).collect()
     assert len(rows) == 1
     assert (rows[0].contained_id, rows[0].container_id) == (5, 7)
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    # q = e1; a,b near-duplicates along e1; c diverse (e1+e2 mix).
+    # Pure top-3 = [a, b, c]; MMR must demote the redundant b below c.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.1, 0.0]),         # a: high rel
+        (2, [0.99, 0.11, 0.0]),        # b: near-dup of a
+        (3, [0.7, 0.0, 0.7]),          # c: diverse, lower rel
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    sel = SIM.mmr_rerank(emb, query_id=0, k=3, top_n=3, lam=0.5, mu=0.5)
+    order = [cid for _, cid, _ in sel]
+    assert order[0] == 1          # best relevance first
+    assert order[1] == 3          # diverse beats redundant at step 2
+    assert order[2] == 2
+    ranks = [rk for rk, _, _ in sel]
+    assert ranks == [1, 2, 3]
