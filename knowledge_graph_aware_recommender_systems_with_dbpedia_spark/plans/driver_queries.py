@@ -5796,6 +5796,94 @@ sims AS (SELECT a.id AS id1, b.id AS id2, round(list_dot_product(a.v, b.v), 6) A
 SS7_SQL = _mmr_oracle_sql()
 
 
+def ev16_rfm_segments(spark, sf_dir):
+    """RFM user segmentation: per-user Recency (days since last
+    event, vs corpus max), Frequency (event count) and Monetary
+    (exact cent sum), each quartile-bucketed against EXACT
+    interpolated corpus quartiles (the a15 percentile-parity rule),
+    then segment population counts. Two shuffles total (per-user agg,
+    per-segment agg); the corpus-max timestamp and the three quartile
+    triples are 1-row aggs broadcast into the bucketing projection —
+    no global window touches the user table, so it scales to any
+    user count."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_ns", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts_ns").alias("last_ns"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("cents").alias("monetary"),
+    )
+    mx = e.agg(F.max("ts_ns").alias("corpus_max_ns"))
+    pu = per_user.join(F.broadcast(mx)).select(
+        "user_id",
+        ((F.col("corpus_max_ns") - F.col("last_ns")) / F.lit(86400000000000.0)).alias(
+            "rec_days"
+        ),
+        F.col("freq").cast("double").alias("freq"),
+        F.col("monetary").cast("double").alias("monetary"),
+    )
+    qs = pu.agg(
+        *[
+            F.expr(f"percentile({c}, {p})").alias(f"{c}_q{i}")
+            for c in ("rec_days", "freq", "monetary")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def bucket(c):
+        return (
+            F.when(F.col(c) <= F.col(f"{c}_q1"), 1)
+            .when(F.col(c) <= F.col(f"{c}_q2"), 2)
+            .when(F.col(c) <= F.col(f"{c}_q3"), 3)
+            .otherwise(4)
+            .cast("bigint")
+        )
+
+    return (
+        pu.join(F.broadcast(qs))
+        .select(
+            bucket("rec_days").alias("r_q"),
+            bucket("freq").alias("f_q"),
+            bucket("monetary").alias("m_q"),
+            "monetary",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("monetary") / 100, 2).alias("monetary_total"),
+        )
+    )
+
+
+EV16_SQL = """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
+                  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+per_user AS (SELECT user_id, max(ts_ns) AS last_ns, count(*) AS freq,
+                    sum(cents) AS monetary FROM e GROUP BY 1),
+mx AS (SELECT max(ts_ns) AS corpus_max_ns FROM e),
+pu AS (SELECT user_id,
+              (corpus_max_ns - last_ns) / 86400000000000.0 AS rec_days,
+              CAST(freq AS DOUBLE) AS freq,
+              CAST(monetary AS DOUBLE) AS monetary
+       FROM per_user CROSS JOIN mx),
+qs AS (SELECT quantile_cont(rec_days, 0.25) AS rec_days_q1, quantile_cont(rec_days, 0.5) AS rec_days_q2, quantile_cont(rec_days, 0.75) AS rec_days_q3,
+              quantile_cont(freq, 0.25) AS freq_q1, quantile_cont(freq, 0.5) AS freq_q2, quantile_cont(freq, 0.75) AS freq_q3,
+              quantile_cont(monetary, 0.25) AS monetary_q1, quantile_cont(monetary, 0.5) AS monetary_q2, quantile_cont(monetary, 0.75) AS monetary_q3
+       FROM pu)
+SELECT CAST(CASE WHEN rec_days <= rec_days_q1 THEN 1 WHEN rec_days <= rec_days_q2 THEN 2
+                 WHEN rec_days <= rec_days_q3 THEN 3 ELSE 4 END AS BIGINT) AS r_q,
+       CAST(CASE WHEN freq <= freq_q1 THEN 1 WHEN freq <= freq_q2 THEN 2
+                 WHEN freq <= freq_q3 THEN 3 ELSE 4 END AS BIGINT) AS f_q,
+       CAST(CASE WHEN monetary <= monetary_q1 THEN 1 WHEN monetary <= monetary_q2 THEN 2
+                 WHEN monetary <= monetary_q3 THEN 3 ELSE 4 END AS BIGINT) AS m_q,
+       count(*) AS n_users,
+       round(sum(monetary) / 100, 2) AS monetary_total
+FROM pu CROSS JOIN qs
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5951,6 +6039,7 @@ QUERIES = {
     "dd14_containment": dd14_containment,
     "tx17_tfidf_keywords": tx17_tfidf_keywords,
     "ss7_mmr_rerank": ss7_mmr_rerank,
+    "ev16_rfm_segments": ev16_rfm_segments,
 }
 
 ORACLES = {
@@ -6100,6 +6189,7 @@ ORACLES = {
     "dd14_containment": DD14_SQL,
     "tx17_tfidf_keywords": TX17_SQL,
     "ss7_mmr_rerank": SS7_SQL,
+    "ev16_rfm_segments": EV16_SQL,
 }
 
 
