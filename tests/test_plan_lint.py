@@ -48,6 +48,13 @@ ALLOWED = {
     "q14_promo_share": 1,       # final 1-row ratio of conditional sums
     "q19_disjunctive_filter": 1,  # final 1-row global sum
     "tx15_bigram_logprob": 1,   # 1-row vocab-size normalizer (broadcast)
+    "q15_top_supplier": 1,      # 1-row max-revenue scalar (broadcast back)
+    "q17_small_quantity_revenue": 1,  # final 1-row revenue sum
+    "q22_dormant_customers": 1, # 1-row avg-balance scalar (broadcast)
+    "tx17_tfidf_keywords": 1,   # 1-row corpus-size scalar (broadcast)
+    # corpus-max ts + exact quartile triple (two 1-row scalar aggs,
+    # both broadcast) + their 1x1 combine
+    "ev16_rfm_segments": 3,
 }
 
 
