@@ -1,0 +1,103 @@
+"""ALS matrix-factorization recommender (MLlib-backed).
+
+The distributed-by-construction model the reference's single-node
+lineup (pykeen KGE + gensim walks; ``framework/recommender/
+model2class.py``) has no counterpart for: Spark MLlib's ALS is blocked
+alternating least squares — factor matrices live partitioned across
+executors, each update solves per-block normal equations, and
+``recommendForAllUsers`` does the scoring as a blocked cross product
+with per-block top-k pruning (never a full user x item materialization).
+That makes it the model to reach for at the 100 TB interaction scale
+where every O(|U||I|) scorer dies.
+
+Plugin contract: ``framework/recommender/recommender.py:11-31``
+(train / get_recommendations / get_user_recommendation / all_recs),
+same as every other model in ``plans/registries.py``.
+
+Stochastic stance (SURVEY §6): ALS factor values depend on the
+blocked solve order, so rec_als has no DuckDB oracle — the driver
+records a rows-only check, and unit tests pin the contract + a
+ranking-quality floor instead (same stance as node2vec / KGE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .recommend import Recommender, exclude_rated_and_truncate, max_user_degree
+
+
+class ALSRecommender(Recommender):
+    """Explicit-feedback ALS with the over-fetch -> anti-join -> truncate
+    recommendation path (J6/O4, shared with every other recommender).
+
+    User/item ids must fit in int32 (MLlib ALS constraint). At scales
+    where raw ids exceed that, run the P6 dense-id relabeling first —
+    the ids are dense by construction after it.
+    """
+
+    def __init__(
+        self,
+        k: int = 5,
+        rank: int = 16,
+        max_iter: int = 5,
+        reg: float = 0.1,
+        seed: int = 42,
+        implicit: bool = False,
+        all_recs: bool = False,
+    ):
+        self.k = k
+        self.rank = rank
+        self.max_iter = max_iter
+        self.reg = reg
+        self.seed = seed
+        self.implicit = implicit
+        self.all_recs = all_recs
+        self._train: DataFrame | None = None
+        self._model = None
+
+    def train(self, train_ratings: DataFrame) -> "ALSRecommender":
+        from pyspark.ml.recommendation import ALS
+
+        # read twice (fit, rated-exclusion) -> persist once
+        self._train = train_ratings.select("user_id", "item_id", "rating").persist()
+        als = ALS(
+            userCol="user_id",
+            itemCol="item_id",
+            ratingCol="rating",
+            rank=self.rank,
+            maxIter=self.max_iter,
+            regParam=self.reg,
+            seed=self.seed,
+            implicitPrefs=self.implicit,
+            coldStartStrategy="drop",
+            nonnegative=False,
+        )
+        self._model = als.fit(self._train)
+        return self
+
+    def _n_items(self) -> int:
+        # itemFactors is the bounded item-dim table
+        return self._model.itemFactors.count()
+
+    def get_recommendations(self, k: int | None = None) -> DataFrame:
+        k = k or self.k
+        assert self._model is not None and self._train is not None
+        if self.all_recs:
+            n_fetch = self._n_items()
+        else:
+            # over-fetch so the anti-join can never starve a user:
+            # a user's rated items can occupy at most max_degree slots
+            n_fetch = max_user_degree(self._train) + k
+        recs = self._model.recommendForAllUsers(n_fetch)
+        scored = recs.select(
+            "user_id", F.explode("recommendations").alias("r")
+        ).select(
+            "user_id",
+            F.col("r.item_id").alias("item_id"),
+            F.col("r.rating").cast("double").alias("score"),
+        )
+        return exclude_rated_and_truncate(
+            scored, self._train, k, all_recs=self.all_recs
+        )

@@ -1412,6 +1412,26 @@ def rec_node2vec_top5(spark, sf_dir):
         F.col("rank").cast("bigint").alias("rec_rank"),
     )
 
+def rec_als_top5(spark, sf_dir):
+    """ALS matrix factorization (operators/als.py) -> top-5 unseen.
+
+    No DuckDB oracle: ALS factors depend on the blocked solve order
+    (stochastic stance, same as node2vec/KGE) — rows-only check;
+    the contract + quality floor are pinned by tests/test_als.py.
+    """
+    from ..operators.als import ALSRecommender
+
+    train, _ = SP.train_test(_user_split(spark, sf_dir))
+    rec = ALSRecommender(k=5, rank=8, max_iter=3, seed=SEED).train(
+        train.select("user_id", "item_id", "rating")
+    )
+    return rec.get_recommendations(5).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("item_id").cast("bigint").alias("item_id"),
+        F.col("rank").cast("bigint").alias("rec_rank"),
+    )
+
+
 def rec_kge_transe_top5(spark, sf_dir):
     """M2-M5: TransE over rating triples -> cosine top-5.
 
@@ -5949,6 +5969,7 @@ QUERIES = {
     "e5_hitrate_at_5": e5_hitrate_at_5,
     "rec_node2vec_top5": rec_node2vec_top5,
     "rec_kge_transe_top5": rec_kge_transe_top5,
+    "rec_als_top5": rec_als_top5,
     "sp3_temporal_global": _split_query("timestamp_by_ratio", p=0.3, level="global"),
     "sp4_temporal_user": _split_query("timestamp_by_ratio", p=0.3, level="user"),
     "sp5_fixed_timestamp": _split_query("fixed_timestamp", timestamp=2750),

@@ -73,6 +73,21 @@ def _kgsim(parameters: dict, seed: int):
     )
 
 
+def _als(parameters: dict, seed: int):
+    from ..operators.als import ALSRecommender
+
+    p = parameters
+    return ALSRecommender(
+        k=p.get("k", 5),
+        rank=p.get("rank", p.get("embedding_dim", 16)),
+        max_iter=p.get("max_iter", p.get("epochs", 5)),
+        reg=p.get("reg", 0.1),
+        seed=p.get("seed", seed),
+        implicit=p.get("implicit", False),
+        all_recs=p.get("all_recs", False),
+    )
+
+
 def _itemknn(parameters: dict, seed: int):
     p = parameters
     return ItemKNNRecommender(
@@ -101,6 +116,8 @@ MODELS = {
     # greenfield deterministic neighborhood models (operators/itemknn.py)
     "itemKNN": _itemknn,
     "kgSim": _kgsim,
+    # distributed matrix factorization (operators/als.py, MLlib-backed)
+    "als": _als,
 }
 
 # ----------------------------------------------------------------- metrics

@@ -22,6 +22,7 @@ SKIP = {
     # windows are bounded and documented in operators/kge.py)
     "rec_kge_transe_top5",
     "rec_node2vec_top5",
+    "rec_als_top5",
 }
 ALLOWED = {
     "a8_max_degree": 1,        # final 1-row max
