@@ -416,3 +416,37 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return pr
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection over a
+    symmetric edge list (src, dst): every node starts as its own
+    label; each round a node adopts the most frequent label among its
+    neighbors, ties broken by smallest label — which makes the sweep
+    fully deterministic (classic async LP is order-dependent; the
+    sync+tie-break variant is the reproducible one, same stance as
+    the fixed-iteration pagerank).
+
+    Each round is ONE shuffle (groupBy(src, label) count) plus a
+    node-partitioned top-1 window (bounded by a node's distinct
+    neighbor labels). Iterations build lineage; at 100 TB persist the
+    label table between rounds and stop on a fixed budget the way
+    filter_kcore does.
+
+    Returns (node, community).
+    """
+    nodes = edges.select("src").distinct()
+    labels = nodes.select(F.col("src").alias("node"), F.col("src").alias("label"))
+    for _ in range(iterations):
+        neigh = edges.join(
+            labels.withColumnRenamed("node", "dst_n"),
+            F.col("dst") == F.col("dst_n"),
+        ).select("src", "label")
+        counts = neigh.groupBy("src", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("src").orderBy(F.desc("c"), "label")
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -5904,6 +5904,52 @@ GROUP BY 1, 2, 3
 """
 
 
+def g10_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities
+    (graph.label_propagation) over the undirected user-item rating
+    bipartite graph, 3 rounds. Deterministic by construction
+    (most-frequent neighbor label, ties to smallest), so the whole
+    iterative algorithm hash-checks against 3 unrolled DuckDB CTE
+    rounds — the g9 stance applied to a second graph algorithm."""
+    r = _ratings(spark, sf_dir)
+    e0 = r.select(
+        F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("i:"), F.col("item_id")).alias("dst"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return G.label_propagation(edges, iterations=3)
+
+
+def _label_prop_sql(iterations: int = 3) -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""c{i} AS (SELECT e.src, lb.label, count(*) AS c
+      FROM edges e JOIN {prev} lb ON e.dst = lb.node GROUP BY 1, 2),
+l{i} AS (SELECT src AS node, label FROM (
+        SELECT src, label,
+               row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+        FROM c{i}) t WHERE rn = 1)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH ratings AS ({RATINGS_SQL}),
+e0 AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+              'i:' || CAST(item_id AS VARCHAR) AS dst FROM ratings),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{chain}
+SELECT node, label AS community FROM {prev}
+"""
+
+
+G10_SQL = _label_prop_sql()
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6061,6 +6107,7 @@ QUERIES = {
     "tx17_tfidf_keywords": tx17_tfidf_keywords,
     "ss7_mmr_rerank": ss7_mmr_rerank,
     "ev16_rfm_segments": ev16_rfm_segments,
+    "g10_label_propagation": g10_label_propagation,
 }
 
 ORACLES = {
@@ -6211,6 +6258,7 @@ ORACLES = {
     "tx17_tfidf_keywords": TX17_SQL,
     "ss7_mmr_rerank": SS7_SQL,
     "ev16_rfm_segments": EV16_SQL,
+    "g10_label_propagation": G10_SQL,
 }
 
 

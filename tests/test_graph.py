@@ -146,3 +146,17 @@ def test_pagerank_exact_order_matches_plain_sum_approximately(spark):
     }
     for n in exact:
         assert abs(exact[n] - fast[n]) < 1e-12
+
+
+def test_label_propagation_two_cliques(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import graph as G
+    # two triangles joined by nothing -> two communities, each labeled
+    # by its smallest member
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    e0 = spark.createDataFrame(tri1 + tri2, "src string, dst string")
+    edges = e0.union(e0.selectExpr("dst as src", "src as dst"))
+    out = {r.node: r.community for r in G.label_propagation(edges, 3).collect()}
+    assert len({out["a"], out["b"], out["c"]}) == 1
+    assert len({out["x"], out["y"], out["z"]}) == 1
+    assert out["a"] != out["x"]
