@@ -79,3 +79,28 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     spans = sorted((lo, hi) for _, lo, hi in stats)
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # disjoint id ranges across compacted files
+
+
+def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
+    # 64x64 uniform grid over (x, y)
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    z_out = str(tmp_path / "zorder")
+    x_out = str(tmp_path / "xsort")
+    LY.write_zordered(grid, z_out, ["x", "y"], n_files=16)
+    # baseline: single-column sort layout (perfect on x, blind on y)
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(x_out)
+
+    def mean_span(path, col):
+        stats = [s for s in LY.parquet_file_stats(path, col) if s[1] is not None]
+        return sum(hi - lo for _, lo, hi in stats) / len(stats)
+
+    # x-sorted: each file spans ~the whole y range (~63); z-order must
+    # cut the per-file y span sharply while keeping x spans bounded
+    assert mean_span(x_out, "y") > 55
+    assert mean_span(z_out, "y") < 35
+    assert mean_span(z_out, "x") < 35
+    assert spark.read.parquet(z_out).count() == 4096
+    # no leaked helper column
+    assert "_zkey" not in spark.read.parquet(z_out).columns
