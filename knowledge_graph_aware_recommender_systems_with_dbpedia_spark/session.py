@@ -27,6 +27,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter semi-join pushdown: a selective filter
+        # on a dim side injects a bloom probe into the fact scan, so
+        # most fact rows die at the scan instead of crossing the
+        # shuffle — at 100 TB this is the difference between shuffling
+        # the corpus and shuffling the match set. creationSideThreshold
+        # guards the build cost (default 10 MB side only).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -11,6 +11,7 @@ n_buckets-row count table (32 rows, not the corpus).
 
 import contextlib
 import io
+import os
 import re
 
 from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans import QUERIES
@@ -115,3 +116,40 @@ def test_no_unexpected_single_partition_exchanges(spark):
         if n > ALLOWED.get(name, 0):
             offenders[name] = (n, ALLOWED.get(name, 0))
     assert not offenders, f"new single-partition exchanges: {offenders}"
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """The session enables runtime bloom-filter semi-join pushdown
+    (session.py): when a dim side carries a selective filter and the
+    fact side is scan-heavy, Catalyst injects a might_contain probe
+    into the fact scan so most fact rows die before the shuffle — at
+    100 TB that's shuffling the match set instead of the corpus. The
+    stock 10 GB application-side threshold keeps it off for tiny local
+    scans, so the test lowers it to observe the injection."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+        o = spark.read.parquet(os.path.join(SF, "orders.parquet")).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in _formatted(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
