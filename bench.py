@@ -17,18 +17,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q4_priority_exists",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
     "q12_shipmode_priority",
     "q8_market_share",
+    "q9_profit_proxy",
+    "q11_important_parts",
     "q13_order_count_distribution",
     "q14_promo_share",
     "q15_top_supplier",
+    "q16_supplier_variety",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_filter",
+    "q20_promo_heavy_suppliers",
     "q21_waiting_supplier",
     "q22_dormant_customers",
     "a2_o1_user_rating_lists",

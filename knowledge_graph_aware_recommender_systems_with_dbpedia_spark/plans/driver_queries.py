@@ -5950,6 +5950,237 @@ SELECT node, label AS community FROM {prev}
 G10_SQL = _label_prop_sql()
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest supplier per part — the correlated
+    `= (SELECT min ...)` decorrelated the Catalyst way: per
+    (part, supplier) unit cost aggregates on l_partkey, the per-part
+    min re-uses that partitioning, and the equality join-back runs on
+    the same key (one fact shuffle chain; this schema has no partsupp,
+    so the supplier-part cost relation derives from lineitem unit
+    prices — exact floor-cents of a double division both engines
+    compute identically). Ties at the min all surface."""
+    pk = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    uc = (
+        li.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+            ).alias("unit_cents")
+        )
+    )
+    min_uc = uc.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("unit_cents").alias("mn")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        uc.join(
+            min_uc,
+            (F.col("l_partkey") == F.col("pk")) & (F.col("unit_cents") == F.col("mn")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            (F.col("unit_cents").cast("double") / 100).alias("unit_cost"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_type = 'STANDARD' AND p_size < 10),
+uc AS (SELECT l_partkey, l_suppkey,
+              min(floor(l_extendedprice / l_quantity * 100)) AS unit_cents
+       FROM lineitem JOIN pk ON l_partkey = p_partkey
+       GROUP BY 1, 2),
+mn AS (SELECT l_partkey AS pk, min(unit_cents) AS mn FROM uc GROUP BY 1)
+SELECT l_partkey AS p_partkey, s_name, n_name,
+       CAST(unit_cents AS DOUBLE) / 100 AS unit_cost
+FROM uc JOIN mn ON l_partkey = pk AND unit_cents = mn
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q9_profit_proxy(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    year. No partsupp/supplycost in this schema, so cost proxies as
+    10% of the part's retail price per unit — the arithmetic stays
+    exact: profit_cents = revenue cents − qty * retail-decicents, all
+    BIGINT until the final display division. part (LIKE-filtered) and
+    the dims broadcast; the fact shuffles for the orders join and the
+    (nation, year) agg."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    profit_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ) - F.col("l_quantity").cast("bigint") * F.floor(F.col("p_retailprice") * 10)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate")).cast("bigint").alias("o_year"),
+        )
+        .agg((F.sum(profit_cents).cast("double") / 100).alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)
+                - CAST(l_quantity AS BIGINT) * floor(p_retailprice * 10)) AS DOUBLE) / 100
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts holding an outsized share of total
+    traded value — the scalar subquery in HAVING. Per-part exact cent
+    values aggregate once; the global total is a second agg OVER THE
+    PER-PART TABLE (not a second fact scan), broadcast back as a
+    1-row threshold."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.floor(F.col("l_extendedprice") * 100).alias("cents")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("val"))
+    total = per_part.agg(F.sum("val").alias("total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.lit(0.0006) * F.col("total").cast("double"))
+        .select("l_partkey", (F.col("val").cast("double") / 100).alias("value"))
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (SELECT l_partkey, sum(floor(l_extendedprice * 100)) AS val
+                  FROM lineitem GROUP BY 1)
+SELECT l_partkey, CAST(val AS DOUBLE) / 100 AS value
+FROM per_part
+WHERE CAST(val AS DOUBLE) >
+      0.0006 * (SELECT CAST(sum(val) AS DOUBLE) FROM per_part)
+"""
+
+
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers can provide each
+    (brand, type, size) bucket, excluding a supplier blacklist. The
+    part-supplier relation derives from distinct lineitem pairs (no
+    partsupp here); the blacklist (negative balance) applies as a
+    broadcast left_anti BEFORE the expensive distinct, and the
+    count-distinct groups on low-cardinality part attributes."""
+    assoc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        assoc.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_promo_heavy_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved significant volume of one
+    product line in one year — the reference's nested
+    EXISTS-in-EXISTS collapsed to agg + semi-join: per-supplier PROMO
+    quantity in 2000 aggregates once, the qualifying set (bounded by
+    the supplier dim) semi-joins supplier, and the name lookup
+    broadcasts. One fact shuffle."""
+    pk = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_shipdate") < "2001-01-01")
+    )
+    heavy = (
+        li.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .filter(F.col("qty") > 400)
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 400)
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6108,6 +6339,11 @@ QUERIES = {
     "ss7_mmr_rerank": ss7_mmr_rerank,
     "ev16_rfm_segments": ev16_rfm_segments,
     "g10_label_propagation": g10_label_propagation,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_profit_proxy": q9_profit_proxy,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q20_promo_heavy_suppliers": q20_promo_heavy_suppliers,
 }
 
 ORACLES = {
@@ -6259,6 +6495,11 @@ ORACLES = {
     "ss7_mmr_rerank": SS7_SQL,
     "ev16_rfm_segments": EV16_SQL,
     "g10_label_propagation": G10_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q9_profit_proxy": Q9_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q16_supplier_variety": Q16_SQL,
+    "q20_promo_heavy_suppliers": Q20_SQL,
 }
 
 

@@ -57,6 +57,7 @@ ALLOWED = {
     # corpus-max ts + exact quartile triple (two 1-row scalar aggs,
     # both broadcast) + their 1x1 combine
     "ev16_rfm_segments": 3,
+    "q11_important_parts": 1,   # 1-row grand-total threshold (broadcast)
 }
 
 
