@@ -93,9 +93,33 @@ def read_csv_multichar_sep(
     )
 
 
-def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
-    """S2: Yelp-style JSON-lines dumps (yelp.py:71-156)."""
-    return spark.read.json(path)
+def read_ndjson(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """S2: Yelp-style JSON-lines dumps (yelp.py:71-156).
+
+    Real crawl/API dumps carry malformed lines; Spark's PERMISSIVE
+    mode (the default) nulls the fields of a bad record instead of
+    failing the job — at 100 TB one broken line must never kill a
+    multi-hour read. Pass ``corrupt_col`` to also CAPTURE the raw bad
+    line in that column for quarantine (requires ``schema``, since
+    schema inference drops the corrupt-record column); downstream can
+    then `filter(col(corrupt_col).isNotNull())` into a dead-letter
+    sink. Pass an explicit ``schema`` in production regardless —
+    inference costs a full extra pass over the data.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col capture requires an explicit schema")
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+        schema = f"{schema}, {corrupt_col} string"
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
 
 
 def remote_fanout(

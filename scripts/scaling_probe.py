@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Scaling probe: representative queries at sf0.001 / 0.01 / 0.1.
+
+Prints per-query wall-clock at each SF plus the 0.01->0.1 scaling
+factor (data grows 10x; a factor near or below 10 means the plan
+scales linearly or better on this box — sub-linear factors indicate
+fixed plan/compile overhead still dominating, super-linear ones a
+shuffle or fan-out growing faster than the data).
+
+Usage: python3 scripts/scaling_probe.py [name_substring ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+REPRESENTATIVE = [
+    "q1_pricing_summary",        # scan + hash agg
+    "q9_profit_proxy",           # broadcast star join
+    "q21_waiting_supplier",      # stacked fact aggs
+    "a2_o1_user_rating_lists",   # per-user collect_list
+    "g4_kcore_alternating",      # iterative filtering
+    "g10_label_propagation",     # iterative propagation
+    "sp2_random_user",           # det-hash split
+    "rec_popularity_top5",       # recommender end-to-end
+    "dd4_minhash_lsh_pairs",     # LSH band join
+    "dd14_containment",          # inverted-index pair join
+    "tx1_text_stats",            # pure codegen text exprs
+    "tx17_tfidf_keywords",       # explode + two-level agg + window
+    "ev2_sessionize",            # gap sessionization windows
+    "ev16_rfm_segments",         # broadcast-quantile bucketing
+    "ss2_ann_ivf_topk",          # IVF ANN
+    "pk1_pack_sequences",        # bucketed packing
+]
+
+
+def main() -> None:
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.session import get_spark
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans import QUERIES
+
+    subs = sys.argv[1:]
+    names = [
+        n for n in REPRESENTATIVE if not subs or any(s in n for s in subs)
+    ]
+    spark = get_spark("scaling_probe")
+    spark.range(1000).count()  # JVM warm-up
+
+    results: dict[str, list[float]] = {}
+    for sf_dir in SFS:
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+        for name in names:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            results.setdefault(name, []).append(time.time() - t0)
+            spark.catalog.clearCache()
+
+    print(f"\n{'query':32s} {'sf0.001':>8s} {'sf0.01':>8s} {'sf0.1':>8s} {'x(0.01->0.1)':>12s}")
+    for name in names:
+        t = results[name]
+        factor = t[2] / t[1] if t[1] > 0 else float("nan")
+        print(f"{name:32s} {t[0]:8.2f} {t[1]:8.2f} {t[2]:8.2f} {factor:12.1f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -123,3 +123,31 @@ def test_read_ndjson(spark, tmp_path):
     p.write_text('{"business_id": "b1", "stars": 4.5}\n{"business_id": "b2", "stars": 3.0}\n')
     df = RC.read_ndjson(spark, str(p))
     assert df.count() == 2 and set(df.columns) == {"business_id", "stars"}
+
+
+def test_read_ndjson_quarantines_corrupt_lines(spark, tmp_path):
+    p = tmp_path / "dump.json"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "name": "fine"}\n'
+        '{"id": 3, "name": "trunc...\n'
+    )
+    df = RC.read_ndjson(
+        spark, str(p), schema="id long, name string", corrupt_col="_bad"
+    )
+    rows = df.collect()
+    assert len(rows) == 4  # no line kills the read
+    good = [r for r in rows if r._bad is None]
+    bad = [r for r in rows if r._bad is not None]
+    assert {r.id for r in good} == {1, 2}
+    assert len(bad) == 2 and all(r.id is None for r in bad)
+    # the raw line is preserved for the dead-letter sink
+    assert any("not json" in r._bad for r in bad)
+
+
+def test_read_ndjson_requires_schema_for_capture(spark, tmp_path):
+    p = tmp_path / "d.json"
+    p.write_text('{"a": 1}\n')
+    with pytest.raises(ValueError):
+        RC.read_ndjson(spark, str(p), corrupt_col="_bad")
