@@ -625,3 +625,61 @@ def test_mmr_rerank_prefers_diversity(spark):
     assert order[2] == 2
     ranks = [rk for rk, _, _ in sel]
     assert ranks == [1, 2, 3]
+
+
+def test_containment_properties_random_corpora(spark):
+    """Property check vs a brute-force python reference: containment
+    equals |A∩B|/|min set| for every surfaced pair, bounds in (0,1],
+    orientation always smaller-into-larger (ids break size ties)."""
+    from hypothesis import given, settings, strategies as st
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+
+    @settings(max_examples=5, deadline=None, derandomize=True)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=3, max_size=12),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    def check(docs):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.contained_id, r.container_id): r.containment
+            for r in DD.containment_pairs(df, threshold=0.01, n=3).collect()
+        }
+
+        def sh(toks):
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+
+        sets = {i: sh(t) for i, t in enumerate(docs)}
+        for (a, b), c in got.items():
+            sa, sb = sets[a], sets[b]
+            assert 0 < c <= 1
+            # orientation: contained side is the smaller set (id ties)
+            assert (len(sa), a) <= (len(sb), b)
+            assert abs(c - len(sa & sb) / len(sa)) < 1e-9
+        # completeness: every intersecting unordered pair surfaces
+        for i in sets:
+            for j in sets:
+                if i < j and sets[i] & sets[j]:
+                    assert (i, j) in got or (j, i) in got
+
+    check()
+
+
+def test_label_propagation_invariant_to_input_partitioning(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import graph as G
+
+    edges = [(f"n{i}", f"n{(i + 1) % 7}") for i in range(7)] + [
+        ("m1", "m2"), ("m2", "m3"), ("m1", "m3")
+    ]
+    e0 = spark.createDataFrame(edges, "src string, dst string")
+    sym = e0.union(e0.selectExpr("dst as src", "src as dst"))
+    a = {(r.node, r.community) for r in G.label_propagation(sym.repartition(1), 3).collect()}
+    b = {(r.node, r.community) for r in G.label_propagation(sym.repartition(13), 3).collect()}
+    assert a == b
