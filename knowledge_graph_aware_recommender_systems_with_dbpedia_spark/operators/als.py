@@ -56,12 +56,53 @@ class ALSRecommender(Recommender):
         self.all_recs = all_recs
         self._train: DataFrame | None = None
         self._model = None
+        self._user_map: DataFrame | None = None
+        self._item_map: DataFrame | None = None
+
+    @staticmethod
+    def _dense_map(df: DataFrame, col: str) -> DataFrame:
+        """Deterministic dense int ids for a non-numeric id column —
+        the P6 relabeling applied to the user/item DIM tables (bounded;
+        the single-partition window is p6's documented dim-table
+        posture, not a fact-table sort)."""
+        from pyspark.sql import Window
+
+        w = Window.orderBy(col)
+        return (
+            df.select(col)
+            .distinct()
+            .select(
+                F.col(col).alias(f"_{col}_orig"),
+                (F.row_number().over(w) - 1).alias(f"_{col}_idx"),
+            )
+        )
 
     def train(self, train_ratings: DataFrame) -> "ALSRecommender":
         from pyspark.ml.recommendation import ALS
 
         # read twice (fit, rated-exclusion) -> persist once
         self._train = train_ratings.select("user_id", "item_id", "rating").persist()
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        dtypes = dict(self._train.dtypes)
+        self._user_map = self._item_map = None
+        fit_df = self._train
+        if dtypes["user_id"] not in numeric or dtypes["item_id"] not in numeric:
+            # YAML-surface datasets carry string ids — remap to dense
+            # ints for MLlib, map back after scoring
+            self._user_map = self._dense_map(self._train, "user_id").persist()
+            self._item_map = self._dense_map(self._train, "item_id").persist()
+            fit_df = (
+                self._train.join(
+                    self._user_map,
+                    F.col("user_id") == F.col("_user_id_orig"),
+                )
+                .join(self._item_map, F.col("item_id") == F.col("_item_id_orig"))
+                .select(
+                    F.col("_user_id_idx").alias("user_id"),
+                    F.col("_item_id_idx").alias("item_id"),
+                    "rating",
+                )
+            )
         als = ALS(
             userCol="user_id",
             itemCol="item_id",
@@ -74,7 +115,7 @@ class ALSRecommender(Recommender):
             coldStartStrategy="drop",
             nonnegative=False,
         )
-        self._model = als.fit(self._train)
+        self._model = als.fit(fit_df)
         return self
 
     def _n_items(self) -> int:
@@ -98,6 +139,23 @@ class ALSRecommender(Recommender):
             F.col("r.item_id").alias("item_id"),
             F.col("r.rating").cast("double").alias("score"),
         )
+        if self._user_map is not None:
+            # translate dense ints back to the caller's id space
+            scored = (
+                scored.join(
+                    F.broadcast(self._user_map),
+                    F.col("user_id") == F.col("_user_id_idx"),
+                )
+                .join(
+                    F.broadcast(self._item_map),
+                    F.col("item_id") == F.col("_item_id_idx"),
+                )
+                .select(
+                    F.col("_user_id_orig").alias("user_id"),
+                    F.col("_item_id_orig").alias("item_id"),
+                    "score",
+                )
+            )
         return exclude_rated_and_truncate(
             scored, self._train, k, all_recs=self.all_recs
         )

@@ -248,3 +248,20 @@ def test_experiment_with_mrr_hitrate_metrics(spark, tmp_path):
     vals = res["popularity"]
     assert set(vals) == {"MRR@3", "HitRate@3"}
     assert all(0.0 <= v <= 1.0 for v in vals.values())
+
+
+def test_experiment_als_via_yaml_surface(spark, tmp_path):
+    _make_dataset(tmp_path)
+    out = tmp_path / "res" / "als.csv"
+    cfg = _config(
+        tmp_path,
+        [{"name": "als", "parameters": {"rank": 4, "max_iter": 3, "reg": 0.05}}],
+        out,
+        split={"method": "random_by_ratio", "p": 0.3, "level": "global"},
+    )
+    rows = EX.run_experiment(spark, cfg)
+    assert set(rows) == {"als"}
+    r = rows["als"]
+    assert "MAP@3" in r and 0.0 <= r["MAP@3"] <= 1.0
+    assert "nDCG@3" in r and 0.0 <= r["nDCG@3"] <= 1.0
+    assert os.path.exists(out)
