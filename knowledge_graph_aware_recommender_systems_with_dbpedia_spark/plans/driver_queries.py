@@ -6181,6 +6181,49 @@ WHERE s_suppkey IN (
 """
 
 
+def ss8_knn_join(spark, sf_dir):
+    """k-NN JOIN: top-3 neighbors for EVERY corpus vector (the k-NN
+    graph construction behind clustering, semantic dedup and
+    graph-based ANN), via the IVF cell plan — each vector probes its 2
+    nearest cells, candidates come from a cell equi-join, never an
+    O(n^2) crossJoin. Same md5-ranked deterministic centroids as ss2,
+    so the full n-vector fan-out hash-checks in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, emb, k=3, n_cells=16, n_probe=2).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rec_rank"),
+        "cosine",
+    )
+
+
+SS8_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+md AS (SELECT vec_id, v,
+       CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       FROM n),
+cent0 AS (SELECT vec_id, v, h FROM md ORDER BY h, vec_id LIMIT 16),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cell, v AS cv FROM cent0),
+ca AS (SELECT m.vec_id, m.v, c.cell, list_dot_product(m.v, c.cv) AS sim
+       FROM n m CROSS JOIN cents c),
+cr AS (SELECT vec_id, v, cell,
+       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ca),
+corpus AS (SELECT vec_id, v, cell FROM cr WHERE rn = 1),
+qa AS (SELECT vec_id, v, cell FROM cr WHERE rn <= 2),
+s AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      round(list_dot_product(q.v, c.v), 6) AS cosine
+      FROM corpus c JOIN qa q ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rec_rank FROM s)
+SELECT query_id, neighbor_id, CAST(rec_rank AS BIGINT) AS rec_rank, cosine
+FROM rk WHERE rec_rank <= 3
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6344,6 +6387,7 @@ QUERIES = {
     "q11_important_parts": q11_important_parts,
     "q16_supplier_variety": q16_supplier_variety,
     "q20_promo_heavy_suppliers": q20_promo_heavy_suppliers,
+    "ss8_knn_join": ss8_knn_join,
 }
 
 ORACLES = {
@@ -6500,6 +6544,7 @@ ORACLES = {
     "q11_important_parts": Q11_SQL,
     "q16_supplier_variety": Q16_SQL,
     "q20_promo_heavy_suppliers": Q20_SQL,
+    "ss8_knn_join": SS8_SQL,
 }
 
 
