@@ -65,6 +65,7 @@ HEADLINE = [
     "dd10_canonical_keep",
     "dd11_incremental_dedup",
     "dd13_repeated_spans",
+    "dd14_containment",
     "dd9_decontaminate",
     "tx3_stratified_sample",
     "sp9_stratified_head",
@@ -74,6 +75,7 @@ HEADLINE = [
     "tx7_lang_confusion",
     "tx8_corpus_profile",
     "tx9_mixture_weights",
+    "tx17_tfidf_keywords",
     "pk1_pack_sequences",
     "pk3_shuffle_shards",
     "ck1_chunk_documents",
@@ -93,6 +95,8 @@ HEADLINE = [
     "ev12_scd2_intervals",
     "ev13_resample_fill",
     "ev14_transition_matrix",
+    "ev16_rfm_segments",
+    "ss8_knn_join",
     "st1_stream_hourly_rollup",
     "st9_stream_static_enrich",
 ]

@@ -88,3 +88,35 @@ def test_cluster_keepers_on_empty(spark):
     from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.dedup import cluster_keepers
 
     assert cluster_keepers(empty_cl, empty_sc).count() == 0
+
+
+def test_containment_on_empty(empty_docs):
+    assert DD.containment_pairs(empty_docs).count() == 0
+
+
+def test_label_propagation_on_empty(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import graph as G
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = G.label_propagation(edges, 2)
+    assert out.columns == ["node", "community"]
+    assert out.count() == 0
+
+
+def test_mmr_rerank_fewer_candidates_than_k(spark):
+    # 2 candidates, k=5 -> returns exactly the 2, ranks 1..2
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    sel = SIM.mmr_rerank(emb, query_id=0, k=5, top_n=10)
+    assert [rk for rk, _, _ in sel] == [1, 2]
+
+
+def test_zorder_writer_on_empty(spark, tmp_path):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources import layout as LY
+
+    df = spark.createDataFrame([], "x long, y long")
+    out = str(tmp_path / "z_empty")
+    LY.write_zordered(df, out, ["x", "y"], n_files=2)
+    assert spark.read.parquet(out).count() == 0
