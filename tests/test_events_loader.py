@@ -97,3 +97,36 @@ def test_all_sf_dirs_load(spark):
         d = f"/root/testdata/{sf}"
         if os.path.isdir(d):
             assert load_table(spark, d, "events").limit(1).count() == 1
+
+
+def test_tpch_date_arithmetic_is_session_timezone_independent(spark):
+    """The date-keyed TPC-H shapes (year() buckets, shipdate range
+    filters) must not shift with spark.sql.session.timeZone. The
+    parquet dates are written TZ-naive (isAdjustedToUTC=false), so
+    Spark reads TIMESTAMP_NTZ and field extraction is pure — this test
+    pins that invariant so a future testdata regeneration to
+    TZ-adjusted timestamps (the r02 events.ts failure class) fails
+    loudly here instead of silently shifting query results."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.driver_queries import (
+        q7_nation_volume,
+        q15_top_supplier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    before = spark.conf.get("spark.sql.session.timeZone")
+
+    def run():
+        a = {tuple(r) for r in q7_nation_volume(spark, sf).collect()}
+        b = {tuple(r) for r in q15_top_supplier(spark, sf).collect()}
+        return a, b
+
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = run()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = run()
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        tokyo = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
+    assert utc == ny == tokyo
