@@ -240,3 +240,32 @@ def test_bpe_segment_words_applies_merges_in_order(spark):
         for r in BPE.segment_words(docs, [("a", "a")]).collect()
     }
     assert seg["aaa"] == ["aa", "a"]
+
+
+def test_register_views_sql_surface(spark):
+    """`register_views` + `spark.sql` is the SQL-first entry point; it
+    must go through the same shaped loaders as the DataFrame surface
+    (events gets ts_ns + normalized ts) and agree with the DataFrame
+    plans on real queries."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources import register_views
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.driver_queries import (
+        q6_forecast_revenue,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    # events view carries the shaped schema, not the raw file schema
+    cols = spark.sql("SELECT * FROM events LIMIT 0").columns
+    assert "ts_ns" in cols and cols[-1] == "ts"
+    got = spark.sql(
+        """
+        SELECT CAST(sum(floor(l_extendedprice * 100) * floor(l_discount * 100))
+                    AS DOUBLE) / 10000 AS revenue
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+        """
+    ).collect()[0].revenue
+    want = q6_forecast_revenue(spark, sf).collect()[0].revenue
+    assert got == want
