@@ -6224,6 +6224,31 @@ FROM rk WHERE rec_rank <= 3
 """
 
 
+def a16_distinct_users(spark, sf_dir):
+    """Exact distinct-user counts per event type + the overall
+    distinct reach — THE count-distinct shape. Spark plans
+    countDistinct as a two-stage partial-distinct agg (each mapper
+    dedups its partition before the shuffle). At 100 TB the documented
+    sketch swap is approx_count_distinct (HLL++, one pass, fixed
+    memory; rsd-bounded parity pinned in test_event_analytics) — this
+    query keeps the exact path for the oracle."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    overall = e.agg(F.countDistinct("user_id").alias("n_users")).select(
+        F.lit("__all__").alias("event_type"), "n_users"
+    )
+    return per_type.unionByName(overall)
+
+
+A16_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1
+UNION ALL
+SELECT '__all__' AS event_type, count(DISTINCT user_id) AS n_users FROM events
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6388,6 +6413,7 @@ QUERIES = {
     "q16_supplier_variety": q16_supplier_variety,
     "q20_promo_heavy_suppliers": q20_promo_heavy_suppliers,
     "ss8_knn_join": ss8_knn_join,
+    "a16_distinct_users": a16_distinct_users,
 }
 
 ORACLES = {
@@ -6545,6 +6571,7 @@ ORACLES = {
     "q16_supplier_variety": Q16_SQL,
     "q20_promo_heavy_suppliers": Q20_SQL,
     "ss8_knn_join": SS8_SQL,
+    "a16_distinct_users": A16_SQL,
 }
 
 

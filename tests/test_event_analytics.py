@@ -48,3 +48,26 @@ def test_percentiles_ordered_and_bounded(spark):
         assert r["p50"] <= r["p90"] <= r["p99"]
         # cents-floor can sit at most 1 cent under the true min
         assert lo - 0.01 <= r["p50"] and r["p99"] <= hi
+
+
+def test_approx_count_distinct_sketch_parity(spark):
+    """a16's documented 100 TB swap: approx_count_distinct (HLL++)
+    must land within its rsd bound of the exact distinct count."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_type", "user_id"
+    )
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.06 * n)  # 3 x rsd margin
