@@ -58,6 +58,7 @@ ALLOWED = {
     # both broadcast) + their 1x1 combine
     "ev16_rfm_segments": 3,
     "q11_important_parts": 1,   # 1-row grand-total threshold (broadcast)
+    "a16_distinct_users": 1,    # final 1-row overall-reach distinct
 }
 
 
