@@ -269,3 +269,21 @@ def test_register_views_sql_surface(spark):
     ).collect()[0].revenue
     want = q6_forecast_revenue(spark, sf).collect()[0].revenue
     assert got == want
+
+
+def test_typed_header_schema_maps_reference_types():
+    """typed_header_schema is the programmatic schema hook for the
+    reference's `name::type` header convention (string / number /
+    list) — callers that build a typed frame without reading a file
+    use it directly."""
+    from pyspark.sql import types as T
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.typed_csv import (
+        typed_header_schema,
+    )
+
+    schema = typed_header_schema(["item_id::string", "score::number", "tags::string_list"])
+    assert [f.name for f in schema.fields] == ["item_id", "score", "tags"]
+    assert isinstance(schema["item_id"].dataType, T.StringType)
+    assert isinstance(schema["score"].dataType, T.DoubleType)
+    assert isinstance(schema["tags"].dataType, T.ArrayType)
