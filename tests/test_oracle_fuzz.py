@@ -1,0 +1,92 @@
+"""Cross-engine fuzz: the DuckDB-oracle gate on RANDOMIZED corpora.
+
+The driver's correctness sweep runs each oracle against the one fixed
+testdata set; a query could in principle agree there by coincidence.
+These tests regenerate small random `documents` tables (seeded), write
+them to parquet, and assert the Spark plan and the registered DuckDB
+oracle still agree row-for-row — the same compare the sweep does, over
+fresh data shapes (duplicate clusters, empty docs, unicode, skewed
+vocab).
+"""
+
+import pytest
+
+pd = pytest.importorskip("pandas")
+import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+)
+
+# documents-only queries that read nothing else
+DOC_QUERIES = [
+    "dd1_exact_dedup",
+    "dd2_ngram_jaccard",
+    "dd5_simhash",
+    "dd14_containment",
+    "tx17_tfidf_keywords",
+    "tx2_vocab_topk",
+]
+
+VOCAB = (
+    "the quick brown fox lazy dog spark shuffle partition executor "
+    "corpus token shingle dedup quality lang mixture pack chunk "
+    "café naïve 東京 data model train eval"
+).split()
+
+
+def _random_docs(seed: int, n: int):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        kind = rng.rand()
+        if kind < 0.15 and rows:
+            # exact duplicate of an earlier doc
+            rows.append((i, rows[rng.randint(len(rows))][1]))
+        elif kind < 0.25:
+            rows.append((i, ""))  # empty doc
+        else:
+            ln = rng.randint(3, 40)
+            toks = rng.choice(VOCAB, size=ln, p=None)
+            rows.append((i, " ".join(toks)))
+    return rows
+
+
+def _normalize(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_doc_oracles_agree_on_random_corpora(spark, tmp_path, seed):
+    from pyspark.sql import functions as F
+
+    rows = _random_docs(seed, 40)
+    sdf = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    )
+    sf_dir = str(tmp_path / f"sf_fuzz_{seed}")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    sdf.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the file glob
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    for name in DOC_QUERIES:
+        spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+        duck_pdf = con.execute(ORACLES[name]).df()
+        a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+        assert sorted(a.columns) == sorted(b.columns), name
+        assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)}"
+        if len(a):
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
