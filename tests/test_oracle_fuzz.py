@@ -90,3 +90,51 @@ def test_doc_oracles_agree_on_random_corpora(spark, tmp_path, seed):
         assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)}"
         if len(a):
             pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
+
+
+EVENT_QUERIES = ["a9_value_counts", "ev1_hourly_rollup", "a16_distinct_users"]
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_event_oracles_agree_on_random_streams(spark, tmp_path, seed):
+    """Random events tables (micros timestamps — the exact layout that
+    broke round 2) through the shaped loader AND the DuckDB oracle."""
+    import datetime
+    import os
+
+    rng = np.random.RandomState(seed)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                base + datetime.timedelta(seconds=int(rng.randint(0, 86400 * 7))),
+                int(rng.randint(1, 20)),
+                str(rng.choice(["view", "click", "buy"])),
+                float(np.round(rng.rand() * 100, 2)),
+                '{"k": %d}' % rng.randint(0, 5),
+            )
+        )
+    sdf = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path / f"ev_fuzz_{seed}")
+    os.makedirs(sf_dir, exist_ok=True)
+    sdf.write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    for name in EVENT_QUERIES:
+        spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+        duck_pdf = con.execute(ORACLES[name]).df()
+        a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+        assert sorted(a.columns) == sorted(b.columns), name
+        assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)}"
+        if len(a):
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
