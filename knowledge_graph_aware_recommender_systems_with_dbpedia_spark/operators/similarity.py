@@ -377,6 +377,29 @@ def build_ivf_index(
     corpus.write.mode("overwrite").partitionBy("cell").parquet(path + "/corpus")
 
 
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: fold a NEW vector batch into a
+    materialized :func:`build_ivf_index` WITHOUT touching the existing
+    corpus partitions — normalize + assign the batch against the
+    STORED centroids (they stay fixed; quantizer drift is a periodic
+    offline rebuild, the FAISS/ANN-service convention) and append the
+    rows into the matching ``cell=`` directories. Cost is proportional
+    to the batch, never the corpus — the daily-crawl shape of
+    dd11/st6 applied to the vector index. Search results after append
+    are IDENTICAL to a from-scratch index built with the same
+    centroids over the union corpus (batching invariance — tested and
+    oracled by ss9)."""
+    cents = spark.read.parquet(path + "/centroids")
+    assigned = _ivf_assign(_normalize(new_emb, id_col, vec_col), cents, 1)
+    assigned.write.mode("append").partitionBy("cell").parquet(path + "/corpus")
+
+
 def ivf_topk_from_index(
     spark,
     path: str,

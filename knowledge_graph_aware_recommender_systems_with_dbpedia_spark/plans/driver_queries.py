@@ -6249,6 +6249,59 @@ SELECT '__all__' AS event_type, count(DISTINCT user_id) AS n_users FROM events
 """
 
 
+def ss9_incremental_index(spark, sf_dir):
+    """Incremental ANN index maintenance
+    (similarity.append_to_ivf_index): build the materialized IVF index
+    on the first 400 vectors, append the rest as a new batch (cost ∝
+    batch — only the touched cell partitions grow), then probe. The
+    centroids stay the base corpus's md5-ranked sample, so the
+    post-append search is deterministic and the oracle replays it as
+    base-corpus centroids + union-corpus assignment — batching
+    invariance, the dd11/st6 daily-crawl shape applied to vectors."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = os.path.join(tempfile.mkdtemp(prefix="ss9_idx_"), "ivf")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") < 400), idx, n_cells=8)
+    SIM.append_to_ivf_index(spark, idx, emb.filter(F.col("vec_id") >= 400))
+    return SIM.ivf_topk_from_index(
+        spark, idx, emb.filter(F.col("vec_id") < 8), k=5, n_probe=3
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rec_rank"),
+        "cosine",
+    )
+
+
+SS9_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+md AS (SELECT vec_id, v,
+       CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       FROM n WHERE vec_id < 400),
+cent0 AS (SELECT vec_id, v, h FROM md ORDER BY h, vec_id LIMIT 8),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cell, v AS cv FROM cent0),
+ca AS (SELECT m.vec_id, m.v, c.cell, list_dot_product(m.v, c.cv) AS sim
+       FROM n m CROSS JOIN cents c),
+cr AS (SELECT vec_id, v, cell,
+       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ca),
+corpus AS (SELECT vec_id, v, cell FROM cr WHERE rn = 1),
+qa AS (SELECT vec_id, v, cell FROM cr WHERE rn <= 3 AND vec_id < 8),
+s AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      round(list_dot_product(q.v, c.v), 6) AS cosine
+      FROM corpus c JOIN qa q ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rec_rank FROM s)
+SELECT query_id, neighbor_id, CAST(rec_rank AS BIGINT) AS rec_rank, cosine
+FROM rk WHERE rec_rank <= 5
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6414,6 +6467,7 @@ QUERIES = {
     "q20_promo_heavy_suppliers": q20_promo_heavy_suppliers,
     "ss8_knn_join": ss8_knn_join,
     "a16_distinct_users": a16_distinct_users,
+    "ss9_incremental_index": ss9_incremental_index,
 }
 
 ORACLES = {
@@ -6572,6 +6626,7 @@ ORACLES = {
     "q20_promo_heavy_suppliers": Q20_SQL,
     "ss8_knn_join": SS8_SQL,
     "a16_distinct_users": A16_SQL,
+    "ss9_incremental_index": SS9_SQL,
 }
 
 

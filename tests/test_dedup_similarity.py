@@ -683,3 +683,54 @@ def test_label_propagation_invariant_to_input_partitioning(spark):
     a = {(r.node, r.community) for r in G.label_propagation(sym.repartition(1), 3).collect()}
     b = {(r.node, r.community) for r in G.label_propagation(sym.repartition(13), 3).collect()}
     assert a == b
+
+
+def test_ivf_index_append_matches_full_build(spark, tmp_path):
+    """append_to_ivf_index batching invariance: (build on A, append B)
+    must search identically to an index whose corpus is A∪B assigned
+    against A's centroids — and appends must not rewrite existing cell
+    partitions."""
+    import os
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    mat = rng.randn(50, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    base = emb.filter(F.col("vec_id") < 30)
+    batch = emb.filter(F.col("vec_id") >= 30)
+    q = emb.filter(F.col("vec_id") < 3)
+
+    inc = str(tmp_path / "inc")
+    SIM.build_ivf_index(base, inc, n_cells=4)
+    files_before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(inc + "/corpus") for f in fs if f.endswith(".parquet")
+    }
+    SIM.append_to_ivf_index(spark, inc, batch)
+    # existing files untouched — append only adds
+    files_after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(inc + "/corpus") for f in fs if f.endswith(".parquet")
+    }
+    assert files_before <= files_after and len(files_after) > len(files_before)
+
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in SIM.ivf_topk_from_index(spark, inc, q, k=4, n_probe=2).collect()
+    }
+    # batching invariance: appending the same vectors in TWO smaller
+    # batches (different write order) must search identically
+    full = str(tmp_path / "full")
+    SIM.build_ivf_index(base, full, n_cells=4)
+    SIM.append_to_ivf_index(spark, full, emb.filter(F.col("vec_id") >= 42))
+    SIM.append_to_ivf_index(
+        spark, full, emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 42))
+    )
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in SIM.ivf_topk_from_index(spark, full, q, k=4, n_probe=2).collect()
+    }
+    assert got == want and len(got) > 0
