@@ -450,3 +450,62 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .select(F.col("src").alias("node"), "label")
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def aggregate_messages(
+    edges: DataFrame,
+    vertices: DataFrame,
+    msg,
+    agg,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """GraphX's core primitive (``aggregateMessages``) as DataFrame
+    ops: for every edge, build a message from the SOURCE vertex's
+    attributes and deliver it to the DESTINATION; aggregate per
+    recipient.
+
+    ``vertices`` is (node, <attr cols...>). ``msg`` is a callable over
+    the joined edge row (source attrs visible under their own names)
+    returning a Column; ``agg`` is a callable over the message column
+    name returning an aggregate Column. Returns (node, msg_agg).
+
+    One edge-vertex equi-join + one groupBy(dst) — the exact shuffle
+    shape GraphX compiles to (its mrTriplets), which is why every
+    iterative algorithm here (pagerank, label propagation, k-core
+    degree counting, min-label components) is an instance of this
+    primitive; ``pregel`` below packages the loop.
+    """
+    joined = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).join(vertices.withColumnRenamed("node", "_src"), "_src")
+    return (
+        joined.select(F.col("_dst").alias("node"), msg(joined).alias("_msg"))
+        .groupBy("node")
+        .agg(agg("_msg").alias("msg_agg"))
+    )
+
+
+def pregel(
+    edges: DataFrame,
+    initial: DataFrame,
+    msg,
+    agg,
+    update,
+    iterations: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-budget Pregel loop over :func:`aggregate_messages`:
+    each superstep sends messages along edges, aggregates per vertex,
+    and applies ``update(vertices, msgs)`` -> new vertex frame
+    (columns: node + attrs). Lineage is cut per superstep with
+    localCheckpoint (values unchanged), matching :func:`pagerank`'s
+    posture. Iteration budgets are fixed, not convergence-polled —
+    the 100 TB discipline used by filter_kcore/label_propagation.
+    """
+    vertices = initial
+    for _ in range(iterations):
+        msgs = aggregate_messages(edges, vertices, msg, agg, src_col, dst_col)
+        vertices = update(vertices, msgs).localCheckpoint(eager=False)
+    return vertices

@@ -160,3 +160,73 @@ def test_label_propagation_two_cliques(spark):
     assert len({out["a"], out["b"], out["c"]}) == 1
     assert len({out["x"], out["y"], out["z"]}) == 1
     assert out["a"] != out["x"]
+
+
+def test_aggregate_messages_degree_and_pregel_pagerank(spark):
+    """The GraphX-primitive layer: aggregateMessages computes degrees;
+    a pregel-expressed PageRank matches the dedicated pagerank
+    operator value-for-value (same fixed budget, map-side sum)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import graph as G
+    from pyspark.sql import functions as F
+
+    e0 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], "src string, dst string"
+    )
+    edges = e0.union(e0.selectExpr("dst as src", "src as dst")).distinct()
+
+    # in-degree via aggregateMessages (msg = 1, agg = sum)
+    verts = edges.select(F.col("src").alias("node")).distinct()
+    deg = {
+        r.node: r.msg_agg
+        for r in G.aggregate_messages(
+            edges, verts, lambda j: F.lit(1), lambda c: F.sum(c)
+        ).collect()
+    }
+    want = {
+        r.dst: r.n
+        for r in edges.groupBy("dst").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert deg == want
+
+    # pagerank as a pregel program
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    init = nodes.join(outdeg, "node").select(
+        "node", F.lit(1.0 / n).alias("pr"), "outdeg"
+    )
+    damping, base = 0.85, (1.0 - 0.85) / n
+
+    def update(vertices, msgs):
+        return (
+            vertices.join(msgs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("msg_agg"), F.lit(0.0))).alias("pr"),
+                "outdeg",
+            )
+        )
+
+    got = G.pregel(
+        edges,
+        init,
+        msg=lambda j: F.col("pr") / F.col("outdeg"),
+        agg=lambda c: F.sum(c),
+        update=update,
+        iterations=3,
+    )
+    want_pr = {
+        r.node: r.pr
+        for r in G.pagerank(edges, iterations=3, exact_order=False).collect()
+    }
+    got_pr = {r.node: r.pr for r in got.collect()}
+    assert set(got_pr) == set(want_pr)
+    for k in got_pr:
+        assert abs(got_pr[k] - want_pr[k]) < 1e-12
