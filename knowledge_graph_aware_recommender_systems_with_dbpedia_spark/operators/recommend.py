@@ -79,6 +79,12 @@ class Recommender:
     k: int = 5
     all_recs: bool = False
 
+    def name(self) -> str:
+        """The reference contract's ``name`` (recommender.py:11-31):
+        registry key when constructed via MODELS (set by
+        registries.make_model), else the class name."""
+        return getattr(self, "_registry_name", type(self).__name__)
+
     def train(self, *args, **kwargs):
         raise NotImplementedError("override train() in your recommender")
 

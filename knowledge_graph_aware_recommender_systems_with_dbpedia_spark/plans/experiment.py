@@ -190,6 +190,7 @@ def run_experiment(spark: SparkSession, config) -> dict:
         for train, test in pairs:
             t0 = time.monotonic()
             model = MODELS[name](params, seed)
+            model._registry_name = name  # Recommender.name() contract
             train_df = train.select("user_id", "item_id", "rating")
             # dispatch on the plugin's train() signature: walk models
             # take KG edges, KGE models take KG triples, anything else

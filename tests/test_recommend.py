@@ -219,3 +219,16 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_recommender_name_contract():
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.recommend import (
+        PopularityRecommender,
+    )
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.registries import MODELS
+
+    r = PopularityRecommender()
+    assert r.name() == "PopularityRecommender"  # class-name fallback
+    m = MODELS["popularity"]({}, 42)
+    m._registry_name = "popularity"
+    assert m.name() == "popularity"  # registry spelling wins
