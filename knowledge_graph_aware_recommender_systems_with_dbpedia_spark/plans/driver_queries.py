@@ -6302,6 +6302,64 @@ FROM rk WHERE rec_rank <= 5
 """
 
 
+def dp5_semantic_curation(spark, sf_dir):
+    """Third composed pipeline — this round's curation stack in one
+    lineage: exact dedup -> near-CONTAINMENT drop (the quoted/
+    superseded docs dd14 finds; every `contained_id` at >= 0.5 is
+    removed, its container kept) -> per-lang quality quota (top 30).
+    One composed DuckDB oracle replays all three stages."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "text"
+    )
+    keep = DD.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep, "doc_id", "left_semi")
+    contained = DD.containment_pairs(kept, threshold=0.5, n=3).select(
+        F.col("contained_id").alias("doc_id")
+    ).distinct()
+    pruned = kept.join(contained, "doc_id", "left_anti")
+    scored = pruned.select(
+        "doc_id", "lang", TX.quality_score(F.col("text")).alias("quality")
+    )
+    return SP.quota_by_score(
+        scored, "lang", "quality", n=30, key_cols=["doc_id"]
+    ).select("doc_id", "lang", F.round("quality", 6).alias("quality"))
+
+
+DP5_SQL = f"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text FROM documents),
+keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+kept AS (SELECT b.* FROM base b JOIN keep USING (doc_id)),
+t AS (SELECT doc_id, lang, text, {TOKS_SQL} AS toks FROM kept),
+sh AS (SELECT doc_id AS id, u.sh AS shingle FROM (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sls
+         FROM t) d, unnest(d.sls) AS u(sh)),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+common AS (SELECT a.id AS ida, b.id AS idb, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+           GROUP BY a.id, b.id),
+contained AS (
+  SELECT DISTINCT CASE WHEN s1.n_sh <= s2.n_sh THEN ida ELSE idb END AS doc_id
+  FROM common JOIN sizes s1 ON s1.id = ida JOIN sizes s2 ON s2.id = idb
+  WHERE CAST(n_common AS DOUBLE) / CAST(least(s1.n_sh, s2.n_sh) AS DOUBLE) >= 0.5),
+pruned AS (SELECT k.* FROM kept k ANTI JOIN contained c ON k.doc_id = c.doc_id),
+pt AS (SELECT doc_id, lang, text, {TOKS_SQL} AS toks FROM pruned),
+st AS (SELECT doc_id, lang,
+       CAST(length(text) AS DOUBLE) AS n_chars,
+       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       CAST(len(toks) AS DOUBLE) AS n_toks
+       FROM pt),
+q AS (SELECT doc_id, lang,
+      round(0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+          + 0.3 * least(n_chars / 400.0, 1.0)
+          + 0.3 * least((CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END) / 6.0, 1.0), 6) AS quality
+      FROM st),
+r AS (SELECT q.*, row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn FROM q)
+SELECT doc_id, lang, round(quality, 6) AS quality FROM r WHERE rn <= 30
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6468,6 +6526,7 @@ QUERIES = {
     "ss8_knn_join": ss8_knn_join,
     "a16_distinct_users": a16_distinct_users,
     "ss9_incremental_index": ss9_incremental_index,
+    "dp5_semantic_curation": dp5_semantic_curation,
 }
 
 ORACLES = {
@@ -6627,6 +6686,7 @@ ORACLES = {
     "ss8_knn_join": SS8_SQL,
     "a16_distinct_users": A16_SQL,
     "ss9_incremental_index": SS9_SQL,
+    "dp5_semantic_curation": DP5_SQL,
 }
 
 
