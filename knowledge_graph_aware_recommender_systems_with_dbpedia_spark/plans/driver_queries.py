@@ -6360,6 +6360,66 @@ SELECT doc_id, lang, round(quality, 6) AS quality FROM r WHERE rn <= 30
 """
 
 
+def a17_ewma_daily(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of daily event
+    value (alpha=0.3) — the recursive smoother behind anomaly
+    baselines and trend features. The recursion s_t = a*x_t +
+    (1-a)*s_{t-1} is inherently sequential PER USER, so it runs as a
+    pinned-order left fold over the user's (bounded) day series:
+    pre-aggregate to user-days (the corpus-sized shuffle), then ONE
+    fold per user over the collected ordered day list — never a
+    corpus-wide window, and DuckDB replays the identical
+    list_reduce. Day values go through exact cents first (q1 rule).
+    The -1.0 init is a first-element sentinel — valid because event
+    values are strictly positive (testdata contract, pinned by
+    test_schema_contract); a signed-value variant would fold over
+    (is_first, acc) structs instead."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 86400000000000").cast("bigint").alias("day_idx"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    daily = e.groupBy("user_id", "day_idx").agg(
+        F.sum("cents").cast("double").alias("x")
+    )
+    folded = daily.groupBy("user_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("day_idx", "x"))),
+            F.lit(-1.0),
+            lambda acc, s: F.when(acc < 0, s["x"]).otherwise(
+                F.lit(0.3) * s["x"] + F.lit(0.7) * acc
+            ),
+        ).alias("ewma_cents"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("day_idx").alias("last_day"),
+    )
+    return folded.select(
+        "user_id",
+        "n_days",
+        "last_day",
+        F.round(F.col("ewma_cents") / 100, 6).alias("ewma_value"),
+    )
+
+
+A17_SQL = """
+WITH e AS (SELECT user_id,
+                  CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_idx,
+                  CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+daily AS (SELECT user_id, day_idx, CAST(sum(cents) AS DOUBLE) AS x
+          FROM e GROUP BY 1, 2),
+folded AS (SELECT user_id,
+                  list_reduce(list_prepend(-1.0, list(x ORDER BY day_idx)),
+                              (acc, x) -> CASE WHEN acc < 0 THEN x
+                                               ELSE 0.3 * x + 0.7 * acc END)
+                    AS ewma_cents,
+                  count(*) AS n_days, max(day_idx) AS last_day
+           FROM daily GROUP BY user_id)
+SELECT user_id, n_days, last_day, round(ewma_cents / 100, 6) AS ewma_value
+FROM folded
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6527,6 +6587,7 @@ QUERIES = {
     "a16_distinct_users": a16_distinct_users,
     "ss9_incremental_index": ss9_incremental_index,
     "dp5_semantic_curation": dp5_semantic_curation,
+    "a17_ewma_daily": a17_ewma_daily,
 }
 
 ORACLES = {
@@ -6687,6 +6748,7 @@ ORACLES = {
     "a16_distinct_users": A16_SQL,
     "ss9_incremental_index": SS9_SQL,
     "dp5_semantic_curation": DP5_SQL,
+    "a17_ewma_daily": A17_SQL,
 }
 
 
