@@ -6420,6 +6420,26 @@ FROM folded
 """
 
 
+def u4_intersect_audiences(spark, sf_dir):
+    """Set intersection (U-surface: union u1 / difference u2-j6 /
+    INTERSECT here): customers present in BOTH the high-value segment
+    (an order over 400k) and the recent segment (an order in 2001).
+    `intersect` plans as a distinct + left_semi shuffle pair — at
+    scale prefer expressing one side as a semi-join when the segments
+    are asymmetric in size; both forms hash-match the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    recent = o.filter(F.col("o_orderdate") >= "2001-01-01").select("o_custkey")
+    return big.intersect(recent).select(F.col("o_custkey").alias("custkey"))
+
+
+U4_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6588,6 +6608,7 @@ QUERIES = {
     "ss9_incremental_index": ss9_incremental_index,
     "dp5_semantic_curation": dp5_semantic_curation,
     "a17_ewma_daily": a17_ewma_daily,
+    "u4_intersect_audiences": u4_intersect_audiences,
 }
 
 ORACLES = {
@@ -6749,6 +6770,7 @@ ORACLES = {
     "ss9_incremental_index": SS9_SQL,
     "dp5_semantic_curation": DP5_SQL,
     "a17_ewma_daily": A17_SQL,
+    "u4_intersect_audiences": U4_SQL,
 }
 
 
