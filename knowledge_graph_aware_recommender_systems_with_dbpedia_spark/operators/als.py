@@ -61,20 +61,15 @@ class ALSRecommender(Recommender):
 
     @staticmethod
     def _dense_map(df: DataFrame, col: str) -> DataFrame:
-        """Deterministic dense int ids for a non-numeric id column —
-        the P6 relabeling applied to the user/item DIM tables (bounded;
-        the single-partition window is p6's documented dim-table
-        posture, not a fact-table sort)."""
-        from pyspark.sql import Window
+        """Deterministic dense int ids for an id column — the P6
+        relabeling applied to the user/item DIM tables via the two-pass
+        bucketed rank (operators/ids.dense_ids), so a 10^8-row
+        dimension never funnels through one window task."""
+        from .ids import dense_ids
 
-        w = Window.orderBy(col)
-        return (
-            df.select(col)
-            .distinct()
-            .select(
-                F.col(col).alias(f"_{col}_orig"),
-                (F.row_number().over(w) - 1).alias(f"_{col}_idx"),
-            )
+        return dense_ids(df.select(col).distinct(), [col], "_idx").select(
+            F.col(col).alias(f"_{col}_orig"),
+            F.col("_idx").cast("int").alias(f"_{col}_idx"),
         )
 
     def train(self, train_ratings: DataFrame) -> "ALSRecommender":
@@ -86,7 +81,21 @@ class ALSRecommender(Recommender):
         dtypes = dict(self._train.dtypes)
         self._user_map = self._item_map = None
         fit_df = self._train
-        if dtypes["user_id"] not in numeric or dtypes["item_id"] not in numeric:
+        needs_remap = (
+            dtypes["user_id"] not in numeric or dtypes["item_id"] not in numeric
+        )
+        if not needs_remap:
+            # MLlib ALS requires ids within int32 range; numeric ids
+            # beyond it would fail executor-side with an opaque error —
+            # detect up front (one small agg over the persisted train)
+            # and fall through to the same dense remap used for strings
+            int32_max = (1 << 31) - 1
+            mx = self._train.agg(
+                F.max(F.abs(F.col("user_id"))).alias("u"),
+                F.max(F.abs(F.col("item_id"))).alias("i"),
+            ).first()
+            needs_remap = (mx.u or 0) > int32_max or (mx.i or 0) > int32_max
+        if needs_remap:
             # YAML-surface datasets carry string ids — remap to dense
             # ints for MLlib, map back after scoring
             self._user_map = self._dense_map(self._train, "user_id").persist()

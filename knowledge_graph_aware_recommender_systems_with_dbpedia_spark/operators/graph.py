@@ -316,24 +316,18 @@ def relabel_nodes(nodes: DataFrame, n_buckets: int = 32) -> DataFrame:
     ``monotonically_increasing_id`` (non-dense, partition-dependent).
     The mapping DataFrame (int_id, node_id) is the 'convert_back' table.
 
-    Scale: uses the two-pass range-bucketed rank (splits._global_rank)
-    instead of a single-partition window. Bucket boundaries come from a
-    sample of the ids — sampling quality affects only balance, never
-    the resulting ids (any range partition preserves the total order).
+    Scale: uses the two-pass range-bucketed rank (operators/ids.
+    dense_ids over splits._global_rank) instead of a single-partition
+    window. Bucket boundaries come from a sample of the ids — sampling
+    quality affects only balance, never the resulting ids (any range
+    partition preserves the total order).
     """
-    from .splits import _global_rank
+    from .ids import dense_ids
 
     ids = nodes.select("node_id").distinct()
-    sample = sorted(
-        r.node_id
-        for r in ids.sample(False, 0.1, seed=42).limit(n_buckets * 8).collect()
+    return dense_ids(ids, ["node_id"], "int_id", n_buckets=n_buckets).select(
+        "node_id", "int_id"
     )
-    step = max(1, len(sample) // n_buckets)
-    boundaries = sample[step::step][: n_buckets - 1] or [""]  # "" = 1 bucket
-    ranked = _global_rank(
-        ids, [F.col("node_id")], descending=False, boundaries=boundaries
-    )
-    return ranked.select("node_id", (F.col("_rn") - 1).alias("int_id"))
 
 
 def pagerank(

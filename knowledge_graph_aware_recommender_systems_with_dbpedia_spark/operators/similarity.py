@@ -714,8 +714,9 @@ def mmr_rerank(
     ``lam``/``mu`` are independent literals, NOT lam/1-lam: 1-0.7 is
     not the double 0.3, and the oracle replays with literal 0.3.
 
-    Returns list[(rank, cand_id, score)] plus the candidate DataFrames
-    via ``mmr_rerank_df`` for the query surface.
+    Returns list[(rank, cand_id, score)]; the query surface
+    (``ss7_mmr_rerank``) wraps this list back into a DataFrame via
+    ``spark.createDataFrame`` on the bounded k rows.
     """
     rel_df = cosine_topk(
         emb, emb.filter(F.col(id_col) == query_id), k=top_n,

@@ -63,11 +63,22 @@ def _global_rank(
         bucket = F.least(
             F.floor(primary * n_buckets).cast("int"), F.lit(n_buckets - 1)
         )
+    elif not boundaries:  # tiny input — a single bucket is exact too
+        bucket = F.lit(0)
     else:
         # boundaries may be numeric (timestamps) or strings (node ids);
-        # comparison semantics match the order column's type either way
-        arr = F.array(*[F.lit(b) for b in boundaries])
-        bucket = F.size(F.filter(arr, lambda b: b < primary)).cast("int")
+        # comparison semantics match the order column's type either way.
+        # Plain sum-of-comparisons, NOT a higher-order F.filter lambda:
+        # Spark 4.1's column pruning can mis-bind a lambda's captured
+        # column on the aggregated (pruned) side of this plan
+        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), and a comparison chain
+        # stays inside whole-stage codegen anyway
+        # coalesce: a NULL primary compares NULL — bucket 0, matching
+        # the nulls-first position of Spark's ascending sort
+        bucket = F.coalesce(
+            sum((primary > F.lit(b)).cast("int") for b in boundaries),
+            F.lit(0),
+        ).cast("int")
     df = df.withColumn("_bkt", bucket)
     ordered = [o.desc() for o in order] if descending else [o.asc() for o in order]
     w = Window.partitionBy("_bkt").orderBy(*ordered)

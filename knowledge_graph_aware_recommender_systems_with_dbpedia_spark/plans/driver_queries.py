@@ -229,10 +229,18 @@ FROM part
 
 
 def p6_dense_ids(spark, sf_dir):
-    w = Window.orderBy("p_name", "item_id")
-    return load_table(spark, sf_dir, "part").select(
+    """P6 (graph.py:168-179): contiguous 0-based ids in a total order.
+    Two-pass bucketed rank (operators/ids.dense_ids) — never a
+    single-partition window, so a 10^8-row item dimension ranks in
+    parallel; ids are provably identical to the naive window."""
+    from ..operators.ids import dense_ids
+
+    base = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").cast("bigint").alias("item_id"), "p_name"
-    ).withColumn("dense_id", (F.row_number().over(w) - 1).cast("bigint"))
+    )
+    return dense_ids(base, ["p_name", "item_id"], "dense_id").select(
+        "item_id", "p_name", F.col("dense_id").cast("bigint").alias("dense_id")
+    )
 
 
 P6_SQL = """
@@ -1151,12 +1159,10 @@ def j3_key_reconstruction(spark, sf_dir):
     """J3 (douban-movie.py:69-70): facts keyed by a natural name
     column joined back to synthesized dense ids — P6's row_number ids
     re-attached via a left join on the name key."""
+    from ..operators.ids import dense_ids
+
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    dense = (
-        c.select("c_name")
-        .distinct()
-        .withColumn("dense_id", F.row_number().over(Window.orderBy("c_name")) - 1)
-    )
+    dense = dense_ids(c.select("c_name").distinct(), ["c_name"], "dense_id")
     facts = (
         load_table(spark, sf_dir, "orders")
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -6098,11 +6104,6 @@ def q16_supplier_variety(spark, sf_dir):
     partsupp here); the blacklist (negative balance) applies as a
     broadcast left_anti BEFORE the expensive distinct, and the
     count-distinct groups on low-cardinality part attributes."""
-    assoc = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
     p = (
         load_table(spark, sf_dir, "part")
         .filter(
@@ -6117,9 +6118,17 @@ def q16_supplier_variety(spark, sf_dir):
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
+    # anti-join the blacklist BEFORE the distinct: it commutes (the
+    # filter is on l_suppkey, a distinct key component) and shrinks the
+    # rows feeding the expensive distinct shuffle
+    assoc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .distinct()
+    )
     return (
-        assoc.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        assoc.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

@@ -341,11 +341,12 @@ class DoubanMovie(DatasetAdapter):
         return read_csv(self.spark, os.path.join(self.input_path, "DMSC.csv"))
 
     def _dense(self, df: DataFrame, cols: list[str], id_name: str) -> DataFrame:
-        from pyspark.sql import Window
+        from ..operators.ids import dense_ids
 
         d = df.select(*cols).dropDuplicates(cols)
-        w = Window.orderBy(*cols)
-        return d.withColumn(id_name, (F.row_number().over(w) - 1).cast("string"))
+        return dense_ids(d, cols, id_name).withColumn(
+            id_name, F.col(id_name).cast("string")
+        )
 
     def load_item_data(self) -> DataFrame:
         d = self._dense(self._raw(), ["Movie_Name_EN", "Movie_Name_CN"], "movie_id")

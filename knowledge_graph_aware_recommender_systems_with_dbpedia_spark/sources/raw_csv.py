@@ -108,7 +108,10 @@ def read_ndjson(
     line in that column for quarantine (requires ``schema``, since
     schema inference drops the corrupt-record column); downstream can
     then `filter(col(corrupt_col).isNotNull())` into a dead-letter
-    sink. Pass an explicit ``schema`` in production regardless —
+    sink. NOTE: Spark raises AnalysisException when a query references
+    ONLY the corrupt-record column of a raw JSON read — `.cache()` the
+    returned DataFrame (or select at least one data column alongside)
+    before filtering solely on ``corrupt_col``. Pass an explicit ``schema`` in production regardless —
     inference costs a full extra pass over the data.
     """
     reader = spark.read.option("mode", "PERMISSIVE")

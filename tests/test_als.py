@@ -86,3 +86,22 @@ def test_all_recs_ranks_every_unseen(block_ratings):
     # 20 items total, each user rated 10 -> 10 unseen each, all ranked
     counts = recs.groupBy("user_id").count().select("count").distinct().collect()
     assert [r["count"] for r in counts] == [10]
+
+
+def test_int64_ids_remap_instead_of_failing(spark):
+    """MLlib ALS requires ids in int32 range; bigint ids beyond it must
+    go through the same dense remap as string ids (not an opaque
+    executor failure)."""
+    base = 10_000_000_000  # > 2^31-1
+    rows = []
+    for u in range(8):
+        for i in range(8):
+            if i == u:
+                continue
+            rows.append((base + u, base + 100 + i, 50.0 if (u < 4) == (i < 4) else 1.0))
+    df = spark.createDataFrame(rows, "user_id long, item_id long, rating double")
+    rec = ALSRecommender(k=3, rank=2, max_iter=5, seed=1).train(df)
+    assert rec._user_map is not None  # remap path engaged
+    out = rec.get_recommendations(3)
+    got_users = {r.user_id for r in out.select("user_id").distinct().collect()}
+    assert got_users == {base + u for u in range(8)}  # original id space

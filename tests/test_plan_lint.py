@@ -36,8 +36,10 @@ ALLOWED = {
     # rank over the items-bounded pop table — all bounded by construction
     "e6_kfold_map_popularity": 4,
     "tx9_mixture_weights": 1,  # 1-row pow-sum normalizer over #sources rows
-    "p6_dense_ids": 1,         # bounded dim-table window (documented)
-    "sp1_random_global": 1,    # two-pass rank: window over n_buckets counts
+    # two-pass bucketed ranks: the ONLY single-partition window left is
+    # over the n_buckets-row bucket-count table (~32 rows, not the data)
+    "p6_dense_ids": 1,
+    "sp1_random_global": 1,
     "sp3_temporal_global": 1,
     "sp6_kfold_global": 1,
     "g5_relabel": 1,
