@@ -67,6 +67,12 @@ def learn_bpe_merges(
     Stops early if no adjacent pair remains. The returned DataFrame is
     driver-materialized (n_merges rows) — the distributed work is the
     per-iteration pair count over the persisted vocab table.
+
+    JOB-COUNT CAVEAT: each merge is one Spark job (a driver round-trip
+    is inherent to sequential BPE — merge i+1's counts depend on merge
+    i). Fine for small budgets; for real budgets (32k merges) use
+    :func:`learn_bpe_merges_topv`, which runs the identical loop
+    in-driver over the bounded top-V vocabulary with O(1) Spark jobs.
     """
     spark = docs.sparkSession
     words = word_counts(docs, text_col).persist()
@@ -99,6 +105,76 @@ def learn_bpe_merges(
                 F.col("seq"), F.lit(D1 + a + D2 + D1 + b + D2), F.lit(D1 + a + b + D2)
             ).alias("seq"),
         )
+    return spark.createDataFrame(
+        merges,
+        "step bigint, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
+
+
+def learn_bpe_merges_topv(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    max_vocab: int = 1_000_000,
+) -> DataFrame:
+    """BPE merge learning with a SPARK-JOB COUNT OF O(1) — the scale
+    path for real merge budgets (n_merges = 32k would mean 32k driver
+    round-trip jobs through :func:`learn_bpe_merges`'s loop).
+
+    Structure (how production tokenizer trainers handle web-scale
+    corpora): ONE distributed corpus pass builds (word, cnt); ONE
+    TakeOrdered collects the top ``max_vocab`` words by (cnt desc,
+    word asc); the merge loop then runs in-driver over that bounded
+    vocabulary in pure Python — exact BPE, no per-merge Spark job.
+
+    Exactness: when ``max_vocab`` covers the whole vocabulary the
+    result is IDENTICAL to :func:`learn_bpe_merges` (same overlapping
+    pair counts, same greedy left-to-right non-rescanning merge, same
+    (count desc, pair asc) tie-break) — pinned by the parity test.
+    Truncation below full vocab trades tail-word influence for the
+    bounded driver footprint; with Zipfian word frequencies the top
+    10^6 words carry ~all pair mass, the standard sample-the-corpus
+    posture of tokenizer training.
+    """
+    spark = docs.sparkSession
+    top = (
+        word_counts(docs, text_col)
+        .orderBy(F.desc("cnt"), "word")
+        .limit(max_vocab)
+        .collect()
+    )
+    vocab: list[tuple[list[str], int]] = [
+        (list(r.word), int(r.cnt)) for r in top
+    ]
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        # max count, ties -> lexicographically smallest (left, right)
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, c))
+        merged = a + b
+        for idx, (syms, cnt) in enumerate(vocab):
+            i, out = 0, []
+            changed = False
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    # greedy non-overlapping, no rescan of the merged
+                    # output — the same left-to-right semantics as SQL
+                    # replace() in the distributed path
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if changed:
+                vocab[idx] = (out, cnt)
     return spark.createDataFrame(
         merges,
         "step bigint, left_sym string, right_sym string, merged string, pair_count bigint",

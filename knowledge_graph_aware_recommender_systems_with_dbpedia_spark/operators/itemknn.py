@@ -45,14 +45,25 @@ from pyspark.sql import functions as F
 
 from .recommend import Recommender, exclude_rated_and_truncate
 
+# Default sum(deg^2) guard: one 10^7-rating power user alone would emit
+# 10^14 co-rating pairs; capped at 10^4 the worst single user costs
+# 10^8 — survivable — and the over-cap user SET is bounded by
+# n_ratings / cap (each excluded user accounts for > cap ratings), so
+# the anti-join side stays small by construction. 10^4 is far above any
+# organic per-user rating count (ml-100k max: 737), so at reference
+# scale the default changes nothing — verified by the unchanged
+# rec_itemknn_top5 oracle hash.
+DEFAULT_MAX_USER_DEGREE = 10_000
+
 
 def item_cosine_similarity(
     ratings: DataFrame,
     min_support: int = 1,
-    max_user_degree: int | None = None,
+    max_user_degree: int | None = DEFAULT_MAX_USER_DEGREE,
     user_col: str = "user_id",
     item_col: str = "item_id",
     rating_col: str = "rating",
+    broadcast_overcap: bool = True,
 ) -> DataFrame:
     """Co-rating cosine similarity -> (item_a, item_b, n_common, sim),
     emitted in BOTH directions (the pair is computed once with
@@ -61,8 +72,12 @@ def item_cosine_similarity(
     ``min_support`` drops pairs sharing fewer than that many users
     (noise edges dominate the pair count at scale); ``max_user_degree``
     excludes users with more ratings than the cap from pair generation
-    (sum(deg^2) guard). Ratings are cast to BIGINT — see module
-    docstring for why that buys exactness.
+    (sum(deg^2) guard — ON by default; pass ``None`` to explicitly
+    disable). The guard is an anti-join against the OVER-cap user set
+    (bounded by n_ratings/cap rows — broadcastable by construction; set
+    ``broadcast_overcap=False`` to force a shuffle anti-join when the
+    caller knows the set is still huge). Ratings are cast to BIGINT —
+    see module docstring for why that buys exactness.
     """
     r = ratings.select(
         F.col(user_col).alias("user_id"),
@@ -70,11 +85,15 @@ def item_cosine_similarity(
         F.col(rating_col).cast("bigint").alias("rq"),
     )
     if max_user_degree is not None:
-        deg = r.groupBy("user_id").agg(F.count(F.lit(1)).alias("_deg"))
-        r = r.join(
-            F.broadcast(deg.filter(F.col("_deg") <= max_user_degree).drop("_deg")),
-            "user_id",
+        over = (
+            r.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") > max_user_degree)
+            .drop("_deg")
         )
+        if broadcast_overcap:
+            over = F.broadcast(over)
+        r = r.join(over, "user_id", "left_anti")
     n2 = r.groupBy("item_id").agg(F.sum(F.col("rq") * F.col("rq")).alias("n2"))
     a, b = r.alias("a"), r.alias("b")
     pairs = (
@@ -288,7 +307,7 @@ class ItemKNNRecommender(Recommender):
         k: int = 5,
         m: int = 10,
         min_support: int = 1,
-        max_user_degree: int | None = None,
+        max_user_degree: int | None = DEFAULT_MAX_USER_DEGREE,
         exact_order: bool = True,
         all_recs: bool = False,
     ):
@@ -307,11 +326,35 @@ class ItemKNNRecommender(Recommender):
         # an expensive upstream lineage (e.g. a det-hash split over the
         # corpus) is computed once, not per consumer
         self._train = train_ratings.persist()
+        broadcast_overcap = True
+        if self.max_user_degree is not None:
+            # the guard silently changes which users feed similarity
+            # estimation — surface it (one small agg over the persisted
+            # train), and only broadcast the over-cap set if it is
+            # actually small
+            n_over = (
+                self._train.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("_deg"))
+                .filter(F.col("_deg") > self.max_user_degree)
+                .count()
+            )
+            if n_over:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "itemKNN max_user_degree=%d excludes %d power user(s) "
+                    "from similarity estimation (scoring still sees all "
+                    "ratings)",
+                    self.max_user_degree,
+                    n_over,
+                )
+            broadcast_overcap = n_over < 1_000_000
         self._neighbors = topm_neighbors(
             item_cosine_similarity(
-                train_ratings,
+                self._train,
                 min_support=self.min_support,
                 max_user_degree=self.max_user_degree,
+                broadcast_overcap=broadcast_overcap,
             ),
             self.m,
         ).persist()

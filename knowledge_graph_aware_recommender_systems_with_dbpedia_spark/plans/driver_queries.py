@@ -3809,15 +3809,17 @@ FROM q
 
 def tx12_bpe_merges(spark, sf_dir):
     """Tokenizer training: the first 3 BPE merges learned over the
-    corpus vocabulary (operators/bpe.py). The corpus is scanned once
-    for word counts; each merge iteration is a vocab-bounded pair
-    count + TakeOrdered(1); the merge rewrite is a literal string
-    replace whose greedy left-to-right non-overlap semantics match
-    classic BPE AND SQL replace(), so DuckDB replays all three
-    iterations verbatim."""
+    corpus vocabulary (operators/bpe.py). ONE corpus pass for word
+    counts + ONE top-V TakeOrdered; the merge loop itself runs
+    in-driver over the bounded vocabulary (learn_bpe_merges_topv) so
+    the Spark job count stays O(1) however many merges are requested.
+    The greedy left-to-right non-overlap merge semantics match classic
+    BPE AND SQL replace(), so DuckDB replays all three iterations
+    verbatim (and the distributed per-merge loop is parity-tested
+    against this path)."""
     from ..operators import bpe as BPE
 
-    return BPE.learn_bpe_merges(
+    return BPE.learn_bpe_merges_topv(
         load_table(spark, sf_dir, "documents"), n_merges=3
     )
 

@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from ..operators import metrics as ME
 from ..operators.graph import filter_kcore
-from ..operators.itemknn import ItemKNNRecommender, KGSimRecommender
+from ..operators.itemknn import (
+    DEFAULT_MAX_USER_DEGREE,
+    ItemKNNRecommender,
+    KGSimRecommender,
+)
 from ..operators.kge import KGERecommender
 from ..operators.node2vec import Node2VecRecommender
 from ..operators.recommend import PopularityRecommender
@@ -94,7 +98,9 @@ def _itemknn(parameters: dict, seed: int):
         k=p.get("k", 5),
         m=p.get("n_neighbors", p.get("m", 10)),
         min_support=p.get("min_support", 1),
-        max_user_degree=p.get("max_user_degree"),
+        # absent from the YAML -> the class's bounded default cap;
+        # an explicit null in the YAML disables the guard deliberately
+        max_user_degree=p.get("max_user_degree", DEFAULT_MAX_USER_DEGREE),
         exact_order=p.get("exact_order", True),
         all_recs=p.get("all_recs", False),
     )

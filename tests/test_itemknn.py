@@ -189,3 +189,33 @@ def test_models_registry_wiring(spark, ratings):
     out = rec.train(ratings).get_recommendations()
     assert out.count() > 0
     assert out.columns == ["user_id", "item_id", "rank"]
+
+
+def test_default_guard_bounds_power_user_pairs(spark):
+    """The DEFAULT constructor must enforce the sum(deg^2) guard: one
+    synthetic power user above DEFAULT_MAX_USER_DEGREE contributes ZERO
+    co-rating pairs, while normal users' pairs survive. (Before the
+    default, a 10^7-rating user would alone emit ~10^14 pairs.)"""
+    deg = IK.DEFAULT_MAX_USER_DEGREE + 50
+    rows = [(999, i, 10.0) for i in range(deg)]  # the power user
+    # user 1 co-rates (1,2); user 2 rated only item 1 -> item 2 is
+    # recommendable to user 2 through the surviving neighbor pair
+    rows += [(1, 1, 50.0), (1, 2, 50.0), (2, 1, 40.0)]
+    df = spark.createDataFrame(rows, "user_id long, item_id long, rating double")
+
+    rec = IK.ItemKNNRecommender(k=2, m=5)  # all defaults
+    assert rec.max_user_degree == IK.DEFAULT_MAX_USER_DEGREE
+    rec.train(df)
+    pairs = rec._neighbors.collect()
+    # only the (1,2) co-rating pair from the two normal users remains;
+    # the power user's deg^2/2 ~ 5e7 pairs were never generated
+    assert {(r.item_a, r.item_b) for r in pairs} == {(1, 2), (2, 1)}
+    recs = rec.get_recommendations(2)
+    assert recs.count() > 0
+
+
+def test_guard_disabled_explicitly(spark):
+    rows = [(1, 1, 50.0), (1, 2, 50.0), (2, 1, 40.0), (2, 2, 30.0)]
+    df = spark.createDataFrame(rows, "user_id long, item_id long, rating double")
+    got = IK.item_cosine_similarity(df, max_user_degree=None).collect()
+    assert {(r.item_a, r.item_b) for r in got} == {(1, 2), (2, 1)}

@@ -287,3 +287,39 @@ def test_typed_header_schema_maps_reference_types():
     assert isinstance(schema["item_id"].dataType, T.StringType)
     assert isinstance(schema["score"].dataType, T.DoubleType)
     assert isinstance(schema["tags"].dataType, T.ArrayType)
+
+
+def test_bpe_topv_matches_distributed_loop(spark):
+    """learn_bpe_merges_topv (O(1) Spark jobs, in-driver loop over the
+    bounded top-V vocab) must produce EXACTLY the merges of the
+    per-merge distributed loop when max_vocab covers the vocabulary —
+    including overlapping-pair counts and the greedy non-rescanning
+    rewrite ('aaaa' -> two 'aa', not three)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "low low low lower lower newest newest newest"),
+            ("d2", "widest widest newest aaaa aaaa banana"),
+        ],
+        "doc_id string, text string",
+    )
+    dist = [tuple(r) for r in BPE.learn_bpe_merges(docs, n_merges=6).collect()]
+    topv = [tuple(r) for r in BPE.learn_bpe_merges_topv(docs, n_merges=6).collect()]
+    assert topv == dist
+    assert len(topv) == 6
+
+
+def test_bpe_topv_truncation_bounds_vocab(spark):
+    """max_vocab keeps only the top words by (cnt desc, word asc) —
+    merges then reflect the truncated vocabulary only."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [("d1", "zz zz zz qx")], "doc_id string, text string"
+    )
+    got = [
+        (r.left_sym, r.right_sym)
+        for r in BPE.learn_bpe_merges_topv(docs, n_merges=1, max_vocab=1).collect()
+    ]
+    assert got == [("z", "z")]  # 'qx' fell outside the top-1 vocab
