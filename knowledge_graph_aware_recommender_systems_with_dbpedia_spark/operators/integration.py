@@ -10,8 +10,10 @@ live SPARQL call per item (movielens.py:107-131), candidates come from
 a labels/redirects dump DataFrame — direct-label matches unioned with
 redirect matches (U1, the SPARQL ``UNION`` of movielens.py:31-46) —
 and the per-item winner is the fuzzy-closest candidate (J7,
-``process.extractOne`` at movielens.py:126-131) expressed as
-levenshtein + row_number, a broadcast-able join at 100 TB scale.
+``process.extractOne`` at movielens.py:126-131) expressed as a scored
+row_number over a broadcast-able join at 100 TB scale — codegen
+levenshtein by default, or the reference's actual WRatio semantics
+(``functions/fuzzy.py``) via an Arrow-batched pandas_udf.
 """
 
 from __future__ import annotations
@@ -85,6 +87,31 @@ def candidate_labels(
     )
 
 
+def wratio_udf():
+    """Arrow-batched (name, label) -> WRatio score in [0, 100]
+    (functions/fuzzy.py) — the pandas_udf seam for the scorer Spark
+    expressions can't express (SequenceMatcher block recursion)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.fuzzy import wratio
+
+    def _score(name, label):
+        return pd.Series(
+            [wratio(n, l) for n, l in zip(name, label)], dtype="int32"
+        )
+
+    # explicit annotations (evaluated, not stringified by the module's
+    # `from __future__ import annotations`) so Spark's type-hint
+    # inference sees a scalar Series->Series pandas UDF
+    _score.__annotations__ = {
+        "name": pd.Series,
+        "label": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(_score, "int")
+
+
 def link_entities(
     items: DataFrame,
     labels: DataFrame,
@@ -92,17 +119,36 @@ def link_entities(
     name_col: str = "name",
     label_col: str = "label",
     uri_col: str = "uri",
+    scorer: str = "levenshtein",
 ) -> DataFrame:
-    """J7: fuzzy disambiguation — keep the levenshtein-closest
-    candidate per item (ties: shortest label, then lexicographic URI).
+    """J7: fuzzy disambiguation — keep the best-scoring candidate per
+    item (ties: shortest label, then lexicographic URI).
+
+    ``scorer='levenshtein'`` (default): pure-codegen edit distance —
+    fastest, fully SQL-oracle-checkable (the di2 hash oracle).
+    ``scorer='wratio'``: the reference's actual extractOne semantics
+    (thefuzz WRatio, movielens.py:126-131) via an Arrow-batched
+    pandas_udf — picks the right candidate where levenshtein fails on
+    reordered/parenthesized titles ("Shining, The (1980)" vs
+    "The Shining"); golden-tested on such fixtures. Unlike the
+    reference's extractOne (first-max in nondeterministic SPARQL
+    response order) both paths are deterministic.
 
     Returns (item_id, name, URI nullable) — the reference's map.csv
     shape (dataset.py:225-244): unmatched items keep a null URI.
     """
     cands = candidate_labels(items, labels, name_col, label_col, uri_col)
-    dist = F.levenshtein(F.lower(F.col(name_col)), F.lower(F.col(label_col)))
+    if scorer == "wratio":
+        score = wratio_udf()(F.col(name_col), F.col(label_col))
+        order = [F.desc("_score")]
+        cands = cands.withColumn("_score", score)
+    elif scorer == "levenshtein":
+        dist = F.levenshtein(F.lower(F.col(name_col)), F.lower(F.col(label_col)))
+        order = [dist]
+    else:
+        raise ValueError(f"unknown scorer: {scorer!r}")
     w = Window.partitionBy(item_col).orderBy(
-        dist, F.length(label_col), F.col(uri_col)
+        *order, F.length(label_col), F.col(uri_col)
     )
     best = (
         cands.withColumn("_rn", F.row_number().over(w))

@@ -151,3 +151,106 @@ def test_read_ndjson_requires_schema_for_capture(spark, tmp_path):
     p.write_text('{"a": 1}\n')
     with pytest.raises(ValueError):
         RC.read_ndjson(spark, str(p), corrupt_col="_bad")
+
+
+# ---------------------------------------------------------------- WRatio (J7)
+
+
+def test_wratio_components_classic_titles():
+    """Scorer family on the exact failure shapes of plain levenshtein:
+    reordered articles, parenthesized years, subtitle punctuation."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions import fuzzy as FZ
+
+    # token-set treats reordered tokens as identical
+    assert FZ.token_set_ratio("Shining, The (1980)", "The Shining") == 100
+    # token-sort likewise for pure reorder
+    assert FZ.token_sort_ratio("insects and angels", "angels and insects") == 100
+    # partial: short vs long containing it
+    assert FZ.partial_ratio("the shining", "the shining extended cut") == 100
+    assert FZ.wratio("Shining, The (1980)", "The Shining") >= 86
+    assert FZ.wratio("abcd", "zzzz") < 30
+
+
+def test_wratio_extract_one_golden_fixture():
+    """Golden: the chosen candidate per title on a fixture of
+    reordered/parenthesized titles — cases where plain levenshtein
+    picks a DIFFERENT (wrong) candidate, proving the scorers diverge
+    exactly where the reference's extractOne semantics matter."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions import fuzzy as FZ
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    cases = [
+        # (query, candidates, expected WRatio winner)
+        (
+            "Shining, The (1980)",
+            ["Shining Through", "The Shining", "Shine"],
+            "The Shining",
+        ),
+        (
+            "Postino, Il (1994)",
+            ["Il Postino: The Postman", "Post Office", "Postman Pat"],
+            "Il Postino: The Postman",
+        ),
+        (
+            "Dr. Strangelove or: How I Learned to Stop Worrying and Love the Bomb (1964)",
+            ["Dr. Strangelove", "Dr. Dolittle", "Strange Days"],
+            "Dr. Strangelove",
+        ),
+    ]
+    for query, cands, want in cases:
+        got, score = FZ.extract_one(query, cands)
+        assert got == want, (query, got, score)
+        # and at least one case must diverge from levenshtein-best
+    q, cands, want = cases[0]
+    lev_best = min(cands, key=lambda c: (lev(q.lower(), c.lower()), len(c), c))
+    assert lev_best != want  # levenshtein would have picked the decoy
+
+
+def test_link_entities_wratio_scorer_end_to_end(spark):
+    """The pandas_udf path through link_entities: scorer='wratio'
+    engages, keeps the map.csv shape, and picks the token-set-best
+    candidate among pattern-matched labels."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.integration import link_entities
+
+    items = spark.createDataFrame(
+        [("1", "the shining"), ("2", "toy story"), ("3", "zzz unmatched")],
+        "item_id string, name string",
+    )
+    labels = spark.createDataFrame(
+        [
+            ("The Shining", "uri:shining"),
+            ("The Extremely Dark Shining", "uri:decoy"),
+            ("Toy Story", "uri:toystory"),
+        ],
+        "label string, uri string",
+    )
+    out = {
+        r.item_id: r.URI
+        for r in link_entities(items, labels, scorer="wratio").collect()
+    }
+    assert out == {"1": "uri:shining", "2": "uri:toystory", "3": None}
+
+
+def test_link_entities_scorers_deterministic(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.integration import link_entities
+
+    items = spark.createDataFrame([("1", "the king")], "item_id string, name string")
+    labels = spark.createDataFrame(
+        [("The King", "uri:b"), ("The King", "uri:a")], "label string, uri string"
+    )
+    for scorer in ("levenshtein", "wratio"):
+        got = link_entities(items, labels, scorer=scorer).collect()
+        assert got[0].URI == "uri:a"  # tie -> lexicographic URI
