@@ -1459,6 +1459,98 @@ def rec_kge_transe_top5(spark, sf_dir):
     )
 
 
+def _stochastic_band_check(spark, sf_dir, model_name, rec_fn, lo, hi):
+    """Semantic oracle for a STOCHASTIC recommender path (VERDICT r03
+    #8): the model's exact scores aren't replayable in DuckDB, but two
+    things about its output ARE checkable as constants:
+
+      * ``contract_ok`` — every user's rec list has dense 1..n ranks,
+        n <= 5, and NO train-rated item leaks into the recs (the J6
+        anti-join contract), with at least one user covered;
+      * ``map5_in_band`` — MAP@5 against the held-out split lands in a
+        band measured across partition-count/thread variations (the
+        only nondeterminism sources in seeded local training; observed
+        spread ~±10%, band set at ×/÷2.5 for cross-env safety). A
+        broken model (wrong join, scrambled ranks, untrained vectors
+        ~uniform random) lands outside it.
+
+    ONE output row -> the DuckDB oracle is the constant-TRUE row, so
+    the driver's hash compare verifies the stochastic path semantically
+    instead of rows-only."""
+    recs = rec_fn(spark, sf_dir)
+    train, test = SP.train_test(_user_split(spark, sf_dir))
+    m = ME.map_at_k(
+        test.select("user_id", "item_id", "rating"),
+        recs.withColumnRenamed("rec_rank", "rank"),
+        5,
+        relevance_threshold=30,
+    ).select(F.col("value").alias("_map"))
+    per_user = recs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rec_rank").alias("mn"),
+        F.max("rec_rank").alias("mx"),
+        F.countDistinct("rec_rank").alias("nd"),
+    )
+    contract = per_user.agg(
+        F.coalesce(
+            F.min(
+                (F.col("mn") == 1)
+                & (F.col("mx") == F.col("n"))
+                & (F.col("nd") == F.col("n"))
+                & (F.col("n") <= 5)
+            ),
+            F.lit(False),
+        ).alias("_dense_ranks"),
+        (F.count(F.lit(1)) > 0).alias("_has_users"),
+    )
+    leak = (
+        recs.join(
+            train.select("user_id", "item_id"), ["user_id", "item_id"], "left_semi"
+        )
+        .agg(F.count(F.lit(1)).alias("_n_leaked"))
+    )
+    return (
+        m.crossJoin(contract)
+        .crossJoin(leak)
+        .select(
+            F.lit(model_name).alias("model"),
+            (
+                F.col("_dense_ranks")
+                & F.col("_has_users")
+                & (F.col("_n_leaked") == 0)
+            ).alias("contract_ok"),
+            F.col("_map").between(lo, hi).alias("map5_in_band"),
+        )
+    )
+
+
+_BAND_SQL = "SELECT '{m}' AS model, TRUE AS contract_ok, TRUE AS map5_in_band"
+
+
+def rec_node2vec_band(spark, sf_dir):
+    """Band+contract check for the node2vec path (measured center
+    ~0.00117 at sf0.01 across 8/16/32-thread runs)."""
+    return _stochastic_band_check(
+        spark, sf_dir, "node2vec", rec_node2vec_top5, 0.0004, 0.0030
+    )
+
+
+def rec_als_band(spark, sf_dir):
+    """Band+contract check for the ALS path (measured 0.001437,
+    invariant across thread counts on this solver)."""
+    return _stochastic_band_check(
+        spark, sf_dir, "als", rec_als_top5, 0.0005, 0.0036
+    )
+
+
+def rec_kge_transe_band(spark, sf_dir):
+    """Band+contract check for the TransE path (measured 0.00083-0.00090
+    across thread counts)."""
+    return _stochastic_band_check(
+        spark, sf_dir, "kge_transe", rec_kge_transe_top5, 0.0003, 0.0022
+    )
+
+
 _FE_DIM = 4
 
 
@@ -6620,6 +6712,76 @@ QUERIES = {
     "dp5_semantic_curation": dp5_semantic_curation,
     "a17_ewma_daily": a17_ewma_daily,
     "u4_intersect_audiences": u4_intersect_audiences,
+    # semantic oracles for the stochastic model paths (VERDICT r03 #8)
+    "rec_node2vec_band": rec_node2vec_band,
+    "rec_als_band": rec_als_band,
+    "rec_kge_transe_band": rec_kge_transe_band,
+}
+
+# Driver sampling window rotation (VERDICT r03 #5): the driver's
+# correctness gate samples the FIRST 50 entries each round. Round 3's
+# window held one representative per family; this round ROTATES the
+# window to entries the driver has never sampled (plus every query
+# whose implementation changed this round and the new stochastic band
+# checks), so regressions in never-sampled queries can't hide. All
+# displaced entries remain oracled and covered by the committed full
+# sweep (scripts/check_correctness.py tally in NOTES_r4.md).
+_R04_WINDOW = [
+    "q3_shipping_priority",
+    "q16_supplier_variety",      # impl changed r04 (anti-join before distinct)
+    "q21_waiting_supplier",
+    "p6_dense_ids",              # impl changed r04 (bucketed rank)
+    "j3_key_reconstruction",     # impl changed r04 (bucketed rank)
+    "j6_anti_join",
+    "a10_rollup_profile",
+    "a15_value_percentiles",
+    "a16_distinct_users",
+    "o3_topk_per_group",
+    "u4_intersect_audiences",
+    "g4_kcore_alternating",
+    "g7_walks_biased",
+    "g9_pagerank",
+    "g10_label_propagation",
+    "sp3_temporal_global",       # impl changed r04 (_global_rank bucket expr)
+    "sp7_kfold_user",
+    "sp8_validation_subsplit",
+    "di2_entity_link",
+    "rec_itemknn_top5",          # impl changed r04 (default degree guard)
+    "rec_kgsim_top5",
+    "rec_rrf_top5",
+    "rec_node2vec_band",         # NEW: semantic band check
+    "rec_als_band",              # NEW
+    "rec_kge_transe_band",       # NEW
+    "e4_mrr_at_5",
+    "e5_hitrate_at_5",
+    "e6_kfold_map_popularity",
+    "e7_coverage_diversity",
+    "dd2_ngram_jaccard",
+    "dd7_dedup_clusters",
+    "dd10_canonical_keep",
+    "dd14_containment",
+    "ss1_ann_cosine_topk",
+    "ss5_pq_topk",
+    "ss8_knn_join",
+    "tx2_vocab_topk",
+    "tx11_quality_deciles",      # impl changed r04 (_global_rank bucket expr)
+    "tx12_bpe_merges",           # impl changed r04 (O(1)-job top-V learner)
+    "pk2_sequence_stats",
+    "pk3_shuffle_shards",
+    "ck1_chunk_documents",
+    "mm2_frame_fanout",
+    "mm3_media_features",
+    "ev2_sessionize",
+    "ev10_funnel",
+    "ev16_rfm_segments",
+    "st5_stream_decontaminate",
+    "st10_materialized_rollup",
+    "dp3_forget_users",
+]
+assert len(_R04_WINDOW) == 50 and len(set(_R04_WINDOW)) == 50
+QUERIES = {
+    **{k: QUERIES[k] for k in _R04_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R04_WINDOW)},
 }
 
 ORACLES = {
@@ -6782,6 +6944,12 @@ ORACLES = {
     "dp5_semantic_curation": DP5_SQL,
     "a17_ewma_daily": A17_SQL,
     "u4_intersect_audiences": U4_SQL,
+    # constant-TRUE oracles: the Spark side computes the contract and
+    # band booleans; a hash match means the stochastic path is
+    # semantically healthy (see _stochastic_band_check)
+    "rec_node2vec_band": _BAND_SQL.format(m="node2vec"),
+    "rec_als_band": _BAND_SQL.format(m="als"),
+    "rec_kge_transe_band": _BAND_SQL.format(m="kge_transe"),
 }
 
 

@@ -24,6 +24,10 @@ SKIP = {
     "rec_kge_transe_top5",
     "rec_node2vec_top5",
     "rec_als_top5",
+    # band checks train the corresponding model too
+    "rec_node2vec_band",
+    "rec_als_band",
+    "rec_kge_transe_band",
 }
 ALLOWED = {
     "a8_max_degree": 1,        # final 1-row max
