@@ -107,6 +107,14 @@ class Node2VecRecommender(Recommender):
             q=self.q,
             seed=self.seed,
         )
+        # Pin the corpus layout: walk VALUES are md5-deterministic, but
+        # their partitioning/order would otherwise track the session's
+        # parallelism, and Word2Vec's SGD result depends on input order
+        # — repartition on the deterministic walk_id and sort within
+        # partitions so training is reproducible across local[N]
+        # settings (the quality-parity band and the rec_*_band oracles
+        # rely on this).
+        walks = walks.repartition(64, "walk_id").sortWithinPartitions("walk_id")
         w2v = Word2Vec(
             vectorSize=self.vector_size,
             windowSize=self.window,

@@ -1,0 +1,157 @@
+#!/usr/bin/env python3
+"""SURVEY §6 acceptance: the full YAML experiment on the enriched
+ml-100k (real DBpedia enrichment + calibrated ratings clone), asserted
+against the reference's published band.
+
+Reference numbers (experiment_results/ml100k_enriched/run1.csv:2 —
+"Node2Vec based model + cosine similarity;q=1.0;p=1.0;
+embedding_size=64", 5-fold user-level k-fold, k=5, kcore-20,
+enrich properties [subject, director]):
+
+    MAP@5  mean 0.16493  std 0.00612
+    nDCG@5 mean 0.21498  std 0.00530
+
+Acceptance band: mean within ±2 reference stds. Run:
+
+    python3 scripts/quality_parity.py [out.json]
+
+Builds the clone (scripts/make_ml100k_clone.py) next to the REAL
+enriched.csv/map.csv from the reference checkout, runs the experiment
+through plans/experiment.run_experiment (the same YAML surface as
+scripts/framework.py), prints the verdict and writes the JSON result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_PROCESSED = "/root/reference/datasets/ml-100k/processed"
+REF_MAP5_MEAN, REF_MAP5_STD = 0.16493478260869565, 0.006121412115116461
+REF_NDCG5_MEAN, REF_NDCG5_STD = 0.2149800198612532, 0.005303680059671639
+
+
+def build_config(clone_dir: str, k_folds: int = 5) -> dict:
+    return {
+        "experiment": {
+            "dataset": {
+                "name": "ml-100k",
+                "item": {
+                    "path": f"{clone_dir}/item.csv",
+                    "extra_features": ["movie_year", "movie_title"],
+                },
+                "user": {
+                    "path": f"{clone_dir}/user.csv",
+                    "extra_features": ["gender", "occupation"],
+                },
+                "ratings": {"path": f"{clone_dir}/rating.csv", "timestamp": True},
+                "enrich": {
+                    "map_path": f"{REF_PROCESSED}/map.csv",
+                    "enrich_path": f"{REF_PROCESSED}/enriched.csv",
+                    "remove_unmatched": False,
+                    "properties": ["subject", "director"],
+                },
+            },
+            "preprocess": [
+                {
+                    "method": "filter_kcore",
+                    "parameters": {"k": 20, "iterations": 1, "target": "user"},
+                }
+            ],
+            "split": {
+                "seed": 42,
+                "test": {"method": "k_fold", "k": k_folds, "level": "user"},
+            },
+            "models": [
+                {
+                    "name": "deepwalk_based",
+                    "parameters": {
+                        "walk_len": 10,
+                        "p": 1.0,
+                        "q": 1.0,
+                        "n_walks": 50,
+                        "embedding_size": 64,
+                        "epochs": 1,
+                    },
+                }
+            ],
+            "evaluation": {
+                "k": 5,
+                "relevance_threshold": 0,
+                "metrics": ["MAP", "nDCG"],
+            },
+            "report": {
+                "file": os.path.join(
+                    tempfile.gettempdir(), "ml100k_parity_report.csv"
+                )
+            },
+        }
+    }
+
+
+def ensure_clone(clone_dir: str | None = None) -> str:
+    from scripts.make_ml100k_clone import generate
+
+    clone_dir = clone_dir or os.path.join(
+        tempfile.gettempdir(), "ml100k_clone_calibrated"
+    )
+    marker = os.path.join(clone_dir, "rating.csv")
+    if not os.path.exists(marker):
+        stats = generate(
+            clone_dir, enriched_csv=f"{REF_PROCESSED}/enriched.csv"
+        )
+        print("clone:", stats, flush=True)
+    return clone_dir
+
+
+def main(out_path: str | None = None) -> dict:
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.experiment import (
+        run_experiment,
+    )
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark()
+    clone = ensure_clone()
+    cfg = build_config(clone)
+    res = run_experiment(spark, cfg)
+    (model_name, row), = res.items()
+    folds_map = [row[f"fold-{i}_MAP@5"] for i in range(1, 6)]
+    folds_ndcg = [row[f"fold-{i}_nDCG@5"] for i in range(1, 6)]
+    out = {
+        "model": model_name,
+        "map5_mean": row["MAP@5_mean"],
+        "map5_std": row["MAP@5_std"],
+        "ndcg5_mean": row["nDCG@5_mean"],
+        "ndcg5_std": row["nDCG@5_std"],
+        "map5_folds": folds_map,
+        "ndcg5_folds": folds_ndcg,
+        "ref_map5_band": [
+            REF_MAP5_MEAN - 2 * REF_MAP5_STD,
+            REF_MAP5_MEAN + 2 * REF_MAP5_STD,
+        ],
+        "ref_ndcg5_band": [
+            REF_NDCG5_MEAN - 2 * REF_NDCG5_STD,
+            REF_NDCG5_MEAN + 2 * REF_NDCG5_STD,
+        ],
+    }
+    out["map5_in_band"] = (
+        out["ref_map5_band"][0] <= out["map5_mean"] <= out["ref_map5_band"][1]
+    )
+    out["ndcg5_in_band"] = (
+        out["ref_ndcg5_band"][0] <= out["ndcg5_mean"] <= out["ref_ndcg5_band"][1]
+    )
+    print(json.dumps(out, indent=2))
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=2)
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -1,0 +1,118 @@
+"""SURVEY §6 quality-parity golden (VERDICT r03 #1): the full
+experiment pipeline on enriched ml-100k — REAL DBpedia enrichment
+(the reference checkout ships processed/enriched.csv + map.csv) over
+the calibrated ratings clone (scripts/make_ml100k_clone.py; no network
+in this environment, so the raw ratings cannot be downloaded).
+
+Reference band (experiment_results/ml100k_enriched/run1.csv:2,
+"Node2Vec ... q=1.0;p=1.0;embedding_size=64", 5-fold user k-fold,
+kcore-20, enrich [subject, director], k=5):
+
+    MAP@5  0.16493 +/- 0.00612      nDCG@5 0.21498 +/- 0.00530
+
+This test runs ONE fold of the exact 5-fold protocol (suite-time
+budget) and asserts the FOLD-level metrics within mean +/- 3 stds —
+the reference's own fold values span +/-1.5 stds, so 3 is a
+non-flaky fold-level envelope. The full 5-fold MEAN +/- 2 stds
+assertion is scripts/quality_parity.py; its committed result is
+tests/goldens/quality_parity_r04.json (regenerate with the script).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+REF = "/root/reference/datasets/ml-100k/processed"
+MAP_MEAN, MAP_STD = 0.16493478260869565, 0.006121412115116461
+NDCG_MEAN, NDCG_STD = 0.2149800198612532, 0.005303680059671639
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{REF}/enriched.csv"),
+    reason="reference enriched ml-100k not present",
+)
+
+
+@pytest.fixture(scope="module")
+def clone_dir():
+    from scripts.quality_parity import ensure_clone
+
+    return ensure_clone()
+
+
+def test_clone_shape_is_faithful(clone_dir):
+    """The clone pins the real dataset's aggregate shape exactly."""
+    import collections
+
+    with open(f"{clone_dir}/rating.csv") as fh:
+        header = next(fh).strip()
+        rows = [ln.rstrip("\n").split(",") for ln in fh]
+    assert header == "user_id::string,item_id::string,rating::number,timestamp::number"
+    assert len(rows) == 100_000
+    users = collections.Counter(r[0] for r in rows)
+    items = {r[1] for r in rows}
+    stars = collections.Counter(int(r[2]) for r in rows)
+    assert len(users) == 943
+    assert len(items) <= 1682
+    assert min(users.values()) >= 20  # kcore-20/user keeps everyone
+    assert max(users.values()) <= 737
+    # the REAL ml-100k rating histogram, exactly
+    assert stars == {1: 6110, 2: 11370, 3: 27145, 4: 34174, 5: 21201}
+
+
+def test_node2vec_fold_metrics_in_reference_band(spark, clone_dir):
+    """One fold of the exact run1 protocol through the experiment
+    machinery; fold MAP@5 / nDCG@5 inside the reference fold envelope."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.experiment import (
+        _folds,
+        _load_dataset,
+        kg_extra_edges,
+    )
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.registries import (
+        METRICS,
+        MODELS,
+        PREPROCESS,
+    )
+    from scripts.quality_parity import build_config
+
+    exp = build_config(clone_dir)["experiment"]
+    ratings, graph = _load_dataset(spark, exp["dataset"])
+    ratings = PREPROCESS["filter_kcore"](
+        ratings, **exp["preprocess"][0]["parameters"]
+    ).persist()
+    pairs = _folds(ratings, exp["split"])
+    assert len(pairs) == 5
+    train, test = pairs[0]
+    model = MODELS["deepwalk_based"](exp["models"][0]["parameters"], 42)
+    model.train(
+        train.select("user_id", "item_id", "rating"),
+        extra_edges=kg_extra_edges(graph),
+    )
+    recs = model.get_recommendations(5).select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("item_id").cast("string").alias("item_id"),
+        "rank",
+    )
+    test_m = test.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("item_id").cast("string").alias("item_id"),
+        F.col("rating").cast("double").alias("rating"),
+    )
+    mapv = METRICS["MAP"](test_m, recs, 5, relevance_threshold=0).collect()[0].value
+    ndcg = METRICS["nDCG"](test_m, recs, 5, relevance_threshold=0).collect()[0].value
+    assert MAP_MEAN - 3 * MAP_STD <= mapv <= MAP_MEAN + 3 * MAP_STD, mapv
+    assert NDCG_MEAN - 3 * NDCG_STD <= ndcg <= NDCG_MEAN + 3 * NDCG_STD, ndcg
+
+
+def test_committed_full_run_is_in_band():
+    """The committed 5-fold result (scripts/quality_parity.py output)
+    asserts the actual acceptance criterion: means within +/-2 stds."""
+    path = os.path.join(
+        os.path.dirname(__file__), "goldens", "quality_parity_r04.json"
+    )
+    with open(path) as fh:
+        res = json.load(fh)
+    assert res["map5_in_band"] and res["ndcg5_in_band"], res
+    assert res["ref_map5_band"][0] <= res["map5_mean"] <= res["ref_map5_band"][1]
+    assert res["ref_ndcg5_band"][0] <= res["ndcg5_mean"] <= res["ref_ndcg5_band"][1]
