@@ -120,3 +120,34 @@ def test_zorder_writer_on_empty(spark, tmp_path):
     out = str(tmp_path / "z_empty")
     LY.write_zordered(df, out, ["x", "y"], n_files=2)
     assert spark.read.parquet(out).count() == 0
+
+
+def test_dense_ids_on_empty(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.ids import dense_ids
+
+    df = spark.createDataFrame([], "k string")
+    assert dense_ids(df, ["k"], "i").count() == 0
+
+
+def test_bpe_topv_on_empty(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame([], "doc_id string, text string")
+    assert BPE.learn_bpe_merges_topv(docs, n_merges=3).count() == 0
+
+
+def test_link_entities_wratio_no_candidates(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.integration import link_entities
+
+    items = spark.createDataFrame([("1", "anything")], "item_id string, name string")
+    labels = spark.createDataFrame([], "label string, uri string")
+    got = link_entities(items, labels, scorer="wratio").collect()
+    assert len(got) == 1 and got[0].URI is None
+
+
+def test_wratio_empty_strings():
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions.fuzzy import extract_one, wratio
+
+    assert wratio("", "anything") == 0
+    assert wratio(None, None) == 0
+    assert extract_one("q", []) is None
