@@ -323,3 +323,21 @@ def test_bpe_topv_truncation_bounds_vocab(spark):
         for r in BPE.learn_bpe_merges_topv(docs, n_merges=1, max_vocab=1).collect()
     ]
     assert got == [("z", "z")]  # 'qx' fell outside the top-1 vocab
+
+
+def test_download_registry():
+    """S10 fetcher table (scripts/download_datasets.py): every dataset
+    the reference's shell scripts fetch is present with a well-formed
+    URL; the two reference-pinned md5s are carried over verbatim.
+    (Offline test — the network path itself fails fast by design.)"""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.download_datasets import DATASETS
+
+    assert set(DATASETS) == {"ml-100k", "ml-1m", "lastfm", "book-crossing", "steam"}
+    for name, (fname, url, md5, _) in DATASETS.items():
+        assert url.startswith(("http://", "https://")), name
+        if md5 is not None:
+            assert len(md5) == 32 and all(c in "0123456789abcdef" for c in md5)
+    assert DATASETS["ml-100k"][2] == "0e33842e24a9c977be4e0107933c0723"
+    assert DATASETS["ml-1m"][2] == "c4d9eecfca2ab87c1945afe126590906"
