@@ -2893,7 +2893,15 @@ def st3_stream_media_features(spark, sf_dir):
     out = run_to_memory(
         STM.media_features_stream(stream, dim=16), name, "append"
     )
-    return out.select("media_id", "embedding")
+    q6 = lambda x: (
+        F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .cast("string")
+    )
+    return out.select(
+        "media_id",
+        F.array_join(F.transform("embedding", q6), "|").alias("embedding_q6"),
+    )
 
 
 def st4_stream_ingest_pipeline(spark, sf_dir):
@@ -3372,11 +3380,20 @@ def mm3_media_features(spark, sf_dir):
     """Feature extraction to fixed-dim vectors via mapInPandas (fake
     encoder; real forward-pass seam marked in multimodal.media_features).
     Each component is a 4-byte window mean / 255 cast to float32 —
-    exact arithmetic, so the vector hashes match the oracle."""
+    exact arithmetic. The vector is rendered as a '|'-joined q6
+    fixed-point string (floor(x*1e6 + 0.5), deterministic HALF-UP in
+    both engines) because the driver's canonicalizer sorts rows before
+    hashing and cannot sort raw array columns (a2_o1's pattern)."""
     from ..operators import multimodal as MM
 
+    q6 = lambda x: (
+        F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .cast("string")
+    )
     return MM.media_features(_media(spark, sf_dir), dim=16).select(
-        "media_id", "embedding"
+        "media_id",
+        F.array_join(F.transform("embedding", q6), "|").alias("embedding_q6"),
     )
 
 
@@ -3386,9 +3403,11 @@ MM3_SQL = (
     + """,
 t AS (SELECT media_id, bytes || bytes AS b2 FROM mb)
 SELECT media_id,
-  list_transform(range(0, 16),
-    d -> CAST(CAST(b2[4*d + 1] + b2[4*d + 2] + b2[4*d + 3] + b2[4*d + 4] AS DOUBLE)
-              / 4 / 255.0 AS FLOAT)) AS embedding
+  array_to_string(list_transform(range(0, 16),
+    d -> CAST(CAST(floor(
+           CAST(CAST(CAST(b2[4*d + 1] + b2[4*d + 2] + b2[4*d + 3] + b2[4*d + 4] AS DOUBLE)
+                / 4 / 255.0 AS FLOAT) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)),
+    '|') AS embedding_q6
 FROM t
 """
 )
@@ -3725,7 +3744,9 @@ def ss3_quantize_embeddings(spark, sf_dir):
     return q.select(
         "vec_id",
         "scale",
-        "qvec",
+        F.array_join(
+            F.transform("qvec", lambda v: v.cast("string")), ","
+        ).alias("qvec_csv"),
         F.round(
             F.array_max(
                 F.zip_with("qvec", "_vd", lambda qq, x: F.abs(qq * F.col("scale") - x))
@@ -3746,7 +3767,8 @@ q AS (SELECT vec_id, scale, vd,
                   THEN list_transform(vd, x -> CAST(least(greatest(floor(x / scale + 0.5), -127), 127) AS BIGINT))
                   ELSE list_transform(vd, x -> CAST(0 AS BIGINT)) END AS qvec
       FROM s)
-SELECT vec_id, scale, qvec,
+SELECT vec_id, scale,
+       array_to_string(list_transform(qvec, v -> CAST(v AS VARCHAR)), ',') AS qvec_csv,
        round(list_max(list_transform(range(1, len(vd) + 1),
                                      i -> abs(qvec[i] * scale - vd[i]))), 6) AS max_abs_err
 FROM q
@@ -3769,11 +3791,30 @@ def ss4_label_centroids(spark, sf_dir):
         F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("m"),
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
     )
-    return g.groupBy("label").agg(
-        F.max("n_vecs").alias("n_vecs"),
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("centroid"),
+    return (
+        g.groupBy("label")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("_c"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            # q6 fixed-point string render (driver canonicalizer can't
+            # sort array columns); m is already round(6) so floor(+0.5)
+            # recovers the exact scaled integer in both engines.
+            F.array_join(
+                F.transform(
+                    "_c",
+                    lambda m: F.floor(m * F.lit(1000000.0) + F.lit(0.5))
+                    .cast("bigint")
+                    .cast("string"),
+                ),
+                "|",
+            ).alias("centroid_q6"),
+        )
     )
 
 
@@ -3783,7 +3824,11 @@ WITH e AS (SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
 g AS (SELECT label, pos, round(sum(val) / count(*), 6) AS m,
              CAST(count(*) AS BIGINT) AS n_vecs
       FROM e GROUP BY 1, 2)
-SELECT label, max(n_vecs) AS n_vecs, list(m ORDER BY pos) AS centroid
+SELECT label, max(n_vecs) AS n_vecs,
+       array_to_string(
+         list_transform(list(m ORDER BY pos),
+                        m -> CAST(CAST(floor(m * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)),
+         '|') AS centroid_q6
 FROM g GROUP BY 1
 """
 

@@ -35,11 +35,16 @@ def duck_conn():
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    # Sort BEFORE stringifying — the driver's canonicalization order.
+    # Array/map-valued columns therefore crash here exactly like they
+    # crash the driver gate (unhashable/unsortable list cells), instead
+    # of being masked by an early astype(str). VERDICT r04 item 3.
     df = df[sorted(df.columns)].copy()
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
@@ -88,7 +93,22 @@ def main() -> int:
     for name, fn in qs.items():
         t0 = time.time()
         try:
-            spdf = fn(spark, SF_DIR).toPandas()
+            sdf = fn(spark, SF_DIR)
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                # The driver's canonicalizer sorts rows before hashing and
+                # crashes on list/dict cells — array/map/struct outputs are
+                # banned from the registry (VERDICT r04 item 1). Render as
+                # a joined fixed-format string instead (a2_o1's pattern).
+                raise TypeError(
+                    f"registry query returns complex-typed columns "
+                    f"{complex_cols} — flatten to scalar strings"
+                )
+            spdf = sdf.toPandas()
         except Exception:
             n_fail += 1
             failures[name] = "SPARK ERROR:\n" + traceback.format_exc(limit=4)

@@ -49,6 +49,40 @@ def test_query_callables_take_spark_and_sf_dir():
         assert len(params) >= 2, f"{name}: expected (spark, sf_dir)"
 
 
+# Entries whose *builder* eagerly trains a model (the documented
+# stochastic paths) — skipped by the schema scan below to keep it at
+# unit-test speed; they are still scanned by scripts/check_correctness.py,
+# which enforces the same no-complex-type rule on every sweep.
+EAGER_TRAINERS = {
+    "rec_node2vec_top5",
+    "rec_kge_transe_top5",
+    "rec_als_top5",
+    "rec_node2vec_band",
+    "rec_als_band",
+    "rec_kge_transe_band",
+}
+
+
+def test_no_registry_query_returns_complex_columns(spark):
+    """The driver's oracle canonicalizer sorts rows before stringifying
+    and crashes on array/map cells (CORRECTNESS_r04's mm3 red row) —
+    so complex-typed output columns are banned repo-wide. Schema-only:
+    builds each lazy plan at sf0.001 and inspects analyzed dtypes."""
+    bad = {}
+    for name, fn in QUERIES.items():
+        if name in EAGER_TRAINERS:
+            continue
+        df = fn(spark, SF)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"flatten these to scalar strings (a2_o1 pattern): {bad}"
+
+
 def test_every_oracle_sql_plans_in_duckdb():
     """EXPLAIN (plan, don't execute) every oracle against the real
     sf0.001 views — catches column/table typos and dialect errors at
