@@ -111,7 +111,13 @@ def wratio(a: str | None, b: str | None) -> int:
     0.9 scale (0.6 beyond 8x); token variants are scaled by 0.95.
     """
     if _HAVE_RAPIDFUZZ:  # pragma: no cover - env-dependent
-        return int(round(_rf_fuzz.WRatio(a or "", b or "")))
+        # rapidfuzz >= 2.0 defaults to processor=None, unlike
+        # fuzzywuzzy/thefuzz WRatio (and this module's fallback), which
+        # full_process first — pass the processor explicitly so both
+        # paths share semantics (ADVICE r04).
+        from rapidfuzz.utils import default_process as _rf_proc
+
+        return int(round(_rf_fuzz.WRatio(a or "", b or "", processor=_rf_proc)))
     p1, p2 = full_process(a), full_process(b)
     if not p1 or not p2:
         return 0
@@ -122,7 +128,9 @@ def wratio(a: str | None, b: str | None) -> int:
         tsor = token_sort_ratio(p1, p2) * unbase_scale
         tser = token_set_ratio(p1, p2) * unbase_scale
         return int(round(max(base, tsor, tser)))
-    partial_scale = 0.90 if len_ratio < 8 else 0.60
+    # fuzzywuzzy switches to 0.6 only STRICTLY beyond 8x (len_ratio
+    # == 8 still uses 0.9) — match the published boundary exactly.
+    partial_scale = 0.60 if len_ratio > 8 else 0.90
     part = partial_ratio(p1, p2) * partial_scale
     ptsor = token_sort_ratio(p1, p2, partial=True) * unbase_scale * partial_scale
     ptser = token_set_ratio(p1, p2, partial=True) * unbase_scale * partial_scale

@@ -84,11 +84,17 @@ class ALSRecommender(Recommender):
         needs_remap = (
             dtypes["user_id"] not in numeric or dtypes["item_id"] not in numeric
         )
-        if not needs_remap:
+        wide = {"bigint", "float", "double"}
+        if not needs_remap and (
+            dtypes["user_id"] in wide or dtypes["item_id"] in wide
+        ):
             # MLlib ALS requires ids within int32 range; numeric ids
             # beyond it would fail executor-side with an opaque error —
             # detect up front (one small agg over the persisted train)
-            # and fall through to the same dense remap used for strings
+            # and fall through to the same dense remap used for strings.
+            # Only runs when the dtype can actually exceed int32 — an
+            # int-or-narrower column provably can't (ADVICE r04), so the
+            # common case skips the extra Spark job.
             int32_max = (1 << 31) - 1
             mx = self._train.agg(
                 F.max(F.abs(F.col("user_id"))).alias("u"),

@@ -64,6 +64,7 @@ def item_cosine_similarity(
     item_col: str = "item_id",
     rating_col: str = "rating",
     broadcast_overcap: bool = True,
+    overcap_users: DataFrame | None = None,
 ) -> DataFrame:
     """Co-rating cosine similarity -> (item_a, item_b, n_common, sim),
     emitted in BOTH directions (the pair is computed once with
@@ -76,8 +77,12 @@ def item_cosine_similarity(
     disable). The guard is an anti-join against the OVER-cap user set
     (bounded by n_ratings/cap rows — broadcastable by construction; set
     ``broadcast_overcap=False`` to force a shuffle anti-join when the
-    caller knows the set is still huge). Ratings are cast to BIGINT —
-    see module docstring for why that buys exactness.
+    caller knows the set is still huge). A caller that already computed
+    the over-cap user set (ItemKNNRecommender.train does, for its
+    warning) can pass it as ``overcap_users`` — a single-column
+    ``user_id`` frame — to skip the degree re-aggregation (ADVICE r04).
+    Ratings are cast to BIGINT — see module docstring for why that buys
+    exactness.
     """
     r = ratings.select(
         F.col(user_col).alias("user_id"),
@@ -85,12 +90,15 @@ def item_cosine_similarity(
         F.col(rating_col).cast("bigint").alias("rq"),
     )
     if max_user_degree is not None:
-        over = (
-            r.groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("_deg"))
-            .filter(F.col("_deg") > max_user_degree)
-            .drop("_deg")
-        )
+        if overcap_users is not None:
+            over = overcap_users.select("user_id")
+        else:
+            over = (
+                r.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("_deg"))
+                .filter(F.col("_deg") > max_user_degree)
+                .drop("_deg")
+            )
         if broadcast_overcap:
             over = F.broadcast(over)
         r = r.join(over, "user_id", "left_anti")
@@ -327,17 +335,23 @@ class ItemKNNRecommender(Recommender):
         # corpus) is computed once, not per consumer
         self._train = train_ratings.persist()
         broadcast_overcap = True
+        overcap = None
         if self.max_user_degree is not None:
             # the guard silently changes which users feed similarity
-            # estimation — surface it (one small agg over the persisted
-            # train), and only broadcast the over-cap set if it is
-            # actually small
-            n_over = (
+            # estimation — surface it. The over-cap set is computed
+            # ONCE (persisted, bounded by n_ratings/cap rows), its
+            # count drives the warning + broadcast decision, and the
+            # same frame feeds the anti-join inside
+            # item_cosine_similarity — no second degree aggregation
+            # over the ratings (ADVICE r04).
+            overcap = (
                 self._train.groupBy("user_id")
                 .agg(F.count(F.lit(1)).alias("_deg"))
                 .filter(F.col("_deg") > self.max_user_degree)
-                .count()
+                .select("user_id")
+                .persist()
             )
+            n_over = overcap.count()
             if n_over:
                 import logging
 
@@ -355,6 +369,7 @@ class ItemKNNRecommender(Recommender):
                 min_support=self.min_support,
                 max_user_degree=self.max_user_degree,
                 broadcast_overcap=broadcast_overcap,
+                overcap_users=overcap,
             ),
             self.m,
         ).persist()

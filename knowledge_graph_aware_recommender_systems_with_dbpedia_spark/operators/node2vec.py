@@ -66,6 +66,7 @@ class Node2VecRecommender(Recommender):
         seed: int = 42,
         scoring: str = "exact",
         all_recs: bool = False,
+        corpus_partitions: int = 64,
     ):
         if all_recs and scoring == "lsh":
             raise ValueError(
@@ -86,6 +87,16 @@ class Node2VecRecommender(Recommender):
         self.epochs = epochs
         self.min_count = min_count
         self.seed = seed
+        # Fixed, deterministic Word2Vec input layout PER CONFIGURATION:
+        # results track the corpus partitioning, so this is a model
+        # hyperparameter, not a tuning knob. Default 64 reproduces the
+        # committed parity goldens; raise it for 10^8-walk corpora where
+        # 64 oversized tasks would cap training parallelism (ADVICE
+        # r04) — but expect numerically different (equally valid)
+        # embeddings under a different layout.
+        if corpus_partitions < 1:
+            raise ValueError(f"corpus_partitions must be >= 1: {corpus_partitions}")
+        self.corpus_partitions = corpus_partitions
         self._train: DataFrame | None = None
         self._vectors: DataFrame | None = None
 
@@ -114,7 +125,9 @@ class Node2VecRecommender(Recommender):
         # partitions so training is reproducible across local[N]
         # settings (the quality-parity band and the rec_*_band oracles
         # rely on this).
-        walks = walks.repartition(64, "walk_id").sortWithinPartitions("walk_id")
+        walks = walks.repartition(
+            self.corpus_partitions, "walk_id"
+        ).sortWithinPartitions("walk_id")
         w2v = Word2Vec(
             vectorSize=self.vector_size,
             windowSize=self.window,

@@ -219,6 +219,39 @@ def test_wratio_extract_one_golden_fixture():
     assert lev_best != want  # levenshtein would have picked the decoy
 
 
+def test_wratio_rapidfuzz_parity_on_goldens():
+    """When rapidfuzz is importable, its fast path (WRatio with
+    default_process — ADVICE r04) must agree with the pure-Python
+    fallback on the golden title fixtures: same chosen candidate, and
+    scores within the ±1 int-rounding envelope."""
+    import pytest
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions import fuzzy as FZ
+
+    if not FZ._HAVE_RAPIDFUZZ:
+        pytest.skip("rapidfuzz not installed in this env")
+
+    pairs = [
+        ("Shining, The (1980)", "The Shining"),
+        ("Shining, The (1980)", "Shining Through"),
+        ("Postino, Il (1994)", "Il Postino: The Postman"),
+        (
+            "Dr. Strangelove or: How I Learned to Stop Worrying and Love the Bomb (1964)",
+            "Dr. Strangelove",
+        ),
+        ("insects and angels", "angels and insects"),
+        ("abcd", "zzzz"),
+    ]
+    try:
+        FZ._HAVE_RAPIDFUZZ = False
+        pure = [FZ.wratio(a, b) for a, b in pairs]
+    finally:
+        FZ._HAVE_RAPIDFUZZ = True
+    fast = [FZ.wratio(a, b) for a, b in pairs]
+    for (a, b), p, f in zip(pairs, pure, fast):
+        assert abs(p - f) <= 1, (a, b, p, f)
+
+
 def test_link_entities_wratio_scorer_end_to_end(spark):
     """The pandas_udf path through link_entities: scorer='wratio'
     engages, keeps the map.csv shape, and picks the token-set-best
