@@ -2,12 +2,19 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query runs $SPARK_GRAFT_BENCH_REPEATS times (default 3) and the
+recorded time is the per-query MEDIAN — this box's run-to-run noise is
+±20-30%, which made single-shot round-over-round comparisons flag
+phantom regressions (VERDICT r04 item 8). Set repeats=1 to reproduce
+the old single-shot behavior.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -112,14 +119,20 @@ def main() -> None:
     spark.range(1000).count()
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+        runs: list[float] = []
+        n = -1
+        for _ in range(repeats):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            runs.append(time.time() - t0)
+        times[name] = round(statistics.median(runs), 3)
+        detail = "/".join(f"{r:.2f}" for r in runs)
+        print(f"# {name}: median {times[name]}s of [{detail}] rows={n}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -128,6 +141,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf),
+        "repeats": repeats,
     }
     spark.stop()
     print(json.dumps(out))

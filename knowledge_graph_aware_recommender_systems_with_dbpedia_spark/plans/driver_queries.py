@@ -6824,9 +6824,70 @@ _R04_WINDOW = [
     "dp3_forget_users",
 ]
 assert len(_R04_WINDOW) == 50 and len(set(_R04_WINDOW)) == 50
+
+# Round-5 window (VERDICT r04 item 2): 49 of the 65 queries never
+# driver-sampled in r01-r04 (judge enumeration), plus mm3 — red last
+# round on the array-shape gate bug, re-verified after the q6-string
+# flattening. The 16 deferred entries (all TPC-H q* family, the most
+# oracle-redundant group: q4-q20) rotate in at r06, retiring the
+# visibility gap entirely. ss3/ss4/st3 — the latent array-shape twins —
+# are in THIS window so their reshaped outputs get driver rows now.
+_R05_WINDOW = [
+    "mm3_media_features",
+    "rec_als_top5",
+    "dd12_simhash_pairs",
+    "dd8_neardup_lsh",
+    "ss3_quantize_embeddings",
+    "ss4_label_centroids",
+    "tx3_stratified_sample",
+    "tx4_scrub_pii",
+    "tx5_repetition_stats",
+    "tx6_unigram_logprob",
+    "tx7_lang_confusion",
+    "tx8_corpus_profile",
+    "tx9_mixture_weights",
+    "tx10_domain_quota",
+    "ev9_outlier_events",
+    "ev3_sliding_rollup",
+    "ev5_overlap_pairs",
+    "ev6_point_in_span",
+    "ev7_trending",
+    "ev8_covisitation",
+    "a11_moving_avg",
+    "a12_linreg_trend",
+    "a13_pivot_daily",
+    "a14_unpivot_melt",
+    "dp2_curation_pipeline",
+    "st2_stream_sessionize_stateful",
+    "st3_stream_media_features",
+    "st4_stream_ingest_pipeline",
+    "st6_stream_incremental_dedup",
+    "st7_stream_anomaly",
+    "ev11_retention",
+    "st8_stream_stream_join",
+    "st9_stream_static_enrich",
+    "ev12_scd2_intervals",
+    "ev13_resample_fill",
+    "tx14_weighted_sample",
+    "dd13_repeated_spans",
+    "ss6_hard_negatives",
+    "sp10_balanced_labels",
+    "ev14_transition_matrix",
+    "tx15_bigram_logprob",
+    "dp4_session_features",
+    "tx16_zipf_slope",
+    "tx17_tfidf_keywords",
+    "ss7_mmr_rerank",
+    "ss9_incremental_index",
+    "dp5_semantic_curation",
+    "a17_ewma_daily",
+    "q2_min_cost_supplier",
+    "q22_dormant_customers",
+]
+assert len(_R05_WINDOW) == 50 and len(set(_R05_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R04_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R04_WINDOW)},
+    **{k: QUERIES[k] for k in _R05_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R05_WINDOW)},
 }
 
 ORACLES = {
