@@ -19,6 +19,11 @@ scale and shape (the published dataset statistics):
     (P_FRIEND_IN) — real friendship is only weakly assortative, which
     is why the published with-social lift is small (+0.0055 MAP): the
     social walk hops add a mild same-taste shortcut, not an oracle;
+  * friendship TOPOLOGY (r05): all pairs confined to a SOCIAL_POOL
+    socialite core — most users have zero friends, like the real
+    heavy-tailed user_friends.dat — which damps the with-social MAP
+    lift from the r04 10x overshoot to 1.5x the published +0.0055
+    (the walk-smoothing blast radius scales with the pool);
   * HONEST DISCLOSURE: scale/shape mirrors published statistics; the
     taste/friendship strengths (BETA / P_FRIEND_IN / weight boosts)
     are calibrated so the 2-fold Node2Vec runs land NEAR the published
@@ -53,8 +58,27 @@ N_CORE_ARTISTS = 6000   # top-popularity artists partitioned into cores
 K_CORES = 120           # -> core size ~50
 CORE_SHARE = 0.81       # fraction of a user's picks from their core
 POP_EXPONENT = 0.78     # within-core + tail popularity slope
-P_FRIEND_IN = 0.02      # probability a friendship stays within-core
+P_FRIEND_IN = 0.005     # probability a friendship stays within-core
 AFFINE_WEIGHT_BOOST = 2.0  # listen-count multiplier for core picks
+# Friendship DEGREE distribution: real user_friends.dat is heavy-tailed
+# (most users have a handful of friends, a few hubs have hundreds), not
+# uniform. Endpoint sampling weight ∝ rank^(-SOCIAL_HUB_EXPONENT); at
+# 0 this reduces to the old uniform pairing. Concentrating the 12,717
+# pairs on hubs leaves most users' walk neighborhoods untouched, which
+# is what keeps the social MAP lift at the published +0.0055 scale
+# instead of smoothing every user (the r04 10x overshoot). Ratings are
+# drawn BEFORE friendships from the same rng, so this knob provably
+# cannot move the without-social axis.
+SOCIAL_HUB_EXPONENT = 0.3
+# All friendship endpoints are drawn from a SOCIAL_POOL-user "socialite
+# core" (None = everyone eligible). Real user_friends.dat concentrates
+# its edges in a dense, assortative core (max degree 119 of 1892 users)
+# while most users have few or no friends; confining the clone's 12,717
+# pairs to a pool reproduces that shape AND bounds the walk-smoothing
+# blast radius: users outside the pool keep byte-identical rating
+# neighborhoods, so the social MAP lift scales with pool size instead
+# of smoothing all 1,892 users (the r04 overshoot).
+SOCIAL_POOL = 170
 
 
 def generate(out_dir: str, seed: int = 11) -> dict:
@@ -126,21 +150,37 @@ def generate(out_dir: str, seed: int = 11) -> dict:
     w = np.exp(rng.normal(mu, 0.55))
     weights = np.clip(np.rint(w), 1, 400_000).astype(np.int64)
 
-    # friendships: within-genre with probability P_FRIEND_IN, written
-    # symmetric like user_friends.dat; dedup via a sorted-pair set
+    # friendships: heavy-tailed hub weights (see SOCIAL_HUB_EXPONENT),
+    # within-genre with probability P_FRIEND_IN, written symmetric like
+    # user_friends.dat; dedup via a sorted-pair set
+    soc_rng = np.random.default_rng(seed + 1)
+    sociability = soc_rng.permutation(
+        np.arange(1, N_USERS + 1, dtype=np.float64) ** (-SOCIAL_HUB_EXPONENT)
+    )
+    if SOCIAL_POOL is not None:
+        mask = np.zeros(N_USERS, dtype=bool)
+        mask[soc_rng.choice(N_USERS, size=SOCIAL_POOL, replace=False)] = True
+        sociability = np.where(mask, sociability, 0.0)
     by_genre: dict[int, np.ndarray] = {
         g: np.where(user_genre == g)[0] for g in range(K_CORES)
     }
+    genre_soc = {}
+    for g, m in by_genre.items():
+        w = sociability[m]
+        genre_soc[g] = w / w.sum() if w.sum() > 0 else None
+    soc_p = sociability / sociability.sum()
     pairs: set[tuple[int, int]] = set()
     while len(pairs) < N_SOCIAL:
         if rng.random() < P_FRIEND_IN:
             g = int(rng.integers(0, K_CORES))
             members = by_genre[g]
-            if len(members) < 2:
+            if len(members) < 2 or genre_soc[g] is None:
                 continue
-            a, b = rng.choice(members, size=2, replace=False)
+            if int((genre_soc[g] > 0).sum()) < 2:
+                continue
+            a, b = rng.choice(members, size=2, replace=False, p=genre_soc[g])
         else:
-            a, b = rng.choice(N_USERS, size=2, replace=False)
+            a, b = rng.choice(N_USERS, size=2, replace=False, p=soc_p)
         if a == b:
             continue
         pairs.add((min(a, b) + 1, max(a, b) + 1))
@@ -164,12 +204,19 @@ def generate(out_dir: str, seed: int = 11) -> dict:
             fh.write(f"{b},{a}\n")
 
     counts = np.bincount(artists_col, minlength=N_ARTISTS + 1)[1:]
+    fdeg = np.zeros(N_USERS + 1, dtype=np.int64)
+    for a, b in pairs:
+        fdeg[a] += 1
+        fdeg[b] += 1
     return {
         "n_inter": int(N_INTER),
         "n_social_pairs": len(pairs),
         "max_artist_listeners": int(counts.max()),
         "affine_share": float(affine_col.mean()),
         "users_under_20": int((degrees < 20).sum()),
+        "friend_deg_median": float(np.median(fdeg[1:])),
+        "friend_deg_max": int(fdeg.max()),
+        "friendless_users": int((fdeg[1:] == 0).sum()),
     }
 
 

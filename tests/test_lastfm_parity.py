@@ -49,16 +49,25 @@ def test_committed_without_social_in_band():
     assert res["map5_in_band"] and res["ndcg5_in_band"], res
 
 
-def test_committed_with_social_direction_and_envelope():
-    """Secondary claim: adding the social edges HELPS (the published
-    delta is +0.0055 MAP), and the measured lift stays in a sane
-    envelope (< 2x the published with-social mean — the clone's tight
-    cores amplify user-user smoothing; disclosed, not tuned away)."""
+def test_committed_with_social_direction_and_lift_scale():
+    """Secondary claim (r05, VERDICT r04 #6): adding the social edges
+    HELPS, and the measured MAP lift is within 2x the published
+    +0.0055. Damping came from the friendship TOPOLOGY alone — the
+    r05 clone confines all 12,717 pairs to a SOCIAL_POOL socialite
+    core (make_lastfm_clone.py), so most users keep their exact walk
+    neighborhoods; rating.csv is byte-identical to the r04 clone
+    (friendships are drawn after ratings), which is why the
+    without-social golden needs no regeneration."""
     with open(os.path.join(GOLDENS, "lastfm_parity_r04.json")) as fh:
         nosoc = json.load(fh)
-    with open(os.path.join(GOLDENS, "lastfm_parity_social_r04.json")) as fh:
+    with open(os.path.join(GOLDENS, "lastfm_parity_social_r05.json")) as fh:
         soc = json.load(fh)
     assert soc["social"] and not nosoc["social"]
-    assert soc["map5_mean"] > nosoc["map5_mean"]  # direction matches
+    published_lift = 0.21861200813299847 - 0.2131278993976684
+    lift = soc["map5_mean"] - nosoc["map5_mean"]
+    assert lift > 0  # direction matches
     assert soc["ndcg5_mean"] > nosoc["ndcg5_mean"]
-    assert soc["map5_mean"] < 2 * 0.21861200813299847
+    assert lift <= 2 * published_lift, (lift, published_lift)
+    # nDCG lift matches the published +0.0040 even closer
+    ndcg_lift = soc["ndcg5_mean"] - nosoc["ndcg5_mean"]
+    assert ndcg_lift <= 2 * (0.17894254588598407 - 0.17493275553159188)
