@@ -15,7 +15,7 @@ budget) and asserts the FOLD-level metrics within mean +/- 3 stds —
 the reference's own fold values span +/-1.5 stds, so 3 is a
 non-flaky fold-level envelope. The full 5-fold MEAN +/- 2 stds
 assertion is scripts/quality_parity.py; its committed result is
-tests/goldens/quality_parity_r04.json (regenerate with the script).
+tests/goldens/quality_parity_r05.json (regenerate with the script).
 """
 
 import json
@@ -109,7 +109,7 @@ def test_committed_full_run_is_in_band():
     """The committed 5-fold result (scripts/quality_parity.py output)
     asserts the actual acceptance criterion: means within +/-2 stds."""
     path = os.path.join(
-        os.path.dirname(__file__), "goldens", "quality_parity_r04.json"
+        os.path.dirname(__file__), "goldens", "quality_parity_r05.json"
     )
     with open(path) as fh:
         res = json.load(fh)
@@ -118,23 +118,23 @@ def test_committed_full_run_is_in_band():
     assert res["ref_ndcg5_band"][0] <= res["ndcg5_mean"] <= res["ref_ndcg5_band"][1]
 
 
-def test_committed_transe_run_magnitude_and_walltime():
+def test_committed_transe_run_in_band_and_walltime():
     """Second parity axis (transEratings.csv + transEtimesratings.csv):
     TransE on ratings-only triples, dim=150, epochs=5, 5-fold.
 
-    The published MAP@5 (0.00651) is at near-random level for k=5 over
-    ~1,600 candidates (P(random unrated item is in a ~21-item test
-    fold) ~ 0.013) — the clone is calibrated on the Node2Vec band, so
-    for TransE we assert MAGNITUDE parity (same near-random decade,
-    0.3x-2x of the published means), not the +/-2 std band; the
-    committed JSON records the exact values. The wall-clock story is
-    the strong claim: ~24.8 s/fold on CPU (local[32]) vs the
-    reference's 23.94 s/fold on an RTX 4060."""
+    r05 (VERDICT r04 #5): the clone's TAIL_FLOOR term makes the ±2σ
+    TransE band reachable WITHOUT de-calibrating Node2Vec — the
+    near-random TransE metric tracks test-fold mass on catalog-tail
+    items (its cosine recs concentrate there), so mixing uniform mass
+    into the popularity law raises it; BETA re-centers the Node2Vec
+    axis. Both committed goldens are now inside their published ±2σ
+    bands simultaneously. The wall-clock claim stands: ~25-30 s/fold
+    on CPU (local[32]) vs the reference's 23.94 s/fold on an RTX 4060."""
     path = os.path.join(
-        os.path.dirname(__file__), "goldens", "quality_parity_transe_r04.json"
+        os.path.dirname(__file__), "goldens", "quality_parity_transe_r05.json"
     )
     with open(path) as fh:
         res = json.load(fh)
-    assert 0.3 * 0.00651 <= res["map5_mean"] <= 2 * 0.00651, res["map5_mean"]
-    assert 0.3 * 0.01022 <= res["ndcg5_mean"] <= 2 * 0.01022, res["ndcg5_mean"]
+    assert res["map5_in_band"] and res["ndcg5_in_band"], res
+    assert res["ref_map5_band"][0] <= res["map5_mean"] <= res["ref_map5_band"][1]
     assert res["sec_per_fold"] > 0
