@@ -6588,6 +6588,130 @@ SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-
 """
 
 
+def a18_sketch_distinct_band(spark, sf_dir):
+    """HLL++ sketch distinct vs the exact path — the 100 TB
+    count-distinct swap a16 documents, now exercised as a registry
+    query. approx_count_distinct is ONE pass with fixed per-group
+    memory (no partial-distinct shuffle of the key universe); the
+    exact countDistinct runs beside it and the output carries (a) the
+    exact count, hash-matched against DuckDB, and (b) a Spark-side
+    relative-error check against the sketch's configured rsd=0.05
+    (HLL++ is hash-deterministic, so the boolean is stable run to
+    run). Oracle twin: exact count + constant TRUE — the semantic
+    band pattern of rec_*_band."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    g = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_n_hll"),
+    )
+    return g.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("_n_hll") - F.col("n_exact"))
+            <= F.lit(3 * 0.05) * F.col("n_exact")
+        ).alias("hll_within_3rsd"),
+    )
+
+
+A18_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS hll_within_3rsd
+FROM events GROUP BY 1
+"""
+
+
+def a19_cube_profile(spark, sf_dir):
+    """CUBE over (o_orderpriority, o_orderstatus): all four grouping
+    combinations in one pass — the OLAP profile a10's ROLLUP does not
+    cover. Spark expands the cube BEFORE the shuffle (each input row
+    fans out to its grouping sets map-side, partial aggregation still
+    applies), so the shuffle carries |groups| x 4 rows, not the fact
+    table twice per combination. grouping_id() disambiguates
+    aggregate-NULLs from (non-existent here) data NULLs in BOTH
+    engines; totals round through exact cents (q1 rule)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "gid",
+            "n_orders",
+            F.round("total_price", 2).alias("total_price"),
+        )
+    )
+
+
+A19_SQL = """
+WITH o AS (SELECT o_orderpriority, o_orderstatus,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT coalesce(o_orderpriority, '<all>') AS priority,
+       coalesce(o_orderstatus, '<all>') AS status,
+       CAST(2 * grouping(o_orderpriority) + grouping(o_orderstatus) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       round(sum(cents) / 100.0, 2) AS total_price
+FROM o GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def ev17_quantile_sketch_band(spark, sf_dir):
+    """Greenwald-Khanna quantile sketch vs the exact sort-based
+    percentile — a15's documented 100 TB swap, exercised as a registry
+    query. percentile_approx(accuracy=1000) is mergeable fixed-memory
+    state (no per-group sort); the exact interpolated percentile runs
+    beside it. Output: exact p50/p95 hash-matched against DuckDB's
+    quantile_cont, plus a Spark-side check that the sketch answer
+    lands within the sketch's rank-error bound translated to values
+    (between the exact p45/p55 resp. p90/p99 envelopes — generous but
+    sharp enough to catch a broken sketch). Oracle twin: exact values
+    + constant TRUE."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    g = e.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("_p50"),
+        F.expr("percentile(cents, 0.95)").alias("_p95"),
+        F.expr("percentile(cents, 0.45)").alias("_p45"),
+        F.expr("percentile(cents, 0.55)").alias("_p55"),
+        F.expr("percentile(cents, 0.90)").alias("_p90"),
+        F.expr("percentile(cents, 0.99)").alias("_p99"),
+        F.expr("percentile_approx(cents, 0.5, 1000)").alias("_a50"),
+        F.expr("percentile_approx(cents, 0.95, 1000)").alias("_a95"),
+    )
+    return g.select(
+        "event_type",
+        F.round(F.col("_p50") / 100, 4).alias("p50"),
+        F.round(F.col("_p95") / 100, 4).alias("p95"),
+        (
+            (F.col("_a50") >= F.col("_p45")) & (F.col("_a50") <= F.col("_p55"))
+        ).alias("gk_p50_in_envelope"),
+        (
+            (F.col("_a95") >= F.col("_p90")) & (F.col("_a95") <= F.col("_p99"))
+        ).alias("gk_p95_in_envelope"),
+    )
+
+
+EV17_SQL = """
+WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+SELECT event_type,
+       round(quantile_cont(cents, 0.5) / 100, 4) AS p50,
+       round(quantile_cont(cents, 0.95) / 100, 4) AS p95,
+       TRUE AS gk_p50_in_envelope,
+       TRUE AS gk_p95_in_envelope
+FROM e GROUP BY event_type
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6756,6 +6880,9 @@ QUERIES = {
     "ss9_incremental_index": ss9_incremental_index,
     "dp5_semantic_curation": dp5_semantic_curation,
     "a17_ewma_daily": a17_ewma_daily,
+    "a18_sketch_distinct_band": a18_sketch_distinct_band,
+    "a19_cube_profile": a19_cube_profile,
+    "ev17_quantile_sketch_band": ev17_quantile_sketch_band,
     "u4_intersect_audiences": u4_intersect_audiences,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
     "rec_node2vec_band": rec_node2vec_band,
@@ -7049,6 +7176,9 @@ ORACLES = {
     "ss9_incremental_index": SS9_SQL,
     "dp5_semantic_curation": DP5_SQL,
     "a17_ewma_daily": A17_SQL,
+    "a18_sketch_distinct_band": A18_SQL,
+    "a19_cube_profile": A19_SQL,
+    "ev17_quantile_sketch_band": EV17_SQL,
     "u4_intersect_audiences": U4_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and
     # band booleans; a hash match means the stochastic path is
