@@ -126,6 +126,66 @@ def test_no_unexpected_single_partition_exchanges(spark):
     assert not offenders, f"new single-partition exchanges: {offenders}"
 
 
+# Cartesian/nested-loop joins: every occurrence must have a BOUNDED
+# broadcast side — a 1-row scalar aggregate, a bounded candidate/
+# centroid table, or the documented fail-fast all-pairs — never a
+# data-x-data product. Counts pinned per query (each logical join
+# prints twice in `explain("formatted")`: tree line + detail block);
+# any NEW occurrence fails the lint until justified here.
+NLJ_ALLOWED = {
+    # documented bounded all-pairs: dd6 fail-fasts above max_vectors
+    "dd6_embedding_neardup": 2,
+    # non-equi candidate joins whose broadcast side is a bounded
+    # aggregate (per-user candidate arrays / global top-k candidate
+    # table) — the recommend.py scoring contract
+    "rec_popularity_top5": 2,
+    "rec_fixed_emb_top5": 2,
+    "rec_rrf_top5": 2,
+    "e2_map_at_5": 2,
+    "e3_ndcg_at_5": 2,
+    "e4_mrr_at_5": 2,
+    "e5_hitrate_at_5": 2,
+    "e6_kfold_map_popularity": 4,   # two folds of the same shape
+    "e7_coverage_diversity": 8,     # + 1-row scalar combines
+    # ANN paths: probe x bounded centroid/codebook/query-sample tables
+    "ss1_ann_cosine_topk": 2,
+    "ss2_ann_ivf_topk": 4,
+    "ss6_hard_negatives": 2,
+    "ss8_knn_join": 4,
+    "ss9_incremental_index": 4,
+    # fuzzy entity link: non-equi pattern-match against the bounded
+    # broadcast label table (J7)
+    "di2_entity_link": 2,
+    # 1-row scalar aggregates broadcast back (thresholds/normalizers)
+    "tx9_mixture_weights": 2,
+    "tx15_bigram_logprob": 2,
+    "tx17_tfidf_keywords": 2,
+    "q11_important_parts": 2,
+    "q22_dormant_customers": 2,
+    "ev16_rfm_segments": 6,
+}
+
+
+def _nlj_count(plan: str) -> int:
+    return plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
+
+
+def test_no_unexpected_cartesian_or_nested_loop_joins(spark):
+    """At 100 TB a cartesian (or non-equi nested-loop) join of two
+    data-sized inputs is a run-killer. The only tolerated shape is a
+    1-row scalar aggregate broadcast back onto a frame (threshold
+    ratios, corpus totals) — those are pinned in NLJ_ALLOWED with
+    their reason; anything else, or any count increase, fails."""
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith(SKIP_PREFIXES) or name in SKIP:
+            continue
+        n = _nlj_count(_formatted(fn(spark, SF)))
+        if n > NLJ_ALLOWED.get(name, 0):
+            offenders[name] = (n, NLJ_ALLOWED.get(name, 0))
+    assert not offenders, f"new cartesian/nested-loop joins: {offenders}"
+
+
 def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
     """The session enables runtime bloom-filter semi-join pushdown
     (session.py): when a dim side carries a selective filter and the
