@@ -219,6 +219,36 @@ def test_wratio_extract_one_golden_fixture():
     assert lev_best != want  # levenshtein would have picked the decoy
 
 
+def test_wratio_properties_hypothesis():
+    """Property pins for the WRatio family over arbitrary text: range
+    [0, 100], identity = 100, symmetry of the token-set/sort scorers,
+    full_process idempotence, and wratio symmetry (the published
+    algorithm is symmetric in its inputs — the length ratio and every
+    constituent scorer are order-free)."""
+    from hypothesis import given, settings, strategies as st
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions import fuzzy as FZ
+
+    texts = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts, texts)
+    def _props(a, b):
+        w = FZ.wratio(a, b)
+        assert 0 <= w <= 100
+        assert w == FZ.wratio(b, a)  # symmetry
+        assert 0 <= FZ.token_sort_ratio(a, b) <= 100
+        assert FZ.token_set_ratio(a, b) == FZ.token_set_ratio(b, a)
+        pa = FZ.full_process(a)
+        assert FZ.full_process(pa) == pa  # idempotent preprocessor
+        if FZ.full_process(a):
+            assert FZ.wratio(a, a) == 100  # identity
+
+    _props()
+
+
 def test_wratio_rapidfuzz_parity_on_goldens():
     """When rapidfuzz is importable, its fast path (WRatio with
     default_process — ADVICE r04) must agree with the pure-Python

@@ -138,3 +138,73 @@ def test_event_oracles_agree_on_random_streams(spark, tmp_path, seed):
         assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)}"
         if len(a):
             pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
+
+
+# the full metric stack (dedup -> split -> popularity rec -> MAP/nDCG/
+# MRR/HitRate) reads only lineitem + orders — randomizing those
+# exercises the ENTIRE evaluation lineage against the SQL replay
+METRIC_QUERIES = [
+    "e2_map_at_5",
+    "e3_ndcg_at_5",
+    "e4_mrr_at_5",
+    "e5_hitrate_at_5",
+]
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_metric_oracles_agree_on_random_ratings(spark, tmp_path, seed):
+    """Random (lineitem, orders) interaction tables through the full
+    evaluation pipeline AND its DuckDB replay. The ratings lineage
+    dedups by keep-last (ts, rating), splits by det-hash, trains the
+    popularity recommender, and averages per-user metrics — agreement
+    on arbitrary co-rating structure is much stronger evidence than
+    the one fixed testdata set (ties, single-item users, duplicate
+    (user, item) pairs with conflicting ratings are all generated
+    here on purpose)."""
+    import datetime
+    import os
+
+    rng = np.random.RandomState(seed)
+    n_orders, n_li = 120, 600
+    base = datetime.date(1995, 1, 1)
+    orders = [
+        (
+            i,
+            int(rng.randint(1, 25)),  # few users -> dense co-rating
+            base + datetime.timedelta(days=int(rng.randint(0, 2000))),
+        )
+        for i in range(1, n_orders + 1)
+    ]
+    lineitem = [
+        (
+            int(rng.randint(1, n_orders + 1)),
+            int(rng.randint(1, 40)),  # small catalog -> ties + dups
+            float(rng.randint(1, 51)),
+        )
+        for _ in range(n_li)
+    ]
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate date"
+    )
+    ldf = spark.createDataFrame(
+        lineitem, "l_orderkey long, l_partkey long, l_quantity double"
+    )
+    sf_dir = str(tmp_path / f"metric_fuzz_{seed}")
+    os.makedirs(sf_dir, exist_ok=True)
+    odf.write.mode("overwrite").parquet(os.path.join(sf_dir, "orders.parquet"))
+    ldf.write.mode("overwrite").parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    for name in METRIC_QUERIES:
+        spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+        duck_pdf = con.execute(ORACLES[name]).df()
+        a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+        assert sorted(a.columns) == sorted(b.columns), name
+        assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)}"
+        if len(a):
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
