@@ -6955,9 +6955,10 @@ assert len(_R04_WINDOW) == 50 and len(set(_R04_WINDOW)) == 50
 # Round-5 window (VERDICT r04 item 2): 49 of the 65 queries never
 # driver-sampled in r01-r04 (judge enumeration), plus mm3 — red last
 # round on the array-shape gate bug, re-verified after the q6-string
-# flattening. The 16 deferred entries (all TPC-H q* family, the most
-# oracle-redundant group: q4-q20) rotate in at r06, retiring the
-# visibility gap entirely. ss3/ss4/st3 — the latent array-shape twins —
+# flattening. The r06 window must front: the 16 deferred TPC-H q*
+# entries (q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15 q17 q18 q19 q20)
+# plus the three r05-new sketch/OLAP queries (a18 a19 ev17) — 19 of 50
+# slots — retiring the visibility gap entirely. ss3/ss4/st3 — the latent array-shape twins —
 # are in THIS window so their reshaped outputs get driver rows now.
 _R05_WINDOW = [
     "mm3_media_features",
