@@ -144,10 +144,23 @@ def test_event_oracles_agree_on_random_streams(spark, tmp_path, seed):
 # MRR/HitRate) reads only lineitem + orders — randomizing those
 # exercises the ENTIRE evaluation lineage against the SQL replay
 METRIC_QUERIES = [
+    # splits: det-hash membership must replay exactly in SQL on ANY
+    # co-rating structure (ties in ts, duplicate pairs, tiny users)
+    "sp1_random_global",
+    "sp2_random_user",
+    "sp3_temporal_global",
+    "sp7_kfold_user",
+    "sp8_validation_subsplit",
+    "p5_dedup_ratings",
+    "a2_o1_user_rating_lists",
+    # recommenders + metrics: full train -> top-5 -> metric lineage
+    "rec_popularity_top5",
+    "rec_itemknn_top5",
     "e2_map_at_5",
     "e3_ndcg_at_5",
     "e4_mrr_at_5",
     "e5_hitrate_at_5",
+    "e6_kfold_map_popularity",
 ]
 
 
