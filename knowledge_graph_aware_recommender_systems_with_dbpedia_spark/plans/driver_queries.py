@@ -73,6 +73,20 @@ def _raw_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q6(col):
+    """Render a float column as its q6 fixed-point integer string:
+    floor(x*1e6 + 0.5) — deterministic HALF-UP in Spark AND DuckDB.
+    THE cross-engine rounding contract for flattened vector outputs
+    (mm3 / st3 / ss4 share it; their oracles mirror the same formula),
+    kept in ONE place so a precision change cannot desynchronize the
+    query family from its oracles."""
+    return (
+        F.floor(col.cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .cast("string")
+    )
+
+
 def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deduped interaction table (keep-last by ts, rating).
 
@@ -2893,14 +2907,9 @@ def st3_stream_media_features(spark, sf_dir):
     out = run_to_memory(
         STM.media_features_stream(stream, dim=16), name, "append"
     )
-    q6 = lambda x: (
-        F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5))
-        .cast("bigint")
-        .cast("string")
-    )
     return out.select(
         "media_id",
-        F.array_join(F.transform("embedding", q6), "|").alias("embedding_q6"),
+        F.array_join(F.transform("embedding", _q6), "|").alias("embedding_q6"),
     )
 
 
@@ -3386,14 +3395,9 @@ def mm3_media_features(spark, sf_dir):
     hashing and cannot sort raw array columns (a2_o1's pattern)."""
     from ..operators import multimodal as MM
 
-    q6 = lambda x: (
-        F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5))
-        .cast("bigint")
-        .cast("string")
-    )
     return MM.media_features(_media(spark, sf_dir), dim=16).select(
         "media_id",
-        F.array_join(F.transform("embedding", q6), "|").alias("embedding_q6"),
+        F.array_join(F.transform("embedding", _q6), "|").alias("embedding_q6"),
     )
 
 
@@ -3803,17 +3807,9 @@ def ss4_label_centroids(spark, sf_dir):
             "label",
             "n_vecs",
             # q6 fixed-point string render (driver canonicalizer can't
-            # sort array columns); m is already round(6) so floor(+0.5)
+            # sort array columns); m is already round(6) so _q6
             # recovers the exact scaled integer in both engines.
-            F.array_join(
-                F.transform(
-                    "_c",
-                    lambda m: F.floor(m * F.lit(1000000.0) + F.lit(0.5))
-                    .cast("bigint")
-                    .cast("string"),
-                ),
-                "|",
-            ).alias("centroid_q6"),
+            F.array_join(F.transform("_c", _q6), "|").alias("centroid_q6"),
         )
     )
 

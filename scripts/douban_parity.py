@@ -82,13 +82,20 @@ def build_config(clone_dir: str) -> dict:
 
 
 def ensure_clone(clone_dir: str | None = None) -> str:
-    from scripts.make_douban_clone import generate
+    from scripts.make_douban_clone import generate, knob_fingerprint
 
     clone_dir = clone_dir or os.path.join(
         tempfile.gettempdir(), "douban_clone_calibrated"
     )
-    if not os.path.exists(os.path.join(clone_dir, "rating.csv")):
+    # cache keyed on the CALIBRATION KNOBS, not bare file existence —
+    # a knob edit must never be measured against a stale on-disk clone
+    marker = os.path.join(clone_dir, ".clone_knobs")
+    want = knob_fingerprint()
+    have = open(marker).read() if os.path.exists(marker) else None
+    if have != want or not os.path.exists(os.path.join(clone_dir, "rating.csv")):
         print("clone:", generate(clone_dir), flush=True)
+        with open(marker, "w") as fh:
+            fh.write(want)
     return clone_dir
 
 

@@ -182,3 +182,13 @@ def generate(
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/douban_clone"
     print(generate(out))
+
+
+def knob_fingerprint() -> str:
+    """Calibration-knob fingerprint — ensure_clone() regenerates the
+    cached clone whenever this changes (stale-cache guard)."""
+    return (
+        f"v1|{N_ITEMS}|{N_USERS}|{N_LIGHT_USERS}|{DEGREE_LO}|{DEGREE_HI}|"
+        f"{DEGREE_WEIGHTS}|{POP_EXPONENT}|{K_COMM}|{CORE_SHARE}|{COMM_BOOST}|"
+        f"{STAR_POP_TILT}|{STAR_BASE}"
+    )

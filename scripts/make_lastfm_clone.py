@@ -223,3 +223,13 @@ def generate(out_dir: str, seed: int = 11) -> dict:
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lastfm_clone"
     print(generate(out))
+
+
+def knob_fingerprint() -> str:
+    """Calibration-knob fingerprint — ensure_clone() regenerates the
+    cached clone whenever this changes, so a knob edit can never be
+    silently measured against a stale on-disk clone."""
+    return (
+        f"v2|{N_CORE_ARTISTS}|{K_CORES}|{CORE_SHARE}|{POP_EXPONENT}|"
+        f"{P_FRIEND_IN}|{AFFINE_WEIGHT_BOOST}|{SOCIAL_HUB_EXPONENT}|{SOCIAL_POOL}"
+    )

@@ -64,9 +64,10 @@ POP_EXPONENT = 0.65
 # test-fold POPULARITY CONCENTRATION — its cosine recs concentrate on
 # the catalog TAIL (frequent entities are pushed away from every user
 # under SGD), so MAP(TransE) ≈ the test-rating mass sitting on tail
-# items. A tail floor raises that mass (bottom-third share ~11.5% →
-# ~17%) with only a second-order effect on the community-driven
-# Node2Vec axis (BETA dominates within-community pick weights).
+# items. The floor + the flatter POP_EXPONENT raise that mass
+# (bottom-third rating share ~8% at the r04 knobs → ~23% at these)
+# with only a second-order effect on the community-driven Node2Vec
+# axis (BETA dominates within-community pick weights).
 TAIL_FLOOR = 0.45
 BETA = 80.0
 AFFINITY_STARS = 5.0   # in-community star floor
@@ -250,3 +251,12 @@ def generate(
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ml100k_clone"
     print(generate(out))
+
+
+def knob_fingerprint() -> str:
+    """Calibration-knob fingerprint — ensure_clone() regenerates the
+    cached clone whenever this changes (stale-cache guard)."""
+    return (
+        f"v2|{K_COMMUNITIES}|{POP_EXPONENT}|{TAIL_FLOOR}|{BETA}|"
+        f"{AFFINITY_STARS}|{POPULARITY_STARS}|{OFFCOMM_POP}|{ACTIVITY_STARS}"
+    )

@@ -118,17 +118,23 @@ def build_config(clone_dir: str, k_folds: int = 5, model: str = "node2vec") -> d
 
 
 def ensure_clone(clone_dir: str | None = None) -> str:
-    from scripts.make_ml100k_clone import generate
+    from scripts.make_ml100k_clone import generate, knob_fingerprint
 
     clone_dir = clone_dir or os.path.join(
         tempfile.gettempdir(), "ml100k_clone_calibrated"
     )
-    marker = os.path.join(clone_dir, "rating.csv")
-    if not os.path.exists(marker):
+    # cache keyed on the CALIBRATION KNOBS, not bare file existence —
+    # a knob edit must never be measured against a stale on-disk clone
+    marker = os.path.join(clone_dir, ".clone_knobs")
+    want = knob_fingerprint()
+    have = open(marker).read() if os.path.exists(marker) else None
+    if have != want or not os.path.exists(os.path.join(clone_dir, "rating.csv")):
         stats = generate(
             clone_dir, enriched_csv=f"{REF_PROCESSED}/enriched.csv"
         )
         print("clone:", stats, flush=True)
+        with open(marker, "w") as fh:
+            fh.write(want)
     return clone_dir
 
 

@@ -1,9 +1,11 @@
 """LastFM parity goldens — the SOCIAL-edges axis (BASELINE.md
 `last_fm/run1.csv` / `run1_with_social_links.csv`). Full runs:
 scripts/lastfm_parity.py [--social]; committed results under
-tests/goldens/. See that script's docstring for the honest-calibration
-stance: the WITHOUT-social axis is the in-band claim, the WITH-social
-axis is direction-correct with a disclosed magnitude overshoot."""
+tests/goldens/. Honest-calibration stance (r05): the WITHOUT-social
+axis is the in-band claim; the WITH-social axis is direction-correct
+with its MAP lift within 2x the published +0.0055 (the r04 overshoot
+was damped by confining friendships to a socialite pool — see
+scripts/make_lastfm_clone.py)."""
 
 import collections
 import json
