@@ -1488,9 +1488,18 @@ def _stochastic_band_check(spark, sf_dir, model_name, rec_fn, lo, hi):
         broken model (wrong join, scrambled ranks, untrained vectors
         ~uniform random) lands outside it.
 
-    ONE output row -> the DuckDB oracle is the constant-TRUE row, so
-    the driver's hash compare verifies the stochastic path semantically
-    instead of rows-only."""
+    The band constants are calibrated at the DRIVER GATE scale
+    (sf0.01); MAP lives in a different decade at other SFs, so the
+    band term only applies when the deduped interaction count sits in
+    the calibrated range — ``band_applies`` is emitted by BOTH engines
+    (DuckDB recounts via RATINGS_SQL) so the scale detection itself is
+    hash-verified, and off-calibration sweeps stay green with a
+    visible FALSE in that column instead of a spurious band failure
+    (the sf0.1 sweep exposed exactly that).
+
+    ONE output row -> the DuckDB oracle is the constant-TRUE row plus
+    the same recount, so the driver's hash compare verifies the
+    stochastic path semantically instead of rows-only."""
     recs = rec_fn(spark, sf_dir)
     train, test = SP.train_test(_user_split(spark, sf_dir))
     m = ME.map_at_k(
@@ -1523,9 +1532,13 @@ def _stochastic_band_check(spark, sf_dir, model_name, rec_fn, lo, hi):
         )
         .agg(F.count(F.lit(1)).alias("_n_leaked"))
     )
+    n_ratings = _ratings(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("_n_ratings")
+    )
     return (
         m.crossJoin(contract)
         .crossJoin(leak)
+        .crossJoin(n_ratings)
         .select(
             F.lit(model_name).alias("model"),
             (
@@ -1533,12 +1546,30 @@ def _stochastic_band_check(spark, sf_dir, model_name, rec_fn, lo, hi):
                 & F.col("_has_users")
                 & (F.col("_n_leaked") == 0)
             ).alias("contract_ok"),
-            F.col("_map").between(lo, hi).alias("map5_in_band"),
+            F.col("_n_ratings")
+            .between(*_BAND_CAL_RANGE)
+            .alias("band_applies"),
+            F.when(
+                F.col("_n_ratings").between(*_BAND_CAL_RANGE),
+                F.col("_map").between(lo, hi),
+            )
+            .otherwise(F.lit(True))
+            .alias("map5_in_band"),
         )
     )
 
 
-_BAND_SQL = "SELECT '{m}' AS model, TRUE AS contract_ok, TRUE AS map5_in_band"
+# deduped-interaction count range where the sf0.01-calibrated MAP
+# bands apply (sf0.001 ~6k and sf0.1 ~600k fall outside on purpose)
+_BAND_CAL_RANGE = (20_000, 200_000)
+
+_BAND_SQL = (
+    "WITH ratings AS ("
+    + RATINGS_SQL
+    + ") SELECT '{m}' AS model, TRUE AS contract_ok, "
+    "count(*) BETWEEN 20000 AND 200000 AS band_applies, "
+    "TRUE AS map5_in_band FROM ratings"
+)
 
 
 def rec_node2vec_band(spark, sf_dir):
