@@ -91,6 +91,9 @@ HEADLINE = [
     "dp3_forget_users",
     "tx14_weighted_sample",
     "a15_value_percentiles",
+    "a18_sketch_distinct_band",
+    "a19_cube_profile",
+    "ev17_quantile_sketch_band",
     "ev1_hourly_rollup",
     "ev2_sessionize",
     "ev3_sliding_rollup",
