@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import pinned as PIN
+
 
 def _relevant(test: DataFrame, relevance_threshold: float) -> DataFrame:
     return test.filter(F.col("rating") >= F.lit(relevance_threshold)).select(
@@ -108,7 +110,11 @@ def ndcg_per_user(
         rel.withColumn("_pos", F.row_number().over(w_rel))
         .filter(F.col("_pos") <= k)
         .groupBy("user_id")
-        .agg(F.sum(F.col("rating") / F.log2(F.col("_pos") + 1)).alias("idcg"))
+        .agg(
+            F.sum(F.col("rating") / PIN.log2_int_pinned(F.col("_pos") + 1)).alias(
+                "idcg"
+            )
+        )
     )
 
     r = recs.filter(F.col("rank") <= k)
@@ -116,7 +122,7 @@ def ndcg_per_user(
         r.join(rel, ["user_id", "item_id"], "left")
         .withColumn("rel", F.coalesce(F.col("rating"), F.lit(0.0)))
         .groupBy("user_id")
-        .agg(F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).alias("dcg"))
+        .agg(F.sum(F.col("rel") / PIN.log2_int_pinned(F.col("rank") + 1)).alias("dcg"))
     )
     return idcg.join(dcg, "user_id", "left").select(
         "user_id",

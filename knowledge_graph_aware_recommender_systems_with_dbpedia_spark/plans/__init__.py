@@ -1,3 +1,8 @@
-from .driver_queries import ORACLES, QUERIES, flagship
+from .driver_queries import (
+    ORACLES,
+    QUERIES,
+    TRANSCENDENTAL_ALLOWLIST,
+    flagship,
+)
 
-__all__ = ["ORACLES", "QUERIES", "flagship"]
+__all__ = ["ORACLES", "QUERIES", "TRANSCENDENTAL_ALLOWLIST", "flagship"]

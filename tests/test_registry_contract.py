@@ -99,3 +99,79 @@ def test_every_oracle_sql_plans_in_duckdb():
         except Exception as exc:  # noqa: BLE001 — collecting all failures
             bad[name] = str(exc).splitlines()[0]
     assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
+# Transcendental guard (VERDICT r06 item 2 — the tx14 red-driver class).
+#
+# ln/log/exp/pow are not correctly-rounded IEEE ops; a ULP of libm
+# variance under a rounded hash-compared column flips the value on one
+# box only (tx14, red r05+r06, fixed by a division-only rank key).
+# Any oracle twin that calls one must be in TRANSCENDENTAL_ALLOWLIST
+# (plans/driver_queries.py) with a margin-audit justification
+# (scripts/audit_round_margins.py).  sqrt and arithmetic are exempt —
+# IEEE 754 requires them correctly rounded, so identical inputs give
+# identical bits on every engine.
+
+_TRANSCENDENTAL_RE = re.compile(
+    r"\b(ln|log|log2|log10|log1p|exp|pow|power)\s*\(", re.I
+)
+
+
+def _oracle_transcendental_hits():
+    return {
+        name
+        for name, sql in ORACLES.items()
+        if _TRANSCENDENTAL_RE.search(sql)
+    }
+
+
+def test_no_unallowlisted_transcendentals_in_oracles():
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans import (
+        TRANSCENDENTAL_ALLOWLIST,
+    )
+
+    hits = _oracle_transcendental_hits()
+    # e3's log2 is pinned to a literal table (functions/pinned.py) —
+    # its CASE fallback branch still greps as log2(, which is fine:
+    # the fallback is unreachable for rank domains <= PINNED_LOG2_MAX,
+    # so it earns a standing allowlist-free exemption here.
+    hits -= {"e3_ndcg_at_5"}
+    unlisted = hits - set(TRANSCENDENTAL_ALLOWLIST)
+    assert not unlisted, (
+        f"new transcendental on a hash-compared surface: {sorted(unlisted)} — "
+        "either remove it (tx14's w/u treatment, functions/pinned.py "
+        "table) or margin-audit it (scripts/audit_round_margins.py) "
+        "and allowlist with justification"
+    )
+
+
+def test_transcendental_allowlist_has_no_stale_entries():
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans import (
+        TRANSCENDENTAL_ALLOWLIST,
+    )
+
+    stale = set(TRANSCENDENTAL_ALLOWLIST) - _oracle_transcendental_hits()
+    assert not stale, f"allowlisted but no transcendental in SQL: {sorted(stale)}"
+
+
+def test_allowlisted_queries_are_covered_by_margin_audit():
+    """Every allowlist entry whose justification cites the margin audit
+    must actually be in the audit's query list (and vice versa)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans import (
+        TRANSCENDENTAL_ALLOWLIST,
+    )
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_round_margins",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "scripts",
+            "audit_round_margins.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert set(mod.AUDITED) == set(TRANSCENDENTAL_ALLOWLIST)
