@@ -128,11 +128,19 @@ def main() -> None:
         fn = QUERIES[name]
         runs: list[float] = []
         n = -1
-        for _ in range(repeats):
+        for i in range(repeats):
             t0 = time.time()
             df = fn(spark, SF_DIR)
-            n = df.count()
+            prev, n = n, df.count()
             runs.append(time.time() - t0)
+            # a timing sample of a query that returned a different row
+            # count than its previous repeat is measuring a different
+            # computation — fail loudly instead of medianing it in
+            # (ADVICE r06; stochastic paths are not in HEADLINE)
+            assert i == 0 or n == prev, (
+                f"{name}: repeat {i} returned {n} rows vs {prev} before "
+                "— nondeterministic query in the bench battery"
+            )
         times[name] = round(statistics.median(runs), 3)
         detail = "/".join(f"{r:.2f}" for r in runs)
         print(f"# {name}: median {times[name]}s of [{detail}] rows={n}", file=sys.stderr)

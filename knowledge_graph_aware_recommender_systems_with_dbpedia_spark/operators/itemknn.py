@@ -373,6 +373,12 @@ class ItemKNNRecommender(Recommender):
             ),
             self.m,
         ).persist()
+        if overcap is not None:
+            # materialize the neighbor table (its only consumer) so the
+            # bounded over-cap frame can be dropped from executor
+            # memory before the serving phase (ADVICE r06)
+            self._neighbors.count()
+            overcap.unpersist()
         return self
 
     def get_recommendations(self, k: int | None = None) -> DataFrame:

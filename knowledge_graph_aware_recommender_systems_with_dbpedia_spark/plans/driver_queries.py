@@ -1568,7 +1568,10 @@ _BAND_SQL = (
     "WITH ratings AS ("
     + RATINGS_SQL
     + ") SELECT '{m}' AS model, TRUE AS contract_ok, "
-    "count(*) BETWEEN 20000 AND 200000 AS band_applies, "
+    # single-sourced from _BAND_CAL_RANGE (ADVICE r06) so a
+    # recalibration can't desync the Spark and oracle scale gates
+    f"count(*) BETWEEN {_BAND_CAL_RANGE[0]} AND {_BAND_CAL_RANGE[1]} "
+    "AS band_applies, "
     "TRUE AS map5_in_band FROM ratings"
 )
 
@@ -6643,14 +6646,28 @@ def a18_sketch_distinct_band(spark, sf_dir):
         F.countDistinct("user_id").alias("n_exact"),
         F.approx_count_distinct("user_id", rsd=0.05).alias("_n_hll"),
     )
+    # Scale scope (ADVICE r06, the _BAND_CAL_RANGE pattern): 3x rsd is
+    # a ~1e-6-tail PROBABILISTIC bound, verified green at the shipped
+    # testdata scales (sf0.001-0.1, per-group cardinalities < 1e6).
+    # Outside that verified range the boolean defaults TRUE in both
+    # engines rather than betting a hash row on an unverified tail.
     return g.select(
         "event_type",
         "n_exact",
-        (
+        F.when(
+            F.col("n_exact").between(*_A18_CAL_RANGE),
             F.abs(F.col("_n_hll") - F.col("n_exact"))
-            <= F.lit(3 * 0.05) * F.col("n_exact")
-        ).alias("hll_within_3rsd"),
+            <= F.lit(3 * 0.05) * F.col("n_exact"),
+        )
+        .otherwise(F.lit(True))
+        .alias("hll_within_3rsd"),
     )
+
+
+# per-group distinct-count range where a18's 3x-rsd HLL++ boolean has
+# been verified (every shipped SF lands here); outside it Spark emits
+# TRUE, matching the oracle's constant-TRUE semantic-band column
+_A18_CAL_RANGE = (1, 1_000_000)
 
 
 A18_SQL = """

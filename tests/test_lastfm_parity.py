@@ -43,6 +43,22 @@ def test_clone_shape_is_faithful(clone_dir):
     assert set(pairs) == {(b, a) for a, b in pairs}  # symmetric
 
 
+def test_rating_csv_is_byte_identical_across_social_knobs(clone_dir):
+    """ADVICE r06: the cross-golden lift comparison below contrasts a
+    WITHOUT-social r04 golden with a WITH-social r05 golden, which is
+    only valid because rating.csv is byte-identical across social-knob
+    changes (friendships are drawn after ratings in
+    make_lastfm_clone.py). Pin that identity: this md5 is the
+    rating.csv both goldens were measured against — if a clone-knob
+    edit ever changes it, this fails and BOTH goldens need
+    regeneration, not just the social one."""
+    import hashlib
+
+    with open(f"{clone_dir}/rating.csv", "rb") as fh:
+        digest = hashlib.md5(fh.read()).hexdigest()
+    assert digest == "b85a1a7e482d538a2d23497fc670d994"
+
+
 def test_committed_without_social_in_band():
     """Primary LastFM claim: 2-fold Node2Vec means inside the
     published ±2σ bands (MAP@5 0.21313±0.00526, nDCG@5 0.17493±0.00218)."""
