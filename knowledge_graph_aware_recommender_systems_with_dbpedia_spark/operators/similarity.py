@@ -284,19 +284,26 @@ def _ivf_centroids(nn: DataFrame, n_cells: int, seed: int) -> DataFrame:
     return nn.sparkSession.createDataFrame(cents_rows, "cell int, cv array<double>")
 
 
-def _ivf_assign(df: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+def _ivf_assign(
+    df: DataFrame, cents: DataFrame, n: int, keep_rank: str | None = None
+) -> DataFrame:
     """Assign each (id, v) row to its ``n`` most-similar cells:
     broadcast join against the tiny centroid table + per-row argmax
-    (the id-partitioned window ranks ~n_cells rows per id)."""
+    (the id-partitioned window ranks ~n_cells rows per id).
+    ``keep_rank`` retains the cell rank column under that name (the
+    self-join fast path slices one assignment pass by rank)."""
     scored = df.join(F.broadcast(cents), F.lit(True)).select(
         "id", "v", "cell", _dot(F.col("v"), F.col("cv")).alias("_sim")
     )
     ww = Window.partitionBy("id").orderBy(F.desc("_sim"), "cell")
-    return (
+    out = (
         scored.withColumn("_cr", F.row_number().over(ww))
         .filter(F.col("_cr") <= n)
-        .drop("_sim", "_cr")
+        .drop("_sim")
     )
+    if keep_rank is None:
+        return out.drop("_cr")
+    return out.withColumnRenamed("_cr", keep_rank) if keep_rank != "_cr" else out
 
 
 def _ivf_score(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
@@ -350,6 +357,17 @@ def ivf_topk(
     """
     nn = _normalize(emb, id_col, vec_col)
     cents = _ivf_centroids(nn, n_cells, seed)
+    if queries is emb:
+        # self-join fast path (the k-NN-graph shape, ss8): corpus and
+        # query assignments are rank-1 / rank<=n_probe slices of ONE
+        # broadcast-assign pass — at 100 TB this halves the corpus
+        # scans and normalizations, locally it halves the stage count.
+        # Persisted because both slices consume it.
+        both = _ivf_assign(nn, cents, max(1, n_probe), keep_rank="_cr").persist()
+        c = both.filter(F.col("_cr") == 1).drop("_cr")
+        q = both.filter(F.col("_cr") <= n_probe).drop("_cr")
+        out = _ivf_score(c, q, k)
+        return out
     c = _ivf_assign(nn, cents, 1)
     q = _ivf_assign(_normalize(queries, id_col, vec_col), cents, n_probe)
     return _ivf_score(c, q, k)
