@@ -6,6 +6,13 @@ DuckDB at sf0.01, then compares row count, column names, and an
 order-insensitive value comparison (sorted columns, sorted rows).
 
 Usage: python3 scripts/check_correctness.py [name_substring ...]
+       python3 scripts/check_correctness.py --exclude rec_ st_
+
+Positional substrings INCLUDE-filter the registry; ``--exclude``
+substrings drop matches (applied after includes). The sf0.1 ritual
+sweep runs ``--exclude rec_node2vec rec_kge rec_als`` — the stochastic
+trainers cost ~20 min EACH at that scale and their band twins are
+scale-scoped to the sf0.01 calibration range anyway.
 """
 
 from __future__ import annotations
@@ -80,11 +87,19 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.session import get_spark
 
-    filters = sys.argv[1:]
+    argv = sys.argv[1:]
+    excludes: list[str] = []
+    if "--exclude" in argv:
+        i = argv.index("--exclude")
+        filters, excludes = argv[:i], argv[i + 1 :]
+    else:
+        filters = argv
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if filters:
         qs = {k: v for k, v in qs.items() if any(f in k for f in filters)}
+    if excludes:
+        qs = {k: v for k, v in qs.items() if not any(e in k for e in excludes)}
 
     spark = get_spark("correctness")
     con = duck_conn()
