@@ -93,6 +93,7 @@ HEADLINE = [
     "a15_value_percentiles",
     "a18_sketch_distinct_band",
     "a19_cube_profile",
+    "a20_heavy_hitters",
     "ev17_quantile_sketch_band",
     "ev1_hourly_rollup",
     "ev2_sessionize",

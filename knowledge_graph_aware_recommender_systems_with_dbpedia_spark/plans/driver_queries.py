@@ -6768,6 +6768,39 @@ FROM e GROUP BY event_type
 """
 
 
+def a20_heavy_hitters(spark, sf_dir):
+    """Vocabulary-head heavy hitters over the corpus token stream:
+    every token holding >= 1/200 of all token occurrences, via the
+    Misra-Gries SKETCH-PROPOSE / EXACT-VERIFY two-phase
+    (operators/sketches.py). The propose pass is one mapInPandas scan
+    with O(capacity) state per partition (mergeable-summaries no-miss
+    guarantee, capacity 400 >= k); the verify shuffle carries ONLY
+    candidate-token rows — at 100 TB the full token->count shuffle of
+    a9's shape never happens, yet the output is EXACT (integer cutoff
+    n*200 >= N), so it hash-checks against the plain GROUP BY oracle.
+    Scale extension; no reference counterpart."""
+    from ..operators.sketches import heavy_hitters
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    hh = heavy_hitters(toks, "term", k=200)
+    return hh.select(
+        "term",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+    )
+
+
+A20_SQL = f"""
+WITH t AS (SELECT unnest({TOKS_SQL}) AS term FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+SELECT term, CAST(count(*) AS BIGINT) AS n, (SELECT n_total FROM n) AS n_total
+FROM t GROUP BY term
+HAVING count(*) * 200 >= (SELECT n_total FROM n)
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6938,6 +6971,7 @@ QUERIES = {
     "a17_ewma_daily": a17_ewma_daily,
     "a18_sketch_distinct_band": a18_sketch_distinct_band,
     "a19_cube_profile": a19_cube_profile,
+    "a20_heavy_hitters": a20_heavy_hitters,
     "ev17_quantile_sketch_band": ev17_quantile_sketch_band,
     "u4_intersect_audiences": u4_intersect_audiences,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
@@ -7130,7 +7164,7 @@ _R07_WINDOW = [
     "g3_graph_summary",
     "g4_kcore_user",
     "g5_relabel",
-    "g6_walks",
+    "a20_heavy_hitters",
 ]
 assert len(_R07_WINDOW) == 50 and len(set(_R07_WINDOW)) == 50
 QUERIES = {
@@ -7299,6 +7333,7 @@ ORACLES = {
     "a17_ewma_daily": A17_SQL,
     "a18_sketch_distinct_band": A18_SQL,
     "a19_cube_profile": A19_SQL,
+    "a20_heavy_hitters": A20_SQL,
     "ev17_quantile_sketch_band": EV17_SQL,
     "u4_intersect_audiences": U4_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and
