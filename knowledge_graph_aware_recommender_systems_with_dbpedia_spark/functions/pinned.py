@@ -52,8 +52,15 @@ def log2_int_pinned(col: Column) -> Column:
 
 def log2_int_pinned_sql(expr: str) -> str:
     """DuckDB/ANSI text twin of :func:`log2_int_pinned` — identical
-    literal table (same ``repr`` strings), identical fallback."""
+    literal table (same ``repr`` strings), identical fallback.
+
+    Literals go through ``CAST('<repr>' AS DOUBLE)``: a BARE decimal
+    literal in DuckDB is typed DECIMAL first and converted to DOUBLE
+    second — a double-rounding that flips the last bit for some
+    17-digit reprs (log2(15) caught by tests/test_pinned.py). The
+    string→double parse is correctly rounded, matching
+    ``Double.parseDouble`` bit for bit."""
     whens = " ".join(
-        f"WHEN {n} THEN {v!r}" for n, v in _LOG2_TABLE.items()
+        f"WHEN {n} THEN CAST('{v!r}' AS DOUBLE)" for n, v in _LOG2_TABLE.items()
     )
     return f"(CASE CAST({expr} AS BIGINT) {whens} ELSE log2({expr}) END)"
