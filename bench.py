@@ -108,6 +108,10 @@ HEADLINE = [
     "ev14_transition_matrix",
     "ev16_rfm_segments",
     "ss8_knn_join",
+    "dq1_expectations",
+    "dq2_snapshot_diff",
+    "sp11_negative_sampling",
+    "j9_bloom_prefilter",
     "st1_stream_hourly_rollup",
     "st9_stream_static_enrich",
 ]

@@ -1,0 +1,77 @@
+"""Per-user negative sampling for recommender / contrastive training.
+
+Greenfield scale extension (no reference counterpart, but the direct
+training-data complement of the reference's positive-only ratings
+pipeline: every pairwise/BPR-style trainer consumes (user, pos, neg)
+triples). The naive spelling — ``users x catalog`` cross join, anti-join
+the positives, sample k — is O(|U| * |I|) and dead at 100 TB.
+
+:func:`sample_negatives` instead proposes a CONSTANT number of
+candidates per user (``n_proposals``), so total work is O(|U| *
+n_proposals + |I|):
+
+ * the item catalog gets contiguous dense ids once (the two-pass
+   bucketed rank of operators/ids.py — no single-partition window);
+ * each (user, slot) pair maps to a candidate id via the engine-
+   portable det_hash — embarrassingly parallel, reproducible under
+   retries, and replayable in the DuckDB oracle;
+ * candidates resolve to item ids through ONE equi-join against the
+   dense-id table (broadcast while the catalog fits, shuffle join
+   beyond), positives drop via left_anti, and the final keep-k window
+   is bounded per user by n_proposals — never catalog-sized.
+
+With n_proposals a few multiples of k and positives sparse relative to
+the catalog, every user ends up with k negatives with overwhelming
+probability; under-filled users (pathologically dense raters) surface
+with fewer rows rather than silently resampling — callers can re-run
+those few with a larger n_proposals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from .ids import dense_ids
+
+
+def sample_negatives(
+    ratings: DataFrame,
+    k: int = 5,
+    n_proposals: int = 12,
+    seed: int = 11,
+) -> DataFrame:
+    """k deterministic unrated items per user from the rated catalog.
+
+    Returns ``(user_id, item_id, slot)`` — ``slot`` is the proposal
+    index that produced the negative (stable tie-break + audit trail).
+    """
+    pos = ratings.select("user_id", "item_id").distinct()
+    idx = dense_ids(pos.select("item_id").distinct(), ["item_id"], "item_idx")
+    n_items = idx.agg(F.count(F.lit(1)).alias("_n_items"))
+    users = pos.select("user_id").distinct()
+    props = (
+        users.select(
+            "user_id",
+            F.explode(F.array(*[F.lit(i) for i in range(n_proposals)])).alias("slot"),
+        )
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "user_id",
+            F.col("slot").cast("bigint").alias("slot"),
+            F.pmod(
+                H.det_hash(F.col("user_id"), F.col("slot"), seed=seed),
+                F.col("_n_items"),
+            ).alias("item_idx"),
+        )
+    )
+    cands = props.join(idx, "item_idx").select("user_id", "item_id", "slot")
+    neg = cands.join(pos, ["user_id", "item_id"], "left_anti")
+    first_slot = neg.groupBy("user_id", "item_id").agg(F.min("slot").alias("slot"))
+    w = Window.partitionBy("user_id").orderBy("slot", "item_id")
+    return (
+        first_slot.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

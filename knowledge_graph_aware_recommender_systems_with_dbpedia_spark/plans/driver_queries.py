@@ -6801,6 +6801,235 @@ HAVING count(*) * 200 >= (SELECT n_total FROM n)
 """
 
 
+def dq1_expectations(spark, sf_dir):
+    """Deequ-style data-quality verification suite
+    (operators/expectations.py): seven checks over orders —
+    completeness, exact uniqueness, set membership, regex shape, two
+    range gates, and a referential-containment check against the
+    customer dimension — compiled into ONE conditional-agg scan (+ the
+    count_distinct shuffle + one broadcast semi-join count). Every
+    metric is a q6-rounded ratio of exact BIGINT counts, so the report
+    replays bit-identically in SQL (no transcendental anywhere)."""
+    from ..operators.expectations import Check, run_expectations
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    checks = [
+        Check("orderdate_complete", "completeness", "o_orderdate", 1.0),
+        Check("orderkey_unique", "uniqueness", "o_orderkey", 1.0),
+        Check("status_in_set", "in_set", "o_orderstatus", 1.0, values=("O", "F", "P")),
+        Check("priority_shape", "matches", "o_orderpriority", 0.99, pattern="^[1-5]-"),
+        Check("price_range_wide", "between", "o_totalprice", 1.0, lo=0.0, hi=600000.0),
+        Check("price_range_tight", "between", "o_totalprice", 0.99, lo=0.0, hi=300000.0),
+        Check(
+            "custkey_referential",
+            "referential",
+            "o_custkey",
+            1.0,
+            ref_table=cust,
+            ref_column="c_custkey",
+        ),
+    ]
+    return run_expectations(spark, o, checks)
+
+
+DQ1_SQL = """
+WITH base AS (
+  SELECT count(*) AS n,
+    SUM(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS c_date,
+    count(DISTINCT o_orderkey) AS c_uniq,
+    SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS c_set,
+    SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS c_rx,
+    SUM(CASE WHEN o_totalprice BETWEEN 0 AND 600000 THEN 1 ELSE 0 END) AS c_wide,
+    SUM(CASE WHEN o_totalprice BETWEEN 0 AND 300000 THEN 1 ELSE 0 END) AS c_tight
+  FROM orders
+), ref AS (
+  SELECT count(*) AS c_ref
+  FROM orders o WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+), m AS (
+  SELECT 'orderdate_complete' AS check_name, CAST(c_date AS DOUBLE)/n AS raw,
+         CAST(1.0 AS DOUBLE) AS threshold FROM base
+  UNION ALL SELECT 'orderkey_unique', CAST(c_uniq AS DOUBLE)/n, CAST(1.0 AS DOUBLE) FROM base
+  UNION ALL SELECT 'status_in_set', CAST(c_set AS DOUBLE)/n, CAST(1.0 AS DOUBLE) FROM base
+  UNION ALL SELECT 'priority_shape', CAST(c_rx AS DOUBLE)/n, CAST(0.99 AS DOUBLE) FROM base
+  UNION ALL SELECT 'price_range_wide', CAST(c_wide AS DOUBLE)/n, CAST(1.0 AS DOUBLE) FROM base
+  UNION ALL SELECT 'price_range_tight', CAST(c_tight AS DOUBLE)/n, CAST(0.99 AS DOUBLE) FROM base
+  UNION ALL SELECT 'custkey_referential', CAST(c_ref AS DOUBLE)/(SELECT n FROM base),
+         CAST(1.0 AS DOUBLE) FROM ref
+)
+SELECT check_name AS "check",
+  floor(raw * 1000000 + 0.5) / 1000000.0 AS metric,
+  threshold,
+  floor(raw * 1000000 + 0.5) / 1000000.0 >= threshold AS passed
+FROM m
+"""
+
+
+def dq2_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation (operators/reconcile.py): two
+    deterministic versions of orders are derived by det_hash cohort —
+    5% of keys absent from the old snapshot ('added'), a disjoint 5%
+    absent from the new ('removed'), one cohort re-priced and one
+    re-prioritized ('changed') — then diffed with ONE co-partitioned
+    full-outer join; statuses and per-column drift flags compute
+    map-side post-join, and the report is a 4-row status rollup. The
+    synthetic re-price uses the half-up cents contract so both engines
+    derive bit-identical modified values."""
+    from ..operators.reconcile import snapshot_diff
+
+    base = load_table(spark, sf_dir, "orders").withColumn(
+        "_h", F.pmod(H.det_hash(F.col("o_orderkey"), seed=7), F.lit(20))
+    )
+    old = base.filter(F.col("_h") != 0)
+    new = (
+        base.filter(F.col("_h") != 1)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("_h") == 2,
+                F.floor(F.col("o_totalprice") * 110 + F.lit(0.5)) / 100,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("_h") == 3, F.lit("9-SYNTH")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    d = snapshot_diff(
+        old, new, ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice", "o_orderpriority", "o_custkey"],
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice_changed").cast("bigint")).alias("n_price"),
+        F.sum(F.col("o_orderpriority_changed").cast("bigint")).alias("n_priority"),
+        F.sum(F.col("o_orderstatus_changed").cast("bigint")).alias("n_status"),
+        F.sum(F.col("o_custkey_changed").cast("bigint")).alias("n_custkey"),
+    )
+
+
+_DQ2_HASH = H.det_hash_sql("o_orderkey", seed=7)
+DQ2_SQL = f"""
+WITH base AS (SELECT o.*, ({_DQ2_HASH}) % 20 AS _h FROM orders o),
+vold AS (SELECT * FROM base WHERE _h <> 0),
+vnew AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+    CASE WHEN _h = 2 THEN floor(o_totalprice * 110 + 0.5) / 100
+         ELSE o_totalprice END AS o_totalprice,
+    CASE WHEN _h = 3 THEN '9-SYNTH' ELSE o_orderpriority END AS o_orderpriority
+  FROM base WHERE _h <> 1
+),
+d AS (
+  SELECT
+    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+         WHEN n.o_orderkey IS NULL THEN 'removed'
+         WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+           OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+           OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+           OR (o.o_custkey IS DISTINCT FROM n.o_custkey) THEN 'changed'
+         ELSE 'unchanged' END AS status,
+    (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+       AND (o.o_totalprice IS DISTINCT FROM n.o_totalprice)) AS f_price,
+    (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+       AND (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)) AS f_priority,
+    (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+       AND (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)) AS f_status,
+    (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+       AND (o.o_custkey IS DISTINCT FROM n.o_custkey)) AS f_custkey
+  FROM vold o FULL OUTER JOIN vnew n ON o.o_orderkey = n.o_orderkey
+)
+SELECT status, count(*) AS n,
+  CAST(SUM(CASE WHEN f_price THEN 1 ELSE 0 END) AS BIGINT) AS n_price,
+  CAST(SUM(CASE WHEN f_priority THEN 1 ELSE 0 END) AS BIGINT) AS n_priority,
+  CAST(SUM(CASE WHEN f_status THEN 1 ELSE 0 END) AS BIGINT) AS n_status,
+  CAST(SUM(CASE WHEN f_custkey THEN 1 ELSE 0 END) AS BIGINT) AS n_custkey
+FROM d GROUP BY status
+"""
+
+
+def sp11_negative_sampling(spark, sf_dir):
+    """Per-user negative sampling (operators/negatives.py): 3
+    deterministic unrated items per user from 10 hash-addressed
+    proposals — O(|U|*10 + |I|), never the |U|x|I| cross join. The
+    proposal slot -> item mapping is det_hash mod catalog-size against
+    the dense-id table (two-pass bucketed rank), positives drop via
+    left_anti, and the keep-3 window is bounded per user by the
+    proposal count."""
+    from ..operators.negatives import sample_negatives
+
+    return sample_negatives(_ratings(spark, sf_dir), k=3, n_proposals=10, seed=11)
+
+
+_SP11_HASH = H.det_hash_sql("u.user_id", "CAST(s.slot AS BIGINT)", seed=11)
+SP11_SQL = f"""
+WITH ratings AS ({RATINGS_SQL}),
+pos AS (SELECT DISTINCT user_id, item_id FROM ratings),
+items AS (
+  SELECT item_id, row_number() OVER (ORDER BY item_id) - 1 AS item_idx
+  FROM (SELECT DISTINCT item_id FROM pos)
+),
+n AS (SELECT count(*) AS n_items FROM items),
+users AS (SELECT DISTINCT user_id FROM pos),
+slots AS (SELECT * FROM range(0, 10) t(slot)),
+props AS (
+  SELECT u.user_id, CAST(s.slot AS BIGINT) AS slot,
+         ({_SP11_HASH}) % (SELECT n_items FROM n) AS item_idx
+  FROM users u CROSS JOIN slots s
+),
+cands AS (SELECT p.user_id, i.item_id, p.slot FROM props p JOIN items i USING (item_idx)),
+neg AS (
+  SELECT c.* FROM cands c
+  WHERE NOT EXISTS (SELECT 1 FROM pos
+                    WHERE pos.user_id = c.user_id AND pos.item_id = c.item_id)
+),
+first_slot AS (SELECT user_id, item_id, min(slot) AS slot FROM neg GROUP BY user_id, item_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY slot, item_id) AS rn
+  FROM first_slot
+)
+SELECT user_id, item_id, slot FROM ranked WHERE rn <= 3
+"""
+
+
+def j9_bloom_prefilter(spark, sf_dir):
+    """Runtime-filter join (operators/runtime_filter.py): lineitem
+    joins the Brand#19 slice of part (selective build side) through a
+    broadcast bucket-membership pre-filter — the build side's keys
+    collapse to <= 2^16 distinct hash buckets, the probe side
+    left-semi-joins that broadcast table map-side BEFORE any probe
+    shuffle, and the exact join eliminates collisions — so the output
+    is byte-identical to the plain join (the oracle) while the probe
+    side thins by the build side's selectivity. Revenue sums exact
+    cents (the q1 rule)."""
+    from ..operators.runtime_filter import prefiltered_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#19"
+    ).select("p_partkey", "p_type")
+    j = prefiltered_join(li, p, "l_partkey", "p_partkey")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    return j.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        (F.sum(cents).cast("double") / 100).alias("revenue"),
+    )
+
+
+J9_SQL = """
+SELECT p_type, count(*) AS n,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#19'
+GROUP BY p_type
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6974,6 +7203,10 @@ QUERIES = {
     "a20_heavy_hitters": a20_heavy_hitters,
     "ev17_quantile_sketch_band": ev17_quantile_sketch_band,
     "u4_intersect_audiences": u4_intersect_audiences,
+    "dq1_expectations": dq1_expectations,
+    "dq2_snapshot_diff": dq2_snapshot_diff,
+    "sp11_negative_sampling": sp11_negative_sampling,
+    "j9_bloom_prefilter": j9_bloom_prefilter,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
     "rec_node2vec_band": rec_node2vec_band,
     "rec_als_band": rec_als_band,
@@ -7336,6 +7569,10 @@ ORACLES = {
     "a20_heavy_hitters": A20_SQL,
     "ev17_quantile_sketch_band": EV17_SQL,
     "u4_intersect_audiences": U4_SQL,
+    "dq1_expectations": DQ1_SQL,
+    "dq2_snapshot_diff": DQ2_SQL,
+    "sp11_negative_sampling": SP11_SQL,
+    "j9_bloom_prefilter": J9_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and
     # band booleans; a hash match means the stochastic path is
     # semantically healthy (see _stochastic_band_check)

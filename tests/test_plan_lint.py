@@ -65,6 +65,10 @@ ALLOWED = {
     "ev16_rfm_segments": 3,
     "q11_important_parts": 1,   # 1-row grand-total threshold (broadcast)
     "a16_distinct_users": 1,    # final 1-row overall-reach distinct
+    "a20_heavy_hitters": 1,     # 1-row corpus-total scalar for the exact cutoff (broadcast)
+    # 1-row catalog-count scalar (broadcast) + dense_ids' window over
+    # the n_buckets-row bucket-count table (~32 rows, not the catalog)
+    "sp11_negative_sampling": 2,
 }
 
 
@@ -163,6 +167,10 @@ NLJ_ALLOWED = {
     "q11_important_parts": 2,
     "q22_dormant_customers": 2,
     "ev16_rfm_segments": 6,
+    # 1-row corpus-total scalar broadcast back for the exact cutoff
+    "a20_heavy_hitters": 2,
+    # 1-row catalog-count scalar broadcast onto the proposal frame
+    "sp11_negative_sampling": 2,
 }
 
 

@@ -1,0 +1,186 @@
+"""Unit tests for the pipeline-gate operators: expectations (dq1),
+snapshot_diff (dq2), sample_negatives (sp11), prefiltered_join (j9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.expectations import Check, run_expectations
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.negatives import sample_negatives
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.reconcile import snapshot_diff
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.runtime_filter import prefiltered_join
+
+
+# ------------------------------------------------------------------ dq1
+
+
+def _report(spark, df, checks):
+    rows = run_expectations(spark, df, checks).collect()
+    return {r["check"]: (r["metric"], r["passed"]) for r in rows}
+
+
+def test_expectations_metrics_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (3, "a", -5.0)],
+        "id bigint, tag string, val double",
+    )
+    rep = _report(
+        spark,
+        df,
+        [
+            Check("tag_complete", "completeness", "tag", 0.9),
+            Check("id_unique", "uniqueness", "id", 1.0),
+            Check("tag_in_set", "in_set", "tag", 0.5, values=("a", "b")),
+            Check("val_range", "between", "val", 1.0, lo=0.0, hi=100.0),
+        ],
+    )
+    assert rep["tag_complete"] == (0.75, False)
+    assert rep["id_unique"] == (0.75, False)  # 3 distinct / 4 rows
+    assert rep["tag_in_set"] == (0.75, True)  # null fails membership
+    assert rep["val_range"] == (0.75, False)
+
+
+def test_expectations_referential_and_regex(spark):
+    fact = spark.createDataFrame([(1,), (2,), (9,)], "fk bigint").withColumn(
+        "code", F.concat(F.lit("X-"), F.col("fk"))
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    rep = _report(
+        spark,
+        fact,
+        [
+            Check("fk_ref", "referential", "fk", 1.0, ref_table=dim, ref_column="pk"),
+            Check("code_shape", "matches", "code", 0.5, pattern="^X-[0-9]$"),
+        ],
+    )
+    assert rep["fk_ref"][0] == pytest.approx(2 / 3, abs=1e-6)
+    assert rep["fk_ref"][1] is False
+    assert rep["code_shape"] == (1.0, True)
+
+
+def test_expectations_unknown_kind_raises(spark):
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError):
+        run_expectations(spark, df, [Check("bad", "entropy", "id", 1.0)])
+
+
+def test_expectations_empty_input_all_zero(spark):
+    df = spark.createDataFrame([], "id bigint")
+    rep = _report(spark, df, [Check("c", "completeness", "id", 0.5)])
+    assert rep["c"] == (0.0, False)
+
+
+# ------------------------------------------------------------------ dq2
+
+
+def test_snapshot_diff_statuses_and_flags(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, "c", None), (5, "e", 5.0)],
+        "k bigint, s string, v double",
+    )
+    rows = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert rows[1]["status"] == "unchanged"
+    assert rows[2]["status"] == "changed" and rows[2]["s_changed"] and not rows[2]["v_changed"]
+    # null == null is a MATCH under null-safe equality
+    assert rows[3]["status"] == "unchanged"
+    assert rows[4]["status"] == "removed" and not rows[4]["s_changed"]
+    assert rows[5]["status"] == "added" and not rows[5]["v_changed"]
+
+
+def test_snapshot_diff_null_to_value_is_change(spark):
+    old = spark.createDataFrame([(1, None)], "k bigint, v string")
+    new = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    (r,) = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert r["status"] == "changed" and r["v_changed"]
+
+
+# ----------------------------------------------------------------- sp11
+
+
+def _toy_ratings(spark, n_users=30, n_items=40):
+    rows = [
+        (u, (u * 7 + j) % n_items, 1.0, 0)
+        for u in range(n_users)
+        for j in range(5)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id bigint, item_id bigint, rating double, ts bigint"
+    )
+
+
+def test_negatives_never_positive_and_at_most_k(spark):
+    r = _toy_ratings(spark)
+    neg = sample_negatives(r, k=4, n_proposals=12, seed=3)
+    assert neg.join(
+        r.select("user_id", "item_id").distinct(), ["user_id", "item_id"], "inner"
+    ).count() == 0
+    per_user = neg.groupBy("user_id").count().collect()
+    assert all(row["count"] <= 4 for row in per_user)
+    # sparse positives + 12 proposals: every user should fill its k
+    assert all(row["count"] == 4 for row in per_user)
+
+
+def test_negatives_deterministic_and_seed_sensitive(spark):
+    r = _toy_ratings(spark)
+    a = sorted(map(tuple, sample_negatives(r, k=3, seed=3).collect()))
+    b = sorted(map(tuple, sample_negatives(r, k=3, seed=3).collect()))
+    c = sorted(map(tuple, sample_negatives(r, k=3, seed=4).collect()))
+    assert a == b
+    assert a != c
+
+
+def test_negatives_items_come_from_catalog(spark):
+    r = _toy_ratings(spark)
+    catalog = {row["item_id"] for row in r.select("item_id").distinct().collect()}
+    assert all(
+        row["item_id"] in catalog for row in sample_negatives(r, k=3).collect()
+    )
+
+
+# ------------------------------------------------------------------- j9
+
+
+def test_prefiltered_join_matches_plain_join(spark):
+    probe = spark.createDataFrame(
+        [(i, i * 10.0) for i in range(200)], "k bigint, v double"
+    )
+    build = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 200, 7)], "bk bigint, name string"
+    )
+    got = sorted(
+        map(tuple, prefiltered_join(probe, build, "k", "bk").collect())
+    )
+    want = sorted(
+        map(tuple, probe.join(build, probe.k == build.bk).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_prefiltered_join_collisions_are_eliminated(spark):
+    # 4 buckets force heavy collisions; exact join must still be exact
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k bigint")
+    build = spark.createDataFrame([(5,), (50,)], "bk bigint")
+    got = sorted(
+        r["k"]
+        for r in prefiltered_join(probe, build, "k", "bk", n_buckets=4).collect()
+    )
+    assert got == [5, 50]
+
+
+def test_prefiltered_join_broadcasts_bucket_table(spark):
+    probe = spark.createDataFrame([(i,) for i in range(50)], "k bigint")
+    build = spark.createDataFrame([(1,)], "bk bigint")
+    plan = prefiltered_join(probe, build, "k", "bk")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prefiltered_join_rejects_unsound_join_type(spark):
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError):
+        prefiltered_join(df, df, "k", "k", how="left_outer")
