@@ -107,6 +107,7 @@ HEADLINE = [
     "ev13_resample_fill",
     "ev14_transition_matrix",
     "ev16_rfm_segments",
+    "ev18_gap_islands",
     "ss8_knn_join",
     "dq1_expectations",
     "dq2_snapshot_diff",

@@ -7030,6 +7030,62 @@ GROUP BY p_type
 """
 
 
+def ev18_gap_islands(spark, sf_dir):
+    """Gaps-and-islands: per-user consecutive-active-day streaks via
+    the day-minus-row_number grouping key (constant within each
+    unbroken run), reduced to one row per user — total active days +
+    the longest streak (earliest start breaks ties, via an exact
+    integer struct-max). Every window partitions by user_id over that
+    user's BOUNDED distinct-day series; the only fact-table pass is
+    the initial distinct — the ev11 posture."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 86400000000000").cast("bigint").alias("day")
+    )
+    days = e.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn("_grp", F.col("day") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "_grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("len"),
+            (-F.col("streak_start")).alias("_neg_start"),
+            F.col("streak_start"),
+        )
+    ).alias("_best")
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"), best
+    ).select(
+        "user_id",
+        "n_active_days",
+        F.col("_best.len").alias("best_streak_len"),
+        F.col("_best.streak_start").alias("best_streak_start"),
+    )
+
+
+EV18_SQL = """
+WITH days AS (SELECT DISTINCT user_id,
+                     CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+              FROM events),
+isl AS (SELECT user_id, day,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM days),
+streaks AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+                   min(day) AS streak_start
+            FROM isl GROUP BY 1, 2),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY len DESC, streak_start) AS rn
+           FROM streaks),
+tot AS (SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days
+        FROM streaks GROUP BY 1)
+SELECT r.user_id, t.n_active_days, r.len AS best_streak_len,
+       r.streak_start AS best_streak_start
+FROM ranked r JOIN tot t USING (user_id) WHERE rn = 1
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -7207,6 +7263,7 @@ QUERIES = {
     "dq2_snapshot_diff": dq2_snapshot_diff,
     "sp11_negative_sampling": sp11_negative_sampling,
     "j9_bloom_prefilter": j9_bloom_prefilter,
+    "ev18_gap_islands": ev18_gap_islands,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
     "rec_node2vec_band": rec_node2vec_band,
     "rec_als_band": rec_als_band,
@@ -7573,6 +7630,7 @@ ORACLES = {
     "dq2_snapshot_diff": DQ2_SQL,
     "sp11_negative_sampling": SP11_SQL,
     "j9_bloom_prefilter": J9_SQL,
+    "ev18_gap_islands": EV18_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and
     # band booleans; a hash match means the stochastic path is
     # semantically healthy (see _stochastic_band_check)

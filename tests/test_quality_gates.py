@@ -184,3 +184,122 @@ def test_prefiltered_join_rejects_unsound_join_type(spark):
     df = spark.createDataFrame([(1,)], "k bigint")
     with pytest.raises(ValueError):
         prefiltered_join(df, df, "k", "k", how="left_outer")
+
+
+# ------------------------------------------------- property-based checks
+
+
+def test_snapshot_diff_properties_vs_pandas(spark):
+    """Randomized old/new snapshots: statuses and drift flags must
+    match a pandas-computed reference, and the diff must partition the
+    key universe (every key in either side appears exactly once)."""
+    from hypothesis import given, settings, strategies as st
+
+    vals = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+    snap = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=15), vals, vals),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(old=snap, new=snap)
+    def check(old, new):
+        schema = "k bigint, x bigint, y bigint"
+        o = spark.createDataFrame(old, schema) if old else spark.createDataFrame([], schema)
+        n = spark.createDataFrame(new, schema) if new else spark.createDataFrame([], schema)
+        got = {
+            r["k"]: (r["status"], r["x_changed"], r["y_changed"])
+            for r in snapshot_diff(o, n, ["k"], ["x", "y"]).collect()
+        }
+        om, nm = {t[0]: t[1:] for t in old}, {t[0]: t[1:] for t in new}
+        assert set(got) == set(om) | set(nm)
+        for k, (status, fx, fy) in got.items():
+            if k not in om:
+                assert status == "added" and not fx and not fy
+            elif k not in nm:
+                assert status == "removed" and not fx and not fy
+            else:
+                ex = om[k][0] != nm[k][0]
+                ey = om[k][1] != nm[k][1]
+                assert (fx, fy) == (ex, ey)
+                assert status == ("changed" if ex or ey else "unchanged")
+
+    check()
+
+
+def test_expectations_row_level_metrics_vs_python(spark):
+    """Randomized frames: the compiled one-pass metrics must equal the
+    per-row Python evaluation of the same predicates."""
+    from hypothesis import given, settings, strategies as st
+
+    rows = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "zz"])),
+            st.one_of(st.none(), st.floats(min_value=-5, max_value=15, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(data=rows)
+    def check(data):
+        df = spark.createDataFrame(data, "id bigint, tag string, val double")
+        rep = _report(
+            spark,
+            df,
+            [
+                Check("c", "completeness", "tag", 0.5),
+                Check("u", "uniqueness", "id", 0.5),
+                Check("s", "in_set", "tag", 0.5, values=("a", "b")),
+                Check("r", "between", "val", 0.5, lo=0.0, hi=10.0),
+            ],
+        )
+        n = len(data)
+        exp = {
+            "c": sum(1 for t in data if t[1] is not None) / n,
+            "u": len({t[0] for t in data}) / n,
+            "s": sum(1 for t in data if t[1] in ("a", "b")) / n,
+            "r": sum(1 for t in data if t[2] is not None and 0.0 <= t[2] <= 10.0) / n,
+        }
+        for k, want in exp.items():
+            assert rep[k][0] == pytest.approx(want, abs=1e-6), k
+            assert rep[k][1] == (rep[k][0] >= 0.5)
+
+    check()
+
+
+def test_negatives_invariants_random_graphs(spark):
+    """Randomized rating graphs: negatives are never positives, come
+    from the rated catalog, respect k, and are repartition-invariant."""
+    from hypothesis import given, settings, strategies as st
+
+    edges = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=12)),
+        min_size=3,
+        max_size=40,
+    )
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(pairs=edges, k=st.integers(min_value=1, max_value=4))
+    def check(pairs, k):
+        df = spark.createDataFrame(
+            [(u, i, 1.0, 0) for u, i in pairs],
+            "user_id bigint, item_id bigint, rating double, ts bigint",
+        )
+        neg = sample_negatives(df, k=k, n_proposals=8, seed=5).collect()
+        pos = set(pairs)
+        catalog = {i for _, i in pairs}
+        per_user: dict = {}
+        for r in neg:
+            assert (r["user_id"], r["item_id"]) not in pos
+            assert r["item_id"] in catalog
+            per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
+        assert all(v <= k for v in per_user.values())
+        again = sample_negatives(df.repartition(7), k=k, n_proposals=8, seed=5).collect()
+        assert sorted(map(tuple, neg)) == sorted(map(tuple, again))
+
+    check()
