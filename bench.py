@@ -115,6 +115,7 @@ HEADLINE = [
     "j9_bloom_prefilter",
     "st1_stream_hourly_rollup",
     "st9_stream_static_enrich",
+    "st11_stream_quality_gate",
 ]
 
 

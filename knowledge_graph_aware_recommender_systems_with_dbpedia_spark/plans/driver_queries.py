@@ -7086,6 +7086,68 @@ FROM ranked r JOIN tot t USING (user_id) WHERE rn = 1
 """
 
 
+def st11_stream_quality_gate(spark, sf_dir):
+    """Streaming quality gate (streaming/quality.py): the corpus
+    ingests as a 2-file availableNow stream (maxFilesPerTrigger=1 =>
+    two micro-batches); each batch appends its one-pass conditional
+    counter rows to a metrics log via foreachBatch, and the corpus
+    report folds the log with exact integer sums — bit-identical to
+    running dq1's suite on the whole corpus in batch, however ingest
+    was batched (counters are mergeable; the oracle IS the batch
+    computation)."""
+    import tempfile
+
+    from ..operators.expectations import Check
+    from ..streaming import quality as SQ
+
+    docs = load_table(spark, sf_dir, "documents")
+    in_dir = tempfile.mkdtemp(prefix="st11_in_")
+    met_dir = tempfile.mkdtemp(prefix="st11_met_")
+    ck_dir = tempfile.mkdtemp(prefix="st11_ck_")
+    docs.repartitionByRange(2, "doc_id").write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(in_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    checks = _st11_checks(Check)
+    SQ.quality_gate_stream(stream, checks, met_dir, ck_dir).awaitTermination()
+    return SQ.corpus_metrics(spark, met_dir, checks)
+
+
+def _st11_checks(Check):
+    return [
+        Check("lang_complete", "completeness", "lang", 1.0),
+        Check("lang_known", "in_set", "lang", 0.9,
+              values=("en", "de", "fr", "es", "zh")),
+        Check("len_band", "between", "n_chars", 0.9, lo=50.0, hi=1000.0),
+        Check("source_shape", "matches", "source", 1.0, pattern="^src[0-9]+$"),
+    ]
+
+
+ST11_SQL = """
+WITH base AS (
+  SELECT count(*) AS n,
+    SUM(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS c_lang,
+    SUM(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS c_set,
+    SUM(CASE WHEN n_chars BETWEEN 50 AND 1000 THEN 1 ELSE 0 END) AS c_len,
+    SUM(CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS c_src
+  FROM documents
+), m AS (
+  SELECT 'lang_complete' AS check_name, CAST(c_lang AS DOUBLE)/n AS raw,
+         CAST(1.0 AS DOUBLE) AS threshold FROM base
+  UNION ALL SELECT 'lang_known', CAST(c_set AS DOUBLE)/n, CAST(0.9 AS DOUBLE) FROM base
+  UNION ALL SELECT 'len_band', CAST(c_len AS DOUBLE)/n, CAST(0.9 AS DOUBLE) FROM base
+  UNION ALL SELECT 'source_shape', CAST(c_src AS DOUBLE)/n, CAST(1.0 AS DOUBLE) FROM base
+)
+SELECT check_name AS "check",
+  floor(raw * 1000000 + 0.5) / 1000000.0 AS metric,
+  threshold,
+  floor(raw * 1000000 + 0.5) / 1000000.0 >= threshold AS passed
+FROM m
+"""
+
+
 QUERIES = {
     # --- core projections / joins (1-10)
     "q1_pricing_summary": q1_pricing_summary,
@@ -7264,6 +7326,7 @@ QUERIES = {
     "sp11_negative_sampling": sp11_negative_sampling,
     "j9_bloom_prefilter": j9_bloom_prefilter,
     "ev18_gap_islands": ev18_gap_islands,
+    "st11_stream_quality_gate": st11_stream_quality_gate,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
     "rec_node2vec_band": rec_node2vec_band,
     "rec_als_band": rec_als_band,
@@ -7631,6 +7694,7 @@ ORACLES = {
     "sp11_negative_sampling": SP11_SQL,
     "j9_bloom_prefilter": J9_SQL,
     "ev18_gap_islands": EV18_SQL,
+    "st11_stream_quality_gate": ST11_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and
     # band booleans; a hash match means the stochastic path is
     # semantically healthy (see _stochastic_band_check)

@@ -1,0 +1,101 @@
+"""Streaming quality gate — dq1's expectation suite at ingest time.
+
+Greenfield scale extension: a production firehose is gated the same
+way a batch corpus is (operators/expectations.py), but the metrics
+must be computed INCREMENTALLY — you can't re-scan yesterday's 100 TB
+to score today's batch. The trick is that every row-level expectation
+metric is a ratio of two mergeable counters (good rows / total rows),
+so each micro-batch contributes one tiny ``(batch_id, check, good,
+total)`` row set, computed map-side inside the batch, and the
+corpus-level metric is an exact SUM over the metric log — identical
+to what the batch suite computes on the union of all batches,
+regardless of how ingest was batched (batching-invariance is asserted
+by the st11 oracle and test_streaming parity).
+
+Non-mergeable checks are deliberately out of scope here: exact
+uniqueness needs the st6 state-store dedup posture, and referential
+containment needs the st9 broadcast-dim enrich — both exist as their
+own streaming operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.expectations import Check, _row_level_flag
+
+ROW_LEVEL_KINDS = ("completeness", "in_set", "matches", "between")
+
+
+def batch_check_counts(batch: DataFrame, checks: list[Check]) -> DataFrame:
+    """One-pass conditional-agg of a batch -> long-format counter rows
+    ``(check, good, total)`` (one row per check, computed map-side)."""
+    for c in checks:
+        if c.kind not in ROW_LEVEL_KINDS:
+            raise ValueError(
+                f"check {c.name!r}: kind {c.kind!r} is not mergeable per-batch"
+            )
+    agg = batch.agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[
+            F.sum(F.when(_row_level_flag(c), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_g{i}")
+            for i, c in enumerate(checks)
+        ],
+    )
+    stacked = ", ".join(
+        f"'{c.name}', _g{i}" for i, c in enumerate(checks)
+    )
+    return agg.select(
+        F.expr(f"stack({len(checks)}, {stacked}) AS (check, good)"),
+        F.col("_total").alias("total"),
+    )
+
+
+def quality_gate_stream(
+    docs_stream: DataFrame,
+    checks: list[Check],
+    metrics_dir: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch metrics log: every micro-batch appends its counter
+    rows (plus the batch id for audit) to ``metrics_dir``. Returns the
+    started query (availableNow drain — call ``awaitTermination``)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch_check_counts(batch, checks)
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .coalesce(1)  # #checks rows — one tiny file per batch
+            .write.mode("append")
+            .parquet(metrics_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def corpus_metrics(spark, metrics_dir: str, checks: list[Check]) -> DataFrame:
+    """Fold the metric log to corpus-level ``(check, metric, threshold,
+    passed)`` — exact integer sums, then ONE division per check (q6
+    half-up, the engine-portable contract)."""
+    log = spark.read.parquet(metrics_dir)
+    sums = log.groupBy("check").agg(
+        F.sum("good").alias("good"), F.sum("total").alias("total")
+    )
+    thr = F.create_map(
+        *[x for c in checks for x in (F.lit(c.name), F.lit(float(c.threshold)))]
+    )
+    metric = F.floor(F.col("good").cast("double") / F.col("total") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    return sums.select(
+        "check",
+        metric.alias("metric"),
+        thr[F.col("check")].alias("threshold"),
+        (metric >= thr[F.col("check")]).alias("passed"),
+    )

@@ -303,3 +303,53 @@ def test_negatives_invariants_random_graphs(spark):
         assert sorted(map(tuple, neg)) == sorted(map(tuple, again))
 
     check()
+
+
+# ------------------------------------------------------------------ st11
+
+
+def test_stream_quality_gate_batching_invariant(spark, tmp_path):
+    """The corpus-level report must be identical whether the corpus
+    ingests as one micro-batch or three — the counters are mergeable
+    integer sums (st11's contract)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import quality as SQ
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else None, 40 + i * 7) for i in range(30)],
+        "doc_id bigint, lang string, n_chars bigint",
+    )
+    checks = [
+        Check("lang_complete", "completeness", "lang", 0.9),
+        Check("len_band", "between", "n_chars", 0.5, lo=50.0, hi=150.0),
+    ]
+
+    def run(n_files, tag):
+        in_dir = str(tmp_path / f"in_{tag}")
+        met = str(tmp_path / f"met_{tag}")
+        ck = str(tmp_path / f"ck_{tag}")
+        docs.repartitionByRange(n_files, "doc_id").write.parquet(in_dir)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        SQ.quality_gate_stream(stream, checks, met, ck).awaitTermination()
+        log = spark.read.parquet(met)
+        n_batches = log.select("batch_id").distinct().count()
+        rep = sorted(map(tuple, SQ.corpus_metrics(spark, met, checks).collect()))
+        return n_batches, rep
+
+    nb1, rep1 = run(1, "one")
+    nb3, rep3 = run(3, "three")
+    assert nb1 == 1 and nb3 == 3  # the invariance claim was exercised
+    assert rep1 == rep3
+    got = {r[0]: (r[1], r[3]) for r in rep1}
+    assert got["lang_complete"] == (pytest.approx(20 / 30, abs=1e-6), False)
+
+
+def test_batch_check_counts_rejects_non_mergeable(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming.quality import batch_check_counts
+
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError):
+        batch_check_counts(df, [Check("u", "uniqueness", "id", 1.0)])
