@@ -109,6 +109,7 @@ HEADLINE = [
     "ev16_rfm_segments",
     "ev18_gap_islands",
     "ss8_knn_join",
+    "ss10_radius_search",
     "dq1_expectations",
     "dq2_snapshot_diff",
     "sp11_negative_sampling",

@@ -373,6 +373,52 @@ def ivf_topk(
     return _ivf_score(c, q, k)
 
 
+def ivf_radius(
+    emb: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (threshold) search — EVERY probed candidate with cosine
+    >= ``threshold``, not a top-k: the retrieval shape behind
+    "fetch all documents at least this similar" (RAG recall floors,
+    near-dup audits around a specific doc, label propagation by
+    similarity). Same deterministic IVF plan as :func:`ivf_topk` —
+    broadcast centroid assign, cell equi-join, exact re-score — with
+    the per-query ranking window replaced by a map-side threshold
+    filter, so the output needs NO window at all: candidates stream
+    straight through the filter. With ``n_probe == n_cells`` the probe
+    is exhaustive and the result equals the exact all-pairs threshold
+    scan (unit-asserted). Returns (query_id, neighbor_id, cosine)."""
+    nn = _normalize(emb, id_col, vec_col)
+    cents = _ivf_centroids(nn, n_cells, seed)
+    if queries is emb:
+        both = _ivf_assign(nn, cents, max(1, n_probe), keep_rank="_cr").persist()
+        c = both.filter(F.col("_cr") == 1).drop("_cr")
+        q = both.filter(F.col("_cr") <= n_probe).drop("_cr")
+    else:
+        c = _ivf_assign(nn, cents, 1)
+        q = _ivf_assign(_normalize(queries, id_col, vec_col), cents, n_probe)
+    return (
+        c.alias("c")
+        .join(
+            q.alias("q"),
+            (F.col("c.cell") == F.col("q.cell")) & (F.col("c.id") != F.col("q.id")),
+        )
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(_dot(F.col("q.v"), F.col("c.v")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,

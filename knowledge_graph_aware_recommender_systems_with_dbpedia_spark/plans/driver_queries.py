@@ -2701,6 +2701,46 @@ FROM rk WHERE rec_rank <= 5
 """
 
 
+def ss10_radius_search(spark, sf_dir):
+    """Radius (threshold) similarity search (similarity.ivf_radius):
+    all corpus vectors with cosine >= 0.25 of each query — the
+    "at-least-this-similar" retrieval shape top-k can't express. Same
+    deterministic md5-ranked IVF plan as ss2 (broadcast centroid
+    assign, cell equi-join, exact re-score) but the final ranking
+    window is replaced by a MAP-SIDE threshold filter — no window at
+    all in the output stage, so the operator scales with the candidate
+    count, not the per-query fan-in."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_radius(
+        emb, emb.filter(F.col("vec_id") < 8), threshold=0.25, n_cells=8, n_probe=3
+    )
+
+
+SS10_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+md AS (SELECT vec_id, v,
+       CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       FROM n),
+cent0 AS (SELECT vec_id, v, h FROM md ORDER BY h, vec_id LIMIT 8),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cell, v AS cv FROM cent0),
+ca AS (SELECT m.vec_id, m.v, c.cell, list_dot_product(m.v, c.cv) AS sim
+       FROM n m CROSS JOIN cents c),
+cr AS (SELECT vec_id, v, cell,
+       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ca),
+corpus AS (SELECT vec_id, v, cell FROM cr WHERE rn = 1),
+qa AS (SELECT vec_id, v, cell FROM cr WHERE rn <= 3 AND vec_id < 8),
+s AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      round(list_dot_product(q.v, c.v), 6) AS cosine
+      FROM corpus c JOIN qa q ON c.cell = q.cell AND c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, cosine FROM s WHERE cosine >= 0.25
+"""
+
+
 def ss5_pq_topk(spark, sf_dir):
     """Product-quantization ADC ANN (similarity.pq_topk): corpus
     compresses to 4 codes/vector against an md5-ranked 16-codeword
@@ -7327,6 +7367,7 @@ QUERIES = {
     "j9_bloom_prefilter": j9_bloom_prefilter,
     "ev18_gap_islands": ev18_gap_islands,
     "st11_stream_quality_gate": st11_stream_quality_gate,
+    "ss10_radius_search": ss10_radius_search,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
     "rec_node2vec_band": rec_node2vec_band,
     "rec_als_band": rec_als_band,
@@ -7695,6 +7736,7 @@ ORACLES = {
     "j9_bloom_prefilter": J9_SQL,
     "ev18_gap_islands": EV18_SQL,
     "st11_stream_quality_gate": ST11_SQL,
+    "ss10_radius_search": SS10_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and
     # band booleans; a hash match means the stochastic path is
     # semantically healthy (see _stochastic_band_check)

@@ -734,3 +734,65 @@ def test_ivf_index_append_matches_full_build(spark, tmp_path):
         for r in SIM.ivf_topk_from_index(spark, full, q, k=4, n_probe=2).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ivf_radius_full_probe_equals_brute_force(spark):
+    """With n_probe == n_cells the probe is exhaustive, so radius
+    search must return EXACTLY the all-pairs threshold set (computed
+    in numpy); with fewer probes the result must be a subset of it
+    and every returned cosine must clear the threshold."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(40, 8).astype("float32")
+    mat[5] = mat[2] * 3.0 + rng.randn(8).astype("float32") * 0.05  # a near-dup pair
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 6)
+    tau = 0.5
+
+    norm = mat.astype("float64")
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    want = {
+        (qi, ni)
+        for qi in range(6)
+        for ni in range(40)
+        if ni != qi and round(sims[qi, ni], 6) >= tau
+    }
+
+    full = SIM.ivf_radius(emb, q, threshold=tau, n_cells=6, n_probe=6)
+    got = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert got == want and (2, 5) in got
+
+    part = SIM.ivf_radius(emb, q, threshold=tau, n_cells=6, n_probe=2)
+    prows = part.collect()
+    assert {(r.query_id, r.neighbor_id) for r in prows} <= want
+    assert all(r.cosine >= tau for r in prows)
+
+
+def test_ivf_radius_consistent_with_ivf_topk(spark):
+    """Same IVF params: the radius result must equal the topk result
+    (k = corpus size, i.e. unbounded) filtered to the threshold."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(30, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    tau = 0.3
+    rad = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in SIM.ivf_radius(emb, q, threshold=tau, n_cells=5, n_probe=2).collect()
+    }
+    topk = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in SIM.ivf_topk(emb, q, k=30, n_cells=5, n_probe=2).collect()
+        if r.cosine >= tau
+    }
+    assert rad == topk
