@@ -113,6 +113,7 @@ HEADLINE = [
     "dq1_expectations",
     "dq2_snapshot_diff",
     "sp11_negative_sampling",
+    "dp6_bpr_triples",
     "j9_bloom_prefilter",
     "st1_stream_hourly_rollup",
     "st9_stream_static_enrich",

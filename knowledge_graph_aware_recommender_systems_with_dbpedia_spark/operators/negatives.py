@@ -75,3 +75,42 @@ def sample_negatives(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def training_triples(
+    ratings: DataFrame,
+    k: int = 3,
+    n_proposals: int = 12,
+    seed: int = 11,
+    pos_seed: int = 13,
+) -> DataFrame:
+    """(user, pos_item, neg_item) triples — the pairwise/BPR trainer
+    input: each sampled negative pairs with a det-hash-picked positive
+    of the same user.
+
+    The positive pick indexes the user's positives by their per-user
+    item-order rank (a user-partitioned window — bounded by the user's
+    degree, never corpus-wide) with ``det_hash(user, slot, pos_seed)
+    mod degree``, so the pairing is reproducible under retries and
+    replayable in SQL. Every join/window keys on user_id — one shuffle
+    key end to end.
+    """
+    pos = ratings.select("user_id", "item_id").distinct()
+    wp = Window.partitionBy("user_id").orderBy("item_id")
+    pos_idx = pos.withColumn("_pidx", F.row_number().over(wp) - 1).select(
+        "user_id", F.col("item_id").alias("pos_item"), "_pidx"
+    )
+    deg = pos.groupBy("user_id").agg(F.count(F.lit(1)).alias("_deg"))
+    neg = sample_negatives(ratings, k=k, n_proposals=n_proposals, seed=seed).select(
+        "user_id", F.col("item_id").alias("neg_item"), "slot"
+    )
+    picked = neg.join(deg, "user_id").withColumn(
+        "_pidx",
+        F.pmod(
+            H.det_hash(F.col("user_id"), F.col("slot"), seed=pos_seed),
+            F.col("_deg"),
+        ),
+    )
+    return picked.join(pos_idx, ["user_id", "_pidx"]).select(
+        "user_id", "pos_item", "neg_item", "slot"
+    )

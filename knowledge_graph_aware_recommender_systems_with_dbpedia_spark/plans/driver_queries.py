@@ -7003,7 +7003,7 @@ def sp11_negative_sampling(spark, sf_dir):
 
 
 _SP11_HASH = H.det_hash_sql("u.user_id", "CAST(s.slot AS BIGINT)", seed=11)
-SP11_SQL = f"""
+_SP11_CTES = f"""
 WITH ratings AS ({RATINGS_SQL}),
 pos AS (SELECT DISTINCT user_id, item_id FROM ratings),
 items AS (
@@ -7028,8 +7028,39 @@ first_slot AS (SELECT user_id, item_id, min(slot) AS slot FROM neg GROUP BY user
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY slot, item_id) AS rn
   FROM first_slot
-)
+)"""
+SP11_SQL = f"""{_SP11_CTES}
 SELECT user_id, item_id, slot FROM ranked WHERE rn <= 3
+"""
+
+
+def dp6_bpr_triples(spark, sf_dir):
+    """(user, pos, neg) BPR training triples (negatives.training_
+    triples): sp11's constant-proposal negatives, each paired with a
+    det-hash-picked positive of the same user — the pairwise-trainer
+    input tensor. The positive pick indexes the user's positives by
+    per-user item-order rank (user-partitioned window, bounded by the
+    user's degree); every join/window keys on user_id, one shuffle key
+    end to end."""
+    from ..operators.negatives import training_triples
+
+    return training_triples(
+        _ratings(spark, sf_dir), k=3, n_proposals=10, seed=11, pos_seed=13
+    )
+
+
+_DP6_POS_HASH = H.det_hash_sql("ng.user_id", "ng.slot", seed=13)
+DP6_SQL = f"""{_SP11_CTES},
+negsel AS (SELECT user_id, item_id, slot FROM ranked WHERE rn <= 3),
+pos_idx AS (SELECT user_id, item_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY item_id) - 1 AS pidx
+            FROM pos),
+deg AS (SELECT user_id, count(*) AS deg FROM pos GROUP BY 1),
+picked AS (SELECT ng.user_id, ng.item_id AS neg_item, ng.slot,
+                  ({_DP6_POS_HASH}) % d.deg AS pidx
+           FROM negsel ng JOIN deg d USING (user_id))
+SELECT p.user_id, x.item_id AS pos_item, p.neg_item, p.slot
+FROM picked p JOIN pos_idx x ON p.user_id = x.user_id AND p.pidx = x.pidx
 """
 
 
@@ -7368,6 +7399,7 @@ QUERIES = {
     "ev18_gap_islands": ev18_gap_islands,
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "ss10_radius_search": ss10_radius_search,
+    "dp6_bpr_triples": dp6_bpr_triples,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
     "rec_node2vec_band": rec_node2vec_band,
     "rec_als_band": rec_als_band,
@@ -7737,6 +7769,7 @@ ORACLES = {
     "ev18_gap_islands": EV18_SQL,
     "st11_stream_quality_gate": ST11_SQL,
     "ss10_radius_search": SS10_SQL,
+    "dp6_bpr_triples": DP6_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and
     # band booleans; a hash match means the stochastic path is
     # semantically healthy (see _stochastic_band_check)

@@ -38,6 +38,11 @@ REPRESENTATIVE = [
     "ev16_rfm_segments",         # broadcast-quantile bucketing
     "ss2_ann_ivf_topk",          # IVF ANN
     "pk1_pack_sequences",        # bucketed packing
+    "dq2_snapshot_diff",         # co-partitioned full-outer reconcile
+    "sp11_negative_sampling",    # constant-proposal negatives
+    "ss10_radius_search",        # IVF threshold retrieval
+    "ev18_gap_islands",          # per-user streak windows
+    "a20_heavy_hitters",         # MG sketch-propose / exact-verify
 ]
 
 

@@ -69,6 +69,7 @@ ALLOWED = {
     # 1-row catalog-count scalar (broadcast) + dense_ids' window over
     # the n_buckets-row bucket-count table (~32 rows, not the catalog)
     "sp11_negative_sampling": 2,
+    "dp6_bpr_triples": 2,       # inherits sp11's two bounded 1Ps
 }
 
 
@@ -172,6 +173,7 @@ NLJ_ALLOWED = {
     "a20_heavy_hitters": 2,
     # 1-row catalog-count scalar broadcast onto the proposal frame
     "sp11_negative_sampling": 2,
+    "dp6_bpr_triples": 2,       # same scalar, via the sp11 stage
 }
 
 

@@ -353,3 +353,21 @@ def test_batch_check_counts_rejects_non_mergeable(spark):
     df = spark.createDataFrame([(1,)], "id bigint")
     with pytest.raises(ValueError):
         batch_check_counts(df, [Check("u", "uniqueness", "id", 1.0)])
+
+
+# ------------------------------------------------------------------ dp6
+
+
+def test_training_triples_invariants(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.negatives import training_triples
+
+    r = _toy_ratings(spark)
+    pos = {(row["user_id"], row["item_id"]) for row in r.collect()}
+    rows = training_triples(r, k=3, n_proposals=10, seed=5, pos_seed=9).collect()
+    assert rows
+    for t in rows:
+        assert (t["user_id"], t["pos_item"]) in pos       # pos is rated
+        assert (t["user_id"], t["neg_item"]) not in pos   # neg is not
+        assert t["pos_item"] != t["neg_item"]
+    again = training_triples(r.repartition(5), k=3, n_proposals=10, seed=5, pos_seed=9).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
