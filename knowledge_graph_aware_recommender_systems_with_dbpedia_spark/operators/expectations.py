@@ -49,8 +49,13 @@ class Check:
     * ``referential``  — fraction whose ``column`` exists in
       ``ref_table``'s ``ref_column`` (checked via semi-join count)
 
-    ``threshold``: minimum acceptable metric; ``passed`` in the report
-    is ``metric >= threshold`` on the rounded metric.
+    ``threshold``: minimum acceptable metric. ``passed`` in the report
+    is ``metric >= threshold`` on the rounded metric — EXCEPT when
+    ``threshold >= 1.0``: an exact gate compares the raw integer counts
+    (``good == total``), because q6 rounding would otherwise let up to
+    ~5e-7 of rows violate and still "pass" (~500 bad rows in a billion
+    — fatal for an 'exactly complete' gate at scale; ADVICE r07). The
+    rounded metric stays the reported value either way.
     """
 
     name: str
@@ -100,13 +105,13 @@ def run_expectations(
     row = df.agg(*aggs).first()
     n = row["_n"]
 
-    metrics: dict[str, float] = {}
+    good: dict[str, int] = {}
     for i, c in enumerate(row_level):
-        metrics[c.name] = row[f"_rl{i}"] / n if n else 0.0
+        good[c.name] = row[f"_rl{i}"]
     for i, c in enumerate(unique):
-        metrics[c.name] = row[f"_uq{i}"] / n if n else 0.0
+        good[c.name] = row[f"_uq{i}"]
     for c in referential:
-        hit = (
+        good[c.name] = (
             df.select(F.col(c.column).alias("_k"))
             .join(
                 c.ref_table.select(F.col(c.ref_column).alias("_k")).distinct(),
@@ -115,15 +120,17 @@ def run_expectations(
             )
             .count()
         )
-        metrics[c.name] = hit / n if n else 0.0
 
     rows = []
     for c in checks:  # report preserves suite order via the name column
         # portable half-up q6 (the _q6 contract): floor(x*1e6 + 0.5)/1e6
         # is bit-identical in Python, Spark and DuckDB — Python's
         # round() is banker's and may differ at a boundary.
-        m = math.floor(metrics[c.name] * 1e6 + 0.5) / 1e6
-        rows.append((c.name, float(m), float(c.threshold), bool(m >= c.threshold)))
+        m = math.floor((good[c.name] / n if n else 0.0) * 1e6 + 0.5) / 1e6
+        # exact gates (threshold >= 1) compare integer counts, not the
+        # rounded ratio — see the Check docstring
+        ok = good[c.name] == n if c.threshold >= 1.0 else m >= c.threshold
+        rows.append((c.name, float(m), float(c.threshold), bool(ok)))
     return spark.createDataFrame(
         rows, "check string, metric double, threshold double, passed boolean"
     )

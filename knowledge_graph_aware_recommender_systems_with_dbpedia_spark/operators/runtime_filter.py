@@ -50,12 +50,31 @@ def prefiltered_join(
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"pre-filtering the probe side is unsound for how={how!r}")
+    # F.hash is type-sensitive: hash(5 as int) != hash(5 as bigint), so
+    # hashing mismatched key dtypes would silently drop true matches the
+    # exact join (with its implicit cast) would keep. Hash through a
+    # common type: equal dtypes as-is, integral families widened to
+    # bigint, anything else is refused rather than risked (ADVICE r07).
+    probe_t = dict(probe.dtypes)[probe_key]
+    build_t = dict(build.dtypes)[build_key]
+    _integral = {"tinyint", "smallint", "int", "bigint"}
+    if probe_t == build_t:
+        probe_h, build_h = F.col(probe_key), F.col(build_key)
+    elif probe_t in _integral and build_t in _integral:
+        probe_h = F.col(probe_key).cast("bigint")
+        build_h = F.col(build_key).cast("bigint")
+    else:
+        raise ValueError(
+            f"prefiltered_join key dtypes differ ({probe_key}:{probe_t} vs "
+            f"{build_key}:{build_t}) and are not both integral; cast the "
+            "keys to a common type before calling"
+        )
     buckets = (
-        build.select(F.pmod(F.hash(F.col(build_key)), F.lit(n_buckets)).alias("_rf_b"))
+        build.select(F.pmod(F.hash(build_h), F.lit(n_buckets)).alias("_rf_b"))
         .distinct()
     )
     thinned = (
-        probe.withColumn("_rf_b", F.pmod(F.hash(F.col(probe_key)), F.lit(n_buckets)))
+        probe.withColumn("_rf_b", F.pmod(F.hash(probe_h), F.lit(n_buckets)))
         .join(F.broadcast(buckets), "_rf_b", "left_semi")
         .drop("_rf_b")
     )

@@ -362,8 +362,13 @@ def ivf_topk(
         # query assignments are rank-1 / rank<=n_probe slices of ONE
         # broadcast-assign pass — at 100 TB this halves the corpus
         # scans and normalizations, locally it halves the stage count.
-        # Persisted because both slices consume it.
-        both = _ivf_assign(nn, cents, max(1, n_probe), keep_rank="_cr").persist()
+        # localCheckpoint (not persist) so both slices reuse the one
+        # materialization AND the blocks are context-cleaned when the
+        # result frame is dropped — df.persist would pin the frame in
+        # CacheManager across registry sweeps (ADVICE r07).
+        both = _ivf_assign(nn, cents, max(1, n_probe), keep_rank="_cr").localCheckpoint(
+            eager=False
+        )
         c = both.filter(F.col("_cr") == 1).drop("_cr")
         q = both.filter(F.col("_cr") <= n_probe).drop("_cr")
         out = _ivf_score(c, q, k)
@@ -397,7 +402,12 @@ def ivf_radius(
     nn = _normalize(emb, id_col, vec_col)
     cents = _ivf_centroids(nn, n_cells, seed)
     if queries is emb:
-        both = _ivf_assign(nn, cents, max(1, n_probe), keep_rank="_cr").persist()
+        # same lifecycle note as ivf_topk's fast path: localCheckpoint,
+        # not persist, so the shared assignment pass doesn't outlive the
+        # result frame in executor cache (ADVICE r07)
+        both = _ivf_assign(nn, cents, max(1, n_probe), keep_rank="_cr").localCheckpoint(
+            eager=False
+        )
         c = both.filter(F.col("_cr") == 1).drop("_cr")
         q = both.filter(F.col("_cr") <= n_probe).drop("_cr")
     else:

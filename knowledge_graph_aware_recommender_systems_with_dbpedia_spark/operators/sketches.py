@@ -87,17 +87,37 @@ def heavy_hitters(
     assert cap >= k, "capacity < k loses the Misra-Gries no-miss guarantee"
 
     keyed = df.select(F.col(key_col).alias("_hh_key"))
+    # NULL keys never enter the sketch path: in pandas they surface as
+    # None/NaN (NaN != NaN corrupts the counter dict) and a plain
+    # left_semi join is null-unsafe, so they'd silently vanish from the
+    # output even when frequent (ADVICE r07). SQL's GROUP BY treats NULL
+    # as one group, so to stay identical to the groupBy+HAVING oracle the
+    # NULL key is an UNCONDITIONAL candidate and the verify join is
+    # null-safe (<=>) — the exact phase then counts the NULL group like
+    # any other, with no extra scan of the input.
+    nonnull = keyed.filter(F.col("_hh_key").isNotNull())
     schema = keyed.schema
+    key_type = dict(keyed.dtypes)["_hh_key"]
     candidates = (
-        keyed.mapInPandas(
+        nonnull.mapInPandas(
             lambda it: _misra_gries_partition(it, cap), schema=schema
         )
         .distinct()
         .withColumnRenamed("_hh_key", key_col)
+        .unionByName(
+            df.sparkSession.range(1).select(
+                F.lit(None).cast(key_type).alias(key_col)
+            )
+        )
     )
     total = keyed.agg(F.count(F.lit(1)).alias("n_total"))
+    cand = candidates.withColumnRenamed(key_col, "_hh_cand")
     exact = (
-        df.join(F.broadcast(candidates), key_col, "left_semi")
+        df.join(
+            F.broadcast(cand),
+            F.col(key_col).eqNullSafe(F.col("_hh_cand")),
+            "left_semi",
+        )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -79,22 +79,64 @@ def _global_rank(
             sum((primary > F.lit(b)).cast("int") for b in boundaries),
             F.lit(0),
         ).cast("int")
+    if boundaries is None:
+        n_dom = n_buckets
+    elif not boundaries:
+        n_dom = 1
+    else:
+        n_dom = len(boundaries) + 1
     df = df.withColumn("_bkt", bucket)
     ordered = [o.desc() for o in order] if descending else [o.asc() for o in order]
     w = Window.partitionBy("_bkt").orderBy(*ordered)
     df = df.withColumn("_brn", F.row_number().over(w))
-    counts = df.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bc"))
-    # offsets: rows in buckets that sort BEFORE this bucket (tiny DF —
-    # one row per bucket — so its single-partition window is free)
-    off_w = (
-        Window.orderBy(F.desc("_bkt") if descending else F.asc("_bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # the <= n_dom-row count table gets a lineage barrier
+    # (localCheckpoint, lazy): it has three consumers below, and Spark
+    # 4.1's column pruning mis-binds generator/aggregate attributes
+    # across this shape (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — the same
+    # optimizer-bug family as the lambda note above). Blocks are
+    # context-cleaned when the frame is dropped.
+    counts = (
+        df.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_bc"))
+        .localCheckpoint(eager=False)
     )
-    tot_w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    offs = counts.select(
-        "_bkt",
-        F.coalesce(F.sum("_bc").over(off_w), F.lit(0)).alias("_off"),
-        F.sum("_bc").over(tot_w).alias("_n"),
+    # offsets: rows in buckets that sort BEFORE this bucket. Spelled
+    # WINDOW-FREE over the bounded bucket domain (VERDICT r07 cosmetic:
+    # the old no-partition window over this <= n_dom-row table was
+    # correct but spammed "WindowExec: No Partition Defined" on every
+    # dense-id consumer): each bucket's count is exploded to every
+    # bucket on each side of it (<= n_dom^2 tiny rows) and summed per
+    # target, giving rows-before (_off) and rows-after (_aft); the
+    # exact total is then _off + own count + _aft per bucket — NO
+    # global aggregation, no single-partition exchange, no window,
+    # and every join an equi-join on _bkt.
+    lo = F.when(F.col("_bkt") > 0, F.sequence(F.lit(0), F.col("_bkt") - 1))
+    hi = F.when(
+        F.col("_bkt") < n_dom - 1,
+        F.sequence(F.col("_bkt") + 1, F.lit(n_dom - 1)),
+    )
+    to_later, to_earlier = (lo, hi) if descending else (hi, lo)
+
+    def _fanout(targets, name):
+        return (
+            counts.select(F.explode(targets).alias("_tgt"), "_bc")
+            .groupBy("_tgt")
+            .agg(F.sum("_bc").alias(name))
+            .withColumnRenamed("_tgt", "_bkt")
+        )
+
+    offs = (
+        counts.join(_fanout(to_later, "_off"), "_bkt", "left")
+        .join(_fanout(to_earlier, "_aft"), "_bkt", "left")
+        .select(
+            "_bkt",
+            F.coalesce("_off", F.lit(0)).alias("_off"),
+            (
+                F.coalesce("_off", F.lit(0))
+                + F.col("_bc")
+                + F.coalesce("_aft", F.lit(0))
+            ).alias("_n"),
+        )
     )
     return (
         df.join(F.broadcast(offs), "_bkt")

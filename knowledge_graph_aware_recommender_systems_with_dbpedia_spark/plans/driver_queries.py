@@ -6887,20 +6887,24 @@ WITH base AS (
   SELECT count(*) AS c_ref
   FROM orders o WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 ), m AS (
-  SELECT 'orderdate_complete' AS check_name, CAST(c_date AS DOUBLE)/n AS raw,
+  SELECT 'orderdate_complete' AS check_name, c_date AS good, n,
          CAST(1.0 AS DOUBLE) AS threshold FROM base
-  UNION ALL SELECT 'orderkey_unique', CAST(c_uniq AS DOUBLE)/n, CAST(1.0 AS DOUBLE) FROM base
-  UNION ALL SELECT 'status_in_set', CAST(c_set AS DOUBLE)/n, CAST(1.0 AS DOUBLE) FROM base
-  UNION ALL SELECT 'priority_shape', CAST(c_rx AS DOUBLE)/n, CAST(0.99 AS DOUBLE) FROM base
-  UNION ALL SELECT 'price_range_wide', CAST(c_wide AS DOUBLE)/n, CAST(1.0 AS DOUBLE) FROM base
-  UNION ALL SELECT 'price_range_tight', CAST(c_tight AS DOUBLE)/n, CAST(0.99 AS DOUBLE) FROM base
-  UNION ALL SELECT 'custkey_referential', CAST(c_ref AS DOUBLE)/(SELECT n FROM base),
+  UNION ALL SELECT 'orderkey_unique', c_uniq, n, CAST(1.0 AS DOUBLE) FROM base
+  UNION ALL SELECT 'status_in_set', c_set, n, CAST(1.0 AS DOUBLE) FROM base
+  UNION ALL SELECT 'priority_shape', c_rx, n, CAST(0.99 AS DOUBLE) FROM base
+  UNION ALL SELECT 'price_range_wide', c_wide, n, CAST(1.0 AS DOUBLE) FROM base
+  UNION ALL SELECT 'price_range_tight', c_tight, n, CAST(0.99 AS DOUBLE) FROM base
+  UNION ALL SELECT 'custkey_referential', c_ref, (SELECT n FROM base),
          CAST(1.0 AS DOUBLE) FROM ref
 )
 SELECT check_name AS "check",
-  floor(raw * 1000000 + 0.5) / 1000000.0 AS metric,
+  floor(CAST(good AS DOUBLE) / n * 1000000 + 0.5) / 1000000.0 AS metric,
   threshold,
-  floor(raw * 1000000 + 0.5) / 1000000.0 >= threshold AS passed
+  -- exact gates (threshold >= 1) compare integer counts: q6 rounding
+  -- must not let ~5e-7 of violating rows pass (mirrors expectations.py)
+  CASE WHEN threshold >= 1.0 THEN good = n
+       ELSE floor(CAST(good AS DOUBLE) / n * 1000000 + 0.5) / 1000000.0 >= threshold
+  END AS passed
 FROM m
 """
 
@@ -7205,16 +7209,19 @@ WITH base AS (
     SUM(CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS c_src
   FROM documents
 ), m AS (
-  SELECT 'lang_complete' AS check_name, CAST(c_lang AS DOUBLE)/n AS raw,
+  SELECT 'lang_complete' AS check_name, c_lang AS good, n,
          CAST(1.0 AS DOUBLE) AS threshold FROM base
-  UNION ALL SELECT 'lang_known', CAST(c_set AS DOUBLE)/n, CAST(0.9 AS DOUBLE) FROM base
-  UNION ALL SELECT 'len_band', CAST(c_len AS DOUBLE)/n, CAST(0.9 AS DOUBLE) FROM base
-  UNION ALL SELECT 'source_shape', CAST(c_src AS DOUBLE)/n, CAST(1.0 AS DOUBLE) FROM base
+  UNION ALL SELECT 'lang_known', c_set, n, CAST(0.9 AS DOUBLE) FROM base
+  UNION ALL SELECT 'len_band', c_len, n, CAST(0.9 AS DOUBLE) FROM base
+  UNION ALL SELECT 'source_shape', c_src, n, CAST(1.0 AS DOUBLE) FROM base
 )
 SELECT check_name AS "check",
-  floor(raw * 1000000 + 0.5) / 1000000.0 AS metric,
+  floor(CAST(good AS DOUBLE) / n * 1000000 + 0.5) / 1000000.0 AS metric,
   threshold,
-  floor(raw * 1000000 + 0.5) / 1000000.0 >= threshold AS passed
+  -- exact gates compare integer counts (mirrors streaming/quality.py)
+  CASE WHEN threshold >= 1.0 THEN good = n
+       ELSE floor(CAST(good AS DOUBLE) / n * 1000000 + 0.5) / 1000000.0 >= threshold
+  END AS passed
 FROM m
 """
 
@@ -7593,9 +7600,77 @@ _R07_WINDOW = [
     "a20_heavy_hitters",
 ]
 assert len(_R07_WINDOW) == 50 and len(set(_R07_WINDOW)) == 50
+
+# Round-8 window (VERDICT r07 items 1 and 5): fronts the 8 queries born
+# in round 7 after _R07_WINDOW was cut (never driver-sampled — after
+# r08 cumulative driver coverage is 174/174 oracled), every query whose
+# implementation changed this round (rec_itemknn_top5 regression fix,
+# a20 null-group fix, ss8/ss10 cache-lifecycle fix, dq1/st11 exact-gate
+# rule), the three stochastic _band twins (re-sampled every round), the
+# four least-recently-sampled streaming rows, and the 22 queries last
+# sampled in r03 plus the oldest r04 rows as fill.
+_R08_WINDOW = [
+    # never driver-sampled (born post-_R07_WINDOW)
+    "dq1_expectations",
+    "dq2_snapshot_diff",
+    "sp11_negative_sampling",
+    "j9_bloom_prefilter",
+    "ev18_gap_islands",
+    "st11_stream_quality_gate",
+    "ss10_radius_search",
+    "dp6_bpr_triples",
+    # impl changed this round
+    "rec_itemknn_top5",
+    "a20_heavy_hitters",
+    "ss8_knn_join",
+    "ss2_ann_ivf_topk",
+    # stochastic band twins (every round)
+    "rec_node2vec_band",
+    "rec_als_band",
+    "rec_kge_transe_band",
+    # streaming recency (VERDICT r07 item 5)
+    "st4_stream_ingest_pipeline",
+    "st5_stream_decontaminate",
+    "st6_stream_incremental_dedup",
+    "st10_materialized_rollup",
+    # last sampled r03
+    "q1_pricing_summary",
+    "p1_typed_projection",
+    "p5_dedup_ratings",
+    "p11_binarize",
+    "p12_distinct_keys",
+    "j1_left_enrich",
+    "j4_semi_join",
+    "o2_global_sort",
+    "u1_union_distinct",
+    "g6_walks",
+    "g8_triples",
+    "sp1_random_global",
+    "sp2_random_user",
+    "sp6_kfold_global",
+    "sp9_stratified_head",
+    "rec_popularity_top5",
+    "rec_fixed_emb_top5",
+    "tx1_text_stats",
+    "pk1_pack_sequences",
+    "mm1_image_stats",
+    "st1_stream_hourly_rollup",
+    # oldest r04 fill
+    "p6_dense_ids",
+    "j3_key_reconstruction",
+    "j6_anti_join",
+    "o3_topk_per_group",
+    "di2_entity_link",
+    "rec_kgsim_top5",
+    "e6_kfold_map_popularity",
+    "g4_kcore_alternating",
+    "g7_walks_biased",
+    "g9_pagerank",
+]
+assert len(_R08_WINDOW) == 50 and len(set(_R08_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R07_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R07_WINDOW)},
+    **{k: QUERIES[k] for k in _R08_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R08_WINDOW)},
 }
 
 ORACLES = {

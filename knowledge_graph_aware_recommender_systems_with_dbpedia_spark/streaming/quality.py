@@ -54,24 +54,38 @@ def batch_check_counts(batch: DataFrame, checks: list[Check]) -> DataFrame:
     )
 
 
+def write_batch_counts(
+    batch: DataFrame, checks: list[Check], metrics_dir: str, batch_id: int
+) -> None:
+    """Idempotent per-batch metrics write: the counter rows land in the
+    deterministic hive partition ``metrics_dir/batch_id=N`` with
+    OVERWRITE, so an at-least-once retry of the same micro-batch
+    replaces its rows instead of appending a double-counted copy
+    (ADVICE r07)."""
+    (
+        batch_check_counts(batch, checks)
+        .coalesce(1)  # #checks rows — one tiny file per batch
+        .write.mode("overwrite")
+        .parquet(f"{metrics_dir}/batch_id={int(batch_id)}")
+    )
+
+
 def quality_gate_stream(
     docs_stream: DataFrame,
     checks: list[Check],
     metrics_dir: str,
     checkpoint_dir: str,
 ):
-    """foreachBatch metrics log: every micro-batch appends its counter
-    rows (plus the batch id for audit) to ``metrics_dir``. Returns the
-    started query (availableNow drain — call ``awaitTermination``)."""
+    """foreachBatch metrics log: every micro-batch writes its counter
+    rows to the deterministic partition ``metrics_dir/batch_id=N`` with
+    OVERWRITE — foreachBatch is at-least-once, so a retried batch must
+    replace its own rows, not append a second copy that corpus_metrics
+    would double-count (ADVICE r07). ``batch_id`` survives as a hive
+    partition column for audit. Returns the started query
+    (availableNow drain — call ``awaitTermination``)."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        (
-            batch_check_counts(batch, checks)
-            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-            .coalesce(1)  # #checks rows — one tiny file per batch
-            .write.mode("append")
-            .parquet(metrics_dir)
-        )
+        write_batch_counts(batch, checks, metrics_dir, batch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(process)
@@ -93,9 +107,15 @@ def corpus_metrics(spark, metrics_dir: str, checks: list[Check]) -> DataFrame:
         *[x for c in checks for x in (F.lit(c.name), F.lit(float(c.threshold)))]
     )
     metric = F.floor(F.col("good").cast("double") / F.col("total") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    threshold = thr[F.col("check")]
+    # exact gates (threshold >= 1) compare the integer sums, not the
+    # q6-rounded ratio (same rule as operators/expectations.py)
+    passed = F.when(threshold >= 1.0, F.col("good") == F.col("total")).otherwise(
+        metric >= threshold
+    )
     return sums.select(
         "check",
         metric.alias("metric"),
-        thr[F.col("check")].alias("threshold"),
-        (metric >= thr[F.col("check")]).alias("passed"),
+        threshold.alias("threshold"),
+        passed.alias("passed"),
     )

@@ -64,11 +64,20 @@ if n <= 10_000:
     LSH_GRID = [(6, 8), (12, 8), (24, 8), (12, 6), (24, 6), (48, 6), (16, 10)]
     IVF_GRID = [(8, 4), (16, 4), (16, 8), (32, 8), (32, 12), (64, 16)]
     KM_GRID = [(16, 4), (16, 8), (32, 8)]
-else:
+elif n <= 500_000:
     # cells ~ sqrt(N): candidate set per query ~ n_probe * N / n_cells
     LSH_GRID = [(12, 10), (24, 10), (24, 12), (48, 12)]
     IVF_GRID = [(64, 8), (128, 8), (128, 16), (256, 16), (256, 32)]
     KM_GRID = [(64, 8), (128, 16)]
+else:
+    # 1M tier (RECALL_SCALE v2): verify cells ~ sqrt(N) holds one more
+    # decade (sqrt(1M) = 1000) and locate where sign-LSH's candidate
+    # sets stop pruning (the all-pairs regime: planes too few for N ->
+    # every bucket is huge). Brute ground truth at this N is the
+    # expensive part; the grids stay small on purpose.
+    LSH_GRID = [(12, 12), (24, 14), (24, 16)]
+    IVF_GRID = [(256, 8), (512, 16), (1024, 16)]
+    KM_GRID = [(256, 8), (512, 16), (1024, 16), (1024, 32)]
 
 for n_tables, n_planes in LSH_GRID:
     t0 = time.time()

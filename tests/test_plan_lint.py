@@ -35,20 +35,13 @@ ALLOWED = {
     "e3_ndcg_at_5": 1,         # final 1-row metric mean
     "e4_mrr_at_5": 1,          # final 1-row metric mean
     "e5_hitrate_at_5": 1,      # final 1-row metric mean
-    # 2 final 1-row metric means (one per fold) + the shared split's
-    # bounded bucket-count window (64 rows) + the popularity candidate
-    # rank over the items-bounded pop table — all bounded by construction
-    "e6_kfold_map_popularity": 4,
+    # 2 final 1-row metric means (one per fold) + the popularity
+    # candidate rank over the items-bounded pop table. (r08: the
+    # two-pass ranks' bucket-count offsets are now window-free —
+    # splits._global_rank — so the p6/sp1/sp3/sp6/g5/j3/tx11 entries
+    # and e6's split share dropped to ZERO single-partition exchanges.)
+    "e6_kfold_map_popularity": 2,
     "tx9_mixture_weights": 1,  # 1-row pow-sum normalizer over #sources rows
-    # two-pass bucketed ranks: the ONLY single-partition window left is
-    # over the n_buckets-row bucket-count table (~32 rows, not the data)
-    "p6_dense_ids": 1,
-    "sp1_random_global": 1,
-    "sp3_temporal_global": 1,
-    "sp6_kfold_global": 1,
-    "g5_relabel": 1,
-    "j3_key_reconstruction": 1,
-    "tx11_quality_deciles": 1,  # two-pass rank: window over boundary-bucket counts (20 rows)
     "q6_forecast_revenue": 1,   # final 1-row global sum
     "ev10_funnel": 3,           # three final 1-row stage counts
     "e7_coverage_diversity": 3, # 1-row coverage + 1-row mean-ILD + their 1x1 join
@@ -66,10 +59,10 @@ ALLOWED = {
     "q11_important_parts": 1,   # 1-row grand-total threshold (broadcast)
     "a16_distinct_users": 1,    # final 1-row overall-reach distinct
     "a20_heavy_hitters": 1,     # 1-row corpus-total scalar for the exact cutoff (broadcast)
-    # 1-row catalog-count scalar (broadcast) + dense_ids' window over
-    # the n_buckets-row bucket-count table (~32 rows, not the catalog)
-    "sp11_negative_sampling": 2,
-    "dp6_bpr_triples": 2,       # inherits sp11's two bounded 1Ps
+    # 1-row catalog-count scalar (broadcast); dense_ids' bucket-count
+    # offsets are window-free as of r08 (no 1P exchange from the rank)
+    "sp11_negative_sampling": 1,
+    "dp6_bpr_triples": 1,       # inherits sp11's bounded 1P
 }
 
 

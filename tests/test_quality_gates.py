@@ -371,3 +371,84 @@ def test_training_triples_invariants(spark):
         assert t["pos_item"] != t["neg_item"]
     again = training_triples(r.repartition(5), k=3, n_proposals=10, seed=5, pos_seed=9).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_prefiltered_join_mixed_integral_key_types(spark):
+    # int vs bigint keys: the plain equi-join matches via implicit cast,
+    # so the hash pre-filter must too (F.hash is type-sensitive —
+    # ADVICE r07: hash through a common widened type).
+    probe = spark.createDataFrame([(i, f"p{i}") for i in range(20)], "k int, pv string")
+    build = spark.createDataFrame([(i * 2, f"b{i}") for i in range(8)], "bk bigint, bv string")
+    got = sorted(
+        (r["pv"], r["bv"]) for r in prefiltered_join(probe, build, "k", "bk").collect()
+    )
+    want = sorted(
+        (r["pv"], r["bv"])
+        for r in probe.join(build, probe["k"] == build["bk"]).collect()
+    )
+    assert got == want and len(got) == 8
+
+
+def test_prefiltered_join_rejects_incompatible_key_types(spark):
+    probe = spark.createDataFrame([("1",)], "k string")
+    build = spark.createDataFrame([(1,)], "bk bigint")
+    with pytest.raises(ValueError, match="dtypes differ"):
+        prefiltered_join(probe, build, "k", "bk")
+
+
+def test_expectations_exact_gate_compares_integer_counts(spark):
+    # 2,000,001 rows with ONE violator: the q6-rounded metric is 1.0
+    # (bad fraction ~5e-7 rounds away) but an exact threshold-1.0 gate
+    # must still fail — the pass rule is good == total, not the rounded
+    # ratio (ADVICE r07).
+    df = spark.range(2_000_001).select(
+        F.when(F.col("id") > 0, F.col("id")).alias("v")  # id=0 -> null
+    )
+    rep = _report(
+        spark,
+        df,
+        [
+            Check("v_exact", "completeness", "v", 1.0),
+            Check("v_soft", "completeness", "v", 0.99),
+        ],
+    )
+    assert rep["v_exact"] == (1.0, False)  # reported metric rounds to 1.0
+    assert rep["v_soft"] == (1.0, True)
+
+
+def test_stream_quality_gate_retried_batch_not_double_counted(spark, tmp_path):
+    # foreachBatch is at-least-once: replaying the same micro-batch id
+    # must leave the metrics log (and the corpus report) unchanged.
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import quality as SQ
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 4 else None) for i in range(40)],
+        "doc_id bigint, lang string",
+    )
+    checks = [Check("lang_complete", "completeness", "lang", 0.5)]
+    met = str(tmp_path / "met_retry")
+    SQ.write_batch_counts(docs, checks, met, batch_id=0)
+    once = sorted(map(tuple, SQ.corpus_metrics(spark, met, checks).collect()))
+    SQ.write_batch_counts(docs, checks, met, batch_id=0)  # the retry
+    twice = sorted(map(tuple, SQ.corpus_metrics(spark, met, checks).collect()))
+    assert once == twice
+    assert once[0][1] == pytest.approx(30 / 40, abs=1e-6)
+
+
+def test_corpus_metrics_exact_gate_integer_compare(spark, tmp_path):
+    # a fabricated log where good/total rounds to 1.0: exact gates
+    # (threshold >= 1) must compare the integer sums and fail.
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import quality as SQ
+
+    met = str(tmp_path / "met_exact")
+    spark.createDataFrame(
+        [("c_exact", 1_999_999, 2_000_000), ("c_soft", 1_999_999, 2_000_000)],
+        "check string, good bigint, total bigint",
+    ).write.parquet(met + "/batch_id=0")
+    checks = [
+        Check("c_exact", "completeness", "x", 1.0),
+        Check("c_soft", "completeness", "x", 0.99),
+    ]
+    rep = {r["check"]: (r["metric"], r["passed"]) for r in SQ.corpus_metrics(spark, met, checks).collect()}
+    assert rep["c_exact"] == (1.0, False)
+    assert rep["c_soft"] == (1.0, True)

@@ -73,3 +73,22 @@ def test_n_total_column_is_exact(zipf):
 def test_capacity_guard():
     with pytest.raises(AssertionError):
         heavy_hitters(None, "key", k=10, capacity=5)
+
+
+def test_null_keys_form_a_group_like_sql(spark):
+    # SQL GROUP BY treats NULL as one group; a frequent NULL key must
+    # therefore survive the gate exactly like any other key (nulls used
+    # to vanish: NaN keys corrupt the MG dict and a plain left_semi is
+    # null-unsafe — ADVICE r07).
+    rows = [(None,)] * 50 + [(7,)] * 40 + [(i,) for i in range(100, 160)]
+    df = spark.createDataFrame(rows, "key bigint").repartition(8)
+    got = {(r["key"], r["n"]) for r in heavy_hitters(df, "key", k=3).collect()}
+    # 150 rows, 1/3 cutoff = 50: null (50) qualifies, 7 (40) does not
+    assert got == {(None, 50)}
+
+
+def test_rare_null_keys_not_emitted(spark):
+    rows = [(None,)] * 2 + [(1,)] * 90 + [(i,) for i in range(10, 18)]
+    df = spark.createDataFrame(rows, "key bigint").repartition(4)
+    got = {r["key"] for r in heavy_hitters(df, "key", k=4).collect()}
+    assert got == {1}
