@@ -118,6 +118,7 @@ HEADLINE = [
     "st1_stream_hourly_rollup",
     "st9_stream_static_enrich",
     "st11_stream_quality_gate",
+    "st12_stream_mv_drift",
 ]
 
 

@@ -7225,6 +7225,92 @@ SELECT check_name AS "check",
 FROM m
 """
 
+# events span hour_idx 473352..474071 at every shipped sf; the st12
+# "yesterday" snapshot cuts at the range's midpoint PLUS half an hour,
+# deliberately mid-hour so the boundary hour is partially filled in
+# the old snapshot — the diff then exercises all three statuses
+# (unchanged closed hours, the changed boundary cell, added new hours)
+_ST12_CUTOFF_NS = (473712 * 3600 + 1800) * 1_000_000_000
+
+
+def st12_stream_mv_drift(spark, sf_dir):
+    """Streaming MV drift report — dq2's snapshot reconciliation over
+    st10's merge-on-read materialized view (the VERDICT r07 'complete
+    the st10 story' extension): two hourly-rollup MVs are maintained
+    incrementally (streaming/events.materialized_hourly_rollup) from
+    'yesterday's' event prefix (hour_idx < cutoff, 2 micro-batches)
+    and today's full corpus (3 micro-batches), then diffed with ONE
+    co-partitioned full-outer join (operators/reconcile.snapshot_diff)
+    into a per-status drift rollup: which hour/event-type cells
+    appeared, which cumulative aggregates moved. Both MVs are
+    batching-invariant (st10's contract), so the report is too — the
+    oracle IS the batch diff of the two rollups."""
+    import os
+    import tempfile
+
+    from ..operators.reconcile import snapshot_diff
+    from ..streaming import events as STE
+
+    e = load_table(spark, sf_dir, "events")
+    old_e = e.filter(F.col("ts_ns") < F.lit(_ST12_CUTOFF_NS))
+    dirs = {}
+    for tag, frame, n_files in (("old", old_e, 2), ("new", e, 3)):
+        in_dir = tempfile.mkdtemp(prefix=f"st12_in_{tag}_")
+        mv_dir = os.path.join(tempfile.mkdtemp(prefix=f"st12_mv_{tag}_"), "mv")
+        ck_dir = tempfile.mkdtemp(prefix=f"st12_ck_{tag}_")
+        frame.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+        STE.materialized_hourly_rollup(
+            STE.read_events_stream(spark, in_dir, max_files_per_trigger=1),
+            mv_dir,
+            ck_dir,
+        ).awaitTermination()
+        dirs[tag] = mv_dir
+    keys = ["hour_idx", "event_type"]
+    d = snapshot_diff(
+        STE.read_materialized(spark, dirs["old"], keys),
+        STE.read_materialized(spark, dirs["new"], keys),
+        keys,
+        ["n", "sum_value"],
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("n_changed").cast("bigint")).alias("n_count_moved"),
+        F.sum(F.col("sum_value_changed").cast("bigint")).alias("n_sum_moved"),
+    )
+
+
+ST12_SQL = f"""
+WITH oldr AS (
+  SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_idx, event_type,
+         count(*) AS cnt, round(SUM(value), 4) AS sum_value
+  FROM events
+  WHERE epoch_ns(ts) < {_ST12_CUTOFF_NS}
+  GROUP BY 1, 2
+), newr AS (
+  SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_idx, event_type,
+         count(*) AS cnt, round(SUM(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT
+    CASE WHEN o.cnt IS NULL THEN 'added'
+         WHEN n.cnt IS NULL THEN 'removed'
+         WHEN (o.cnt IS DISTINCT FROM n.cnt)
+           OR (o.sum_value IS DISTINCT FROM n.sum_value) THEN 'changed'
+         ELSE 'unchanged' END AS status,
+    (o.cnt IS NOT NULL AND n.cnt IS NOT NULL
+       AND (o.cnt IS DISTINCT FROM n.cnt)) AS f_cnt,
+    (o.cnt IS NOT NULL AND n.cnt IS NOT NULL
+       AND (o.sum_value IS DISTINCT FROM n.sum_value)) AS f_sum
+  FROM oldr o
+  FULL OUTER JOIN newr n
+    ON o.hour_idx = n.hour_idx AND o.event_type = n.event_type
+)
+SELECT status, count(*) AS n_keys,
+  CAST(SUM(CASE WHEN f_cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_count_moved,
+  CAST(SUM(CASE WHEN f_sum THEN 1 ELSE 0 END) AS BIGINT) AS n_sum_moved
+FROM d GROUP BY status
+"""
+
 
 QUERIES = {
     # --- core projections / joins (1-10)
@@ -7405,6 +7491,7 @@ QUERIES = {
     "j9_bloom_prefilter": j9_bloom_prefilter,
     "ev18_gap_islands": ev18_gap_islands,
     "st11_stream_quality_gate": st11_stream_quality_gate,
+    "st12_stream_mv_drift": st12_stream_mv_drift,
     "ss10_radius_search": ss10_radius_search,
     "dp6_bpr_triples": dp6_bpr_triples,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
@@ -7628,11 +7715,12 @@ _R08_WINDOW = [
     "rec_node2vec_band",
     "rec_als_band",
     "rec_kge_transe_band",
-    # streaming recency (VERDICT r07 item 5)
+    # streaming recency (VERDICT r07 item 5) + this round's new st12
     "st4_stream_ingest_pipeline",
     "st5_stream_decontaminate",
     "st6_stream_incremental_dedup",
     "st10_materialized_rollup",
+    "st12_stream_mv_drift",
     # last sampled r03
     "q1_pricing_summary",
     "p1_typed_projection",
@@ -7665,7 +7753,6 @@ _R08_WINDOW = [
     "e6_kfold_map_popularity",
     "g4_kcore_alternating",
     "g7_walks_biased",
-    "g9_pagerank",
 ]
 assert len(_R08_WINDOW) == 50 and len(set(_R08_WINDOW)) == 50
 QUERIES = {
@@ -7843,6 +7930,7 @@ ORACLES = {
     "j9_bloom_prefilter": J9_SQL,
     "ev18_gap_islands": EV18_SQL,
     "st11_stream_quality_gate": ST11_SQL,
+    "st12_stream_mv_drift": ST12_SQL,
     "ss10_radius_search": SS10_SQL,
     "dp6_bpr_triples": DP6_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and

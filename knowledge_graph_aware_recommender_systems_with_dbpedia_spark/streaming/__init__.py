@@ -7,6 +7,7 @@ from .events import (
     run_to_memory,
     sessionize,
     sliding_rollup,
+    upsert_batch,
     with_event_time,
 )
 from .dedup import (

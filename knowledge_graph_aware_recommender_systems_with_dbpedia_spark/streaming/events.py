@@ -196,12 +196,14 @@ def materialized_hourly_rollup(
     """Streaming MATERIALIZED VIEW of the hourly rollup, maintained as
     a merge-on-read parquet log (the no-lakehouse upsert pattern):
     each update-mode micro-batch carries only the keys whose
-    CUMULATIVE aggregate changed; foreachBatch appends them stamped
-    with the batch id, and :func:`read_materialized` resolves
-    latest-batch-wins per key. Appends are tiny (changed keys only, no
+    CUMULATIVE aggregate changed; :func:`upsert_batch` lands them in a
+    per-batch hive partition, and :func:`read_materialized` resolves
+    latest-batch-wins per key. Writes are tiny (changed keys only, no
     partition explosion however fine the key grain), a crash + replay
-    re-appends an identical batch that latest-wins absorbs
-    (effectively exactly-once), and compaction is the
+    OVERWRITES the same batch partition (exactly-once sink — the
+    idempotence is unit-tested, not just absorbed by latest-wins), the
+    batch partitions double as MV VERSIONS for as-of time travel
+    (:func:`read_materialized` ``asof_batch``), and compaction is the
     sources.layout.compact job run out-of-band — the same
     write-amplification trade Delta/Iceberg make, expressed with plain
     parquet.
@@ -212,14 +214,10 @@ def materialized_hourly_rollup(
     watermark so the state store evicts closed hours.
 
     Returns the StreamingQuery (caller awaits)."""
-    from pyspark.sql import functions as F
-
     agg = hourly_rollup(stream_events, watermark=watermark)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("_batch", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        upsert_batch(batch_df, out_dir, batch_id)
 
     return (
         agg.writeStream.foreachBatch(upsert)
@@ -230,21 +228,41 @@ def materialized_hourly_rollup(
     )
 
 
+def upsert_batch(batch_df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Idempotent merge-on-read upsert: the batch's changed keys land
+    in the deterministic hive partition ``out_dir/batch=N`` with
+    OVERWRITE, so an at-least-once foreachBatch retry replaces its own
+    rows instead of appending a duplicate copy. (The partition column
+    is ``batch`` — a leading underscore would make the directory
+    invisible to Spark's file index, which hides ``_*`` paths.)"""
+    batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={int(batch_id)}")
+
+
 def read_materialized(
-    spark: SparkSession, out_dir: str, key_cols: list[str]
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: list[str],
+    asof_batch: int | None = None,
 ) -> DataFrame:
     """Latest-wins reader for the merge-on-read MV log: one row per
     key, from the highest batch that touched it. The window partitions
-    by the MV key (bounded per key by #batches that updated it)."""
+    by the MV key (bounded per key by #batches that updated it).
+
+    ``asof_batch`` reads the view AS OF that batch id (time travel over
+    the version log): only partitions ``batch <= asof_batch`` are read
+    — partition-pruned at the scan, so an as-of read of version k costs
+    k+1 partition reads, never the full log."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     log = spark.read.parquet(out_dir)
-    w = Window.partitionBy(*key_cols).orderBy(F.desc("_batch"))
+    if asof_batch is not None:
+        log = log.filter(F.col("batch") <= int(asof_batch))
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("batch"))
     return (
         log.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_batch")
+        .drop("_rn", "batch")
     )
 
 

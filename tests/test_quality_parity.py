@@ -15,7 +15,7 @@ budget) and asserts the FOLD-level metrics within mean +/- 3 stds —
 the reference's own fold values span +/-1.5 stds, so 3 is a
 non-flaky fold-level envelope. The full 5-fold MEAN +/- 2 stds
 assertion is scripts/quality_parity.py; its committed result is
-tests/goldens/quality_parity_r05.json (regenerate with the script).
+tests/goldens/quality_parity_r08.json (regenerate with the script).
 """
 
 import json
@@ -109,7 +109,7 @@ def test_committed_full_run_is_in_band():
     """The committed 5-fold result (scripts/quality_parity.py output)
     asserts the actual acceptance criterion: means within +/-2 stds."""
     path = os.path.join(
-        os.path.dirname(__file__), "goldens", "quality_parity_r05.json"
+        os.path.dirname(__file__), "goldens", "quality_parity_r08.json"
     )
     with open(path) as fh:
         res = json.load(fh)
@@ -131,7 +131,7 @@ def test_committed_transe_run_in_band_and_walltime():
     bands simultaneously. The wall-clock claim stands: ~25-30 s/fold
     on CPU (local[32]) vs the reference's 23.94 s/fold on an RTX 4060."""
     path = os.path.join(
-        os.path.dirname(__file__), "goldens", "quality_parity_transe_r05.json"
+        os.path.dirname(__file__), "goldens", "quality_parity_transe_r08.json"
     )
     with open(path) as fh:
         res = json.load(fh)

@@ -477,3 +477,116 @@ def test_materialized_rollup_merge_on_read(spark, tmp_path):
     # multi-batch updates, not a single-batch degenerate)
     log = spark.read.parquet(out_dir)
     assert log.count() > len(got)
+
+
+def test_mv_upsert_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the same batch id must
+    OVERWRITE its partition, leaving the resolved view (and the raw
+    log) unchanged — st10's exactly-once sink contract."""
+    out = str(tmp_path / "mv")
+    b0 = spark.createDataFrame(
+        [(1, "click", 3, 1.5), (2, "view", 1, 0.5)],
+        "hour_idx bigint, event_type string, n bigint, sum_value double",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "click", 5, 2.5)],
+        "hour_idx bigint, event_type string, n bigint, sum_value double",
+    )
+    ST.upsert_batch(b0, out, 0)
+    ST.upsert_batch(b1, out, 1)
+    ST.upsert_batch(b1, out, 1)  # the retry
+    log_rows = spark.read.parquet(out).count()
+    assert log_rows == 3  # 2 + 1, NOT 2 + 2
+    got = {
+        (r.hour_idx, r.event_type): (r.n, r.sum_value)
+        for r in ST.read_materialized(
+            spark, out, ["hour_idx", "event_type"]
+        ).collect()
+    }
+    assert got == {(1, "click"): (5, 2.5), (2, "view"): (1, 0.5)}
+
+
+def test_mv_asof_time_travel(spark, tmp_path):
+    """asof_batch reads the MV as of an earlier version: batch
+    partitions double as a version log, partition-pruned at the scan."""
+    out = str(tmp_path / "mv")
+    schema = "hour_idx bigint, event_type string, n bigint, sum_value double"
+    ST.upsert_batch(spark.createDataFrame([(1, "click", 3, 1.5)], schema), out, 0)
+    ST.upsert_batch(spark.createDataFrame([(1, "click", 5, 2.5), (2, "view", 1, 0.5)], schema), out, 1)
+    keys = ["hour_idx", "event_type"]
+    v0 = {(r.hour_idx, r.event_type): r.n for r in ST.read_materialized(spark, out, keys, asof_batch=0).collect()}
+    v1 = {(r.hour_idx, r.event_type): r.n for r in ST.read_materialized(spark, out, keys, asof_batch=1).collect()}
+    latest = {(r.hour_idx, r.event_type): r.n for r in ST.read_materialized(spark, out, keys).collect()}
+    assert v0 == {(1, "click"): 3}
+    assert v1 == {(1, "click"): 5, (2, "view"): 1} == latest
+    # the as-of scan must be partition-pruned (reads batch<=0 only)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ST.read_materialized(spark, out, keys, asof_batch=0).explain("formatted")
+    assert "batch" in buf.getvalue()
+
+
+def test_mv_drift_matches_batch_diff(spark, tmp_path):
+    """st12's contract: the drift report between two incrementally
+    maintained MVs equals the batch diff of the two rollups, however
+    ingest was batched."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.reconcile import snapshot_diff
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    cutoff_ns = (473712 * 3600 + 1800) * 1_000_000_000  # mid-hour cut
+    keys = ["hour_idx", "event_type"]
+    mvs = {}
+    for tag, frame, n_files in (
+        ("old", ev.filter(F.col("ts_ns") < cutoff_ns), 2),
+        ("new", ev, 3),
+    ):
+        in_dir, mv_dir, ck = (
+            str(tmp_path / f"in_{tag}"),
+            str(tmp_path / f"mv_{tag}"),
+            str(tmp_path / f"ck_{tag}"),
+        )
+        frame.repartition(n_files).write.parquet(in_dir)
+        ST.materialized_hourly_rollup(
+            ST.read_events_stream(spark, in_dir, max_files_per_trigger=1),
+            mv_dir,
+            ck,
+        ).awaitTermination()
+        mvs[tag] = ST.read_materialized(spark, mv_dir, keys)
+    got = {
+        r.status: (r.n_keys, r.n_moved)
+        for r in snapshot_diff(mvs["old"], mvs["new"], keys, ["n"])
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("n_changed").cast("bigint")).alias("n_moved"),
+        )
+        .collect()
+    }
+    # batch truth: same diff over batch-computed rollups
+    def rollup(frame):
+        return frame.groupBy(
+            F.expr("ts_ns div 3600000000000").cast("bigint").alias("hour_idx"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    exp = {
+        r.status: (r.n_keys, r.n_moved)
+        for r in snapshot_diff(
+            rollup(ev.filter(F.col("ts_ns") < cutoff_ns)),
+            rollup(ev),
+            keys,
+            ["n"],
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("n_changed").cast("bigint")).alias("n_moved"),
+        )
+        .collect()
+    }
+    assert got == exp
+    assert "added" in got and got.get("removed") is None  # old is a prefix
