@@ -56,7 +56,7 @@ def test_clone_shape_is_dmsc_geometry(clone_dir):
 def test_committed_douban_run_is_in_band():
     """Acceptance: the committed full-scale 2-fold result inside the
     published ±2σ bands on both metrics."""
-    path = os.path.join(GOLDENS, "douban_parity_r05.json")
+    path = os.path.join(GOLDENS, "douban_parity_r08.json")
     with open(path) as fh:
         res = json.load(fh)
     assert res["map5_in_band"] and res["ndcg5_in_band"], res

@@ -62,7 +62,7 @@ def test_rating_csv_is_byte_identical_across_social_knobs(clone_dir):
 def test_committed_without_social_in_band():
     """Primary LastFM claim: 2-fold Node2Vec means inside the
     published ±2σ bands (MAP@5 0.21313±0.00526, nDCG@5 0.17493±0.00218)."""
-    with open(os.path.join(GOLDENS, "lastfm_parity_r04.json")) as fh:
+    with open(os.path.join(GOLDENS, "lastfm_parity_r08.json")) as fh:
         res = json.load(fh)
     assert res["map5_in_band"] and res["ndcg5_in_band"], res
 
@@ -76,9 +76,9 @@ def test_committed_with_social_direction_and_lift_scale():
     neighborhoods; rating.csv is byte-identical to the r04 clone
     (friendships are drawn after ratings), which is why the
     without-social golden needs no regeneration."""
-    with open(os.path.join(GOLDENS, "lastfm_parity_r04.json")) as fh:
+    with open(os.path.join(GOLDENS, "lastfm_parity_r08.json")) as fh:
         nosoc = json.load(fh)
-    with open(os.path.join(GOLDENS, "lastfm_parity_social_r05.json")) as fh:
+    with open(os.path.join(GOLDENS, "lastfm_parity_social_r08.json")) as fh:
         soc = json.load(fh)
     assert soc["social"] and not nosoc["social"]
     published_lift = 0.21861200813299847 - 0.2131278993976684
