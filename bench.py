@@ -110,6 +110,7 @@ HEADLINE = [
     "ev18_gap_islands",
     "ss8_knn_join",
     "ss10_radius_search",
+    "ss11_filtered_search",
     "dq1_expectations",
     "dq2_snapshot_diff",
     "sp11_negative_sampling",

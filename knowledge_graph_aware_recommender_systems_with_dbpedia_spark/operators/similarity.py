@@ -378,6 +378,40 @@ def ivf_topk(
     return _ivf_score(c, q, k)
 
 
+def ivf_filtered_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    corpus_filter,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered ANN — top-k over only the corpus rows satisfying a
+    metadata predicate (the RAG filtered-retrieval shape: "most similar
+    docs FROM these sources/languages/dates"). PRE-FILTER semantics
+    with a SHARED index: centroids come from the FULL corpus (build
+    once, reuse for every predicate — the per-predicate results stay
+    comparable and the index amortizes), while the corpus side applies
+    ``corpus_filter`` directly on the base frame, so Catalyst pushes it
+    into the parquet scan and normalization/assignment only run over
+    surviving rows. With a materialized index the same plan is a
+    partition-pruned probe + row-group predicate pushdown.
+
+    Pre-filtering trades recall for speed the standard way: a query
+    whose probed cells hold < k eligible rows returns fewer rows;
+    ``n_probe == n_cells`` is exhaustive and equals the exact filtered
+    brute force (unit-asserted). Deterministic like :func:`ivf_topk`,
+    so the oracle replays the plan."""
+    nn_full = _normalize(emb, id_col, vec_col)
+    cents = _ivf_centroids(nn_full, n_cells, seed)
+    c = _ivf_assign(_normalize(emb.filter(corpus_filter), id_col, vec_col), cents, 1)
+    q = _ivf_assign(_normalize(queries, id_col, vec_col), cents, n_probe)
+    return _ivf_score(c, q, k)
+
+
 def ivf_radius(
     emb: DataFrame,
     queries: DataFrame,

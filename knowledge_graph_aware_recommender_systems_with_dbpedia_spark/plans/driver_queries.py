@@ -2741,6 +2741,59 @@ SELECT query_id, neighbor_id, cosine FROM s WHERE cosine >= 0.25
 """
 
 
+def ss11_filtered_search(spark, sf_dir):
+    """Filtered ANN (similarity.ivf_filtered_topk): top-5 most-similar
+    corpus vectors whose metadata satisfies a predicate (even label ~
+    "retrievable sources only") — the RAG filtered-retrieval shape.
+    PRE-FILTER semantics over the SHARED full-corpus index: the
+    centroid table is built on the whole corpus (build once, reuse per
+    predicate) while the predicate applies at the corpus base scan
+    (pushed into the parquet read), so only eligible rows are
+    normalized, assigned, and scored. Deterministic md5-ranked IVF
+    like ss2, so the oracle replays the plan with the same WHERE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_filtered_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        corpus_filter=F.col("label") % 2 == 0,
+        k=5,
+        n_cells=8,
+        n_probe=3,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rec_rank"),
+        "cosine",
+    )
+
+
+SS11_SQL = """
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, label,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+md AS (SELECT vec_id, v,
+       CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       FROM n),
+cent0 AS (SELECT vec_id, v, h FROM md ORDER BY h, vec_id LIMIT 8),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cell, v AS cv FROM cent0),
+ca AS (SELECT m.vec_id, m.label, m.v, c.cell, list_dot_product(m.v, c.cv) AS sim
+       FROM n m CROSS JOIN cents c),
+cr AS (SELECT vec_id, label, v, cell,
+       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ca),
+corpus AS (SELECT vec_id, v, cell FROM cr WHERE rn = 1 AND label % 2 = 0),
+qa AS (SELECT vec_id, v, cell FROM cr WHERE rn <= 3 AND vec_id < 8),
+s AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      round(list_dot_product(q.v, c.v), 6) AS cosine
+      FROM corpus c JOIN qa q ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rec_rank FROM s)
+SELECT query_id, neighbor_id, CAST(rec_rank AS BIGINT) AS rec_rank, cosine
+FROM rk WHERE rec_rank <= 5
+"""
+
+
 def ss5_pq_topk(spark, sf_dir):
     """Product-quantization ADC ANN (similarity.pq_topk): corpus
     compresses to 4 codes/vector against an md5-ranked 16-codeword
@@ -7493,6 +7546,7 @@ QUERIES = {
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "st12_stream_mv_drift": st12_stream_mv_drift,
     "ss10_radius_search": ss10_radius_search,
+    "ss11_filtered_search": ss11_filtered_search,
     "dp6_bpr_triples": dp6_bpr_triples,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
     "rec_node2vec_band": rec_node2vec_band,
@@ -7752,7 +7806,7 @@ _R08_WINDOW = [
     "rec_kgsim_top5",
     "e6_kfold_map_popularity",
     "g4_kcore_alternating",
-    "g7_walks_biased",
+    "ss11_filtered_search",
 ]
 assert len(_R08_WINDOW) == 50 and len(set(_R08_WINDOW)) == 50
 QUERIES = {
@@ -7931,6 +7985,7 @@ ORACLES = {
     "ev18_gap_islands": EV18_SQL,
     "st11_stream_quality_gate": ST11_SQL,
     "st12_stream_mv_drift": ST12_SQL,
+    "ss11_filtered_search": SS11_SQL,
     "ss10_radius_search": SS10_SQL,
     "dp6_bpr_triples": DP6_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and

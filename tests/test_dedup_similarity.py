@@ -796,3 +796,73 @@ def test_ivf_radius_consistent_with_ivf_topk(spark):
         if r.cosine >= tau
     }
     assert rad == topk
+
+
+def test_ivf_filtered_full_probe_equals_filtered_brute_force(spark):
+    """ss11's contract: with exhaustive probes, filtered ANN returns
+    exactly the brute-force top-k over the PREDICATE-SATISFYING corpus
+    (numpy truth); with fewer probes every returned neighbor still
+    satisfies the predicate."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(40, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]], i % 3) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    pred = F.col("label") == 0
+    k = 3
+
+    norm = mat.astype("float64")
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    want = {}
+    for qi in range(5):
+        cands = sorted(
+            (
+                (-round(sims[qi, ni], 6), ni)
+                for ni in range(40)
+                if ni != qi and ni % 3 == 0
+            ),
+        )[:k]
+        want[qi] = {ni for _, ni in cands}
+
+    full = SIM.ivf_filtered_topk(emb, q, pred, k=k, n_cells=6, n_probe=6)
+    got = {}
+    for r in full.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert r.neighbor_id % 3 == 0  # predicate holds
+    assert got == want
+
+    part = SIM.ivf_filtered_topk(emb, q, pred, k=k, n_cells=6, n_probe=2)
+    for r in part.collect():
+        assert r.neighbor_id % 3 == 0
+
+
+def test_ivf_filtered_predicate_reaches_the_scan(spark, tmp_path):
+    """The corpus predicate must push into the parquet read (the
+    100 TB point of pre-filtering): PushedFilters on the corpus scan
+    mentions the metadata column."""
+    import contextlib
+    import io
+
+    p = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 3) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(p)
+    emb = spark.read.parquet(p)
+    out = SIM.ivf_filtered_topk(
+        emb, emb.filter(F.col("vec_id") < 3), F.col("label") == 0, k=2, n_cells=4, n_probe=2
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    import re
+
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("label" in ln for ln in pushed), pushed
