@@ -508,6 +508,47 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("cell").parquet(path + "/corpus")
 
 
+def build_ivf_kmeans_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> None:
+    """KMeans-centroid materialized IVF index with the SAME layout as
+    :func:`build_ivf_index` (``<path>/centroids`` + cell-partitioned
+    ``<path>/corpus``), so :func:`ivf_topk_from_index` probes it
+    unchanged. This is the production 100 TB shape: the expensive part
+    (one KMeans fit + one corpus assignment pass) runs ONCE and
+    amortizes over every query batch, each of which costs a broadcast
+    centroid assign plus a partition-pruned read of n_probe cells.
+    (Corpus cells come from the model's Euclidean argmin, query cells
+    from cosine argmax against the stored centers — on L2-normalized
+    corpora the two agree except for center-norm ties, and recall is
+    the measured contract either way.)"""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    nn = _normalize(emb, id_col, vec_col)
+    c_feat = nn.select("id", "v", array_to_vector("v").alias("features"))
+    model = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="features",
+        predictionCol="cell",
+    ).fit(c_feat)
+    corpus = model.transform(c_feat).select("id", "v", "cell")
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = emb.sparkSession.createDataFrame(centers, "cell int, cv array<double>")
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(path + "/corpus")
+
+
 def ivf_topk_from_index(
     spark,
     path: str,
