@@ -866,3 +866,38 @@ def test_ivf_filtered_predicate_reaches_the_scan(spark, tmp_path):
 
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("label" in ln for ln in pushed), pushed
+
+
+def test_kmeans_index_full_probe_equals_brute_force(spark, tmp_path):
+    """build_ivf_kmeans_index writes the build_ivf_index layout, so
+    ivf_topk_from_index probes it unchanged; with exhaustive probes
+    the result equals brute-force top-k (numpy truth)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(50, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    idx = str(tmp_path / "kmidx")
+    SIM.build_ivf_kmeans_index(emb, idx, n_cells=5, max_iter=5)
+
+    norm = mat.astype("float64")
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    k = 3
+    want = {
+        qi: {
+            ni
+            for _, ni in sorted(
+                ((-round(sims[qi, ni], 6), ni) for ni in range(50) if ni != qi)
+            )[:k]
+        }
+        for qi in range(4)
+    }
+    got = {}
+    for r in SIM.ivf_topk_from_index(spark, idx, q, k=k, n_probe=5).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert got == want

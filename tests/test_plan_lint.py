@@ -149,6 +149,7 @@ NLJ_ALLOWED = {
     "ss1_ann_cosine_topk": 2,
     "ss2_ann_ivf_topk": 4,
     "ss10_radius_search": 4,  # same two broadcast centroid-assign passes as ss2
+    "ss11_filtered_search": 4,  # same two broadcast centroid-assign passes as ss2
     "ss6_hard_negatives": 2,
     "ss8_knn_join": 4,
     "ss9_incremental_index": 4,
