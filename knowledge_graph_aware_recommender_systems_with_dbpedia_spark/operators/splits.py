@@ -89,53 +89,67 @@ def _global_rank(
     ordered = [o.desc() for o in order] if descending else [o.asc() for o in order]
     w = Window.partitionBy("_bkt").orderBy(*ordered)
     df = df.withColumn("_brn", F.row_number().over(w))
-    # the <= n_dom-row count table gets a lineage barrier
-    # (localCheckpoint, lazy): it has three consumers below, and Spark
-    # 4.1's column pruning mis-binds generator/aggregate attributes
-    # across this shape (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — the same
-    # optimizer-bug family as the lambda note above). Blocks are
-    # context-cleaned when the frame is dropped.
-    counts = (
-        df.groupBy("_bkt")
-        .agg(F.count(F.lit(1)).alias("_bc"))
-        .localCheckpoint(eager=False)
-    )
+    counts = df.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bc"))
     # offsets: rows in buckets that sort BEFORE this bucket. Spelled
     # WINDOW-FREE over the bounded bucket domain (VERDICT r07 cosmetic:
     # the old no-partition window over this <= n_dom-row table was
     # correct but spammed "WindowExec: No Partition Defined" on every
-    # dense-id consumer): each bucket's count is exploded to every
-    # bucket on each side of it (<= n_dom^2 tiny rows) and summed per
-    # target, giving rows-before (_off) and rows-after (_aft); the
-    # exact total is then _off + own count + _aft per bucket — NO
-    # global aggregation, no single-partition exchange, no window,
-    # and every join an equi-join on _bkt.
-    lo = F.when(F.col("_bkt") > 0, F.sequence(F.lit(0), F.col("_bkt") - 1))
-    hi = F.when(
-        F.col("_bkt") < n_dom - 1,
-        F.sequence(F.col("_bkt") + 1, F.lit(n_dom - 1)),
+    # dense-id consumer). Each count row (b, c) emits ONE bounded array
+    # of contribution structs — c as "rows-before" to every bucket that
+    # sorts after b, c as "rows-after" to every bucket that sorts
+    # before b, and c as "own" to b itself — and one explode + one
+    # groupBy folds them into (_bkt, _off, _n = before + own + after).
+    # Single consumer of counts (no join-back, no recompute), no
+    # window, no single-partition exchange, <= n_dom^2 + n_dom tiny
+    # rows. The array is materialized in its OWN projection before the
+    # explode: Spark 4.1's column pruning mis-binds the aggregate's
+    # attributes through a fused Generate
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — the same optimizer-bug
+    # family as the lambda note above).
+    empty = F.array().cast("array<int>")
+    lo = F.coalesce(
+        F.when(F.col("_bkt") > 0, F.sequence(F.lit(0), F.col("_bkt") - 1)),
+        empty,
+    )
+    hi = F.coalesce(
+        F.when(
+            F.col("_bkt") < n_dom - 1,
+            F.sequence(F.col("_bkt") + 1, F.lit(n_dom - 1)),
+        ),
+        empty,
     )
     to_later, to_earlier = (lo, hi) if descending else (hi, lo)
-
-    def _fanout(targets, name):
-        return (
-            counts.select(F.explode(targets).alias("_tgt"), "_bc")
-            .groupBy("_tgt")
-            .agg(F.sum("_bc").alias(name))
-            .withColumnRenamed("_tgt", "_bkt")
-        )
-
+    cnt = F.col("_bc").cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    contrib = F.concat(
+        F.transform(
+            to_later,
+            lambda t: F.struct(
+                t.alias("_tgt"), cnt.alias("_o"), zero.alias("_a"), zero.alias("_s")
+            ),
+        ),
+        F.transform(
+            to_earlier,
+            lambda t: F.struct(
+                t.alias("_tgt"), zero.alias("_o"), cnt.alias("_a"), zero.alias("_s")
+            ),
+        ),
+        F.array(
+            F.struct(
+                F.col("_bkt").alias("_tgt"),
+                zero.alias("_o"),
+                zero.alias("_a"),
+                cnt.alias("_s"),
+            )
+        ),
+    )
+    staged = counts.select(contrib.alias("_arr"))
     offs = (
-        counts.join(_fanout(to_later, "_off"), "_bkt", "left")
-        .join(_fanout(to_earlier, "_aft"), "_bkt", "left")
-        .select(
-            "_bkt",
-            F.coalesce("_off", F.lit(0)).alias("_off"),
-            (
-                F.coalesce("_off", F.lit(0))
-                + F.col("_bc")
-                + F.coalesce("_aft", F.lit(0))
-            ).alias("_n"),
+        staged.select(F.explode("_arr").alias("_e"))
+        .groupBy(F.col("_e._tgt").alias("_bkt"))
+        .agg(
+            F.sum("_e._o").alias("_off"),
+            (F.sum("_e._o") + F.sum("_e._a") + F.sum("_e._s")).alias("_n"),
         )
     )
     return (
