@@ -114,6 +114,7 @@ HEADLINE = [
     "dq1_expectations",
     "dq2_snapshot_diff",
     "sp11_negative_sampling",
+    "sp12_leave_one_out",
     "dp6_bpr_triples",
     "j9_bloom_prefilter",
     "st1_stream_hourly_rollup",

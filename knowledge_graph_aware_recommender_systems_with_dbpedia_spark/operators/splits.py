@@ -226,6 +226,20 @@ def split_ratings(
             raise ValueError("fixed_timestamp requires timestamp=")
         return ratings.withColumn("is_test", F.col(ts_col) > F.lit(timestamp))
 
+    if method == "leave_one_out":
+        # classic next-item eval protocol: each user's LAST interaction
+        # (by timestamp; item/rating tie-breaks make the order total)
+        # is the test row. Per-user window only — bounded by user
+        # degree, no global rank needed. Users with a single
+        # interaction get an empty train side, the protocol's standard
+        # caveat (callers k-core-filter first if that matters).
+        w = Window.partitionBy(user_col).orderBy(
+            F.col(ts_col).desc(),
+            F.col(item_col).desc(),
+            *[F.col(c).desc() for c in ("rating",) if c in ratings.columns],
+        )
+        return ratings.withColumn("is_test", F.row_number().over(w) == 1)
+
     if method == "k_fold":
         if k is None or k < 2:
             raise ValueError("k_fold requires k >= 2")
@@ -264,7 +278,7 @@ def split_ratings(
 
     raise ValueError(
         "method must be one of random_by_ratio, timestamp_by_ratio, "
-        "fixed_timestamp, k_fold"
+        "fixed_timestamp, leave_one_out, k_fold"
     )
 
 

@@ -1049,6 +1049,70 @@ SELECT node, round(pr, 10) AS pr FROM {prev}
 G9_SQL = _pagerank_sql()
 
 
+def g11_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank / random-walk-with-restart
+    (graph.personalized_pagerank): teleport mass concentrated on the 3
+    lowest-id users of the rating bipartite graph, 3 iterations,
+    d=0.85 — the graph-based "recommend from THIS neighborhood"
+    primitive (the KG-aware variant of the reference's walk models
+    when run over the enriched graph). Deterministic like g9: the
+    contribution sum is a pinned-src-order fold, so DuckDB replays the
+    unrolled iterations bit-identically."""
+    r = _ratings(spark, sf_dir)
+    e0 = r.select(
+        F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("i:"), F.col("item_id")).alias("dst"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        r.select(F.concat(F.lit("u:"), F.col("user_id")).alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(3)
+    )
+    pr = G.personalized_pagerank(edges, seeds, iterations=3, damping=0.85)
+    return pr.select("node", F.round("pr", 10).alias("pr"))
+
+
+def _ppr_sql(iterations=3, damping=0.85) -> str:
+    steps = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""s{i} AS (SELECT e.dst AS node,
+       list_reduce(list(p.pr / d.outdeg ORDER BY e.src), (x, y) -> x + y) AS s
+       FROM edges e JOIN {prev} p ON p.node = e.src JOIN deg d ON d.src = e.src
+       GROUP BY e.dst),
+pr{i} AS (SELECT t.node, (1 - {damping}) * t.tele + {damping} * coalesce(s{i}.s, 0.0) AS pr
+        FROM tele t LEFT JOIN s{i} ON s{i}.node = t.node)"""
+        )
+        prev = f"pr{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH ratings AS ({RATINGS_SQL}),
+e0 AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+              'i:' || CAST(item_id AS VARCHAR) AS dst FROM ratings),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS node FROM ratings
+          ORDER BY node LIMIT 3),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+tele AS (SELECT nodes.node,
+         CASE WHEN nodes.node IN (SELECT node FROM seeds)
+              THEN 1.0 / ns.n ELSE 0.0 END AS tele
+         FROM nodes CROSS JOIN ns),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT node, tele AS pr FROM tele),
+{chain}
+SELECT node, round(pr, 10) AS pr FROM {prev}
+"""
+
+
+G11_SQL = _ppr_sql()
+
+
 def g4_kcore_user(spark, sf_dir):
     return G.filter_kcore(_ratings(spark, sf_dir), k=8, target="user", iterations=1)
 
@@ -1134,6 +1198,31 @@ SP5_SQL = f"""
 WITH ratings AS ({RATINGS_SQL})
 SELECT user_id, item_id, rating, ts,
        CAST(CASE WHEN ts > 2750 THEN 1 ELSE 0 END AS BIGINT) AS is_test
+FROM ratings
+"""
+
+
+def sp12_leave_one_out(spark, sf_dir):
+    """SP12: leave-one-out split — each user's LAST interaction (by
+    timestamp, item/rating tie-breaks) is the single test row, the
+    classic next-item evaluation protocol (splits.split_ratings
+    method='leave_one_out'). Per-user window only, bounded by user
+    degree — no global rank, no single-partition exchange."""
+    df = SP.split_ratings(
+        _ratings(spark, sf_dir), "leave_one_out", seed=SEED, ts_col="ts"
+    )
+    return df.select(
+        "user_id", "item_id", "rating", "ts",
+        F.col("is_test").cast("bigint").alias("is_test"),
+    )
+
+
+SP12_SQL = f"""
+WITH ratings AS ({RATINGS_SQL})
+SELECT user_id, item_id, rating, ts,
+  CAST(CASE WHEN row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, item_id DESC, rating DESC
+  ) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_test
 FROM ratings
 """
 
@@ -7523,6 +7612,7 @@ QUERIES = {
     "ss7_mmr_rerank": ss7_mmr_rerank,
     "ev16_rfm_segments": ev16_rfm_segments,
     "g10_label_propagation": g10_label_propagation,
+    "g11_personalized_pagerank": g11_personalized_pagerank,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_profit_proxy": q9_profit_proxy,
     "q11_important_parts": q11_important_parts,
@@ -7541,6 +7631,7 @@ QUERIES = {
     "dq1_expectations": dq1_expectations,
     "dq2_snapshot_diff": dq2_snapshot_diff,
     "sp11_negative_sampling": sp11_negative_sampling,
+    "sp12_leave_one_out": sp12_leave_one_out,
     "j9_bloom_prefilter": j9_bloom_prefilter,
     "ev18_gap_islands": ev18_gap_islands,
     "st11_stream_quality_gate": st11_stream_quality_gate,
@@ -7805,7 +7896,7 @@ _R08_WINDOW = [
     "di2_entity_link",
     "rec_kgsim_top5",
     "e6_kfold_map_popularity",
-    "g4_kcore_alternating",
+    "sp12_leave_one_out",
     "ss11_filtered_search",
 ]
 assert len(_R08_WINDOW) == 50 and len(set(_R08_WINDOW)) == 50
@@ -7846,6 +7937,7 @@ ORACLES = {
     "g7_walks_biased": G7_SQL,
     "g8_triples": G8_SQL,
     "g9_pagerank": G9_SQL,
+    "g11_personalized_pagerank": G11_SQL,
     "sp1_random_global": _sp_ratio_sql(0.25, "global"),
     "sp2_random_user": _sp_ratio_sql(0.2, "user"),
     "sp3_temporal_global": _sp_ratio_sql(0.3, "global", by_ts=True),
@@ -7854,6 +7946,7 @@ ORACLES = {
     "sp6_kfold_global": _sp_kfold_sql(5, "global"),
     "sp7_kfold_user": _sp_kfold_sql(4, "user"),
     "sp8_validation_subsplit": SP8_SQL,
+    "sp12_leave_one_out": SP12_SQL,
     "rec_popularity_top5": REC_POP_SQL,
     "rec_fixed_emb_top5": REC_FIXED_SQL,
     "rec_itemknn_top5": REC_ITEMKNN_SQL,

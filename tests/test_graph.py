@@ -230,3 +230,43 @@ def test_aggregate_messages_degree_and_pregel_pagerank(spark):
     assert set(got_pr) == set(want_pr)
     for k in got_pr:
         assert abs(got_pr[k] - want_pr[k]) < 1e-12
+
+
+def test_personalized_pagerank_matches_hand_rolled(spark):
+    """PPR vs a hand-rolled power iteration: teleport mass goes only
+    to the seeds; non-seed unreachable nodes end at 0."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.graph import personalized_pagerank
+
+    e = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("d", "a")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r.node: r.pr
+        for r in personalized_pagerank(edges, seeds, iterations=4, damping=0.85).collect()
+    }
+
+    nodes = sorted({x for p in e for x in p})
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    tele = {n: (1.0 if n == "a" else 0.0) for n in nodes}
+    pr = dict(tele)
+    for _ in range(4):
+        nxt = {n: 0.15 * tele[n] for n in nodes}
+        for s, d in e:
+            nxt[d] += 0.85 * pr[s] / outdeg[s]
+        pr = nxt
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - pr[n]) < 1e-12, n
+    # 'd' (unreachable, non-seed) gets no mass at all
+    assert got["d"] == 0.0
+
+
+def test_personalized_pagerank_requires_seeds(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    empty = spark.createDataFrame([], "node string")
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, empty)

@@ -280,3 +280,26 @@ def test_quota_by_score_matches_naive_window(spark):
         ).collect()
     }
     assert re_got == got
+
+
+def test_leave_one_out_marks_each_users_last_interaction(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.splits import split_ratings
+
+    rows = [
+        (1, 10, 4.0, 100), (1, 11, 3.0, 200), (1, 12, 5.0, 150),
+        (2, 10, 2.0, 300),
+        (3, 13, 1.0, 50), (3, 14, 1.0, 50),  # ts tie -> higher item_id wins
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, item_id bigint, rating double, ts bigint"
+    )
+    out = split_ratings(df, "leave_one_out", ts_col="ts")
+    test = {(r.user_id, r.item_id) for r in out.filter("is_test").collect()}
+    assert test == {(1, 11), (2, 10), (3, 14)}
+    # exactly one test row per user, train = everything else
+    per_user = (
+        out.groupBy("user_id").agg(F.sum(F.col("is_test").cast("int")).alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in per_user)
+    assert out.count() == len(rows)
