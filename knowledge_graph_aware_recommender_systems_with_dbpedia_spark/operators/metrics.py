@@ -193,6 +193,58 @@ def hit_rate_at_k(
     return hr.agg(F.avg("hr").alias("value"))
 
 
+def auc_at_k(
+    test: DataFrame,
+    recs: DataFrame,
+    k: int,
+    relevance_threshold: float = 0.0,
+) -> DataFrame:
+    """In-list AUC at k (greenfield addition): within each user's
+    top-k slate, the probability that a relevant item is ranked above
+    a non-relevant one — the Mann-Whitney rank-sum form, so the whole
+    computation is INTEGER arithmetic until one exact final division:
+
+        pairs_won = npos*n - sum(rank of positives) - npos*(npos-1)/2
+        auc       = pairs_won / (npos * nneg)
+
+    Users whose slate holds no positive or no negative have undefined
+    AUC and are excluded from the mean (standard convention). One
+    equi-join + one hash aggregate per user — map-side combinable, no
+    window. Returns a 1-row DataFrame (value)."""
+    rel = _relevant(test, relevance_threshold)
+    r = recs.filter(F.col("rank") <= k)
+    hit = r.join(
+        rel.select("user_id", "item_id").withColumn("_hit", F.lit(1)),
+        ["user_id", "item_id"],
+        "left",
+    ).select(
+        "user_id",
+        "rank",
+        F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"),
+    )
+    agg = hit.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("hit").alias("npos"),
+        F.sum(F.when(F.col("hit") == 1, F.col("rank")).otherwise(0)).alias("sr"),
+    )
+    # npos*(npos-1) is a product of consecutive ints (even), and all
+    # terms stay far below 2^53 — the double arithmetic is exact
+    pairs_won = (
+        F.col("npos") * F.col("n")
+        - F.col("sr")
+        - F.col("npos") * (F.col("npos") - 1) / 2
+    ).cast("double")
+    per_user = agg.filter(
+        (F.col("npos") > 0) & (F.col("n") - F.col("npos") > 0)
+    ).select(
+        "user_id",
+        (pairs_won / (F.col("npos") * (F.col("n") - F.col("npos"))).cast("double")).alias(
+            "auc"
+        ),
+    )
+    return per_user.agg(F.avg("auc").alias("value"))
+
+
 def first_hit_rank_per_user(
     test: DataFrame, recs: DataFrame, k: int, relevance_threshold: float = 0.0
 ) -> DataFrame:

@@ -1872,6 +1872,38 @@ FROM relc LEFT JOIN hits h ON relc.user_id = h.user_id
 )
 
 
+def e8_auc_at_5(spark, sf_dir):
+    """In-list AUC@5 (metrics.auc_at_k): within each user's top-5
+    slate, P(relevant item ranked above non-relevant) via the
+    Mann-Whitney rank-sum — pure integer arithmetic until one exact
+    division, so the mean replays bit-identically in SQL. Shares the
+    memoized split/popularity fragments with e2-e5; users whose slate
+    has no positive or no negative are excluded (undefined AUC)."""
+    _, test = SP.train_test(_user_split(spark, sf_dir))
+    recs = _pop_recs(spark, sf_dir).withColumnRenamed("rec_rank", "rank")
+    return ME.auc_at_k(
+        test.select("user_id", "item_id", "rating"), recs, 5, relevance_threshold=30
+    ).select(F.round("value", 6).alias("value"))
+
+
+E8_SQL = (
+    _METRIC_PRE_SQL
+    + """,
+hit AS (SELECT r5.user_id, r5.rec_rank,
+        CASE WHEN rel.item_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM r5 LEFT JOIN rel ON r5.user_id = rel.user_id AND r5.item_id = rel.item_id),
+agg AS (SELECT user_id, count(*) AS n, SUM(hit) AS npos,
+        SUM(CASE WHEN hit = 1 THEN rec_rank ELSE 0 END) AS sr
+        FROM hit GROUP BY user_id)
+SELECT round(avg(
+  (CAST(npos AS DOUBLE) * n - sr - CAST(npos AS DOUBLE) * (npos - 1) / 2)
+  / (CAST(npos AS DOUBLE) * (n - npos))
+), 6) AS value
+FROM agg WHERE npos > 0 AND n - npos > 0
+"""
+)
+
+
 def e3_ndcg_at_5(spark, sf_dir):
     _, test = SP.train_test(_user_split(spark, sf_dir))
     recs = _pop_recs(spark, sf_dir).withColumnRenamed("rec_rank", "rank")
@@ -7497,6 +7529,7 @@ QUERIES = {
     "e2_map_at_5": e2_map_at_5,
     "e3_ndcg_at_5": e3_ndcg_at_5,
     "e6_kfold_map_popularity": e6_kfold_map_popularity,
+    "e8_auc_at_5": e8_auc_at_5,
     # --- one representative per LLM-pipeline family (39-50)
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd4_minhash_lsh_pairs": dd4_minhash_lsh_pairs,
@@ -7954,6 +7987,7 @@ ORACLES = {
     "e2_map_at_5": E2_SQL,
     "e3_ndcg_at_5": E3_SQL,
     "e4_mrr_at_5": E4_SQL,
+    "e8_auc_at_5": E8_SQL,
     "e5_hitrate_at_5": E5_SQL,
     "e6_kfold_map_popularity": E6_SQL,
     "dd1_exact_dedup": DD1_SQL,

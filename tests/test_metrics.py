@@ -101,3 +101,42 @@ def test_mrr_and_hitrate(spark):
     # k cutoff: with k=1 user 1's hit at rank 2 no longer counts
     mrr1 = ME.mrr_at_k(test, recs, 1, relevance_threshold=2.0).collect()[0].value
     assert mrr1 == 0.0
+
+
+def test_auc_at_k_hand_computed(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.metrics import auc_at_k
+
+    # user 1: slate [pos, neg, pos, neg] -> pairs won: r1 beats both
+    # negs (2) + r3 beats the rank-4 neg (1) = 3 of 4 -> 0.75
+    # user 2: slate [neg, pos] -> 0 of 1 -> 0.0
+    # user 3: all positives -> excluded (no negative)
+    test = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 12, 5.0), (2, 21, 5.0), (3, 30, 5.0), (3, 31, 5.0)],
+        "user_id bigint, item_id bigint, rating double",
+    )
+    recs = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4),
+            (2, 20, 1), (2, 21, 2),
+            (3, 30, 1), (3, 31, 2),
+        ],
+        "user_id bigint, item_id bigint, rank bigint",
+    )
+    got = auc_at_k(test, recs, k=5, relevance_threshold=1.0).collect()[0].value
+    assert got == pytest.approx((0.75 + 0.0) / 2, abs=1e-12)
+
+
+def test_auc_at_k_perfect_and_inverted(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.metrics import auc_at_k
+
+    test = spark.createDataFrame(
+        [(1, 10, 5.0)], "user_id bigint, item_id bigint, rating double"
+    )
+    top = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "user_id bigint, item_id bigint, rank bigint"
+    )
+    bottom = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2)], "user_id bigint, item_id bigint, rank bigint"
+    )
+    assert auc_at_k(test, top, 5).collect()[0].value == 1.0
+    assert auc_at_k(test, bottom, 5).collect()[0].value == 0.0

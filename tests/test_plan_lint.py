@@ -35,6 +35,7 @@ ALLOWED = {
     "e3_ndcg_at_5": 1,         # final 1-row metric mean
     "e4_mrr_at_5": 1,          # final 1-row metric mean
     "e5_hitrate_at_5": 1,      # final 1-row metric mean
+    "e8_auc_at_5": 1,          # final 1-row metric mean
     # 2 final 1-row metric means (one per fold) + the popularity
     # candidate rank over the items-bounded pop table. (r08: the
     # two-pass ranks' bucket-count offsets are now window-free —
