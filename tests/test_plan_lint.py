@@ -144,6 +144,7 @@ NLJ_ALLOWED = {
     "e3_ndcg_at_5": 2,
     "e4_mrr_at_5": 2,
     "e5_hitrate_at_5": 2,
+    "e8_auc_at_5": 2,
     "e6_kfold_map_popularity": 4,   # two folds of the same shape
     "e7_coverage_diversity": 8,     # + 1-row scalar combines
     # ANN paths: probe x bounded centroid/codebook/query-sample tables
