@@ -121,6 +121,7 @@ HEADLINE = [
     "st9_stream_static_enrich",
     "st11_stream_quality_gate",
     "st12_stream_mv_drift",
+    "st13_stream_ann_ingest",
 ]
 
 

@@ -529,6 +529,30 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("cell").parquet(path + "/corpus")
 
 
+def append_delta_to_ivf_index(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Exactly-once incremental index ingest (the streaming twin of
+    :func:`append_to_ivf_index`): the batch is normalized + assigned
+    against the STORED centroids and written to the deterministic
+    delta directory ``<path>/corpus_delta/batch=N`` with OVERWRITE, so
+    an at-least-once foreachBatch retry replaces its own rows instead
+    of appending a duplicate copy (the st10 merge-on-read discipline
+    applied to the vector index). Deltas stay flat (small, read whole
+    and filtered by cell); folding them into the main cell-partitioned
+    layout is the out-of-band compaction job, exactly like st10's."""
+    cents = spark.read.parquet(path + "/centroids")
+    assigned = _ivf_assign(_normalize(new_emb, id_col, vec_col), cents, 1)
+    assigned.write.mode("overwrite").parquet(
+        f"{path}/corpus_delta/batch={int(batch_id)}"
+    )
+
+
 def build_ivf_kmeans_index(
     emb: DataFrame,
     path: str,
@@ -590,6 +614,21 @@ def ivf_topk_from_index(
     corpus = spark.read.parquet(path + "/corpus").filter(
         F.col("cell").isin(cells)
     ).select("id", "v", "cell")
+    # streaming-ingested deltas (append_delta_to_ivf_index) union in;
+    # they are small flat per-batch files — the cell filter applies but
+    # prunes row groups, not partitions, until compaction folds them
+    # into the main cell layout
+    from pyspark.errors import AnalysisException
+
+    try:
+        delta = (
+            spark.read.parquet(path + "/corpus_delta")
+            .filter(F.col("cell").isin(cells))
+            .select("id", "v", "cell")
+        )
+        corpus = corpus.unionByName(delta)
+    except AnalysisException:
+        pass  # no deltas ingested yet (PATH_NOT_FOUND)
     return _ivf_score(corpus, q, k)
 
 

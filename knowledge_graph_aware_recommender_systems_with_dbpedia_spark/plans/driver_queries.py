@@ -6679,6 +6679,43 @@ def ss9_incremental_index(spark, sf_dir):
     )
 
 
+def st13_stream_ann_ingest(spark, sf_dir):
+    """Streaming ANN index maintenance (streaming/vectors.py — ss9's
+    incremental ingest at a firehose): the base IVF index materializes
+    on the first 400 vectors, the rest ARRIVE AS A STREAM (3 files =
+    3 micro-batches), each batch assigning against the stored
+    centroids into an exactly-once per-batch delta dir; the post-drain
+    search unions base + deltas. Per-row centroid argmax makes the
+    final index state batching-invariant, so ss9's from-scratch oracle
+    applies verbatim."""
+    import os
+    import tempfile
+
+    from ..streaming import vectors as SV
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = os.path.join(tempfile.mkdtemp(prefix="st13_idx_"), "ivf")
+    in_dir = tempfile.mkdtemp(prefix="st13_in_")
+    ck_dir = tempfile.mkdtemp(prefix="st13_ck_")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") < 400), idx, n_cells=8)
+    new = emb.filter(F.col("vec_id") >= 400)
+    new.repartition(3).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(in_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    SV.ann_ingest_stream(stream, idx, ck_dir).awaitTermination()
+    return SIM.ivf_topk_from_index(
+        spark, idx, emb.filter(F.col("vec_id") < 8), k=5, n_probe=3
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rec_rank"),
+        "cosine",
+    )
+
+
 SS9_SQL = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 n AS (SELECT vec_id,
@@ -7669,6 +7706,7 @@ QUERIES = {
     "ev18_gap_islands": ev18_gap_islands,
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "st12_stream_mv_drift": st12_stream_mv_drift,
+    "st13_stream_ann_ingest": st13_stream_ann_ingest,
     "ss10_radius_search": ss10_radius_search,
     "ss11_filtered_search": ss11_filtered_search,
     "dp6_bpr_triples": dp6_bpr_triples,
@@ -7921,16 +7959,18 @@ _R08_WINDOW = [
     "pk1_pack_sequences",
     "mm1_image_stats",
     "st1_stream_hourly_rollup",
-    # oldest r04 fill
+    # oldest r04 fill (p6/j3/e6 also changed this round — splits rework)
     "p6_dense_ids",
     "j3_key_reconstruction",
-    "j6_anti_join",
-    "o3_topk_per_group",
-    "di2_entity_link",
     "rec_kgsim_top5",
     "e6_kfold_map_popularity",
+    # born this round — fronted immediately (closes the recurring
+    # "never-sampled newborn" gap at birth)
     "sp12_leave_one_out",
     "ss11_filtered_search",
+    "st13_stream_ann_ingest",
+    "g11_personalized_pagerank",
+    "e8_auc_at_5",
 ]
 assert len(_R08_WINDOW) == 50 and len(set(_R08_WINDOW)) == 50
 QUERIES = {
@@ -8098,6 +8138,7 @@ ORACLES = {
     "ss8_knn_join": SS8_SQL,
     "a16_distinct_users": A16_SQL,
     "ss9_incremental_index": SS9_SQL,
+    "st13_stream_ann_ingest": SS9_SQL,
     "dp5_semantic_curation": DP5_SQL,
     "a17_ewma_daily": A17_SQL,
     "a18_sketch_distinct_band": A18_SQL,

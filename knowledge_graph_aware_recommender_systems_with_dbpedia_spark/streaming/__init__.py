@@ -18,6 +18,7 @@ from .dedup import (
     ingest_pipeline_stream,
     read_docs_stream,
 )
+from .vectors import ann_ingest_stream
 from .media import (
     image_stats_stream,
     media_features_stream,
@@ -45,4 +46,5 @@ __all__ = [
     "sessionize_stateful",
     "sliding_rollup",
     "with_event_time",
+    "ann_ingest_stream",
 ]

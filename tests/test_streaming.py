@@ -590,3 +590,56 @@ def test_mv_drift_matches_batch_diff(spark, tmp_path):
     }
     assert got == exp
     assert "added" in got and got.get("removed") is None  # old is a prefix
+
+
+def _mk_vectors(spark, lo, hi):
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    mat = rng.randn(hi, 8).astype("float32")
+    return spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(lo, hi)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_ann_ingest_stream_matches_batch_index(spark, tmp_path):
+    """st13's contract: streaming delta ingest (3 micro-batches) ==
+    one-shot append_to_ivf_index == from-scratch same-centroid index
+    over the union corpus; replayed batch ids don't double-ingest."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import similarity as SIM
+
+    base = _mk_vectors(spark, 0, 30)
+    new = _mk_vectors(spark, 30, 60)
+    queries = _mk_vectors(spark, 0, 3)
+
+    def search(idx):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in SIM.ivf_topk_from_index(spark, idx, queries, k=3, n_probe=4).collect()
+        )
+
+    # truth: one-shot append path (ss9, already oracle-verified)
+    idx_a = str(tmp_path / "idx_a")
+    SIM.build_ivf_index(base, idx_a, n_cells=4)
+    SIM.append_to_ivf_index(spark, idx_a, new)
+    want = search(idx_a)
+
+    # streaming: 3-file replay through ann_ingest_stream
+    idx_b = str(tmp_path / "idx_b")
+    SIM.build_ivf_index(base, idx_b, n_cells=4)
+    in_dir, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    new.repartition(3).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    ST.ann_ingest_stream(stream, idx_b, ck).awaitTermination()
+    assert search(idx_b) == want
+
+    # retry idempotence: re-ingesting batch id 0 must change nothing
+    SIM.append_delta_to_ivf_index(spark, idx_b, new.limit(7), 0)
+    SIM.append_delta_to_ivf_index(spark, idx_b, new.limit(7), 0)
+    once = spark.read.parquet(idx_b + "/corpus_delta/batch=0").count()
+    assert once == 7
