@@ -86,6 +86,7 @@ HEADLINE = [
     "pk1_pack_sequences",
     "pk3_shuffle_shards",
     "ck1_chunk_documents",
+    "ck2_sentence_chunks",
     "sp10_balanced_labels",
     "dp1_training_pipeline",
     "dp3_forget_users",

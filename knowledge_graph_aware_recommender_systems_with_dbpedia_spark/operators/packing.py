@@ -82,6 +82,56 @@ def sequence_stats(packed: DataFrame, capacity: int = 512) -> DataFrame:
     )
 
 
+def chunk_by_sentences(
+    docs: DataFrame,
+    budget: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-ALIGNED chunking — the RAG chunker variant
+    :func:`chunk_documents`'s fixed token windows can't express: a
+    sentence never splits across chunks. Sentences (split on
+    ``[.!?]+`` runs, a regex both Java and RE2 read identically) are
+    assigned to chunk ``floor(tokens_before / budget)`` — the pk1
+    bucketed next-fit: deterministic, one per-doc window (bounded by
+    sentences-per-doc), and a chunk may overflow the budget by at most
+    one sentence's tokens, the standard trade for expressing the
+    packing without a sequential scan. Output: (id, chunk_idx,
+    n_sentences, n_tokens, chunk_text) with sentences joined in
+    document order."""
+    from ..functions.text import tokens
+
+    sents = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), r"[.!?]+\s*"),
+                lambda s: F.trim(s) != F.lit(""),
+            )
+        ).alias("sent_idx", "sentence"),
+    ).withColumn("n_toks", F.size(tokens(F.col("sentence"))).cast("bigint"))
+    w = (
+        Window.partitionBy("id")
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = sents.withColumn(
+        "chunk_idx",
+        F.floor(
+            F.coalesce(F.sum("n_toks").over(w), F.lit(0)) / F.lit(float(budget))
+        ).cast("bigint"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("sent_idx", "sentence"))),
+        lambda s: s["sentence"],
+    )
+    return chunked.groupBy("id", "chunk_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.array_join(ordered, " || ").alias("chunk_text"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk: int = 128,

@@ -2539,6 +2539,54 @@ def ck1_chunk_documents(spark, sf_dir):
     )
 
 
+def ck2_sentence_chunks(spark, sf_dir):
+    """Sentence-aligned chunking (packing.chunk_by_sentences): the RAG
+    chunker that never splits a sentence — sentences pack greedily
+    into 64-token chunks via the pk1 bucketed next-fit (chunk =
+    floor(tokens-before / budget); overflow bounded by one sentence).
+    One per-doc window over the doc's own sentences; chunk text is
+    md5'd for the compare. DISCLOSED: the synthetic documents carry no
+    sentence punctuation, so on driver data every doc is one sentence
+    = one chunk — the hash gate checks the plumbing; the packing
+    semantics live in test_packing (punctuated fixtures)."""
+    from ..operators import packing as PK
+
+    chunks = PK.chunk_by_sentences(
+        load_table(spark, sf_dir, "documents"), budget=64
+    )
+    return chunks.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "chunk_idx",
+        "n_sentences",
+        "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+CK2_SQL = r"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  list_filter(regexp_split_to_array(text, '[.!?]+\s*'), s -> trim(s) <> '') AS arr
+  FROM documents),
+s AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS sent_idx, arr[u.i] AS sentence
+      FROM base, unnest(generate_series(1, len(arr))) AS u(i)),
+tok AS (SELECT doc_id, sent_idx, sentence,
+        CAST(len(list_filter(regexp_split_to_array(lower(sentence), '[^a-z0-9]+'),
+                             x -> x <> '')) AS BIGINT) AS n_toks
+        FROM s),
+cum AS (SELECT doc_id, sent_idx, sentence, n_toks,
+        coalesce(SUM(n_toks) OVER (PARTITION BY doc_id ORDER BY sent_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM tok),
+ch AS (SELECT doc_id, CAST(floor(cb / 64.0) AS BIGINT) AS chunk_idx,
+              sent_idx, sentence, n_toks FROM cum)
+SELECT doc_id, chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       md5(string_agg(sentence, ' || ' ORDER BY sent_idx)) AS chunk_md5
+FROM ch GROUP BY doc_id, chunk_idx
+"""
+
+
 CK1_SQL = f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {TOKS_SQL} AS toks
            FROM documents),
@@ -7622,6 +7670,7 @@ QUERIES = {
     "pk2_sequence_stats": pk2_sequence_stats,
     "pk3_shuffle_shards": pk3_shuffle_shards,
     "ck1_chunk_documents": ck1_chunk_documents,
+    "ck2_sentence_chunks": ck2_sentence_chunks,
     "mm2_frame_fanout": mm2_frame_fanout,
     "mm3_media_features": mm3_media_features,
     "ev2_sessionize": ev2_sessionize,
@@ -8045,6 +8094,7 @@ ORACLES = {
     "tx6_unigram_logprob": TX6_SQL,
     "pk1_pack_sequences": PK1_SQL,
     "ck1_chunk_documents": CK1_SQL,
+    "ck2_sentence_chunks": CK2_SQL,
     "pk2_sequence_stats": PK2_SQL,
     "tx2_vocab_topk": TX2_SQL,
     "dd6_embedding_neardup": DD6_SQL,

@@ -108,3 +108,40 @@ def test_chunk_documents_matches_python_model_exhaustive(spark):
                 if win:
                     expect[(n, ci)] = (len(win), " ".join(win))
         assert got == expect, (chunk, stride)
+
+
+def test_chunk_by_sentences_packing_semantics(spark):
+    """Sentences never split; chunk = floor(tokens_before/budget): with
+    budget 5 and sentence token counts [3, 3, 4, 2] the cumulative
+    tokens-before are [0, 3, 6, 10] -> chunks [0, 0, 1, 2]."""
+    text = "one two three. four five six! seven eight nine ten? eleven twelve."
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = {
+        r.chunk_idx: (r.n_sentences, r.n_tokens, r.chunk_text)
+        for r in PK.chunk_by_sentences(df, budget=5).collect()
+    }
+    assert out == {
+        0: (2, 6, "one two three || four five six"),
+        1: (1, 4, "seven eight nine ten"),
+        2: (1, 2, "eleven twelve"),
+    }
+
+
+def test_chunk_by_sentences_unpunctuated_doc_is_one_chunk(spark):
+    # the driver corpus has no sentence punctuation — a whole doc is
+    # one sentence and therefore one chunk, whatever the budget (the
+    # ck2 registry query is hash-checked but degenerate on that data;
+    # THIS test carries the packing semantics)
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id bigint, text string"
+    )
+    rows = PK.chunk_by_sentences(df, budget=3).collect()
+    assert len(rows) == 1 and rows[0].n_tokens == 8 and rows[0].chunk_idx == 0
+
+
+def test_chunk_by_sentences_empty_and_punct_only_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "..!?"), (3, "ok.")], "doc_id bigint, text string"
+    )
+    rows = {r.id: r for r in PK.chunk_by_sentences(df, budget=4).collect()}
+    assert set(rows) == {3} and rows[3].n_tokens == 1
