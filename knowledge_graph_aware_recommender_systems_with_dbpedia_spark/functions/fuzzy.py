@@ -13,10 +13,14 @@ parenthesized years, subtitle punctuation — so this module provides the
 WRatio-compatible scorer as an alternative.
 
 Implementation notes:
- * Pure Python over stdlib ``difflib.SequenceMatcher`` (autojunk off —
-   fuzzywuzzy's historical core); ``rapidfuzz`` is used instead when
-   importable (same public semantics, C speed). All functions return
-   ints in [0, 100] like the originals.
+ * Pure Python: the core ratio is an EXACT LCS-based normalized InDel
+   similarity (what python-Levenshtein/rapidfuzz compute — symmetric,
+   unlike difflib's greedy approximation; see :func:`_ratio`), and
+   ``difflib.SequenceMatcher`` (autojunk off) supplies only
+   partial_ratio's alignment-candidate scan, fuzzywuzzy's historical
+   control flow. ``rapidfuzz`` is used instead when importable (same
+   public semantics, C speed). All functions return ints in [0, 100]
+   like the originals.
  * The hot path is a vectorized pandas_udf seam
    (:func:`operators.integration.link_entities` with
    ``scorer='wratio'``): Arrow batches in, one Python call per
@@ -53,11 +57,33 @@ def full_process(s: str | None) -> str:
     return _NON_ALNUM.sub(" ", s).lower().strip()
 
 
+def _lcs_len(a: str, b: str) -> int:
+    """Exact longest-common-subsequence length, two-row DP."""
+    if not a or not b:
+        return 0
+    if len(b) > len(a):  # keep the inner row short
+        a, b = b, a
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        append = cur.append
+        for j, cb in enumerate(b, 1):
+            append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
 def _ratio(a: str, b: str) -> int:
+    """2*LCS/(|a|+|b|) as a 0-100 int — the normalized InDel
+    similarity python-Levenshtein/rapidfuzz compute for fuzz.ratio.
+    EXACT LCS on purpose: difflib's SequenceMatcher.ratio uses the
+    same formula over a GREEDY matching-block approximation, which is
+    order-DEPENDENT (ratio('0 00','1 10') != ratio('1 10','0 00')) —
+    hypothesis caught the asymmetry leaking through token_set_ratio
+    and wratio, whose published semantics are symmetric."""
     if not a and not b:
         return 100
-    m = SequenceMatcher(None, a, b, autojunk=False)
-    return int(round(100 * m.ratio()))
+    return int(round(200.0 * _lcs_len(a, b) / (len(a) + len(b))))
 
 
 def partial_ratio(a: str, b: str) -> int:
