@@ -109,6 +109,7 @@ HEADLINE = [
     "ev14_transition_matrix",
     "ev16_rfm_segments",
     "ev18_gap_islands",
+    "ev19_chi2_drift",
     "ss8_knn_join",
     "ss10_radius_search",
     "ss11_filtered_search",

@@ -6849,6 +6849,68 @@ SELECT doc_id, lang, round(quality, 6) AS quality FROM r WHERE rn <= 30
 """
 
 
+def ev19_chi2_drift(spark, sf_dir):
+    """Distribution-drift gate (operators/drift.py): chi-square drift
+    of per-type event-value histograms between the first and second
+    half of the event range — the ML-monitoring "does today still look
+    like the training window" score, spelled with RATIONAL arithmetic
+    only (PSI/KL need ln, banned on the hashed surface by the tx14
+    rule). Values bucket on exact cents (10 fixed 50.00-wide bins);
+    the bucket sum folds in pinned bucket order, so DuckDB replays the
+    statistic bit-for-bit via an ordered list_reduce."""
+    from ..operators.drift import chi2_drift
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 3600000000000").cast("bigint").alias("hour_idx"),
+        F.least(
+            F.floor(F.floor(F.col("value") * 100) / 5000).cast("bigint"),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    ref = e.filter(F.col("hour_idx") < _ST12_CUTOFF_NS // 3_600_000_000_000)
+    cur = e.filter(F.col("hour_idx") >= _ST12_CUTOFF_NS // 3_600_000_000_000)
+    d = chi2_drift(ref, cur, "event_type", "bucket")
+    return d.select(
+        F.col("g").alias("event_type"),
+        "n_ref",
+        "n_cur",
+        "n_new_buckets",
+        F.round("chi2", 6).alias("chi2"),
+    )
+
+
+_EV19_CUT = (473712 * 3600 + 1800) * 1_000_000_000 // 3_600_000_000_000
+EV19_SQL = f"""
+WITH e AS (SELECT event_type,
+  CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_idx,
+  least(CAST(floor(floor(value * 100) / 5000) AS BIGINT), 9) AS bucket
+  FROM events),
+rc AS (SELECT event_type AS g, bucket AS b, count(*) AS r FROM e
+       WHERE hour_idx < {_EV19_CUT} GROUP BY 1, 2),
+cc AS (SELECT event_type AS g, bucket AS b, count(*) AS c FROM e
+       WHERE hour_idx >= {_EV19_CUT} GROUP BY 1, 2),
+j AS (SELECT coalesce(rc.g, cc.g) AS g, coalesce(rc.b, cc.b) AS b,
+             coalesce(rc.r, 0) AS r, coalesce(cc.c, 0) AS c
+      FROM rc FULL OUTER JOIN cc ON rc.g = cc.g AND rc.b = cc.b),
+t AS (SELECT j.*, SUM(r) OVER (PARTITION BY g) AS n_ref,
+             SUM(c) OVER (PARTITION BY g) AS n_cur FROM j),
+x AS (SELECT g, b, r, c, n_ref, n_cur,
+             CAST(r AS DOUBLE) * (CAST(n_cur AS DOUBLE) / CAST(n_ref AS DOUBLE)) AS e
+      FROM t WHERE n_ref > 0)
+SELECT g AS event_type, CAST(n_ref AS BIGINT) AS n_ref,
+  CAST(n_cur AS BIGINT) AS n_cur,
+  CAST(SUM(CASE WHEN r = 0 AND c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_buckets,
+  round(list_reduce(
+    list_prepend(0.0,
+      list(CASE WHEN r > 0
+           THEN (CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e
+           ELSE 0.0 END ORDER BY b)),
+    (acc, v) -> acc + v), 6) AS chi2
+FROM x GROUP BY g, n_ref, n_cur
+"""
+
+
 def a17_ewma_daily(spark, sf_dir):
     """Per-user exponentially-weighted moving average of daily event
     value (alpha=0.3) — the recursive smoother behind anomaly
@@ -7753,6 +7815,7 @@ QUERIES = {
     "sp12_leave_one_out": sp12_leave_one_out,
     "j9_bloom_prefilter": j9_bloom_prefilter,
     "ev18_gap_islands": ev18_gap_islands,
+    "ev19_chi2_drift": ev19_chi2_drift,
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "st12_stream_mv_drift": st12_stream_mv_drift,
     "st13_stream_ann_ingest": st13_stream_ann_ingest,
@@ -8011,7 +8074,6 @@ _R08_WINDOW = [
     # oldest r04 fill (p6/j3/e6 also changed this round — splits rework)
     "p6_dense_ids",
     "j3_key_reconstruction",
-    "rec_kgsim_top5",
     "e6_kfold_map_popularity",
     # born this round — fronted immediately (closes the recurring
     # "never-sampled newborn" gap at birth)
@@ -8020,6 +8082,7 @@ _R08_WINDOW = [
     "st13_stream_ann_ingest",
     "g11_personalized_pagerank",
     "e8_auc_at_5",
+    "ev19_chi2_drift",
 ]
 assert len(_R08_WINDOW) == 50 and len(set(_R08_WINDOW)) == 50
 QUERIES = {
@@ -8195,6 +8258,7 @@ ORACLES = {
     "a19_cube_profile": A19_SQL,
     "a20_heavy_hitters": A20_SQL,
     "ev17_quantile_sketch_band": EV17_SQL,
+    "ev19_chi2_drift": EV19_SQL,
     "u4_intersect_audiences": U4_SQL,
     "dq1_expectations": DQ1_SQL,
     "dq2_snapshot_diff": DQ2_SQL,

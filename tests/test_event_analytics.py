@@ -3,6 +3,7 @@ percentiles) beyond the DuckDB hash oracle: structural properties that
 must hold on ANY events table, checked at sf0.001.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.driver_queries import (
@@ -71,3 +72,46 @@ def test_approx_count_distinct_sketch_parity(spark):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.06 * n)  # 3 x rsd margin
+
+
+def test_chi2_drift_hand_computed(spark):
+    """chi2 vs hand arithmetic: ref {b0:8, b1:2} (n=10), cur {b0:3,
+    b1:2, b2:1} (n=6) -> e0=4.8, e1=1.2; chi2 = (3-4.8)^2/4.8 +
+    (2-1.2)^2/1.2 = 0.675 + 0.5333...; b2 is a NEW bucket (excluded
+    from chi2, counted separately)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import chi2_drift
+
+    ref = spark.createDataFrame(
+        [("a", 0)] * 8 + [("a", 1)] * 2, "g string, b int"
+    )
+    cur = spark.createDataFrame(
+        [("a", 0)] * 3 + [("a", 1)] * 2 + [("a", 2)], "g string, b int"
+    )
+    rows = chi2_drift(ref, cur, "g", "b").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    want = (3 - 4.8) ** 2 / 4.8 + (2 - 1.2) ** 2 / 1.2
+    assert (r.n_ref, r.n_cur, r.n_new_buckets) == (10, 6, 1)
+    assert r.chi2 == pytest.approx(want, abs=1e-12)
+
+
+def test_chi2_drift_identical_windows_score_zero(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import chi2_drift
+
+    df = spark.createDataFrame(
+        [("a", i % 3) for i in range(30)] + [("b", i % 2) for i in range(10)],
+        "g string, b int",
+    )
+    rows = {r.g: r for r in chi2_drift(df, df, "g", "b").collect()}
+    assert set(rows) == {"a", "b"}
+    for r in rows.values():
+        assert r.chi2 == 0.0 and r.n_new_buckets == 0
+
+
+def test_chi2_drift_groups_without_reference_are_excluded(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import chi2_drift
+
+    ref = spark.createDataFrame([("a", 0)], "g string, b int")
+    cur = spark.createDataFrame([("a", 0), ("zzz", 1)], "g string, b int")
+    got = {r.g for r in chi2_drift(ref, cur, "g", "b").collect()}
+    assert got == {"a"}
