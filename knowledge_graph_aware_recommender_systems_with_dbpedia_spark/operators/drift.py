@@ -39,10 +39,15 @@ def chi2_drift(
 
     Inputs carry one row per OBSERVATION with its group and bucket
     ids. Returns one row per group present in the reference window:
-    (group, n_ref, n_cur, n_new_buckets, chi2) where n_new_buckets
-    counts buckets observed now but absent from the reference (they
-    are excluded from chi2 — e(b) = 0 is undefined — and surfaced as
-    their own integer drift signal).
+    (group, n_ref, n_cur, n_new_buckets, vanished, chi2) where
+    n_new_buckets counts buckets observed now but absent from the
+    reference (they are excluded from chi2 — e(b) = 0 is undefined —
+    and surfaced as their own integer drift signal) and ``vanished``
+    flags groups with n_cur = 0. A fully-vanished group makes every
+    e(b) = 0, so the fold guards on e > 0 (otherwise the r > 0 branch
+    would compute 0/0 = NaN, which fails every ``chi2 > threshold``
+    comparison and silently un-gates exactly the most-drifted groups);
+    a downstream gate must trip on ``vanished OR chi2 > t``.
     """
     rc = ref.groupBy(
         F.col(group_col).alias("g"), F.col(bucket_col).alias("b")
@@ -77,7 +82,7 @@ def chi2_drift(
             F.sort_array(F.collect_list(F.struct("b", "r", "c", "e"))),
             F.lit(0.0),
             lambda acc, s: F.when(
-                s["r"] > 0,
+                (s["r"] > 0) & (s["e"] > 0),
                 acc
                 + (s["c"].cast("double") - s["e"])
                 * (s["c"].cast("double") - s["e"])
@@ -88,4 +93,11 @@ def chi2_drift(
             "n_new_buckets"
         ),
     )
-    return folded.select("g", "n_ref", "n_cur", "n_new_buckets", "chi2")
+    return folded.select(
+        "g",
+        "n_ref",
+        "n_cur",
+        "n_new_buckets",
+        (F.col("n_cur") == 0).alias("vanished"),
+        "chi2",
+    )

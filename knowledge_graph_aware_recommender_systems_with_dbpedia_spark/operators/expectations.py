@@ -105,11 +105,17 @@ def run_expectations(
     row = df.agg(*aggs).first()
     n = row["_n"]
 
+    # Coalesce aggregated counts to 0: on an EMPTY frame SUM yields
+    # NULL while count_distinct yields 0, and `None == 0` is False —
+    # the same exact gate would be vacuously true for uniqueness but
+    # false for row-level checks. Uniform rule: n == 0 PASSES every
+    # gate vacuously (zero rows violate nothing; emptiness itself is a
+    # volume signal, gated separately by corpus_metrics' n_rows).
     good: dict[str, int] = {}
     for i, c in enumerate(row_level):
-        good[c.name] = row[f"_rl{i}"]
+        good[c.name] = row[f"_rl{i}"] or 0
     for i, c in enumerate(unique):
-        good[c.name] = row[f"_uq{i}"]
+        good[c.name] = row[f"_uq{i}"] or 0
     for c in referential:
         good[c.name] = (
             df.select(F.col(c.column).alias("_k"))

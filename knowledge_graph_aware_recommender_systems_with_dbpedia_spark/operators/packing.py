@@ -91,7 +91,10 @@ def chunk_by_sentences(
     """Sentence-ALIGNED chunking — the RAG chunker variant
     :func:`chunk_documents`'s fixed token windows can't express: a
     sentence never splits across chunks. Sentences (split on
-    ``[.!?]+`` runs, a regex both Java and RE2 read identically) are
+    ``[.!?]+[ \\t\\n\\f\\r]*`` runs — the whitespace class is spelled
+    explicitly because Java's ``\\s`` includes vertical tab \\x0B while
+    RE2's (DuckDB's) does not, so the shorthand would diverge between
+    the Spark plan and the CK2_SQL oracle on \\x0B-bearing text) are
     assigned to chunk ``floor(tokens_before / budget)`` — the pk1
     bucketed next-fit: deterministic, one per-doc window (bounded by
     sentences-per-doc), and a chunk may overflow the budget by at most
@@ -105,7 +108,7 @@ def chunk_by_sentences(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.filter(
-                F.split(F.col(text_col), r"[.!?]+\s*"),
+                F.split(F.col(text_col), r"[.!?]+[ \t\n\f\r]*"),
                 lambda s: F.trim(s) != F.lit(""),
             )
         ).alias("sent_idx", "sentence"),

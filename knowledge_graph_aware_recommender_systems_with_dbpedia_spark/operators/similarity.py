@@ -313,19 +313,33 @@ def _ivf_assign(
 # instead of accumulating them all (ADVICE r07's leak, bounded rather
 # than traded for the slower localCheckpoint barrier). Unpersisting a
 # frame an earlier caller hasn't materialized yet is safe — Spark just
-# recomputes it from lineage.
+# recomputes it from lineage. Keyed by PLAN semantics (ADVICE r08):
+# back-to-back identical queries REUSE the live entry instead of
+# evicting it, so only a genuinely different assignment pass rotates
+# the slot. Mutation is lock-guarded — driver-side query threads may
+# race on the slot; correctness never depended on it (lineage
+# recompute), but the lock makes the pop/persist rotation atomic.
 _FASTPATH_CACHE: list = []
+_FASTPATH_LOCK = __import__("threading").Lock()
 
 
 def _cache_assignment(both: DataFrame) -> DataFrame:
-    while _FASTPATH_CACHE:
-        try:
-            _FASTPATH_CACHE.pop().unpersist(blocking=False)
-        except Exception:
-            pass
-    both = both.persist()
-    _FASTPATH_CACHE.append(both)
-    return both
+    with _FASTPATH_LOCK:
+        if _FASTPATH_CACHE:
+            cached = _FASTPATH_CACHE[0]
+            try:
+                if both.sameSemantics(cached):
+                    return cached
+            except Exception:
+                pass
+        while _FASTPATH_CACHE:
+            try:
+                _FASTPATH_CACHE.pop().unpersist(blocking=False)
+            except Exception:
+                pass
+        both = both.persist()
+        _FASTPATH_CACHE.append(both)
+        return both
 
 
 def _ivf_score(c: DataFrame, q: DataFrame, k: int) -> DataFrame:

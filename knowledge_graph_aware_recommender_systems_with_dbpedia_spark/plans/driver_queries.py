@@ -2565,7 +2565,7 @@ def ck2_sentence_chunks(spark, sf_dir):
 
 CK2_SQL = r"""
 WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  list_filter(regexp_split_to_array(text, '[.!?]+\s*'), s -> trim(s) <> '') AS arr
+  list_filter(regexp_split_to_array(text, '[.!?]+[ \t\n\f\r]*'), s -> trim(s) <> '') AS arr
   FROM documents),
 s AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS sent_idx, arr[u.i] AS sentence
       FROM base, unnest(generate_series(1, len(arr))) AS u(i)),
@@ -6876,6 +6876,7 @@ def ev19_chi2_drift(spark, sf_dir):
         "n_ref",
         "n_cur",
         "n_new_buckets",
+        "vanished",
         F.round("chi2", 6).alias("chi2"),
     )
 
@@ -6901,9 +6902,10 @@ x AS (SELECT g, b, r, c, n_ref, n_cur,
 SELECT g AS event_type, CAST(n_ref AS BIGINT) AS n_ref,
   CAST(n_cur AS BIGINT) AS n_cur,
   CAST(SUM(CASE WHEN r = 0 AND c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_buckets,
+  n_cur = 0 AS vanished,
   round(list_reduce(
     list_prepend(0.0,
-      list(CASE WHEN r > 0
+      list(CASE WHEN r > 0 AND e > 0
            THEN (CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e
            ELSE 0.0 END ORDER BY b)),
     (acc, v) -> acc + v), 6) AS chi2

@@ -901,3 +901,26 @@ def test_kmeans_index_full_probe_equals_brute_force(spark, tmp_path):
     for r in SIM.ivf_topk_from_index(spark, idx, q, k=k, n_probe=5).collect():
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert got == want
+
+
+def test_fastpath_cache_reuses_identical_plan_and_rotates_on_new(spark):
+    """ADVICE r08: the one-slot assignment cache must REUSE the live
+    entry for a semantically identical frame (back-to-back identical
+    ivf queries) and only rotate the slot for a different plan."""
+    a = spark.range(10).select("id", F.array(F.lit(1.0)).alias("v"))
+    b = spark.range(10).select("id", F.array(F.lit(1.0)).alias("v"))
+    other = spark.range(20).select("id", F.array(F.lit(2.0)).alias("v"))
+
+    SIM._FASTPATH_CACHE.clear()
+    first = SIM._cache_assignment(a)
+    assert first.storageLevel.useMemory
+    again = SIM._cache_assignment(b)  # identical plan, different object
+    assert again is first  # reused, not evicted-and-rebuilt
+    assert len(SIM._FASTPATH_CACHE) == 1
+
+    rotated = SIM._cache_assignment(other)
+    assert rotated is not first
+    assert len(SIM._FASTPATH_CACHE) == 1
+    assert not first.storageLevel.useMemory  # old entry unpersisted
+    rotated.unpersist(blocking=False)
+    SIM._FASTPATH_CACHE.clear()

@@ -115,3 +115,26 @@ def test_chi2_drift_groups_without_reference_are_excluded(spark):
     cur = spark.createDataFrame([("a", 0), ("zzz", 1)], "g string, b int")
     got = {r.g for r in chi2_drift(ref, cur, "g", "b").collect()}
     assert got == {"a"}
+
+
+def test_chi2_drift_vanished_group_flags_not_nan(spark):
+    """A group present in ref but ABSENT from cur has n_cur=0, so every
+    e(b)=0: the fold must not compute 0/0 = NaN (NaN fails every
+    `chi2 > t` gate). The group comes back with chi2=0.0 and
+    vanished=True so a gate on `vanished OR chi2 > t` still trips."""
+    import math
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import chi2_drift
+
+    ref = spark.createDataFrame(
+        [("gone", 0)] * 4 + [("gone", 1)] * 2 + [("kept", 0)] * 3,
+        "g string, b int",
+    )
+    cur = spark.createDataFrame([("kept", 0)] * 3, "g string, b int")
+    rows = {r.g: r for r in chi2_drift(ref, cur, "g", "b").collect()}
+    assert set(rows) == {"gone", "kept"}
+    gone = rows["gone"]
+    assert (gone.n_ref, gone.n_cur, gone.vanished) == (6, 0, True)
+    assert not math.isnan(gone.chi2) and gone.chi2 == 0.0
+    kept = rows["kept"]
+    assert (kept.vanished, kept.chi2) == (False, 0.0)

@@ -69,6 +69,28 @@ def test_expectations_empty_input_all_zero(spark):
     assert rep["c"] == (0.0, False)
 
 
+def test_expectations_empty_input_exact_gates_uniform(spark):
+    """Exact gates (threshold >= 1) on an EMPTY frame must agree across
+    check kinds: SUM-backed row-level counts aggregate to NULL while
+    count_distinct gives 0, and before the coalesce `None == 0` made
+    row-level gates fail while uniqueness gates passed the same n=0.
+    Uniform rule: n == 0 passes every exact gate vacuously."""
+    df = spark.createDataFrame([], "id bigint, k bigint")
+    ref = spark.createDataFrame([(1,)], "k bigint")
+    rep = _report(
+        spark,
+        df,
+        [
+            Check("comp", "completeness", "id", 1.0),
+            Check("uniq", "uniqueness", "id", 1.0),
+            Check("refi", "referential", "k", 1.0, ref_table=ref, ref_column="k"),
+        ],
+    )
+    assert rep["comp"] == (0.0, True)
+    assert rep["uniq"] == (0.0, True)
+    assert rep["refi"] == (0.0, True)
+
+
 # ------------------------------------------------------------------ dq2
 
 

@@ -519,14 +519,19 @@ def test_mv_asof_time_travel(spark, tmp_path):
     latest = {(r.hour_idx, r.event_type): r.n for r in ST.read_materialized(spark, out, keys).collect()}
     assert v0 == {(1, "click"): 3}
     assert v1 == {(1, "click"): 5, (2, "view"): 1} == latest
-    # the as-of scan must be partition-pruned (reads batch<=0 only)
+    # the as-of scan must be partition-pruned (reads batch<=0 only):
+    # assert on the scan's PartitionFilters line, not mere mention of
+    # the column (which any plan over this schema contains)
     import contextlib
     import io
+    import re
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         ST.read_materialized(spark, out, keys, asof_batch=0).explain("formatted")
-    assert "batch" in buf.getvalue()
+    pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert pf, "formatted plan has no PartitionFilters line"
+    assert re.search(r"batch#\d+\s*<=\s*0", pf[0]), pf[0]
 
 
 def test_mv_drift_matches_batch_diff(spark, tmp_path):
