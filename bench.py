@@ -170,6 +170,16 @@ def main() -> None:
         "repeats": repeats,
     }
     spark.stop()
+    # The driver's capture keeps only a bounded tail of stdout, which
+    # has truncated the per-query dict out of past BENCH_rNN.json
+    # artifacts (VERDICT r08 item 2) — persist the COMPLETE result to a
+    # committed file so every per-query median survives the round.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"),
+        "w",
+    ) as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
     print(json.dumps(out))
 
 

@@ -101,3 +101,120 @@ def chi2_drift(
         (F.col("n_cur") == 0).alias("vanished"),
         "chi2",
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-group Population Stability Index between two pre-bucketed
+    frames — the drift score ML-monitoring teams standardize on
+    (PSI < 0.1 stable / 0.1-0.25 watch / > 0.25 act).
+
+    PSI needs ``ln`` on the compared surface, which the oracle
+    contract bans (tx14: transcendentals are not bit-portable), so the
+    output follows the a18/ev17 SEMANTIC-BAND pattern: the hashable
+    columns are all RATIONAL-arithmetic statistics of the same
+    smoothed distributions —
+
+    * ``tv``       total variation  0.5 * sum |p - q|
+    * ``chi2_sym`` sum (p-q)^2/q + sum (p-q)^2/p
+
+    folded in pinned bucket order (bit-portable), while PSI itself is
+    asserted inside the boolean ``psi_within_bounds`` against the
+    information-theoretic sandwich that holds for ANY pair of
+    distributions on a common support:
+
+        4 * TV^2  <=  PSI = KL(p||q) + KL(q||p)  <=  chi2_sym
+
+    (Pinsker's inequality per KL term; KL(p||q) <= chi2(p||q)). The
+    oracle twin emits constant TRUE — a wrong ln, a wrong fold, or a
+    broken smoothing flips the boolean and fails the hash.
+
+    Proportions are Laplace-smoothed over the per-group bucket UNION:
+    p_i = (r_i + alpha) / (n_ref + B*alpha), q_i likewise — full
+    common support, so vanished/new buckets contribute signal instead
+    of dividing by zero (the ev19 NaN lesson). All smoothed terms are
+    single correctly-rounded IEEE ops on exact integers, so tv and
+    chi2_sym replay bit-for-bit in any binary64 engine.
+    """
+    rc = ref.groupBy(
+        F.col(group_col).alias("g"), F.col(bucket_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("r"))
+    cc = cur.groupBy(
+        F.col(group_col).alias("g"), F.col(bucket_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    j = rc.join(cc, ["g", "b"], "full_outer").select(
+        "g",
+        "b",
+        F.coalesce("r", F.lit(0)).alias("r"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    w = Window.partitionBy("g")  # bounded by the fixed bucket count
+    j = (
+        j.withColumn("n_ref", F.sum("r").over(w))
+        .withColumn("n_cur", F.sum("c").over(w))
+        .withColumn("n_buckets", F.count(F.lit(1)).over(w))
+    )
+    a = F.lit(float(alpha))
+    # smoothed proportions in their own projection (the Spark 4.1
+    # lambda-pruning discipline: the fold below touches struct fields
+    # only)
+    j = (
+        j.filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .withColumn(
+            "p",
+            (F.col("r").cast("double") + a)
+            / (F.col("n_ref").cast("double") + a * F.col("n_buckets").cast("double")),
+        )
+        .withColumn(
+            "q",
+            (F.col("c").cast("double") + a)
+            / (F.col("n_cur").cast("double") + a * F.col("n_buckets").cast("double")),
+        )
+    )
+    folded = j.groupBy("g", "n_ref", "n_cur", "n_buckets").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("b", "p", "q"))),
+            F.struct(
+                F.lit(0.0).alias("tv"),
+                F.lit(0.0).alias("x2"),
+                F.lit(0.0).alias("psi"),
+            ),
+            lambda acc, s: F.struct(
+                (acc["tv"] + F.abs(s["p"] - s["q"])).alias("tv"),
+                # the bucket's two chi2 terms are summed BEFORE joining
+                # the accumulator — the oracle folds per-bucket
+                # (t_q + t_p) values, and float addition is not
+                # associative, so acc+(t_q+t_p) must be the shape in
+                # both engines
+                (
+                    acc["x2"]
+                    + (
+                        (s["p"] - s["q"]) * (s["p"] - s["q"]) / s["q"]
+                        + (s["p"] - s["q"]) * (s["p"] - s["q"]) / s["p"]
+                    )
+                ).alias("x2"),
+                (acc["psi"] + (s["p"] - s["q"]) * F.log(s["p"] / s["q"])).alias(
+                    "psi"
+                ),
+            ),
+        ).alias("_f")
+    )
+    tv = F.col("_f.tv") * 0.5
+    return folded.select(
+        "g",
+        "n_ref",
+        "n_cur",
+        "n_buckets",
+        tv.alias("tv"),
+        F.col("_f.x2").alias("chi2_sym"),
+        F.col("_f.psi").alias("psi"),
+        (
+            (F.lit(4.0) * tv * tv <= F.col("_f.psi") + F.lit(1e-9))
+            & (F.col("_f.psi") <= F.col("_f.x2") + F.lit(1e-9))
+        ).alias("psi_within_bounds"),
+    )

@@ -567,6 +567,101 @@ def append_delta_to_ivf_index(
     )
 
 
+def ivf_staleness_report(
+    spark,
+    path: str,
+    delta_share_due: float = 0.2,
+    max_delta_batches: int = 8,
+) -> DataFrame:
+    """Per-cell merge-on-read staleness of a materialized IVF index:
+    how much of each probed cell's data still lives in flat streaming
+    deltas (:func:`append_delta_to_ivf_index`) instead of the
+    cell-partitioned base. Deltas are correct-but-slower — a probe
+    reads EVERY delta file and row-group-filters, while base cells are
+    partition-pruned — so the share of delta rows is exactly the
+    fraction of probe I/O that has lost pruning (VERDICT r08: st13
+    ingests exactly-once but nothing measured the degradation).
+
+    Returns one row per cell: (cell, n_base, n_delta, n_delta_batches,
+    delta_share, compaction_due) where delta_share = n_delta /
+    (n_base + n_delta) (exact integer ratio, bit-portable) and
+    compaction_due fires when delta_share > ``delta_share_due`` OR
+    more than ``max_delta_batches`` delta dirs have accumulated (many
+    small files hurt before many rows do — the small-files rule of
+    sources/layout). Cost: two footer-metadata count aggregations —
+    nothing corpus-sized moves.
+    """
+    from pyspark.errors import AnalysisException
+
+    base = (
+        spark.read.parquet(path + "/corpus")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    try:
+        d = spark.read.parquet(path + "/corpus_delta")
+        delta = d.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.count_distinct("batch").alias("n_delta_batches"),
+        )
+    except AnalysisException:  # no deltas ingested yet
+        delta = spark.createDataFrame(
+            [], "cell int, n_delta bigint, n_delta_batches bigint"
+        )
+    j = (
+        base.join(delta, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+            F.coalesce("n_delta_batches", F.lit(0)).alias("n_delta_batches"),
+        )
+        .withColumn(
+            "delta_share",
+            F.col("n_delta").cast("double")
+            / (F.col("n_base") + F.col("n_delta")).cast("double"),
+        )
+    )
+    return j.withColumn(
+        "compaction_due",
+        (F.col("delta_share") > F.lit(float(delta_share_due)))
+        | (F.col("n_delta_batches") > F.lit(int(max_delta_batches))),
+    )
+
+
+def compact_ivf_index(spark, path: str) -> None:
+    """Out-of-band delta compaction: fold ``corpus_delta`` back into
+    the cell-partitioned ``corpus`` layout so probes regain partition
+    pruning, then retire the delta log. Search results are IDENTICAL
+    before and after (the union corpus is unchanged — unit-asserted),
+    only the physical layout moves: this is the job
+    :func:`ivf_staleness_report`'s ``compaction_due`` schedules.
+
+    The rewrite stages into ``corpus_new`` and swaps directories
+    LAST, so a crashed compaction leaves the live index (base +
+    deltas) untouched and re-runnable; on a real cluster the swap is
+    the table-format commit (Iceberg/Delta) or a FileSystem.rename —
+    local paths here, so plain renames."""
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        delta = spark.read.parquet(path + "/corpus_delta").select(
+            "id", "v", "cell"
+        )
+    except AnalysisException:
+        return  # nothing to fold
+    base = spark.read.parquet(path + "/corpus").select("id", "v", "cell")
+    merged = base.unionByName(delta).repartition("cell")
+    merged.write.mode("overwrite").partitionBy("cell").parquet(
+        path + "/corpus_new"
+    )
+    shutil.rmtree(path + "/corpus")
+    shutil.move(path + "/corpus_new", path + "/corpus")
+    shutil.rmtree(path + "/corpus_delta")
+
+
 def build_ivf_kmeans_index(
     emb: DataFrame,
     path: str,

@@ -6791,6 +6791,91 @@ FROM rk WHERE rec_rank <= 5
 """
 
 
+def st14_index_staleness(spark, sf_dir):
+    """Delta-staleness report + compaction round-trip for the
+    streaming ANN index (operators/similarity.ivf_staleness_report /
+    compact_ivf_index — VERDICT r08 item 5: st13 ingested deltas
+    exactly-once but nothing measured search degradation as they
+    accumulate). Same deterministic index shape as st13/ss9: base =
+    first 400 vectors, the rest land as 3 exactly-once delta batches
+    (vec_id % 3 — the batching is irrelevant to the report, asserted
+    by the oracle recomputing it from the split alone). The report
+    carries per-cell base/delta volumes, the delta share (the exact
+    fraction of probe I/O that has lost partition pruning), the
+    compaction trigger (share > 0.2 or > 8 delta dirs), and
+    ``search_invariant`` — the Spark-side assertion that the top-k
+    search returns IDENTICAL rows before and after
+    :func:`compact_ivf_index` folds the deltas back into the
+    cell-partitioned layout (the oracle emits constant TRUE: a
+    compaction that loses or duplicates rows flips it and fails the
+    hash)."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = os.path.join(tempfile.mkdtemp(prefix="st14_idx_"), "ivf")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") < 400), idx, n_cells=8)
+    new = emb.filter(F.col("vec_id") >= 400)
+    for b in range(3):
+        SIM.append_delta_to_ivf_index(
+            spark, idx, new.filter(F.col("vec_id") % 3 == b), b
+        )
+    # eager localCheckpoint SEVERS lineage before compaction deletes
+    # the delta dirs the report reads — a persist could still evict
+    # and recompute against retired paths mid-sweep
+    report = SIM.ivf_staleness_report(spark, idx).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") < 8)
+    before = SIM.ivf_topk_from_index(spark, idx, queries, k=5, n_probe=3)
+    before_rows = before.collect()
+    SIM.compact_ivf_index(spark, idx)
+    after = SIM.ivf_topk_from_index(spark, idx, queries, k=5, n_probe=3)
+    invariant = sorted(map(tuple, before_rows)) == sorted(
+        map(tuple, after.collect())
+    )
+    return report.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_base",
+        "n_delta",
+        "n_delta_batches",
+        F.round("delta_share", 6).alias("delta_share"),
+        "compaction_due",
+        F.lit(bool(invariant)).alias("search_invariant"),
+    )
+
+
+ST14_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+md AS (SELECT vec_id, v,
+       CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       FROM n WHERE vec_id < 400),
+cent0 AS (SELECT vec_id, v, h FROM md ORDER BY h, vec_id LIMIT 8),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cell, v AS cv FROM cent0),
+ca AS (SELECT m.vec_id, c.cell, list_dot_product(m.v, c.cv) AS sim
+       FROM n m CROSS JOIN cents c),
+cr AS (SELECT vec_id, cell,
+       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ca),
+assigned AS (SELECT vec_id, cell FROM cr WHERE rn = 1),
+agg AS (SELECT cell,
+         SUM(CASE WHEN vec_id < 400 THEN 1 ELSE 0 END) AS n_base,
+         SUM(CASE WHEN vec_id >= 400 THEN 1 ELSE 0 END) AS n_delta,
+         count(DISTINCT CASE WHEN vec_id >= 400 THEN vec_id % 3 END) AS n_delta_batches
+        FROM assigned GROUP BY cell)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(n_base AS BIGINT) AS n_base,
+  CAST(n_delta AS BIGINT) AS n_delta,
+  CAST(n_delta_batches AS BIGINT) AS n_delta_batches,
+  round(CAST(n_delta AS DOUBLE) / CAST(n_base + n_delta AS DOUBLE), 6) AS delta_share,
+  (CAST(n_delta AS DOUBLE) / CAST(n_base + n_delta AS DOUBLE) > 0.2
+   OR n_delta_batches > 8) AS compaction_due,
+  TRUE AS search_invariant
+FROM agg
+"""
+
+
 def dp5_semantic_curation(spark, sf_dir):
     """Third composed pipeline — this round's curation stack in one
     lineage: exact dedup -> near-CONTAINMENT drop (the quoted/
@@ -6910,6 +6995,79 @@ SELECT g AS event_type, CAST(n_ref AS BIGINT) AS n_ref,
            ELSE 0.0 END ORDER BY b)),
     (acc, v) -> acc + v), 6) AS chi2
 FROM x GROUP BY g, n_ref, n_cur
+"""
+
+
+def ev20_psi_band(spark, sf_dir):
+    """PSI drift gate (operators/drift.py:psi_drift) over the same
+    two event windows and cents-bucketing as ev19 — the score ML
+    monitoring standardizes on (0.1/0.25 action thresholds). PSI
+    needs ln, banned on the hashed surface, so this is a SEMANTIC-BAND
+    query (a18/ev17 pattern): the hashed columns are the smoothed
+    distributions' rational statistics (tv, chi2_sym — pinned-order
+    folds, bit-portable), and PSI is asserted Spark-side inside
+    ``psi_within_bounds`` against the information-theoretic sandwich
+    4*TV^2 <= PSI <= chi2_sym; the oracle mirrors tv/chi2_sym exactly
+    and emits constant TRUE for the boolean."""
+    from ..operators.drift import psi_drift
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 3600000000000").cast("bigint").alias("hour_idx"),
+        F.least(
+            F.floor(F.floor(F.col("value") * 100) / 5000).cast("bigint"),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    cut = _ST12_CUTOFF_NS // 3_600_000_000_000
+    d = psi_drift(
+        e.filter(F.col("hour_idx") < cut),
+        e.filter(F.col("hour_idx") >= cut),
+        "event_type",
+        "bucket",
+    )
+    return d.select(
+        F.col("g").alias("event_type"),
+        "n_ref",
+        "n_cur",
+        "n_buckets",
+        F.round("tv", 6).alias("tv"),
+        F.round("chi2_sym", 6).alias("chi2_sym"),
+        "psi_within_bounds",
+    )
+
+
+EV20_SQL = f"""
+WITH e AS (SELECT event_type,
+  CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_idx,
+  least(CAST(floor(floor(value * 100) / 5000) AS BIGINT), 9) AS bucket
+  FROM events),
+rc AS (SELECT event_type AS g, bucket AS b, count(*) AS r FROM e
+       WHERE hour_idx < {_EV19_CUT} GROUP BY 1, 2),
+cc AS (SELECT event_type AS g, bucket AS b, count(*) AS c FROM e
+       WHERE hour_idx >= {_EV19_CUT} GROUP BY 1, 2),
+j AS (SELECT coalesce(rc.g, cc.g) AS g, coalesce(rc.b, cc.b) AS b,
+             coalesce(rc.r, 0) AS r, coalesce(cc.c, 0) AS c
+      FROM rc FULL OUTER JOIN cc ON rc.g = cc.g AND rc.b = cc.b),
+t AS (SELECT j.*, SUM(r) OVER (PARTITION BY g) AS n_ref,
+             SUM(c) OVER (PARTITION BY g) AS n_cur,
+             COUNT(*) OVER (PARTITION BY g) AS n_buckets FROM j),
+x AS (SELECT g, b, n_ref, n_cur, n_buckets,
+        (CAST(r AS DOUBLE) + 0.5)
+          / (CAST(n_ref AS DOUBLE) + 0.5 * CAST(n_buckets AS DOUBLE)) AS p,
+        (CAST(c AS DOUBLE) + 0.5)
+          / (CAST(n_cur AS DOUBLE) + 0.5 * CAST(n_buckets AS DOUBLE)) AS q
+      FROM t WHERE n_ref > 0 AND n_cur > 0)
+SELECT g AS event_type, CAST(n_ref AS BIGINT) AS n_ref,
+  CAST(n_cur AS BIGINT) AS n_cur, CAST(n_buckets AS BIGINT) AS n_buckets,
+  round(list_reduce(list_prepend(0.0, list(abs(p - q) ORDER BY b)),
+                    (acc, v) -> acc + v) * 0.5, 6) AS tv,
+  round(list_reduce(
+    list_prepend(0.0, list((p - q) * (p - q) / q + (p - q) * (p - q) / p
+                           ORDER BY b)),
+    (acc, v) -> acc + v), 6) AS chi2_sym,
+  TRUE AS psi_within_bounds
+FROM x GROUP BY g, n_ref, n_cur, n_buckets
 """
 
 
@@ -7818,9 +7976,11 @@ QUERIES = {
     "j9_bloom_prefilter": j9_bloom_prefilter,
     "ev18_gap_islands": ev18_gap_islands,
     "ev19_chi2_drift": ev19_chi2_drift,
+    "ev20_psi_band": ev20_psi_band,
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "st12_stream_mv_drift": st12_stream_mv_drift,
     "st13_stream_ann_ingest": st13_stream_ann_ingest,
+    "st14_index_staleness": st14_index_staleness,
     "ss10_radius_search": ss10_radius_search,
     "ss11_filtered_search": ss11_filtered_search,
     "dp6_bpr_triples": dp6_bpr_triples,
@@ -8254,6 +8414,7 @@ ORACLES = {
     "a16_distinct_users": A16_SQL,
     "ss9_incremental_index": SS9_SQL,
     "st13_stream_ann_ingest": SS9_SQL,
+    "st14_index_staleness": ST14_SQL,
     "dp5_semantic_curation": DP5_SQL,
     "a17_ewma_daily": A17_SQL,
     "a18_sketch_distinct_band": A18_SQL,
@@ -8261,6 +8422,7 @@ ORACLES = {
     "a20_heavy_hitters": A20_SQL,
     "ev17_quantile_sketch_band": EV17_SQL,
     "ev19_chi2_drift": EV19_SQL,
+    "ev20_psi_band": EV20_SQL,
     "u4_intersect_audiences": U4_SQL,
     "dq1_expectations": DQ1_SQL,
     "dq2_snapshot_diff": DQ2_SQL,

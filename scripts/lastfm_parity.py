@@ -14,11 +14,21 @@ Node2Vec p=1 q=1 n_walks=50 walk_len=10 dim=64.
 Inputs: the deterministic clone (scripts/make_lastfm_clone.py — raw
 HetRec data is not downloadable here). Calibration targeted the
 WITHOUT-social axis; measured result lands inside the published ±2σ
-bands on both metrics. The WITH-social run (r05): direction matches
-and the MAP lift is +0.0081 = 1.5x the published +0.0055 (nDCG lift
-+0.0035 vs published +0.0040), after the r05 socialite-pool topology
-damped the r04 10x overshoot; the rating tables are byte-identical
-across that change, so the without-social golden is untouched.
+bands on both metrics. The WITH-social run: direction matches and the
+MAP lift is +0.0081 = 1.5x the published +0.0055 (nDCG lift +0.0035
+vs published +0.0040), after the r05 socialite-pool topology damped
+the r04 10x overshoot; the rating tables are byte-identical across
+that change, so the without-social golden is untouched.
+
+EXPLICIT DISCLOSURE (VERDICT r08): the with-social ABSOLUTE MAP@5 is
+out of its published band (r08 golden: 0.22897 vs [0.21611, 0.22112],
+overshooting high; nDCG@5 is in band). Only direction + lift scale is
+asserted for this axis (tests/test_lastfm_parity.py), and that is
+deliberate: the published band is 2x0.00125 wide while the 2-fold
+estimator's fold spread on the clone is ~0.056, so the band is far
+narrower than the estimator's own noise — re-damping the topology
+until one run "lands in band" would fit noise (the r05 in-band social
+run was luck), not improve parity.
 
     python3 scripts/lastfm_parity.py [--social] [out.json]
 """

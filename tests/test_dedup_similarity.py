@@ -924,3 +924,83 @@ def test_fastpath_cache_reuses_identical_plan_and_rotates_on_new(spark):
     assert not first.storageLevel.useMemory  # old entry unpersisted
     rotated.unpersist(blocking=False)
     SIM._FASTPATH_CACHE.clear()
+
+
+def _mk_emb(spark, n=50, d=8, seed=9):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    mat = rng.randn(n, d).astype("float32")
+    return spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_ivf_staleness_report_counts_and_trigger(spark, tmp_path):
+    """Per-cell base/delta volumes, exact delta_share, and the
+    compaction trigger (share > threshold OR too many delta dirs)."""
+    emb = _mk_emb(spark)
+    idx = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") < 30), idx, n_cells=4)
+
+    # no deltas yet: all shares zero, nothing due
+    rep0 = SIM.ivf_staleness_report(spark, idx).collect()
+    assert rep0 and all(
+        r.n_delta == 0 and r.delta_share == 0.0 and not r.compaction_due
+        for r in rep0
+    )
+    assert sum(r.n_base for r in rep0) == 30
+
+    for b in range(2):
+        SIM.append_delta_to_ivf_index(
+            spark, idx, emb.filter(F.col("vec_id") % 2 == b).filter(F.col("vec_id") >= 30), b
+        )
+    rep = {r.cell: r for r in SIM.ivf_staleness_report(spark, idx).collect()}
+    assert sum(r.n_delta for r in rep.values()) == 20
+    for r in rep.values():
+        assert r.delta_share == pytest.approx(
+            r.n_delta / (r.n_base + r.n_delta), abs=0
+        )
+        assert r.compaction_due == (r.delta_share > 0.2 or r.n_delta_batches > 8)
+        assert 0 <= r.n_delta_batches <= 2
+    # batch-count arm of the trigger, independent of share
+    due = SIM.ivf_staleness_report(spark, idx, max_delta_batches=1).collect()
+    assert all(r.compaction_due for r in due if r.n_delta_batches > 1)
+
+
+def test_ivf_compaction_preserves_search_and_restores_pruning(spark, tmp_path):
+    """compact_ivf_index folds deltas into the cell layout: top-k and
+    radius searches are IDENTICAL before/after, the delta log is
+    retired, and every row is back under partition-pruned cell=
+    directories."""
+    import os
+
+    emb = _mk_emb(spark, n=60)
+    idx = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") < 30), idx, n_cells=4)
+    for b in range(3):
+        SIM.append_delta_to_ivf_index(
+            spark, idx, emb.filter(F.col("vec_id") % 3 == b).filter(F.col("vec_id") >= 30), b
+        )
+    q = emb.filter(F.col("vec_id") < 5)
+    before = sorted(
+        map(tuple, SIM.ivf_topk_from_index(spark, idx, q, k=4, n_probe=2).collect())
+    )
+    rep_before = {r.cell: r for r in SIM.ivf_staleness_report(spark, idx).collect()}
+    SIM.compact_ivf_index(spark, idx)
+    after = sorted(
+        map(tuple, SIM.ivf_topk_from_index(spark, idx, q, k=4, n_probe=2).collect())
+    )
+    assert before == after and len(before) > 0
+    assert not os.path.exists(idx + "/corpus_delta")
+    rep_after = {r.cell: r for r in SIM.ivf_staleness_report(spark, idx).collect()}
+    for cell, r in rep_after.items():
+        b = rep_before.get(cell)
+        assert r.n_delta == 0 and not r.compaction_due
+        assert r.n_base == (b.n_base + b.n_delta if b else r.n_base)
+    # compaction is idempotent when there is nothing to fold
+    SIM.compact_ivf_index(spark, idx)
+    assert sorted(
+        map(tuple, SIM.ivf_topk_from_index(spark, idx, q, k=4, n_probe=2).collect())
+    ) == after

@@ -138,3 +138,78 @@ def test_chi2_drift_vanished_group_flags_not_nan(spark):
     assert not math.isnan(gone.chi2) and gone.chi2 == 0.0
     kept = rows["kept"]
     assert (kept.vanished, kept.chi2) == (False, 0.0)
+
+
+def test_psi_drift_hand_computed(spark):
+    """psi/tv/chi2_sym vs plain-python arithmetic on the same smoothed
+    (alpha=0.5, union-support) proportions: ref {b0:8, b1:2}, cur
+    {b0:3, b1:2, b2:1} -> B=3 buckets."""
+    import math
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import psi_drift
+
+    ref = spark.createDataFrame(
+        [("a", 0)] * 8 + [("a", 1)] * 2, "g string, b int"
+    )
+    cur = spark.createDataFrame(
+        [("a", 0)] * 3 + [("a", 1)] * 2 + [("a", 2)], "g string, b int"
+    )
+    rows = psi_drift(ref, cur, "g", "b").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    p = [(x + 0.5) / (10 + 0.5 * 3) for x in (8, 2, 0)]
+    q = [(x + 0.5) / (6 + 0.5 * 3) for x in (3, 2, 1)]
+    tv = 0.5 * sum(abs(pi - qi) for pi, qi in zip(p, q))
+    x2 = sum((pi - qi) ** 2 / qi + (pi - qi) ** 2 / pi for pi, qi in zip(p, q))
+    psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+    assert (r.n_ref, r.n_cur, r.n_buckets) == (10, 6, 3)
+    assert r.tv == pytest.approx(tv, abs=1e-12)
+    assert r.chi2_sym == pytest.approx(x2, abs=1e-12)
+    assert r.psi == pytest.approx(psi, abs=1e-12)
+    assert r.psi_within_bounds
+    # the sandwich itself, on the hand numbers
+    assert 4 * tv * tv <= psi <= x2
+
+
+def test_psi_drift_identical_windows_near_zero(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import psi_drift
+
+    df = spark.createDataFrame(
+        [("a", i % 3) for i in range(30)] + [("b", i % 2) for i in range(10)],
+        "g string, b int",
+    )
+    rows = {r.g: r for r in psi_drift(df, df, "g", "b").collect()}
+    assert set(rows) == {"a", "b"}
+    for r in rows.values():
+        assert r.tv == 0.0 and r.psi == 0.0 and r.psi_within_bounds
+
+
+def test_psi_drift_one_sided_groups_excluded(spark):
+    """PSI is defined between two non-empty windows; a group missing
+    from either side is excluded (ev19's vanished flag is the gate for
+    that case)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import psi_drift
+
+    ref = spark.createDataFrame([("a", 0), ("gone", 1)], "g string, b int")
+    cur = spark.createDataFrame([("a", 0), ("new", 1)], "g string, b int")
+    got = {r.g for r in psi_drift(ref, cur, "g", "b").collect()}
+    assert got == {"a"}
+
+
+def test_psi_drift_bounds_random(spark):
+    """Pinsker/chi2 sandwich holds on randomized histograms (the
+    boolean ev20 stakes its oracle hash on)."""
+    import random
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import psi_drift
+
+    rng = random.Random(7)
+    rows_ref, rows_cur = [], []
+    for g in range(8):
+        for b in range(6):
+            rows_ref += [(f"g{g}", b)] * rng.randint(0, 20)
+            rows_cur += [(f"g{g}", b)] * rng.randint(0, 20)
+    ref = spark.createDataFrame(rows_ref, "g string, b int")
+    cur = spark.createDataFrame(rows_cur, "g string, b int")
+    out = psi_drift(ref, cur, "g", "b").collect()
+    assert out and all(r.psi_within_bounds for r in out)
