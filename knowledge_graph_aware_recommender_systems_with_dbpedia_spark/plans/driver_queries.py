@@ -1113,6 +1113,36 @@ SELECT node, round(pr, 10) AS pr FROM {prev}
 G11_SQL = _ppr_sql()
 
 
+def g12_corating_motifs(spark, sf_dir):
+    """Motif search (graph.co_rating_pairs): the GraphFrames
+    ``(a)-[rated]->(i)<-[rated]-(b)`` pattern over the rating
+    bipartite graph — top-100 user pairs by shared-item count. Hub
+    items above degree 40 are dropped BEFORE the self-join
+    (co-occurrence stop-word rule; bounds the blow-up at |I|*cap^2 —
+    the itemknn sum(deg^2) discipline), both pair-join sides hash on
+    the item key (one co-partitioned shuffle), and the global top-100
+    is a TakeOrderedAndProject, never a full sort."""
+    pairs = G.co_rating_pairs(
+        _ratings(spark, sf_dir), max_item_degree=40
+    )
+    return pairs.orderBy(
+        F.desc("n_common"), "user_a", "user_b"
+    ).limit(100)
+
+
+G12_SQL = f"""
+WITH ratings AS ({RATINGS_SQL}),
+e AS (SELECT DISTINCT user_id AS u, item_id AS i FROM ratings),
+deg AS (SELECT i, count(*) AS d FROM e GROUP BY i),
+kept AS (SELECT e.u, e.i FROM e JOIN deg USING (i) WHERE deg.d <= 40),
+p AS (SELECT a.u AS user_a, b.u AS user_b, count(*) AS n_common
+      FROM kept a JOIN kept b ON a.i = b.i AND a.u < b.u
+      GROUP BY 1, 2)
+SELECT user_a, user_b, n_common FROM p
+ORDER BY n_common DESC, user_a, user_b LIMIT 100
+"""
+
+
 def g4_kcore_user(spark, sf_dir):
     return G.filter_kcore(_ratings(spark, sf_dir), k=8, target="user", iterations=1)
 
@@ -7954,6 +7984,7 @@ QUERIES = {
     "ev16_rfm_segments": ev16_rfm_segments,
     "g10_label_propagation": g10_label_propagation,
     "g11_personalized_pagerank": g11_personalized_pagerank,
+    "g12_corating_motifs": g12_corating_motifs,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_profit_proxy": q9_profit_proxy,
     "q11_important_parts": q11_important_parts,
@@ -8285,6 +8316,7 @@ ORACLES = {
     "g8_triples": G8_SQL,
     "g9_pagerank": G9_SQL,
     "g11_personalized_pagerank": G11_SQL,
+    "g12_corating_motifs": G12_SQL,
     "sp1_random_global": _sp_ratio_sql(0.25, "global"),
     "sp2_random_user": _sp_ratio_sql(0.2, "user"),
     "sp3_temporal_global": _sp_ratio_sql(0.3, "global", by_ts=True),

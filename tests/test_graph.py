@@ -270,3 +270,44 @@ def test_personalized_pagerank_requires_seeds(spark):
     empty = spark.createDataFrame([], "node string")
     with pytest.raises(ValueError):
         personalized_pagerank(edges, empty)
+
+
+def test_co_rating_pairs_hand_computed(spark):
+    """(a)-[rated]->(i)<-[rated]-(b) motif counts on a toy graph:
+    u1,u2 share {i1,i2}; u1,u3 share {i1}; u2,u3 share {i1}."""
+    r = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10)],
+        "user_id bigint, item_id bigint",
+    )
+    got = {
+        (row.user_a, row.user_b): row.n_common
+        for row in G.co_rating_pairs(r).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_co_rating_pairs_orders_and_dedups(spark):
+    """Pairs come out user_a < user_b exactly once, and duplicate
+    interaction rows don't inflate counts."""
+    r = spark.createDataFrame(
+        [(5, 1), (5, 1), (2, 1), (2, 1)], "user_id bigint, item_id bigint"
+    )
+    rows = G.co_rating_pairs(r).collect()
+    assert len(rows) == 1
+    assert (rows[0].user_a, rows[0].user_b, rows[0].n_common) == (2, 5, 1)
+
+
+def test_co_rating_pairs_hub_items_dropped(spark):
+    """Items above max_item_degree contribute NO pairs (the stop-word
+    rule that bounds the self-join at |I|*cap^2)."""
+    # hub item 99 rated by 4 users; niche item 7 by 2 of them
+    rows = [(u, 99) for u in range(4)] + [(0, 7), (1, 7)]
+    r = spark.createDataFrame(rows, "user_id bigint, item_id bigint")
+    got = {
+        (row.user_a, row.user_b): row.n_common
+        for row in G.co_rating_pairs(r, max_item_degree=3).collect()
+    }
+    assert got == {(0, 1): 1}  # only the niche item pairs anyone
+    # with the cap lifted, the hub pairs everyone with everyone
+    full = G.co_rating_pairs(r, max_item_degree=10).collect()
+    assert len(full) == 6  # C(4,2)
