@@ -110,6 +110,8 @@ HEADLINE = [
     "ev16_rfm_segments",
     "ev18_gap_islands",
     "ev19_chi2_drift",
+    "ev20_psi_band",
+    "g12_corating_motifs",
     "ss8_knn_join",
     "ss10_radius_search",
     "ss11_filtered_search",
@@ -124,6 +126,8 @@ HEADLINE = [
     "st11_stream_quality_gate",
     "st12_stream_mv_drift",
     "st13_stream_ann_ingest",
+    "st14_index_staleness",
+    "st15_stream_curation_e2e",
 ]
 
 

@@ -6906,6 +6906,100 @@ FROM agg
 """
 
 
+def st15_stream_curation_e2e(spark, sf_dir):
+    """End-to-end streaming curation (streaming/curation.py — the
+    streaming twin of the dp2/dp5 composed pipelines, VERDICT r08
+    item 7): new documents (doc_id % 5 == 0, the dd11 crawl split)
+    arrive as a 3-file stream and each micro-batch runs the FULL
+    ingest stack inside one foreachBatch — st11 quality gate
+    (exactly-once metric partitions + quality_score >= 0.68 row
+    filter) -> st6 incremental LSH dedup against the once-persisted
+    corpus index -> st13 ANN delta ingest of the survivors'
+    embeddings against the stored centroids. Every stage's per-doc
+    verdict depends only on (doc, static state), so the drained index
+    content is batching-invariant and ONE composed batch oracle
+    (quality filter -> dd11 anti-select -> centroid assignment)
+    replays it. Output: (doc_id, cell) of every curated-and-indexed
+    document."""
+    import tempfile
+
+    from ..streaming import curation as SC
+    from ..streaming import dedup as STD
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = tempfile.mkdtemp(prefix="st15_idx_") + "/ivf"
+    in_dir = tempfile.mkdtemp(prefix="st15_in_")
+    ck_dir = tempfile.mkdtemp(prefix="st15_ck_")
+    metrics = tempfile.mkdtemp(prefix="st15_m_") + "/metrics"
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=8)
+    new.repartition(3).write.mode("overwrite").parquet(in_dir)
+    q = SC.curation_pipeline_stream(
+        STD.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
+        corpus,
+        idx,
+        metrics,
+        ck_dir,
+        emb,
+        quality_threshold=0.68,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(idx + "/corpus_delta").select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cell").cast("bigint").alias("cell"),
+    )
+
+
+ST15_SQL = f"""
+WITH {_SHINGLES_SQL}, {_JACCARD_SQL},
+-- stage 1: st11 quality gate as a row-level curation filter
+tq AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, {TOKS_SQL} AS toks
+       FROM documents WHERE doc_id % 5 = 0),
+stq AS (SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        CAST(len(toks) AS DOUBLE) AS n_toks
+        FROM tq),
+curated AS (SELECT doc_id FROM stq
+  WHERE round(0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+      + 0.3 * least(n_chars / 400.0, 1.0)
+      + 0.3 * least((CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END) / 6.0, 1.0), 6)
+      >= 0.68),
+-- stage 2: st6/dd11 incremental near-dup anti-select vs the corpus
+sig AS (SELECT id AS doc_id, {_minhash_min_exprs_sql()} FROM sh GROUP BY id),
+buckets AS ({_lsh_bands_sql(8, 16)}),
+cand AS (SELECT DISTINCT a.id AS nid, b.id AS cid
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
+         WHERE a.id % 5 = 0 AND b.id % 5 <> 0),
+flagged AS (SELECT DISTINCT c.nid FROM cand c
+            JOIN jac j ON j.id1 = least(c.nid, c.cid)
+                      AND j.id2 = greatest(c.nid, c.cid)
+            WHERE j.jaccard >= 0.1),
+survivors AS (SELECT doc_id FROM curated
+              WHERE doc_id NOT IN (SELECT nid FROM flagged)),
+-- stage 3: st13 centroid assignment of the survivors' embeddings
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+nv AS (SELECT vec_id,
+       CASE WHEN sqrt(list_dot_product(v, v)) > 0
+            THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+            ELSE v END AS v
+       FROM e),
+md2 AS (SELECT vec_id, v,
+        CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM nv WHERE vec_id % 5 <> 0),
+cent0 AS (SELECT vec_id, v, h FROM md2 ORDER BY h, vec_id LIMIT 8),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cell, v AS cv FROM cent0),
+sv AS (SELECT s.doc_id, n.v FROM survivors s JOIN nv n ON n.vec_id = s.doc_id),
+ca AS (SELECT sv.doc_id, c.cell, list_dot_product(sv.v, c.cv) AS sim
+       FROM sv CROSS JOIN cents c),
+cr AS (SELECT doc_id, cell,
+       row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, cell) AS rn FROM ca)
+SELECT doc_id, CAST(cell AS BIGINT) AS cell FROM cr WHERE rn = 1
+"""
+
+
 def dp5_semantic_curation(spark, sf_dir):
     """Third composed pipeline — this round's curation stack in one
     lineage: exact dedup -> near-CONTAINMENT drop (the quoted/
@@ -8012,6 +8106,7 @@ QUERIES = {
     "st12_stream_mv_drift": st12_stream_mv_drift,
     "st13_stream_ann_ingest": st13_stream_ann_ingest,
     "st14_index_staleness": st14_index_staleness,
+    "st15_stream_curation_e2e": st15_stream_curation_e2e,
     "ss10_radius_search": ss10_radius_search,
     "ss11_filtered_search": ss11_filtered_search,
     "dp6_bpr_triples": dp6_bpr_triples,
@@ -8447,6 +8542,7 @@ ORACLES = {
     "ss9_incremental_index": SS9_SQL,
     "st13_stream_ann_ingest": SS9_SQL,
     "st14_index_staleness": ST14_SQL,
+    "st15_stream_curation_e2e": ST15_SQL,
     "dp5_semantic_curation": DP5_SQL,
     "a17_ewma_daily": A17_SQL,
     "a18_sketch_distinct_band": A18_SQL,

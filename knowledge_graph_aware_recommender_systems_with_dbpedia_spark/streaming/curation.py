@@ -1,0 +1,118 @@
+"""End-to-end streaming curation — the full training-data ingest
+pipeline in ONE availableNow drain (st15).
+
+Greenfield scale extension: the batch curation pipelines (dp2/dp5)
+have a streaming twin in production — documents arrive continuously
+and each micro-batch must be quality-gated, near-dup-checked against
+the existing corpus, and made searchable, WITHOUT ever re-scanning the
+corpus per trigger. This module composes the already-tested stages
+inside a single ``foreachBatch``:
+
+ 1. **Quality gate** (st11's machinery): the batch's expectation
+    counter rows land exactly-once in ``metrics_dir/batch_id=N``
+    (OVERWRITE — at-least-once retries replace, never double-count),
+    and a row-level ``quality_score >= tau`` filter curates the batch
+    itself;
+ 2. **Incremental near-dup dedup** (st6 / dd11): survivors are
+    LSH-banded against the ONCE-BUILT, persisted corpus band/shingle
+    index and exact-verified — per-trigger cost proportional to the
+    batch, never the corpus;
+ 3. **ANN index ingest** (st13): survivors' embeddings (inner join to
+    the static embedding table — only embedded docs are indexable)
+    assign against the STORED centroids into the exactly-once delta
+    dir ``index/corpus_delta/batch=N``; compaction stays the
+    out-of-band job (operators/similarity.compact_ivf_index, st14).
+
+Every stage's per-doc verdict depends only on (doc, static state), so
+the final index content is BATCHING-INVARIANT and a composed batch
+oracle (quality filter -> dd11 anti-select -> centroid assignment)
+applies verbatim under any micro-batch split — the property st4/st5/
+st6/st13 each assert for their own stage, now asserted end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_score
+from ..operators.dedup import build_corpus_dedup_index, dedup_against_corpus
+from ..operators.expectations import Check
+from ..operators.similarity import append_delta_to_ivf_index
+from .quality import write_batch_counts
+
+
+def curation_pipeline_stream(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    embeddings: DataFrame,
+    checks: list[Check] | None = None,
+    quality_threshold: float = 0.68,
+    bands: int = 8,
+    n_hashes: int = 16,
+    n: int = 3,
+    verify_threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Run the composed curation drain over a document stream; returns
+    the started StreamingQuery (availableNow — caller awaits). The
+    caller must have materialized the base IVF index at ``index_path``
+    (operators/similarity.build_ivf_index over the corpus embeddings);
+    the corpus dedup index is built and persisted HERE, once, and
+    broadcast into every micro-batch's band join."""
+    if checks is None:
+        checks = [Check("text_present", "completeness", text_col, 1.0)]
+
+    buckets, shingles = build_corpus_dedup_index(
+        corpus, bands, n_hashes, n, id_col, text_col
+    )
+    state = (buckets.persist(), shingles.persist())
+    emb = embeddings.select(
+        F.col(vec_id_col), F.col(vec_col)
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        # 1. quality gate: exactly-once metric log + row-level curation
+        write_batch_counts(batch, checks, metrics_dir, batch_id)
+        curated = batch.filter(
+            quality_score(F.col(text_col)) >= F.lit(float(quality_threshold))
+        )
+        # 2. near-dup dedup against the persisted corpus index
+        survivors = dedup_against_corpus(
+            curated,
+            corpus,
+            bands=bands,
+            n_hashes=n_hashes,
+            n=n,
+            verify_threshold=verify_threshold,
+            id_col=id_col,
+            text_col=text_col,
+            corpus_state=state,
+        )
+        # 3. index the survivors' embeddings as an exactly-once delta
+        batch_emb = survivors.select(F.col(id_col).alias("_id")).join(
+            emb, F.col("_id") == F.col(vec_id_col), "inner"
+        ).select(vec_id_col, vec_col)
+        append_delta_to_ivf_index(
+            batch.sparkSession,
+            index_path,
+            batch_emb,
+            batch_id,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+        )
+
+    import os
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "curation"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -648,3 +648,66 @@ def test_ann_ingest_stream_matches_batch_index(spark, tmp_path):
     SIM.append_delta_to_ivf_index(spark, idx_b, new.limit(7), 0)
     once = spark.read.parquet(idx_b + "/corpus_delta/batch=0").count()
     assert once == 7
+
+
+def test_curation_pipeline_batching_invariant_and_gated(spark, tmp_path):
+    """st15's contract: the composed drain (quality gate -> corpus
+    dedup -> ANN delta ingest) lands the SAME index content whether
+    the new docs arrive as one micro-batch or three, every indexed doc
+    passes the quality threshold, none is a corpus near-dup, and the
+    quality-gate metric log folds to identical corpus totals."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions.text import quality_score
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import dedup as DD
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import similarity as SIM
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import curation as SC
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import dedup as STD
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    results, metric_sums = {}, {}
+    for tag, n_files in (("one", 1), ("three", 3)):
+        idx = str(tmp_path / f"idx_{tag}") + "/ivf"
+        in_dir = str(tmp_path / f"in_{tag}")
+        ck = str(tmp_path / f"ck_{tag}")
+        metrics = str(tmp_path / f"m_{tag}")
+        SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=4)
+        new.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+        SC.curation_pipeline_stream(
+            STD.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
+            corpus, idx, metrics, ck, emb, quality_threshold=0.5,
+        ).awaitTermination()
+        results[tag] = {
+            (r.id, r.cell)
+            for r in spark.read.parquet(idx + "/corpus_delta")
+            .select("id", "cell").collect()
+        }
+        log = spark.read.parquet(metrics)
+        metric_sums[tag] = {
+            (r.check): (r.g, r.t)
+            for r in log.groupBy("check")
+            .agg(F.sum("good").alias("g"), F.sum("total").alias("t"))
+            .collect()
+        }
+
+    assert results["one"] == results["three"] and results["one"]
+    assert metric_sums["one"] == metric_sums["three"]
+    indexed_ids = {i for i, _ in results["one"]}
+    # every indexed doc passed the quality threshold...
+    passing = {
+        r.doc_id
+        for r in new.select("doc_id", quality_score(F.col("text")).alias("q"))
+        .filter(F.col("q") >= 0.5).collect()
+    }
+    assert indexed_ids <= passing
+    # ...and none is a verified near-dup of the corpus
+    survivors = {
+        r.doc_id
+        for r in DD.dedup_against_corpus(
+            new, corpus, bands=8, n_hashes=16, verify_threshold=0.1
+        ).select("doc_id").collect()
+    }
+    assert indexed_ids <= survivors
