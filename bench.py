@@ -111,6 +111,7 @@ HEADLINE = [
     "ev18_gap_islands",
     "ev19_chi2_drift",
     "ev20_psi_band",
+    "ev21_cusum_alarm",
     "g12_corating_motifs",
     "ss8_knn_join",
     "ss10_radius_search",

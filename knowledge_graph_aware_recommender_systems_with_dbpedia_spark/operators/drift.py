@@ -218,3 +218,86 @@ def psi_drift(
             & (F.col("_f.psi") <= F.col("_f.x2") + F.lit(1e-9))
         ).alias("psi_within_bounds"),
     )
+
+
+def cusum_changepoint(
+    counts: DataFrame,
+    group_col: str,
+    time_col: str,
+    n_col: str,
+    ref_end,
+    slack_den: int = 4,
+    h_num: int = 2,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection per group — WHEN did the
+    volume shift, completing the drift family (ev19 chi2 / ev20 PSI
+    say WHETHER a window drifted; CUSUM localizes the onset, the
+    Page-1954 sequential test ML monitoring uses for alert timestamps).
+
+    Input is a pre-aggregated (group, t, n) count series (zero-filled
+    by the caller — gaps read as drops otherwise). Buckets before
+    ``ref_end`` are the calibration window; monitoring starts at
+    ``ref_end``.
+
+    The textbook recursion C_t = max(0, C_{t-1} + x_t - mu - k) is
+    sequential, but it has the closed form
+
+        C_t = S_t - min(0, min_{j<=t} S_j),  S_t = prefix sum of dev
+
+    so it compiles to TWO stock window functions (running sum +
+    running min) over each group's bounded time series — no fold, no
+    UDF, and the shuffle key is the group id.
+
+    Everything stays in BIGINT: deviations are scaled by n_ref (the
+    reference bucket count), so dev_t = n_t * n_ref - total_ref -
+    slack with slack = total_ref // slack_den (k = mu/slack_den), and
+    the alarm threshold is h = h_num * total_ref (h = h_num * mu * n_ref
+    in scaled units — h_num reference-buckets' worth of average
+    volume). Integer arithmetic end-to-end: the statistic replays
+    bit-for-bit in any engine, no float-order caveats at all.
+
+    Returns one row per group with a non-empty reference window:
+    (group, n_ref, total_ref, max_cusum, first_alarm, n_alarm_buckets)
+    — first_alarm is the earliest monitored bucket with C_t > h, or
+    -1 when the gate never fired.
+    """
+    g, t, n = F.col(group_col), F.col(time_col), F.col(n_col)
+    ref = (
+        counts.filter(t < F.lit(ref_end))
+        .groupBy(g.alias("g"))
+        .agg(
+            F.sum(n).cast("bigint").alias("total_ref"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ref"),
+        )
+    )
+    mon = (
+        counts.filter(t >= F.lit(ref_end))
+        .select(g.alias("g"), t.alias("t"), n.cast("bigint").alias("n"))
+        .join(ref, "g")
+        .withColumn(
+            "dev",
+            (
+                F.col("n") * F.col("n_ref")
+                - F.col("total_ref")
+                - F.expr(f"total_ref div {int(slack_den)}")
+            ).cast("bigint"),
+        )
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        mon.withColumn("s", F.sum("dev").over(w))
+        .withColumn("s_min", F.min("s").over(w))
+        .withColumn("c", F.col("s") - F.least(F.lit(0).cast("bigint"), F.col("s_min")))
+    )
+    h = F.lit(int(h_num)) * F.col("total_ref")
+    return c.groupBy("g", "n_ref", "total_ref").agg(
+        F.max("c").alias("max_cusum"),
+        F.coalesce(
+            F.min(F.when(F.col("c") > h, F.col("t"))), F.lit(-1).cast("bigint")
+        ).alias("first_alarm"),
+        F.sum((F.col("c") > h).cast("bigint")).alias("n_alarm_buckets"),
+    )

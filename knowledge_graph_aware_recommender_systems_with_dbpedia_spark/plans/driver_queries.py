@@ -7195,6 +7195,75 @@ FROM x GROUP BY g, n_ref, n_cur, n_buckets
 """
 
 
+def ev21_cusum_alarm(spark, sf_dir):
+    """CUSUM change-point localization (operators/drift.py:
+    cusum_changepoint) — completes the drift-gate family: ev19/ev20
+    score WHETHER the second window drifted, CUSUM pinpoints WHEN the
+    hourly volume shifted (the Page sequential test behind monitoring
+    alert timestamps). Per event type: zero-filled hourly counts
+    (gaps read as drops), first half calibrates, second half is
+    monitored. The sequential recursion compiles to its closed form
+    C_t = S_t - min(0, min_j S_j) — two stock running windows, no
+    fold — and the deviations are scaled by the reference bucket
+    count so EVERYTHING stays BIGINT: the statistic replays
+    bit-for-bit with zero float caveats."""
+    from ..operators.drift import cusum_changepoint
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 3600000000000").cast("bigint").alias("hour_idx"),
+    )
+    cnt = e.groupBy("event_type", "hour_idx").agg(F.count(F.lit(1)).alias("n"))
+    b = cnt.groupBy("event_type").agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    grid = b.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("hour_idx")
+    )
+    full = grid.join(cnt, ["event_type", "hour_idx"], "left").select(
+        "event_type", "hour_idx", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    cut = _ST12_CUTOFF_NS // 3_600_000_000_000
+    out = cusum_changepoint(full, "event_type", "hour_idx", "n", ref_end=cut)
+    return out.select(
+        F.col("g").alias("event_type"),
+        "n_ref",
+        "total_ref",
+        "max_cusum",
+        "first_alarm",
+        "n_alarm_buckets",
+    )
+
+
+EV21_SQL = f"""
+WITH e AS (SELECT event_type,
+  CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_idx FROM events),
+cnt AS (SELECT event_type, hour_idx, count(*) AS n FROM e GROUP BY 1, 2),
+b AS (SELECT event_type, min(hour_idx) AS h0, max(hour_idx) AS h1 FROM cnt GROUP BY 1),
+grid AS (SELECT event_type, CAST(u.h AS BIGINT) AS hour_idx
+         FROM b, unnest(generate_series(b.h0, b.h1)) AS u(h)),
+f AS (SELECT g.event_type, g.hour_idx, coalesce(c.n, 0) AS n
+      FROM grid g LEFT JOIN cnt c USING (event_type, hour_idx)),
+ref AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total_ref,
+        CAST(count(*) AS BIGINT) AS n_ref
+        FROM f WHERE hour_idx < {_EV19_CUT} GROUP BY 1),
+mon AS (SELECT f.event_type, f.hour_idx AS t, r.total_ref, r.n_ref,
+        CAST(f.n * r.n_ref - r.total_ref - (r.total_ref // 4) AS BIGINT) AS dev
+        FROM f JOIN ref r USING (event_type) WHERE f.hour_idx >= {_EV19_CUT}),
+s AS (SELECT *, SUM(dev) OVER
+        (PARTITION BY event_type ORDER BY t ROWS UNBOUNDED PRECEDING) AS s
+      FROM mon),
+c AS (SELECT *, s - least(CAST(0 AS BIGINT), MIN(s) OVER
+        (PARTITION BY event_type ORDER BY t ROWS UNBOUNDED PRECEDING)) AS c
+      FROM s)
+SELECT event_type, n_ref, total_ref,
+  CAST(max(c) AS BIGINT) AS max_cusum,
+  CAST(coalesce(min(CASE WHEN c > 2 * total_ref THEN t END), -1) AS BIGINT) AS first_alarm,
+  CAST(SUM(CASE WHEN c > 2 * total_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_buckets
+FROM c GROUP BY 1, 2, 3
+"""
+
+
 def a17_ewma_daily(spark, sf_dir):
     """Per-user exponentially-weighted moving average of daily event
     value (alpha=0.3) — the recursive smoother behind anomaly
@@ -8102,6 +8171,7 @@ QUERIES = {
     "ev18_gap_islands": ev18_gap_islands,
     "ev19_chi2_drift": ev19_chi2_drift,
     "ev20_psi_band": ev20_psi_band,
+    "ev21_cusum_alarm": ev21_cusum_alarm,
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "st12_stream_mv_drift": st12_stream_mv_drift,
     "st13_stream_ann_ingest": st13_stream_ann_ingest,
@@ -8373,9 +8443,77 @@ _R08_WINDOW = [
     "ev19_chi2_drift",
 ]
 assert len(_R08_WINDOW) == 50 and len(set(_R08_WINDOW)) == 50
+
+# Round-9 window (VERDICT r08 item 1): fronts ck2_sentence_chunks (the
+# single never-driver-sampled query — closing the cumulative gap at
+# 182/182) plus this round's four births, every query whose
+# implementation changed this round (ev19 vanished-group guard + new
+# column, dq1 empty-frame coalesce, ss2/ss8/ss10 fast-path cache
+# keying), the three stochastic _band twins (re-sampled every round),
+# the two r02-era rows-only recommenders, and 34 of the 39 queries
+# last sampled in r04 as fill (tx11/tx12/tx2/u4/a10 roll to the r10
+# window).
+_R09_WINDOW = [
+    # never driver-sampled
+    "ck2_sentence_chunks",
+    "ev20_psi_band",
+    "ev21_cusum_alarm",
+    "g12_corating_motifs",
+    "st14_index_staleness",
+    "st15_stream_curation_e2e",
+    # impl changed this round
+    "ev19_chi2_drift",
+    "dq1_expectations",
+    "ss2_ann_ivf_topk",
+    "ss8_knn_join",
+    "ss10_radius_search",
+    # stochastic band twins (every round)
+    "rec_node2vec_band",
+    "rec_als_band",
+    "rec_kge_transe_band",
+    # last sampled r02 (rows-only stochastic recommenders)
+    "rec_kge_transe_top5",
+    "rec_node2vec_top5",
+    # last sampled r04 (35 of 39)
+    "a15_value_percentiles",
+    "a16_distinct_users",
+    "ck1_chunk_documents",
+    "dd10_canonical_keep",
+    "dd14_containment",
+    "dd2_ngram_jaccard",
+    "dd7_dedup_clusters",
+    "di2_entity_link",
+    "dp3_forget_users",
+    "e4_mrr_at_5",
+    "e5_hitrate_at_5",
+    "e7_coverage_diversity",
+    "ev10_funnel",
+    "ev16_rfm_segments",
+    "ev2_sessionize",
+    "g10_label_propagation",
+    "g4_kcore_alternating",
+    "g7_walks_biased",
+    "g9_pagerank",
+    "j6_anti_join",
+    "mm2_frame_fanout",
+    "o3_topk_per_group",
+    "pk2_sequence_stats",
+    "pk3_shuffle_shards",
+    "q16_supplier_variety",
+    "q21_waiting_supplier",
+    "q3_shipping_priority",
+    "rec_kgsim_top5",
+    "rec_rrf_top5",
+    "sp3_temporal_global",
+    "sp7_kfold_user",
+    "sp8_validation_subsplit",
+    "ss1_ann_cosine_topk",
+    "ss5_pq_topk",
+]
+assert len(_R09_WINDOW) == 50 and len(set(_R09_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R08_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R08_WINDOW)},
+    **{k: QUERIES[k] for k in _R09_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R09_WINDOW)},
 }
 
 ORACLES = {
@@ -8551,6 +8689,7 @@ ORACLES = {
     "ev17_quantile_sketch_band": EV17_SQL,
     "ev19_chi2_drift": EV19_SQL,
     "ev20_psi_band": EV20_SQL,
+    "ev21_cusum_alarm": EV21_SQL,
     "u4_intersect_audiences": U4_SQL,
     "dq1_expectations": DQ1_SQL,
     "dq2_snapshot_diff": DQ2_SQL,

@@ -213,3 +213,70 @@ def test_psi_drift_bounds_random(spark):
     cur = spark.createDataFrame(rows_cur, "g string, b int")
     out = psi_drift(ref, cur, "g", "b").collect()
     assert out and all(r.psi_within_bounds for r in out)
+
+
+def test_cusum_changepoint_detects_injected_shift(spark):
+    """A level shift injected at t=30 must alarm shortly after 30 and
+    never before; a stationary control group must not alarm."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import cusum_changepoint
+
+    rows = []
+    for t in range(60):
+        rows.append(("shifted", t, 10 if t < 30 else 25))
+        rows.append(("flat", t, 10))
+    df = spark.createDataFrame(rows, "g string, t bigint, n bigint")
+    out = {r.g: r for r in cusum_changepoint(df, "g", "t", "n", ref_end=20).collect()}
+    assert set(out) == {"shifted", "flat"}
+    sh = out["shifted"]
+    # ref window: t<20, total=200, n_ref=20 -> dev = n*20 - 200 - 50
+    # pre-shift dev = -50/hour (no alarm), post-shift dev = +250/hour;
+    # threshold 2*total_ref = 400 -> alarm on the 2nd shifted hour
+    assert (sh.n_ref, sh.total_ref) == (20, 200)
+    assert sh.first_alarm == 31 and sh.n_alarm_buckets == 60 - 31
+    flat = out["flat"]
+    assert flat.first_alarm == -1 and flat.n_alarm_buckets == 0
+    assert flat.max_cusum == 0  # dev always negative -> floored at 0
+
+
+def test_cusum_changepoint_matches_textbook_recursion(spark):
+    """The windowed closed form C_t = S_t - min(0, min_j S_j) equals
+    the sequential recursion max(0, C_{t-1} + dev_t) on random
+    series."""
+    import random
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import cusum_changepoint
+
+    rng = random.Random(3)
+    rows = []
+    series = {}
+    for g in range(5):
+        xs = [rng.randint(0, 20) for _ in range(40)]
+        series[f"g{g}"] = xs
+        rows += [(f"g{g}", t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, t bigint, n bigint")
+    out = {r.g: r for r in cusum_changepoint(df, "g", "t", "n", ref_end=15).collect()}
+    for g, xs in series.items():
+        total_ref, n_ref = sum(xs[:15]), 15
+        slack = total_ref // 4
+        c, cmax, first, n_alarm = 0, 0, -1, 0
+        for t in range(15, 40):
+            dev = xs[t] * n_ref - total_ref - slack
+            c = max(0, c + dev)
+            cmax = max(cmax, c)
+            if c > 2 * total_ref:
+                n_alarm += 1
+                if first == -1:
+                    first = t
+        r = out[g]
+        assert (r.max_cusum, r.first_alarm, r.n_alarm_buckets) == (cmax, first, n_alarm)
+        assert (r.n_ref, r.total_ref) == (n_ref, total_ref)
+
+
+def test_cusum_changepoint_empty_reference_group_excluded(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [("late", 25, 5), ("ok", 1, 5), ("ok", 25, 5)], "g string, t bigint, n bigint"
+    )
+    got = {r.g for r in cusum_changepoint(df, "g", "t", "n", ref_end=10).collect()}
+    assert got == {"ok"}
