@@ -116,6 +116,7 @@ HEADLINE = [
     "ss8_knn_join",
     "ss10_radius_search",
     "ss11_filtered_search",
+    "ss12_recall_report",
     "dq1_expectations",
     "dq2_snapshot_diff",
     "sp11_negative_sampling",

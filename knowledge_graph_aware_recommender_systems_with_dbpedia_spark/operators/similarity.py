@@ -1064,3 +1064,60 @@ def mmr_rerank(
         chosen.append(best[0])
         selected.append((rank, best[0], round(best[1], 6)))
     return selected
+
+
+def recall_report(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantified ANN accuracy contract: per-query recall@k of the
+    IVF probe against the exact brute-force top-k — the number every
+    ANN deployment tunes (n_probe, n_cells) against, computed as an
+    ORACLED query instead of an offline study (RECALL_SCALE.md's
+    measurements, now hash-checkable in-registry).
+
+    Both paths are fully deterministic (md5-ranked centroids, pinned
+    tie-breaks), so recall is a pure integer count joined per query:
+    n_hit = |ANN top-k ∩ exact top-k|, recall = n_hit / k — one exact
+    division, bit-portable. Scale shape: the brute-force side is the
+    guarded parity scan (queries × corpus — bounded by the query
+    slice, the ss1 posture); the IVF side is the production plan. The
+    left join keeps queries where the probe returned nothing
+    (recall 0), so silent empty probes can't inflate the report.
+    """
+    exact = cosine_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
+    approx = ivf_topk(
+        emb, queries, k=k, n_cells=n_cells, n_probe=n_probe, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+        )
+    )

@@ -2900,6 +2900,62 @@ FROM rk WHERE rec_rank <= 5
 """
 
 
+def ss12_recall_report(spark, sf_dir):
+    """Quantified ANN accuracy contract (similarity.recall_report):
+    per-query recall@5 of the IVF probe (2 of 8 cells) against the
+    exact brute-force top-5, over a 64-query slice. Both paths are
+    deterministic (md5-ranked centroids, pinned tie-breaks), so the
+    recall is a pure integer intersection count + one exact division
+    — the RECALL_SCALE.md measurement turned into a hash-checked
+    registry query: a probe regression (wrong cells, lost candidates,
+    broken tie-break) moves integer counts and fails the hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = SIM.recall_report(
+        emb, emb.filter(F.col("vec_id") < 64), k=5, n_cells=8, n_probe=2
+    )
+    return r.select(
+        "query_id", "n_exact", "n_hit", F.round("recall", 6).alias("recall")
+    )
+
+
+SS12_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+q AS (SELECT * FROM n WHERE vec_id < 64),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      round(list_dot_product(q.v, c.v), 6) AS cosine
+      FROM n c, q WHERE c.vec_id <> q.vec_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rr FROM s),
+exact AS (SELECT query_id, neighbor_id FROM rk WHERE rr <= 5),
+md AS (SELECT vec_id, v,
+       CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       FROM n),
+cent0 AS (SELECT vec_id, v, h FROM md ORDER BY h, vec_id LIMIT 8),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cell, v AS cv FROM cent0),
+ca AS (SELECT m.vec_id, m.v, c.cell, list_dot_product(m.v, c.cv) AS sim
+       FROM n m CROSS JOIN cents c),
+cr AS (SELECT vec_id, v, cell,
+       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ca),
+corpus AS (SELECT vec_id, v, cell FROM cr WHERE rn = 1),
+qa AS (SELECT vec_id, v, cell FROM cr WHERE rn <= 2 AND vec_id < 64),
+sa AS (SELECT DISTINCT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round(list_dot_product(q2.v, c.v), 6) AS cosine
+       FROM corpus c JOIN qa q2 ON c.cell = q2.cell AND c.vec_id <> q2.vec_id),
+ark AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rr FROM sa),
+approx AS (SELECT query_id, neighbor_id FROM ark WHERE rr <= 5),
+hits AS (SELECT e2.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         FROM exact e2 JOIN approx a USING (query_id, neighbor_id) GROUP BY 1),
+base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1)
+SELECT b.query_id, b.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE), 6) AS recall
+FROM base b LEFT JOIN hits h USING (query_id)
+"""
+
+
 def ss10_radius_search(spark, sf_dir):
     """Radius (threshold) similarity search (similarity.ivf_radius):
     all corpus vectors with cosine >= 0.25 of each query — the
@@ -8179,6 +8235,7 @@ QUERIES = {
     "st15_stream_curation_e2e": st15_stream_curation_e2e,
     "ss10_radius_search": ss10_radius_search,
     "ss11_filtered_search": ss11_filtered_search,
+    "ss12_recall_report": ss12_recall_report,
     "dp6_bpr_triples": dp6_bpr_triples,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
     "rec_node2vec_band": rec_node2vec_band,
@@ -8450,15 +8507,16 @@ assert len(_R08_WINDOW) == 50 and len(set(_R08_WINDOW)) == 50
 # implementation changed this round (ev19 vanished-group guard + new
 # column, dq1 empty-frame coalesce, ss2/ss8/ss10 fast-path cache
 # keying), the three stochastic _band twins (re-sampled every round),
-# the two r02-era rows-only recommenders, and 34 of the 39 queries
-# last sampled in r04 as fill (tx11/tx12/tx2/u4/a10 roll to the r10
-# window).
+# the two r02-era rows-only recommenders, and 33 of the 39 queries
+# last sampled in r04 as fill (tx11/tx12/tx2/u4/a10/q3 roll to the
+# r10 window).
 _R09_WINDOW = [
     # never driver-sampled
     "ck2_sentence_chunks",
     "ev20_psi_band",
     "ev21_cusum_alarm",
     "g12_corating_motifs",
+    "ss12_recall_report",
     "st14_index_staleness",
     "st15_stream_curation_e2e",
     # impl changed this round
@@ -8501,7 +8559,6 @@ _R09_WINDOW = [
     "pk3_shuffle_shards",
     "q16_supplier_variety",
     "q21_waiting_supplier",
-    "q3_shipping_priority",
     "rec_kgsim_top5",
     "rec_rrf_top5",
     "sp3_temporal_global",
@@ -8699,6 +8756,7 @@ ORACLES = {
     "st11_stream_quality_gate": ST11_SQL,
     "st12_stream_mv_drift": ST12_SQL,
     "ss11_filtered_search": SS11_SQL,
+    "ss12_recall_report": SS12_SQL,
     "ss10_radius_search": SS10_SQL,
     "dp6_bpr_triples": DP6_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and

@@ -1004,3 +1004,32 @@ def test_ivf_compaction_preserves_search_and_restores_pruning(spark, tmp_path):
     assert sorted(
         map(tuple, SIM.ivf_topk_from_index(spark, idx, q, k=4, n_probe=2).collect())
     ) == after
+
+
+def test_recall_report_exhaustive_probe_is_perfect(spark):
+    """With n_probe == n_cells the IVF probe is exhaustive, so every
+    query's recall must be exactly 1.0."""
+    emb = _mk_emb(spark, n=40, d=8, seed=11)
+    rep = SIM.recall_report(
+        emb, emb.filter(F.col("vec_id") < 6), k=4, n_cells=4, n_probe=4
+    ).collect()
+    assert len(rep) == 6
+    for r in rep:
+        assert r.n_exact == 4 and r.n_hit == 4 and r.recall == 1.0
+
+
+def test_recall_report_bounded_and_counts_consistent(spark):
+    """Partial probes: 0 <= n_hit <= n_exact <= k, recall is the exact
+    ratio, and EVERY query appears (zero-recall queries included via
+    the left join)."""
+    emb = _mk_emb(spark, n=60, d=8, seed=5)
+    rep = SIM.recall_report(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, n_probe=1
+    ).collect()
+    assert {r.query_id for r in rep} == set(range(10))
+    for r in rep:
+        assert 0 <= r.n_hit <= r.n_exact <= 5
+        assert r.recall == r.n_hit / r.n_exact
+    # n_probe=1 over 8 cells should NOT be perfect everywhere on
+    # random data — otherwise the report can't distinguish probes
+    assert any(r.n_hit < r.n_exact for r in rep)
