@@ -117,6 +117,7 @@ HEADLINE = [
     "ss10_radius_search",
     "ss11_filtered_search",
     "ss12_recall_report",
+    "tx18_bpe_tokenize",
     "dq1_expectations",
     "dq2_snapshot_diff",
     "sp11_negative_sampling",

@@ -4340,7 +4340,10 @@ def tx12_bpe_merges(spark, sf_dir):
     )
 
 
-def _bpe_sql(n_merges=3) -> str:
+def _bpe_chain_sql(n_merges=3) -> tuple[str, str]:
+    """The shared merge-learning CTE chain (word counts -> n greedy
+    merges, seq{i} = vocab after merge i) — tx12 selects the merges,
+    tx18 segments with the final seq. Returns (chain, last_cte)."""
     d1, d2 = "chr(1)", "chr(2)"
     steps = []
     prev = "seq0"
@@ -4355,7 +4358,12 @@ seq{i} AS (SELECT cnt, replace(seq, {d1} || best{i}.a || {d2} || {d1} || best{i}
            FROM {prev} CROSS JOIN best{i})"""
         )
         prev = f"seq{i}"
-    chain = ",\n".join(steps)
+    return ",\n".join(steps), prev
+
+
+def _bpe_sql(n_merges=3) -> str:
+    d1, d2 = "chr(1)", "chr(2)"
+    chain, _prev = _bpe_chain_sql(n_merges)
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS step, a AS left_sym, b AS right_sym, a || b AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM best{i}"
         for i in range(1, n_merges + 1)
@@ -4370,6 +4378,53 @@ seq0 AS (SELECT cnt, {d1} || array_to_string(string_split(word, ''), {d2} || {d1
 
 
 TX12_SQL = _bpe_sql()
+
+
+def tx18_bpe_tokenize(spark, sf_dir):
+    """Tokenizer APPLICATION — the encode step tx12's training lacks:
+    learn 3 BPE merges (bpe.learn_bpe_merges_topv, O(1) Spark jobs),
+    apply them to the corpus vocabulary (bpe.segment_words — pure
+    map-side string ops, corpus-scale safe), and report the top-30
+    resulting pieces by corpus frequency — the piece-distribution
+    audit a tokenizer rollout is judged on (coverage, fertility).
+    The merge list is 3 driver-side rows (bounded collect); the
+    oracle replays learning AND application: the shared _bpe_chain_sql
+    CTEs produce the post-merge vocab, whose pieces aggregate
+    identically."""
+    from ..operators import bpe as BPE
+
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in BPE.learn_bpe_merges_topv(
+            load_table(spark, sf_dir, "documents"), n_merges=3
+        ).orderBy("step").collect()
+    ]
+    seg = BPE.segment_words(load_table(spark, sf_dir, "documents"), merges)
+    px = seg.select("word", "cnt", F.explode("pieces").alias("piece"))
+    agg = px.groupBy("piece").agg(
+        F.count_distinct("word").cast("bigint").alias("n_words"),
+        F.sum("cnt").cast("bigint").alias("total_cnt"),
+    )
+    return agg.orderBy(F.desc("total_cnt"), "piece").limit(30)
+
+
+_TX18_CHAIN, _TX18_LAST = _bpe_chain_sql(3)
+TX18_SQL = f"""
+WITH t AS (SELECT {TOKS_SQL} AS toks FROM documents),
+w AS (SELECT u.tok AS word, count(*) AS cnt FROM t, unnest(t.toks) AS u(tok) GROUP BY 1),
+seq0 AS (SELECT cnt, chr(1) || array_to_string(string_split(word, ''), chr(2) || chr(1)) || chr(2) AS seq FROM w),
+{_TX18_CHAIN},
+fin AS (SELECT cnt,
+        string_split(substr(seq, 2, length(seq) - 2), chr(2) || chr(1)) AS pieces,
+        replace(replace(seq, chr(1), ''), chr(2), '') AS word
+        FROM {_TX18_LAST}),
+px AS (SELECT f.word, f.cnt, u.piece FROM fin f, unnest(f.pieces) AS u(piece)),
+agg AS (SELECT piece, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+        CAST(sum(cnt) AS BIGINT) AS total_cnt
+        FROM px GROUP BY 1)
+SELECT piece, n_words, total_cnt FROM agg
+ORDER BY total_cnt DESC, piece LIMIT 30
+"""
 
 
 def ev9_outlier_events(spark, sf_dir):
@@ -8137,6 +8192,7 @@ QUERIES = {
     "tx10_domain_quota": tx10_domain_quota,
     "tx11_quality_deciles": tx11_quality_deciles,
     "tx12_bpe_merges": tx12_bpe_merges,
+    "tx18_bpe_tokenize": tx18_bpe_tokenize,
     "ev9_outlier_events": ev9_outlier_events,
     "pk2_sequence_stats": pk2_sequence_stats,
     "pk3_shuffle_shards": pk3_shuffle_shards,
@@ -8507,9 +8563,9 @@ assert len(_R08_WINDOW) == 50 and len(set(_R08_WINDOW)) == 50
 # implementation changed this round (ev19 vanished-group guard + new
 # column, dq1 empty-frame coalesce, ss2/ss8/ss10 fast-path cache
 # keying), the three stochastic _band twins (re-sampled every round),
-# the two r02-era rows-only recommenders, and 33 of the 39 queries
-# last sampled in r04 as fill (tx11/tx12/tx2/u4/a10/q3 roll to the
-# r10 window).
+# the two r02-era rows-only recommenders, and 32 of the 39 queries
+# last sampled in r04 as fill (tx11/tx12/tx2/u4/a10/q3/q16 roll to
+# the r10 window).
 _R09_WINDOW = [
     # never driver-sampled
     "ck2_sentence_chunks",
@@ -8517,6 +8573,7 @@ _R09_WINDOW = [
     "ev21_cusum_alarm",
     "g12_corating_motifs",
     "ss12_recall_report",
+    "tx18_bpe_tokenize",
     "st14_index_staleness",
     "st15_stream_curation_e2e",
     # impl changed this round
@@ -8557,7 +8614,6 @@ _R09_WINDOW = [
     "o3_topk_per_group",
     "pk2_sequence_stats",
     "pk3_shuffle_shards",
-    "q16_supplier_variety",
     "q21_waiting_supplier",
     "rec_kgsim_top5",
     "rec_rrf_top5",
@@ -8683,6 +8739,7 @@ ORACLES = {
     "tx10_domain_quota": TX10_SQL,
     "tx11_quality_deciles": TX11_SQL,
     "tx12_bpe_merges": TX12_SQL,
+    "tx18_bpe_tokenize": TX18_SQL,
     "ev9_outlier_events": EV9_SQL,
     "pk3_shuffle_shards": PK3_SQL,
     "ss3_quantize_embeddings": SS3_SQL,

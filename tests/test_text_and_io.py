@@ -341,3 +341,39 @@ def test_download_registry():
             assert len(md5) == 32 and all(c in "0123456789abcdef" for c in md5)
     assert DATASETS["ml-100k"][2] == "0e33842e24a9c977be4e0107933c0723"
     assert DATASETS["ml-1m"][2] == "c4d9eecfca2ab87c1945afe126590906"
+
+
+def test_bpe_tokenize_pieces_reconstruct_and_rank(spark):
+    """tx18's contract: pieces of every segmented word concatenate
+    back to the word, and the piece-frequency report ranks merged
+    symbols once their merges apply."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("the best test", ), ("test the rest", ), ("the the the", )],
+        "text string",
+    )
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in BPE.learn_bpe_merges_topv(docs, n_merges=2).orderBy("step").collect()
+    ]
+    seg = BPE.segment_words(docs, merges)
+    for r in seg.collect():
+        assert "".join(r.pieces) == r.word
+    px = seg.select("word", "cnt", F.explode("pieces").alias("piece"))
+    agg = {
+        r.piece: (r.n_words, r.total_cnt)
+        for r in px.groupBy("piece")
+        .agg(
+            F.count_distinct("word").alias("n_words"),
+            F.sum("cnt").alias("total_cnt"),
+        )
+        .collect()
+    }
+    # first learned merge is ('t','h') over this corpus ('th' in the x5,
+    # then 'the' after merge 2) — the merged piece must appear in the
+    # report and single letters consumed by it must not be overcounted
+    assert any(len(p) > 1 for p in agg)
+    merged_syms = {a + b for a, b in merges}
+    assert merged_syms & set(agg)
