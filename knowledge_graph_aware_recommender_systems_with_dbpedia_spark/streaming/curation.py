@@ -78,34 +78,10 @@ def curation_pipeline_stream(
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        # 1. quality gate: exactly-once metric log + row-level curation
-        write_batch_counts(batch, checks, metrics_dir, batch_id)
-        curated = batch.filter(
-            quality_score(F.col(text_col)) >= F.lit(float(quality_threshold))
-        )
-        # 2. near-dup dedup against the persisted corpus index
-        survivors = dedup_against_corpus(
-            curated,
-            corpus,
-            bands=bands,
-            n_hashes=n_hashes,
-            n=n,
-            verify_threshold=verify_threshold,
-            id_col=id_col,
-            text_col=text_col,
-            corpus_state=state,
-        )
-        # 3. index the survivors' embeddings as an exactly-once delta
-        batch_emb = survivors.select(F.col(id_col).alias("_id")).join(
-            emb, F.col("_id") == F.col(vec_id_col), "inner"
-        ).select(vec_id_col, vec_col)
-        append_delta_to_ivf_index(
-            batch.sparkSession,
-            index_path,
-            batch_emb,
-            batch_id,
-            id_col=vec_id_col,
-            vec_col=vec_col,
+        curate_batch(
+            batch, batch_id, corpus, state, emb, index_path, metrics_dir,
+            checks, quality_threshold, bands, n_hashes, n, verify_threshold,
+            id_col, text_col, vec_id_col, vec_col,
         )
 
     import os
@@ -115,4 +91,61 @@ def curation_pipeline_stream(
         .option("checkpointLocation", os.path.join(checkpoint_dir, "curation"))
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def curate_batch(
+    batch: DataFrame,
+    batch_id: int,
+    corpus: DataFrame,
+    corpus_state,
+    emb: DataFrame,
+    index_path: str,
+    metrics_dir: str,
+    checks: list[Check],
+    quality_threshold: float = 0.68,
+    bands: int = 8,
+    n_hashes: int = 16,
+    n: int = 3,
+    verify_threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of the curation drain — module-level so the
+    at-least-once retry contract is directly testable: every write is
+    an OVERWRITE of a batch-id-deterministic partition (metric rows in
+    ``metrics_dir/batch_id=N``, index rows in
+    ``corpus_delta/batch=N``), so re-running the SAME (batch,
+    batch_id) replaces its own output bit-for-bit instead of
+    appending a duplicate copy."""
+    # 1. quality gate: exactly-once metric log + row-level curation
+    write_batch_counts(batch, checks, metrics_dir, batch_id)
+    curated = batch.filter(
+        quality_score(F.col(text_col)) >= F.lit(float(quality_threshold))
+    )
+    # 2. near-dup dedup against the persisted corpus index
+    survivors = dedup_against_corpus(
+        curated,
+        corpus,
+        bands=bands,
+        n_hashes=n_hashes,
+        n=n,
+        verify_threshold=verify_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        corpus_state=corpus_state,
+    )
+    # 3. index the survivors' embeddings as an exactly-once delta
+    batch_emb = survivors.select(F.col(id_col).alias("_id")).join(
+        emb, F.col("_id") == F.col(vec_id_col), "inner"
+    ).select(vec_id_col, vec_col)
+    append_delta_to_ivf_index(
+        batch.sparkSession,
+        index_path,
+        batch_emb,
+        batch_id,
+        id_col=vec_id_col,
+        vec_col=vec_col,
     )

@@ -711,3 +711,44 @@ def test_curation_pipeline_batching_invariant_and_gated(spark, tmp_path):
         ).select("doc_id").collect()
     }
     assert indexed_ids <= survivors
+
+
+def test_curation_batch_retry_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the SAME (batch,
+    batch_id) through the composed curation body must leave the metric
+    log and the index deltas unchanged (every write overwrites its
+    batch-deterministic partition)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import similarity as SIM
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.dedup import build_corpus_dedup_index
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.expectations import Check
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import curation as SC
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = str(tmp_path / "idx") + "/ivf"
+    metrics = str(tmp_path / "metrics")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=4)
+    state = build_corpus_dedup_index(corpus, 8, 16, 3, "doc_id", "text")
+    checks = [Check("text_present", "completeness", "text", 1.0)]
+
+    def snapshot():
+        log = {
+            tuple(r) for r in spark.read.parquet(metrics).collect()
+        }
+        deltas = {
+            (r.id, r.cell, r.batch)
+            for r in spark.read.parquet(idx + "/corpus_delta")
+            .select("id", "cell", "batch").collect()
+        }
+        return log, deltas
+
+    SC.curate_batch(new, 0, corpus, state, emb, idx, metrics, checks,
+                    quality_threshold=0.5)
+    first = snapshot()
+    SC.curate_batch(new, 0, corpus, state, emb, idx, metrics, checks,
+                    quality_threshold=0.5)  # the retry
+    assert snapshot() == first
+    assert first[1]  # deltas non-empty — the test exercises real rows
