@@ -43,6 +43,11 @@ REPRESENTATIVE = [
     "ss10_radius_search",        # IVF threshold retrieval
     "ev18_gap_islands",          # per-user streak windows
     "a20_heavy_hitters",         # MG sketch-propose / exact-verify
+    "ev20_psi_band",             # drift: count aggs + pinned folds
+    "ev21_cusum_alarm",          # drift: grid fill + running windows
+    "g12_corating_motifs",       # capped item-key motif self-join
+    "ss12_recall_report",        # brute-force + IVF recall intersection
+    "tx18_bpe_tokenize",         # merge learning + map-side application
 ]
 
 
