@@ -155,6 +155,10 @@ NLJ_ALLOWED = {
     "ss6_hard_negatives": 2,
     "ss8_knn_join": 4,
     "ss9_incremental_index": 4,
+    # recall contract: ss1's guarded brute-force parity scan (corpus x
+    # broadcast 64-query slice) + ss2's two broadcast centroid-assign
+    # passes — every non-equi side is the bounded query/centroid table
+    "ss12_recall_report": 8,
     # fuzzy entity link: non-equi pattern-match against the bounded
     # broadcast label table (J7)
     "di2_entity_link": 2,
