@@ -112,6 +112,7 @@ HEADLINE = [
     "ev19_chi2_drift",
     "ev20_psi_band",
     "ev21_cusum_alarm",
+    "a21_overlap_sketch_band",
     "g12_corating_motifs",
     "ss8_knn_join",
     "ss10_radius_search",

@@ -7501,6 +7501,112 @@ FROM events GROUP BY 1
 """
 
 
+def a21_overlap_sketch_band(spark, sf_dir):
+    """Pairwise audience overlap WITHOUT a pairwise user-level join —
+    the segment-overlap question (how many users do two event types
+    share?) answered two ways in one query:
+
+     * EXACT, by inclusion-exclusion over exact distinct counts:
+       |A∩B| = |A| + |B| − |A∪B| — three count_distincts, zero
+       user-level self-joins (at 100 TB the naive per-pair semi-join
+       shuffles the user universe once per pair; this shuffles it
+       once TOTAL: each distinct (type,user) row fans out to the ≤4
+       pairs containing its type via a broadcast equi-join on the
+       tiny pair map). Hash-matched against DuckDB.
+     * SKETCHED, the same inclusion-exclusion over HLL++ estimates —
+       the fixed-memory path that scales when even count_distinct's
+       partial-distinct shuffle is too big. Asserted inside
+       ``overlap_within_band``: each HLL term is within 3·rsd of its
+       truth (the a18 bound), so the I-E estimate is within
+       3·rsd·(|A|+|B|+|A∪B|) — the oracle emits constant TRUE, the
+       semantic-band pattern (calibrated at shipped scales, TRUE by
+       default outside _A18_CAL_RANGE).
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    t = e.select("event_type").distinct()
+    pairs = (
+        t.alias("a")
+        .join(t.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    mapping = pairs.select(
+        "type_a",
+        "type_b",
+        F.explode(F.array("type_a", "type_b")).alias("event_type"),
+    )
+    rep = e.join(F.broadcast(mapping), "event_type")
+    per_pair = rep.groupBy("type_a", "type_b").agg(
+        F.countDistinct("user_id").alias("n_union"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_e_union"),
+    )
+    per_type = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_e"),
+    )
+    j = (
+        per_pair.join(
+            F.broadcast(
+                per_type.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n").alias("n_a"),
+                    F.col("_e").alias("_e_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                per_type.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n").alias("n_b"),
+                    F.col("_e").alias("_e_b"),
+                )
+            ),
+            "type_b",
+        )
+    )
+    n_inter = F.col("n_a") + F.col("n_b") - F.col("n_union")
+    est = F.col("_e_a") + F.col("_e_b") - F.col("_e_union")
+    budget = F.lit(3 * 0.05) * (
+        F.col("n_a") + F.col("n_b") + F.col("n_union")
+    ).cast("double")
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_union",
+        n_inter.alias("n_inter"),
+        F.when(
+            F.col("n_union").between(*_A18_CAL_RANGE),
+            F.abs(est.cast("double") - n_inter.cast("double")) <= budget,
+        )
+        .otherwise(F.lit(True))
+        .alias("overlap_within_band"),
+    )
+
+
+A21_SQL = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+t AS (SELECT DISTINCT event_type FROM d),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM t a JOIN t b ON a.event_type < b.event_type),
+u AS (SELECT p.type_a, p.type_b, count(DISTINCT d.user_id) AS n_union
+      FROM p JOIN d ON d.event_type IN (p.type_a, p.type_b)
+      GROUP BY 1, 2),
+c AS (SELECT event_type, count(DISTINCT user_id) AS n FROM d GROUP BY 1)
+SELECT u.type_a, u.type_b,
+  ca.n AS n_a, cb.n AS n_b, u.n_union,
+  ca.n + cb.n - u.n_union AS n_inter,
+  TRUE AS overlap_within_band
+FROM u JOIN c ca ON ca.event_type = u.type_a
+       JOIN c cb ON cb.event_type = u.type_b
+"""
+
+
 def a19_cube_profile(spark, sf_dir):
     """CUBE over (o_orderpriority, o_orderstatus): all four grouping
     combinations in one pass — the OLAP profile a10's ROLLUP does not
@@ -8273,6 +8379,7 @@ QUERIES = {
     "a18_sketch_distinct_band": a18_sketch_distinct_band,
     "a19_cube_profile": a19_cube_profile,
     "a20_heavy_hitters": a20_heavy_hitters,
+    "a21_overlap_sketch_band": a21_overlap_sketch_band,
     "ev17_quantile_sketch_band": ev17_quantile_sketch_band,
     "u4_intersect_audiences": u4_intersect_audiences,
     "dq1_expectations": dq1_expectations,
@@ -8563,9 +8670,9 @@ assert len(_R08_WINDOW) == 50 and len(set(_R08_WINDOW)) == 50
 # implementation changed this round (ev19 vanished-group guard + new
 # column, dq1 empty-frame coalesce, ss2/ss8/ss10 fast-path cache
 # keying), the three stochastic _band twins (re-sampled every round),
-# the two r02-era rows-only recommenders, and 32 of the 39 queries
-# last sampled in r04 as fill (tx11/tx12/tx2/u4/a10/q3/q16 roll to
-# the r10 window).
+# the two r02-era rows-only recommenders, and 31 of the 39 queries
+# last sampled in r04 as fill (tx11/tx12/tx2/u4/a10/q3/q16/pk3 roll
+# to the r10 window).
 _R09_WINDOW = [
     # never driver-sampled
     "ck2_sentence_chunks",
@@ -8574,6 +8681,7 @@ _R09_WINDOW = [
     "g12_corating_motifs",
     "ss12_recall_report",
     "tx18_bpe_tokenize",
+    "a21_overlap_sketch_band",
     "st14_index_staleness",
     "st15_stream_curation_e2e",
     # impl changed this round
@@ -8613,7 +8721,6 @@ _R09_WINDOW = [
     "mm2_frame_fanout",
     "o3_topk_per_group",
     "pk2_sequence_stats",
-    "pk3_shuffle_shards",
     "q21_waiting_supplier",
     "rec_kgsim_top5",
     "rec_rrf_top5",
@@ -8800,6 +8907,7 @@ ORACLES = {
     "a18_sketch_distinct_band": A18_SQL,
     "a19_cube_profile": A19_SQL,
     "a20_heavy_hitters": A20_SQL,
+    "a21_overlap_sketch_band": A21_SQL,
     "ev17_quantile_sketch_band": EV17_SQL,
     "ev19_chi2_drift": EV19_SQL,
     "ev20_psi_band": EV20_SQL,

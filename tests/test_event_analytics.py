@@ -280,3 +280,27 @@ def test_cusum_changepoint_empty_reference_group_excluded(spark):
     )
     got = {r.g for r in cusum_changepoint(df, "g", "t", "n", ref_end=10).collect()}
     assert got == {"ok"}
+
+
+def test_overlap_sketch_band_exact_intersection(spark):
+    """a21's inclusion-exclusion intersection must equal the direct
+    per-pair distinct-user intersection, with the sketch boolean
+    holding."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.driver_queries import a21_overlap_sketch_band
+
+    rows = a21_overlap_sketch_band(spark, SF).collect()
+    assert rows and all(r.overlap_within_band for r in rows)
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "events").select("event_type", "user_id").distinct()
+    by_type = {}
+    for r in e.collect():
+        by_type.setdefault(r.event_type, set()).add(r.user_id)
+    for r in rows:
+        a, b = by_type[r.type_a], by_type[r.type_b]
+        assert r.type_a < r.type_b
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert r.n_union == len(a | b)
+        assert r.n_inter == len(a & b)
+    # all C(5,2) unordered pairs exactly once
+    assert len(rows) == len(by_type) * (len(by_type) - 1) // 2

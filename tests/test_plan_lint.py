@@ -159,6 +159,9 @@ NLJ_ALLOWED = {
     # broadcast 64-query slice) + ss2's two broadcast centroid-assign
     # passes — every non-equi side is the bounded query/centroid table
     "ss12_recall_report": 8,
+    # the `type_a < type_b` pair builder over the DISTINCT event-type
+    # table: a #types x #types nested loop (5x5 here), never user rows
+    "a21_overlap_sketch_band": 2,
     # fuzzy entity link: non-equi pattern-match against the bounded
     # broadcast label table (J7)
     "di2_entity_link": 2,
