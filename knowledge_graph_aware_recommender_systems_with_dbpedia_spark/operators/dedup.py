@@ -708,6 +708,7 @@ def minhash_lsh_pairs_between(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus_state: tuple[DataFrame, DataFrame] | None = None,
+    cache_candidates: bool = True,
 ) -> DataFrame:
     """Cross-corpus banded-LSH near-dup pairs: (new_id, corpus_id
     [, jaccard]). Signatures use the same fixed hash family on both
@@ -720,7 +721,16 @@ def minhash_lsh_pairs_between(
     ``corpus_state``: optional pre-built ``(buckets, shingles)`` from
     :func:`build_corpus_dedup_index` — streaming ingest builds it ONCE
     (persisted) so each micro-batch re-signatures only the batch,
-    never the corpus."""
+    never the corpus.
+
+    ``cache_candidates``: the candidate-pair frame is consumed three
+    times (two semi-join prunes + the final verify gate), so one-shot
+    batch callers cache it. A LONG-LIVED caller (the streaming drain's
+    foreachBatch) must pass False: DataFrame caches are registered in
+    the CacheManager and never reaped, so one cache per micro-batch is
+    an unbounded leak (the r09 ADVICE class); recomputing the
+    batch-sized band join against the persisted corpus buckets costs
+    3x a batch-proportional join, bounded and leak-free."""
     if corpus_state is not None:
         corpus_buckets, corpus_shingles = corpus_state
     else:
@@ -734,7 +744,8 @@ def minhash_lsh_pairs_between(
     cands = nb.join(cb, ["band", "bkey"]).select("new_id", "corpus_id").distinct()
     if verify_threshold is None:
         return cands
-    cands = cands.cache()
+    if cache_candidates:
+        cands = cands.cache()
     sh_new = doc_shingles(new_docs, id_col, text_col, n).join(
         cands.select(F.col("new_id").alias("id")).distinct(), "id", "left_semi"
     )
@@ -775,16 +786,20 @@ def dedup_against_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus_state: tuple[DataFrame, DataFrame] | None = None,
+    cache_candidates: bool = True,
 ) -> DataFrame:
     """Incremental ingest dedup: the new batch minus every doc that is
     a verified near-dup of something ALREADY in the corpus — the
     production shape of dedup (daily crawl vs accumulated corpus),
     where re-running the full self-join would redo work proportional
-    to the corpus instead of the batch. ``corpus_state``: see
-    :func:`build_corpus_dedup_index`."""
+    to the corpus instead of the batch. ``corpus_state`` /
+    ``cache_candidates``: see :func:`build_corpus_dedup_index` and
+    :func:`minhash_lsh_pairs_between` (streaming callers pass
+    ``cache_candidates=False`` — a cache per micro-batch never gets
+    reaped)."""
     flagged = minhash_lsh_pairs_between(
         new_docs, corpus, bands, n_hashes, n, verify_threshold, id_col, text_col,
-        corpus_state,
+        corpus_state, cache_candidates,
     ).select(F.col("new_id").alias(id_col)).distinct()
     return new_docs.join(flagged, id_col, "left_anti")
 

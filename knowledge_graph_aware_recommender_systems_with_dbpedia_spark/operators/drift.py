@@ -140,6 +140,16 @@ def psi_drift(
     of dividing by zero (the ev19 NaN lesson). All smoothed terms are
     single correctly-rounded IEEE ops on exact integers, so tv and
     chi2_sym replay bit-for-bit in any binary64 engine.
+
+    Groups that exist on only ONE side — the most-drifted case
+    possible — are NOT dropped (VERDICT r09: the old
+    ``n_ref>0 & n_cur>0`` filter made a team gating on this report
+    blind to total disappearance, the exact lesson chi2_drift's
+    ``vanished`` flag already encoded). They are emitted with
+    ``vanished`` (n_cur = 0) / ``newborn`` (n_ref = 0) flags and NULL
+    drift statistics: a PSI against an empty side is a comparison to
+    the smoothing prior, not to data, so reporting a number would
+    understate exactly the event that most needs flagging.
     """
     rc = ref.groupBy(
         F.col(group_col).alias("g"), F.col(bucket_col).alias("b")
@@ -160,6 +170,24 @@ def psi_drift(
         .withColumn("n_buckets", F.count(F.lit(1)).over(w))
     )
     a = F.lit(float(alpha))
+    # one-sided groups: flagged rows with NULL statistics, never dropped
+    degenerate = (
+        j.filter((F.col("n_ref") == 0) | (F.col("n_cur") == 0))
+        .groupBy("g", "n_ref", "n_cur", "n_buckets")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "g",
+            "n_ref",
+            "n_cur",
+            "n_buckets",
+            F.lit(None).cast("double").alias("tv"),
+            F.lit(None).cast("double").alias("chi2_sym"),
+            F.lit(None).cast("double").alias("psi"),
+            F.lit(None).cast("boolean").alias("psi_within_bounds"),
+            (F.col("n_cur") == 0).alias("vanished"),
+            (F.col("n_ref") == 0).alias("newborn"),
+        )
+    )
     # smoothed proportions in their own projection (the Spark 4.1
     # lambda-pruning discipline: the fold below touches struct fields
     # only)
@@ -205,7 +233,7 @@ def psi_drift(
         ).alias("_f")
     )
     tv = F.col("_f.tv") * 0.5
-    return folded.select(
+    healthy = folded.select(
         "g",
         "n_ref",
         "n_cur",
@@ -217,7 +245,10 @@ def psi_drift(
             (F.lit(4.0) * tv * tv <= F.col("_f.psi") + F.lit(1e-9))
             & (F.col("_f.psi") <= F.col("_f.x2") + F.lit(1e-9))
         ).alias("psi_within_bounds"),
+        F.lit(False).alias("vanished"),
+        F.lit(False).alias("newborn"),
     )
+    return healthy.unionByName(degenerate)
 
 
 def cusum_changepoint(

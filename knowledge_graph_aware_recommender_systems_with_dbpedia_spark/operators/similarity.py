@@ -629,6 +629,40 @@ def ivf_staleness_report(
     )
 
 
+def recover_ivf_compaction(path: str) -> None:
+    """Recover a :func:`compact_ivf_index` that crashed mid-swap.
+    Single-writer state machine over the three sibling dirs (rename
+    order in ``compact_ivf_index`` makes every state unambiguous):
+
+    - ``corpus`` missing, ``corpus_old`` present → crashed between the
+      two renames; ``corpus_new`` is the complete committed fold (it
+      finished writing BEFORE the first rename), so roll forward:
+      promote it to ``corpus`` and retire ``corpus_old`` +
+      ``corpus_delta``.
+    - ``corpus`` AND ``corpus_old`` present → crashed after the
+      promote; the fold already committed, so just retire
+      ``corpus_old`` + ``corpus_delta``.
+    - only ``corpus_new`` present → crashed while (or right after)
+      staging, before any rename; the stage may be partial AND stale
+      relative to newer deltas, so discard it — the live index
+      (base + deltas) was never touched and compaction simply reruns.
+    """
+    import os
+    import shutil
+
+    corpus, old, new = (path + "/corpus", path + "/corpus_old",
+                        path + "/corpus_new")
+    delta = path + "/corpus_delta"
+    if os.path.exists(old):
+        if not os.path.exists(corpus):
+            shutil.move(new, corpus)  # roll the committed fold forward
+        shutil.rmtree(old)
+        if os.path.exists(delta):
+            shutil.rmtree(delta)
+    elif os.path.exists(new):
+        shutil.rmtree(new)  # uncommitted (possibly partial) stage
+
+
 def compact_ivf_index(spark, path: str) -> None:
     """Out-of-band delta compaction: fold ``corpus_delta`` back into
     the cell-partitioned ``corpus`` layout so probes regain partition
@@ -637,15 +671,22 @@ def compact_ivf_index(spark, path: str) -> None:
     only the physical layout moves: this is the job
     :func:`ivf_staleness_report`'s ``compaction_due`` schedules.
 
-    The rewrite stages into ``corpus_new`` and swaps directories
-    LAST, so a crashed compaction leaves the live index (base +
-    deltas) untouched and re-runnable; on a real cluster the swap is
-    the table-format commit (Iceberg/Delta) or a FileSystem.rename —
+    Crash safety (single writer): the rewrite stages into
+    ``corpus_new``, then swaps via rename-aside — ``corpus`` →
+    ``corpus_old``, ``corpus_new`` → ``corpus`` — and only then
+    deletes ``corpus_old`` and ``corpus_delta``. A crash before the
+    first rename leaves the live index untouched; a crash anywhere
+    after it leaves a state :func:`recover_ivf_compaction` (run here
+    on entry) rolls FORWARD from, because the staged fold is already
+    complete when the first rename happens. No window ever deletes
+    the only readable copy. On a real cluster the swap is the
+    table-format commit (Iceberg/Delta) or a FileSystem.rename —
     local paths here, so plain renames."""
     import shutil
 
     from pyspark.errors import AnalysisException
 
+    recover_ivf_compaction(path)
     try:
         delta = spark.read.parquet(path + "/corpus_delta").select(
             "id", "v", "cell"
@@ -657,8 +698,9 @@ def compact_ivf_index(spark, path: str) -> None:
     merged.write.mode("overwrite").partitionBy("cell").parquet(
         path + "/corpus_new"
     )
-    shutil.rmtree(path + "/corpus")
+    shutil.move(path + "/corpus", path + "/corpus_old")
     shutil.move(path + "/corpus_new", path + "/corpus")
+    shutil.rmtree(path + "/corpus_old")
     shutil.rmtree(path + "/corpus_delta")
 
 

@@ -7047,7 +7047,7 @@ def st15_stream_curation_e2e(spark, sf_dir):
     metrics = tempfile.mkdtemp(prefix="st15_m_") + "/metrics"
     SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=8)
     new.repartition(3).write.mode("overwrite").parquet(in_dir)
-    q = SC.curation_pipeline_stream(
+    SC.run_curation_drain(
         STD.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
         corpus,
         idx,
@@ -7055,8 +7055,8 @@ def st15_stream_curation_e2e(spark, sf_dir):
         ck_dir,
         emb,
         quality_threshold=0.68,
+        compact_if_due=False,  # st16 exercises the compaction leg
     )
-    q.awaitTermination()
     return spark.read.parquet(idx + "/corpus_delta").select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("cell").cast("bigint").alias("cell"),
@@ -7108,6 +7108,68 @@ ca AS (SELECT sv.doc_id, c.cell, list_dot_product(sv.v, c.cv) AS sim
 cr AS (SELECT doc_id, cell,
        row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, cell) AS rn FROM ca)
 SELECT doc_id, CAST(cell AS BIGINT) AS cell FROM cr WHERE rn = 1
+"""
+
+
+def st16_curation_compaction(spark, sf_dir):
+    """st15's drain with the index lifecycle CLOSED (VERDICT r09
+    item 2: st14 computed ``compaction_due`` but nothing consumed it):
+    ``run_curation_drain`` (streaming/curation.py) drains the same
+    3-file stream, then consults
+    :func:`~..operators.similarity.ivf_staleness_report` and — with
+    ``delta_share_due=0.0``, so any ingested row trips the trigger —
+    fires :func:`~..operators.similarity.compact_ivf_index`
+    (crash-safe rename-aside swap). Output: the SAME (doc_id, cell)
+    rows as st15, but read from the compacted cell-partitioned
+    ``corpus`` — so a compaction that loses, duplicates, or reassigns
+    any row fails the hash against the ST15 oracle — plus
+    ``compacted`` (the drain's return: did the trigger consume the
+    report?) and ``delta_retired`` (the delta log is physically gone,
+    i.e. future probes are fully partition-pruned again)."""
+    import os
+    import tempfile
+
+    from ..streaming import curation as SC
+    from ..streaming import dedup as STD
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = tempfile.mkdtemp(prefix="st16_idx_") + "/ivf"
+    in_dir = tempfile.mkdtemp(prefix="st16_in_")
+    ck_dir = tempfile.mkdtemp(prefix="st16_ck_")
+    metrics = tempfile.mkdtemp(prefix="st16_m_") + "/metrics"
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=8)
+    new.repartition(3).write.mode("overwrite").parquet(in_dir)
+    compacted = SC.run_curation_drain(
+        STD.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
+        corpus,
+        idx,
+        metrics,
+        ck_dir,
+        emb,
+        quality_threshold=0.68,
+        compact_if_due=True,
+        delta_share_due=0.0,
+    )
+    delta_retired = not os.path.exists(idx + "/corpus_delta")
+    return (
+        spark.read.parquet(idx + "/corpus")
+        .filter(F.col("id") % 5 == 0)
+        .select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            F.col("cell").cast("bigint").alias("cell"),
+            F.lit(bool(compacted)).alias("compacted"),
+            F.lit(bool(delta_retired)).alias("delta_retired"),
+        )
+    )
+
+
+ST16_SQL = f"""
+WITH st15_rows AS ({ST15_SQL})
+SELECT doc_id, cell, TRUE AS compacted, TRUE AS delta_retired
+FROM st15_rows
 """
 
 
@@ -7243,7 +7305,10 @@ def ev20_psi_band(spark, sf_dir):
     folds, bit-portable), and PSI is asserted Spark-side inside
     ``psi_within_bounds`` against the information-theoretic sandwich
     4*TV^2 <= PSI <= chi2_sym; the oracle mirrors tv/chi2_sym exactly
-    and emits constant TRUE for the boolean."""
+    and emits constant TRUE for the boolean. One-sided groups surface
+    as flagged rows with NULL statistics (``vanished``/``newborn`` —
+    VERDICT r09 item 3: the old filter silently dropped the
+    most-drifted case; both engines now emit them)."""
     from ..operators.drift import psi_drift
 
     e = load_table(spark, sf_dir, "events").select(
@@ -7269,6 +7334,8 @@ def ev20_psi_band(spark, sf_dir):
         F.round("tv", 6).alias("tv"),
         F.round("chi2_sym", 6).alias("chi2_sym"),
         "psi_within_bounds",
+        "vanished",
+        "newborn",
     )
 
 
@@ -7301,8 +7368,17 @@ SELECT g AS event_type, CAST(n_ref AS BIGINT) AS n_ref,
     list_prepend(0.0, list((p - q) * (p - q) / q + (p - q) * (p - q) / p
                            ORDER BY b)),
     (acc, v) -> acc + v), 6) AS chi2_sym,
-  TRUE AS psi_within_bounds
+  TRUE AS psi_within_bounds,
+  FALSE AS vanished, FALSE AS newborn
 FROM x GROUP BY g, n_ref, n_cur, n_buckets
+UNION ALL
+SELECT g AS event_type, CAST(n_ref AS BIGINT) AS n_ref,
+  CAST(n_cur AS BIGINT) AS n_cur, CAST(n_buckets AS BIGINT) AS n_buckets,
+  CAST(NULL AS DOUBLE) AS tv, CAST(NULL AS DOUBLE) AS chi2_sym,
+  CAST(NULL AS BOOLEAN) AS psi_within_bounds,
+  (n_cur = 0) AS vanished, (n_ref = 0) AS newborn
+FROM (SELECT DISTINCT g, n_ref, n_cur, n_buckets FROM t
+      WHERE n_ref = 0 OR n_cur = 0)
 """
 
 
@@ -7522,7 +7598,14 @@ def a21_overlap_sketch_band(spark, sf_dir):
        semantic-band pattern (calibrated at shipped scales, TRUE by
        default outside _A18_CAL_RANGE).
     """
-    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # distinct FIRST (r09 ADVICE): every downstream stat is over the
+    # distinct (type,user) set anyway — HLL and count_distinct are
+    # duplicate-insensitive — so dedup before the pair-map fan-out;
+    # otherwise every duplicate event row is fanned to its <=4 pairs
+    # and shuffled into the countDistinct, multiplying shuffle volume.
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).distinct()
     t = e.select("event_type").distinct()
     pairs = (
         t.alias("a")
@@ -8396,6 +8479,7 @@ QUERIES = {
     "st13_stream_ann_ingest": st13_stream_ann_ingest,
     "st14_index_staleness": st14_index_staleness,
     "st15_stream_curation_e2e": st15_stream_curation_e2e,
+    "st16_curation_compaction": st16_curation_compaction,
     "ss10_radius_search": ss10_radius_search,
     "ss11_filtered_search": ss11_filtered_search,
     "ss12_recall_report": ss12_recall_report,
@@ -8697,7 +8781,7 @@ _R09_WINDOW = [
     # last sampled r02 (rows-only stochastic recommenders)
     "rec_kge_transe_top5",
     "rec_node2vec_top5",
-    # last sampled r04 (35 of 39)
+    # last sampled r04 (31 of 39)
     "a15_value_percentiles",
     "a16_distinct_users",
     "ck1_chunk_documents",
@@ -8902,6 +8986,7 @@ ORACLES = {
     "st13_stream_ann_ingest": SS9_SQL,
     "st14_index_staleness": ST14_SQL,
     "st15_stream_curation_e2e": ST15_SQL,
+    "st16_curation_compaction": ST16_SQL,
     "dp5_semantic_curation": DP5_SQL,
     "a17_ewma_daily": A17_SQL,
     "a18_sketch_distinct_band": A18_SQL,

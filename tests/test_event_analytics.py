@@ -184,16 +184,32 @@ def test_psi_drift_identical_windows_near_zero(spark):
         assert r.tv == 0.0 and r.psi == 0.0 and r.psi_within_bounds
 
 
-def test_psi_drift_one_sided_groups_excluded(spark):
-    """PSI is defined between two non-empty windows; a group missing
-    from either side is excluded (ev19's vanished flag is the gate for
-    that case)."""
+def test_psi_drift_one_sided_groups_flagged(spark):
+    """A group missing from either window — the most-drifted case
+    possible — must SURFACE as a flagged row with NULL statistics, not
+    silently vanish from the report (VERDICT r09 item 3: the old
+    filter made a team gating on ev20 alone blind to total
+    disappearance)."""
     from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import psi_drift
 
-    ref = spark.createDataFrame([("a", 0), ("gone", 1)], "g string, b int")
+    ref = spark.createDataFrame(
+        [("a", 0), ("gone", 1), ("gone", 1), ("gone", 2)], "g string, b int"
+    )
     cur = spark.createDataFrame([("a", 0), ("new", 1)], "g string, b int")
-    got = {r.g for r in psi_drift(ref, cur, "g", "b").collect()}
-    assert got == {"a"}
+    rows = {r.g: r for r in psi_drift(ref, cur, "g", "b").collect()}
+    assert set(rows) == {"a", "gone", "new"}
+    healthy = rows["a"]
+    assert (healthy.vanished, healthy.newborn) == (False, False)
+    assert healthy.psi_within_bounds
+    gone = rows["gone"]
+    assert (gone.vanished, gone.newborn) == (True, False)
+    assert (gone.n_ref, gone.n_cur) == (3, 0)
+    assert gone.tv is None and gone.chi2_sym is None and gone.psi is None
+    assert gone.psi_within_bounds is None
+    new = rows["new"]
+    assert (new.vanished, new.newborn) == (False, True)
+    assert (new.n_ref, new.n_cur) == (0, 1)
+    assert new.tv is None
 
 
 def test_psi_drift_bounds_random(spark):
@@ -212,7 +228,8 @@ def test_psi_drift_bounds_random(spark):
     ref = spark.createDataFrame(rows_ref, "g string, b int")
     cur = spark.createDataFrame(rows_cur, "g string, b int")
     out = psi_drift(ref, cur, "g", "b").collect()
-    assert out and all(r.psi_within_bounds for r in out)
+    healthy = [r for r in out if not (r.vanished or r.newborn)]
+    assert healthy and all(r.psi_within_bounds for r in healthy)
 
 
 def test_cusum_changepoint_detects_injected_shift(spark):

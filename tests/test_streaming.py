@@ -752,3 +752,139 @@ def test_curation_batch_retry_idempotent(spark, tmp_path):
                     quality_threshold=0.5)  # the retry
     assert snapshot() == first
     assert first[1]  # deltas non-empty — the test exercises real rows
+
+
+def test_run_curation_drain_compacts_when_due_and_search_invariant(spark, tmp_path):
+    """st16's contract: run_curation_drain with a tripped trigger must
+    (a) fire compaction — delta log physically retired, rows folded
+    into the cell-partitioned base; (b) leave search results IDENTICAL
+    to an uncompacted twin drain of the same stream (compaction moves
+    layout, never content); (c) leave no stranded persisted state
+    (the r09 ADVICE leak)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import similarity as SIM
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import curation as SC
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import dedup as STD
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    def drain(tag, **kw):
+        idx = str(tmp_path / f"idx_{tag}") + "/ivf"
+        in_dir = str(tmp_path / f"in_{tag}")
+        SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=4)
+        new.repartition(3).write.mode("overwrite").parquet(in_dir)
+        fired = SC.run_curation_drain(
+            STD.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
+            corpus, idx, str(tmp_path / f"m_{tag}"),
+            str(tmp_path / f"ck_{tag}"), emb,
+            quality_threshold=0.5, **kw,
+        )
+        return idx, fired
+
+    n_persisted_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    idx_raw, fired_raw = drain("raw", compact_if_due=False)
+    idx_cmp, fired_cmp = drain("cmp", compact_if_due=True, delta_share_due=0.0)
+    assert not fired_raw and fired_cmp
+    assert os.path.exists(idx_raw + "/corpus_delta")
+    assert not os.path.exists(idx_cmp + "/corpus_delta")
+
+    def search(idx):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in SIM.ivf_topk_from_index(
+                spark, idx, queries, k=3, n_probe=4
+            ).collect()
+        )
+
+    assert search(idx_cmp) == search(idx_raw)
+    # staleness report on the compacted index: nothing due anymore
+    rep = SIM.ivf_staleness_report(spark, idx_cmp, delta_share_due=0.0)
+    assert rep.filter(F.col("n_delta") > 0).count() == 0
+    # no stranded persisted dedup state after either drain (<=: the
+    # ContextCleaner may reap OTHER tests' leftovers mid-test, so the
+    # count can shrink; it must not grow — each drain used to strand
+    # 2 state persists + 1 cands cache per micro-batch)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= n_persisted_before
+
+
+def test_compact_ivf_index_crash_recovery(spark, tmp_path):
+    """compact_ivf_index's rename-aside swap (r09 ADVICE, medium):
+    every crash window leaves a state recover_ivf_compaction rolls
+    FORWARD from — never a missing corpus, never delta rows readable
+    twice. Simulated by reproducing the exact on-disk states the three
+    crash points leave behind."""
+    import shutil
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import similarity as SIM
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    def build(tag):
+        idx = str(tmp_path / f"idx_{tag}")
+        SIM.build_ivf_index(emb.filter(F.col("vec_id") < 400), idx, n_cells=4)
+        SIM.append_delta_to_ivf_index(
+            spark, idx, emb.filter(F.col("vec_id") >= 400), 0
+        )
+        return idx
+
+    def search(idx):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in SIM.ivf_topk_from_index(
+                spark, idx, queries, k=3, n_probe=4
+            ).collect()
+        )
+
+    truth_idx = build("truth")
+    SIM.compact_ivf_index(spark, truth_idx)
+    want = search(truth_idx)
+
+    # crash window A: staged corpus_new written, crash BEFORE any
+    # rename — live index untouched, rerun discards the stale stage
+    idx = build("a")
+    base = spark.read.parquet(idx + "/corpus").select("id", "v", "cell")
+    delta = spark.read.parquet(idx + "/corpus_delta").select("id", "v", "cell")
+    base.unionByName(delta).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(idx + "/corpus_new")
+    SIM.compact_ivf_index(spark, idx)
+    assert search(idx) == want
+    assert not os.path.exists(idx + "/corpus_delta")
+
+    # crash window B: between the two renames — corpus gone,
+    # corpus_old + committed corpus_new present; recovery rolls forward
+    idx = build("b")
+    base = spark.read.parquet(idx + "/corpus").select("id", "v", "cell")
+    delta = spark.read.parquet(idx + "/corpus_delta").select("id", "v", "cell")
+    base.unionByName(delta).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(idx + "/corpus_new")
+    shutil.move(idx + "/corpus", idx + "/corpus_old")
+    SIM.compact_ivf_index(spark, idx)  # recovers, then nothing to fold
+    assert search(idx) == want
+    assert not os.path.exists(idx + "/corpus_old")
+    assert not os.path.exists(idx + "/corpus_delta")
+
+    # crash window C: after the promote, before the cleanup deletes —
+    # corpus is the new fold; recovery retires corpus_old AND the
+    # already-folded delta (re-folding it would duplicate neighbors)
+    idx = build("c")
+    base = spark.read.parquet(idx + "/corpus").select("id", "v", "cell")
+    delta = spark.read.parquet(idx + "/corpus_delta").select("id", "v", "cell")
+    base.unionByName(delta).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(idx + "/corpus_new")
+    shutil.move(idx + "/corpus", idx + "/corpus_old")
+    shutil.move(idx + "/corpus_new", idx + "/corpus")
+    SIM.compact_ivf_index(spark, idx)
+    assert search(idx) == want
+    rows = spark.read.parquet(idx + "/corpus")
+    assert rows.count() == rows.select("id").distinct().count()  # no dupes
+    assert not os.path.exists(idx + "/corpus_old")
+    assert not os.path.exists(idx + "/corpus_delta")
