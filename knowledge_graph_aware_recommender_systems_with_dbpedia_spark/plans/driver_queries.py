@@ -4427,6 +4427,35 @@ ORDER BY total_cnt DESC, piece LIMIT 30
 """
 
 
+def tx19_bpe_encode_topv(spark, sf_dir):
+    """tx18's encode step through the SCALE path
+    (bpe.segment_words_scale — VERDICT r09 item 1): the same 3 learned
+    merges applied by ONE Arrow-batched mapInPandas over the vocab
+    instead of one chained F.replace per merge, so the plan stays a
+    single Python-eval node at a production 32k-merge budget (plan
+    growth pinned by the unit test at 1k merges). Output is the
+    identical top-30 piece audit, hash-matched against tx18's oracle —
+    the two encode paths sharing one oracle IS the parity contract."""
+    from ..operators import bpe as BPE
+
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in BPE.learn_bpe_merges_topv(
+            load_table(spark, sf_dir, "documents"), n_merges=3
+        ).orderBy("step").collect()
+    ]
+    seg = BPE.segment_words_scale(load_table(spark, sf_dir, "documents"), merges)
+    px = seg.select("word", "cnt", F.explode("pieces").alias("piece"))
+    agg = px.groupBy("piece").agg(
+        F.count_distinct("word").cast("bigint").alias("n_words"),
+        F.sum("cnt").cast("bigint").alias("total_cnt"),
+    )
+    return agg.orderBy(F.desc("total_cnt"), "piece").limit(30)
+
+
+TX19_SQL = TX18_SQL  # one oracle, two encode paths — that IS the contract
+
+
 def ev9_outlier_events(spark, sf_dir):
     """Per-group z-score outlier flagging — the data-cleaning filter
     of a training pipeline. Mean/variance per event type derive from
@@ -8382,6 +8411,7 @@ QUERIES = {
     "tx11_quality_deciles": tx11_quality_deciles,
     "tx12_bpe_merges": tx12_bpe_merges,
     "tx18_bpe_tokenize": tx18_bpe_tokenize,
+    "tx19_bpe_encode_topv": tx19_bpe_encode_topv,
     "ev9_outlier_events": ev9_outlier_events,
     "pk2_sequence_stats": pk2_sequence_stats,
     "pk3_shuffle_shards": pk3_shuffle_shards,
@@ -8931,6 +8961,7 @@ ORACLES = {
     "tx11_quality_deciles": TX11_SQL,
     "tx12_bpe_merges": TX12_SQL,
     "tx18_bpe_tokenize": TX18_SQL,
+    "tx19_bpe_encode_topv": TX19_SQL,
     "ev9_outlier_events": EV9_SQL,
     "pk3_shuffle_shards": PK3_SQL,
     "ss3_quantize_embeddings": SS3_SQL,

@@ -377,3 +377,59 @@ def test_bpe_tokenize_pieces_reconstruct_and_rank(spark):
     assert any(len(p) > 1 for p in agg)
     merged_syms = {a + b for a, b in merges}
     assert merged_syms & set(agg)
+
+
+def test_bpe_segment_words_scale_parity_small(spark):
+    """segment_words_scale must reproduce segment_words EXACTLY —
+    per-word pieces, including greedy-non-overlap and merge-order
+    semantics — on learned merges AND on crafted edge lists (repeats,
+    chained merges, absent pairs)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [(1, "newest newest widest aaa aaaa abab low lower")],
+        "doc_id long, text string",
+    )
+    for merges in (
+        [("e", "s"), ("es", "t")],
+        [("a", "a")],
+        [("a", "a"), ("aa", "a")],                 # chained onto merged sym
+        [("b", "c"), ("a", "b")],                  # later rank, earlier pair
+        [("a", "b"), ("ab", "ab"), ("a", "b")],    # duplicate pair ranks
+        [("z", "q")],                              # absent everywhere
+    ):
+        want = {
+            r.word: list(r.pieces)
+            for r in BPE.segment_words(docs, merges).collect()
+        }
+        got = {
+            r.word: list(r.pieces)
+            for r in BPE.segment_words_scale(docs, merges).collect()
+        }
+        assert got == want, merges
+
+
+def test_bpe_segment_words_scale_plan_constant_in_merge_count(spark):
+    """The scale encoder's REASON TO EXIST (VERDICT r09 item 1): the
+    physical plan must not grow with the merge budget. At 1000 merges
+    the chained-replace path would be a 1000-deep expression tree; the
+    mapInPandas plan string must be the same size as at 2 merges, and
+    the 1000-merge application must still execute correctly."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [(1, "newest newest widest aaa")], "doc_id long, text string"
+    )
+    big = [("e", "s"), ("es", "t")] + [
+        (f"x{i}", f"y{i}") for i in range(998)  # 998 never-firing merges
+    ]
+    small_plan = BPE.segment_words_scale(docs, big[:2])._jdf.queryExecution().executedPlan().toString()
+    big_plan = BPE.segment_words_scale(docs, big)._jdf.queryExecution().executedPlan().toString()
+    assert len(big_plan) <= len(small_plan) + 50  # merge list not in the plan
+    assert "ArrowEvalPython" in big_plan or "MapInPandas" in big_plan or "mapInPandas" in big_plan.lower()
+    pieces = {
+        r.word: list(r.pieces)
+        for r in BPE.segment_words_scale(docs, big).collect()
+    }
+    assert pieces["newest"] == ["n", "e", "w", "est"]
+    assert pieces["aaa"] == ["a", "a", "a"]
