@@ -118,7 +118,9 @@ HEADLINE = [
     "ss10_radius_search",
     "ss11_filtered_search",
     "ss12_recall_report",
+    "ss13_recall_curve",
     "tx18_bpe_tokenize",
+    "tx19_bpe_encode_topv",
     "dq1_expectations",
     "dq2_snapshot_diff",
     "sp11_negative_sampling",
@@ -132,6 +134,7 @@ HEADLINE = [
     "st13_stream_ann_ingest",
     "st14_index_staleness",
     "st15_stream_curation_e2e",
+    "st16_curation_compaction",
 ]
 
 

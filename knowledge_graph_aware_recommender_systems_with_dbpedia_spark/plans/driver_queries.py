@@ -2956,6 +2956,68 @@ FROM base b LEFT JOIN hits h USING (query_id)
 """
 
 
+def ss13_recall_curve(spark, sf_dir):
+    """Recall-vs-n_probe TUNING CURVE (similarity.recall_curve —
+    VERDICT r09 item 5: ss12 measures one (n_cells=8, n_probe=2)
+    point; the number a deployment sweeps is the curve). One row per
+    probe depth in {1,2,4,8}: total exact-integer intersection count
+    over the 64-query slice + the aggregate recall. The whole curve
+    costs ONE candidate-scoring pass — queries are cell-assigned once
+    at depth 8 keeping the probe rank, and each scored candidate
+    map-side explodes to the depths that can see it (array explode +
+    filter, no range join). Depth 8 probes all 8 cells, so its row is
+    the structural recall=1.0 anchor; monotonicity in depth is
+    unit-asserted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.recall_curve(
+        emb, emb.filter(F.col("vec_id") < 64), k=5, n_cells=8,
+        probes=(1, 2, 4, 8),
+    )
+
+
+SS13_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+q AS (SELECT * FROM n WHERE vec_id < 64),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      round(list_dot_product(q.v, c.v), 6) AS cosine
+      FROM n c, q WHERE c.vec_id <> q.vec_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rr FROM s),
+exact AS (SELECT query_id, neighbor_id FROM rk WHERE rr <= 5),
+md AS (SELECT vec_id, v,
+       CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       FROM n),
+cent0 AS (SELECT vec_id, v, h FROM md ORDER BY h, vec_id LIMIT 8),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cell, v AS cv FROM cent0),
+ca AS (SELECT m.vec_id, m.v, c.cell, list_dot_product(m.v, c.cv) AS sim
+       FROM n m CROSS JOIN cents c),
+cr AS (SELECT vec_id, v, cell,
+       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ca),
+corpus AS (SELECT vec_id, v, cell FROM cr WHERE rn = 1),
+qa AS (SELECT vec_id, v, cell, rn AS probe_rank FROM cr WHERE rn <= 8 AND vec_id < 64),
+cand AS (SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q2.v, c.v), 6) AS cosine, q2.probe_rank
+         FROM corpus c JOIN qa q2 ON c.cell = q2.cell AND c.vec_id <> q2.vec_id),
+ps AS (SELECT * FROM (VALUES (1), (2), (4), (8)) AS t(p)),
+pc AS (SELECT ps.p, cand.query_id, cand.neighbor_id, cand.cosine
+       FROM cand JOIN ps ON cand.probe_rank <= ps.p),
+prk AS (SELECT *, row_number() OVER (PARTITION BY p, query_id ORDER BY cosine DESC, neighbor_id) AS rr FROM pc),
+approx AS (SELECT p, query_id, neighbor_id FROM prk WHERE rr <= 5),
+hits AS (SELECT p, CAST(count(*) AS BIGINT) AS n_hit
+         FROM approx a JOIN exact e2 USING (query_id, neighbor_id) GROUP BY 1),
+base AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM exact)
+SELECT CAST(ps.p AS BIGINT) AS n_probe, b.n_queries, b.n_exact,
+       coalesce(h.n_hit, 0) AS n_hit,
+       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE), 6) AS recall
+FROM ps LEFT JOIN hits h ON ps.p = h.p CROSS JOIN base b
+"""
+
+
 def ss10_radius_search(spark, sf_dir):
     """Radius (threshold) similarity search (similarity.ivf_radius):
     all corpus vectors with cosine >= 0.25 of each query — the
@@ -8513,6 +8575,7 @@ QUERIES = {
     "ss10_radius_search": ss10_radius_search,
     "ss11_filtered_search": ss11_filtered_search,
     "ss12_recall_report": ss12_recall_report,
+    "ss13_recall_curve": ss13_recall_curve,
     "dp6_bpr_triples": dp6_bpr_triples,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
     "rec_node2vec_band": rec_node2vec_band,
@@ -9038,6 +9101,7 @@ ORACLES = {
     "st12_stream_mv_drift": ST12_SQL,
     "ss11_filtered_search": SS11_SQL,
     "ss12_recall_report": SS12_SQL,
+    "ss13_recall_curve": SS13_SQL,
     "ss10_radius_search": SS10_SQL,
     "dp6_bpr_triples": DP6_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and

@@ -1033,3 +1033,51 @@ def test_recall_report_bounded_and_counts_consistent(spark):
     # n_probe=1 over 8 cells should NOT be perfect everywhere on
     # random data — otherwise the report can't distinguish probes
     assert any(r.n_hit < r.n_exact for r in rep)
+
+
+def test_recall_curve_monotone_and_exhaustive_anchor(spark):
+    """ss13's contract: recall is non-decreasing in n_probe (depth p's
+    candidate set contains depth p-1's) and hits exactly 1.0 when
+    every cell is probed; counts are internally consistent and every
+    requested depth emits exactly one row."""
+    emb = _mk_emb(spark, n=60, d=8, seed=5)
+    rows = sorted(
+        SIM.recall_curve(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8,
+            probes=(1, 2, 4, 8),
+        ).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == [1, 2, 4, 8]
+    hits = [r.n_hit for r in rows]
+    assert hits == sorted(hits)  # monotone in probe depth
+    for r in rows:
+        assert r.n_queries == 10
+        assert 0 <= r.n_hit <= r.n_exact == 50
+        assert r.recall == round(r.n_hit / r.n_exact, 6)
+    assert rows[-1].recall == 1.0  # full probe == exhaustive
+    # a partial probe must lose something on random data, or the
+    # curve can't distinguish depths
+    assert rows[0].n_hit < rows[0].n_exact
+
+
+def test_recall_curve_agrees_with_recall_report(spark):
+    """Each curve point must equal the aggregate of ss12's per-query
+    report at the same (n_cells, n_probe) — one pass for the curve is
+    an optimization, never a different measurement."""
+    emb = _mk_emb(spark, n=60, d=8, seed=7)
+    q = emb.filter(F.col("vec_id") < 8)
+    curve = {
+        r.n_probe: (r.n_hit, r.n_exact)
+        for r in SIM.recall_curve(
+            emb, q, k=4, n_cells=4, probes=(1, 2, 4)
+        ).collect()
+    }
+    for p in (1, 2, 4):
+        rep = SIM.recall_report(
+            emb, q, k=4, n_cells=4, n_probe=p
+        ).collect()
+        assert curve[p] == (
+            sum(r.n_hit for r in rep),
+            sum(r.n_exact for r in rep),
+        ), p

@@ -311,3 +311,28 @@ def test_co_rating_pairs_hub_items_dropped(spark):
     # with the cap lifted, the hub pairs everyone with everyone
     full = G.co_rating_pairs(r, max_item_degree=10).collect()
     assert len(full) == 6  # C(4,2)
+
+
+def test_co_rating_pairs_skew_stress_bound(spark):
+    """Adversarial skew (VERDICT r09 item 6): a hub item with degree
+    far above the cap must contribute ZERO pairs, and the total pair
+    count must respect the docstring's |I|*cap^2 bound — exercised,
+    not argued. 500 users on one hub (cap 8 -> naive C(500,2) =
+    124,750 pairs), plus 40 niche items of degree 2."""
+    hub = [(u, 9999) for u in range(500)]
+    # niche item i is rated by users (2i, 2i+1) — disjoint pairs
+    niche = [(2 * i + off, i) for i in range(40) for off in (0, 1)]
+    r = spark.createDataFrame(
+        hub + niche, "user_id bigint, item_id bigint"
+    )
+    got = G.co_rating_pairs(r, max_item_degree=8).collect()
+    # bound: 40 kept items, each deg<=8 -> <= 40 * C(8,2); actual = 40
+    assert len(got) == 40
+    assert len(got) <= 40 * 28
+    pairs = {(row.user_a, row.user_b) for row in got}
+    assert pairs == {(2 * i, 2 * i + 1) for i in range(40)}
+    assert all(row.n_common == 1 for row in got)
+    # the physical plan keeps the equi-join: no cartesian product
+    plan = G.co_rating_pairs(r, max_item_degree=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan

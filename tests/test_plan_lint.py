@@ -59,6 +59,9 @@ ALLOWED = {
     "ev16_rfm_segments": 3,
     "q11_important_parts": 1,   # 1-row grand-total threshold (broadcast)
     "a16_distinct_users": 1,    # final 1-row overall-reach distinct
+    # 1-row (n_exact, n_queries) scalar over the 64-query exact top-k,
+    # broadcast onto the 4-row depth table
+    "ss13_recall_curve": 1,
     "a20_heavy_hitters": 1,     # 1-row corpus-total scalar for the exact cutoff (broadcast)
     # 1-row catalog-count scalar (broadcast); dense_ids' bucket-count
     # offsets are window-free as of r08 (no 1P exchange from the rank)
@@ -159,6 +162,10 @@ NLJ_ALLOWED = {
     # broadcast 64-query slice) + ss2's two broadcast centroid-assign
     # passes — every non-equi side is the bounded query/centroid table
     "ss12_recall_report": 8,
+    # ss12's shapes (parity scan + two broadcast centroid-assign
+    # passes, 8) + the 1-row (n_exact, n_queries) scalar crossJoined
+    # onto the 4-row depth table (2) — every non-equi side bounded
+    "ss13_recall_curve": 10,
     # the `type_a < type_b` pair builder over the DISTINCT event-type
     # table: a #types x #types nested loop (5x5 here), never user rows
     "a21_overlap_sketch_band": 2,
