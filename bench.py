@@ -114,6 +114,7 @@ HEADLINE = [
     "ev21_cusum_alarm",
     "a21_overlap_sketch_band",
     "g12_corating_motifs",
+    "g13_kcore_incremental",
     "ss8_knn_join",
     "ss10_radius_search",
     "ss11_filtered_search",

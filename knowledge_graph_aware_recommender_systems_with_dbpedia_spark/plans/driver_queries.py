@@ -1161,6 +1161,67 @@ def g4_kcore_alternating(spark, sf_dir):
     return G.filter_kcore(r1, k=8, target="user", iterations=1)
 
 
+def g13_kcore_incremental(spark, sf_dir):
+    """Incremental (5,8)-core maintenance under deletions
+    (graph.kcore_decremental — VERDICT r09 item 7b: the one graph
+    family that still recomputed from scratch). The full fixpoint core
+    is peeled once; a dp3-style forget-users erasure (user_id % 7 = 0)
+    then propagates through the STALE CORE only — never re-peeling the
+    full graph — and the oracle recomputes the fixpoint FROM SCRATCH
+    on the reduced edge set (6 unrolled alternating rounds; the
+    fixpoint is reached well inside that, so extra rounds are no-ops).
+    The hash match IS the maintenance theorem: peeling core(E) \\ D
+    converges to core(E \\ D). ``converged`` asserts both peels hit
+    their fixpoint inside the round budget (oracle emits TRUE)."""
+    r = _ratings(spark, sf_dir)
+    core, _, conv_full = G.kcore_fixpoint(r, k_item=5, k_user=8, max_rounds=6)
+    deleted = (
+        core.filter(F.col("user_id") % 7 == 0).select("user_id").distinct()
+    )
+    inc, _, conv_inc = G.kcore_decremental(
+        core, deleted, k_item=5, k_user=8, max_rounds=6
+    )
+    return inc.select(
+        "user_id",
+        "item_id",
+        "rating",
+        "ts",
+        F.lit(bool(conv_full and conv_inc)).alias("converged"),
+    )
+
+
+def _kcore_rounds_sql(n_rounds: int, base: str, k_item: int, k_user: int):
+    """Unrolled alternating peel rounds: r{j} = item filter over the
+    previous round, u{j} = user filter over r{j}. Returns (ctes,
+    last_name). Every CTE is MATERIALIZED: each is referenced twice
+    (row source + degree subquery), and DuckDB's default inlining
+    would otherwise expand the chain 2^(2*rounds)-fold — a 6-round
+    unroll never finishes without the barrier."""
+    ctes, prev = [], base
+    for j in range(1, n_rounds + 1):
+        ctes.append(
+            f"r{j} AS MATERIALIZED (SELECT t.* FROM {prev} t WHERE EXISTS "
+            f"(SELECT 1 FROM (SELECT item_id FROM {prev} GROUP BY item_id "
+            f"HAVING count(*) >= {k_item}) x WHERE x.item_id = t.item_id))"
+        )
+        ctes.append(
+            f"u{j} AS MATERIALIZED (SELECT t.* FROM r{j} t WHERE EXISTS "
+            f"(SELECT 1 FROM (SELECT user_id FROM r{j} GROUP BY user_id "
+            f"HAVING count(*) >= {k_user}) x WHERE x.user_id = t.user_id))"
+        )
+        prev = f"u{j}"
+    return ",\n".join(ctes), prev
+
+
+_G13_CTES, _G13_LAST = _kcore_rounds_sql(6, "d0", 5, 8)
+G13_SQL = f"""
+WITH ratings AS ({RATINGS_SQL}),
+d0 AS MATERIALIZED (SELECT * FROM ratings WHERE user_id % 7 <> 0),
+{_G13_CTES}
+SELECT user_id, item_id, rating, ts, TRUE AS converged FROM {_G13_LAST}
+"""
+
+
 G4_ALT_SQL = f"""
 WITH ratings AS ({RATINGS_SQL}),
 r1 AS (SELECT r.* FROM ratings r
@@ -8541,6 +8602,7 @@ QUERIES = {
     "g10_label_propagation": g10_label_propagation,
     "g11_personalized_pagerank": g11_personalized_pagerank,
     "g12_corating_motifs": g12_corating_motifs,
+    "g13_kcore_incremental": g13_kcore_incremental,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_profit_proxy": q9_profit_proxy,
     "q11_important_parts": q11_important_parts,
@@ -8947,6 +9009,7 @@ ORACLES = {
     "g9_pagerank": G9_SQL,
     "g11_personalized_pagerank": G11_SQL,
     "g12_corating_motifs": G12_SQL,
+    "g13_kcore_incremental": G13_SQL,
     "sp1_random_global": _sp_ratio_sql(0.25, "global"),
     "sp2_random_user": _sp_ratio_sql(0.2, "user"),
     "sp3_temporal_global": _sp_ratio_sql(0.3, "global", by_ts=True),

@@ -43,6 +43,7 @@ from ..operators.similarity import (
     append_delta_to_ivf_index,
     compact_ivf_index,
     ivf_staleness_report,
+    recover_ivf_compaction,
 )
 from .quality import write_batch_counts
 
@@ -143,6 +144,11 @@ def run_curation_drain(
     drain is the unit of ingest, and compacting between drains keeps
     every FUTURE probe partition-pruned without racing the writer."""
     spark = corpus.sparkSession
+    # the drain is the index's single writer, so it owns crash
+    # recovery: a compaction that died mid-swap on the PREVIOUS drain
+    # left corpus_old/corpus_new markers (and possibly no corpus dir);
+    # roll it forward before reading or ingesting anything
+    recover_ivf_compaction(index_path)
     buckets, shingles = build_corpus_dedup_index(
         corpus, bands, n_hashes, n, id_col, text_col
     )

@@ -336,3 +336,56 @@ def test_co_rating_pairs_skew_stress_bound(spark):
     plan = G.co_rating_pairs(r, max_item_degree=8)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_kcore_fixpoint_hand_computed_cascade(spark):
+    """A (2,2)-core where one deletion cascades: the chain graph
+    loses its tail ring step by step until only the dense block
+    survives."""
+    # dense block: users 1,2 x items 10,11 (every degree 2)
+    # tail: user 3 rates items 10,12; item 12 rated only by user 3
+    rows = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 12)]
+    r = spark.createDataFrame(rows, "user_id bigint, item_id bigint")
+    core, rounds, conv = G.kcore_fixpoint(r, k_item=2, k_user=2)
+    assert conv
+    got = {(x.user_id, x.item_id) for x in core.collect()}
+    # item 12 dies (deg 1) -> user 3 dies (deg 1) -> block is stable
+    assert got == {(1, 10), (1, 11), (2, 10), (2, 11)}
+
+
+def test_kcore_decremental_matches_from_scratch(spark):
+    """The maintenance theorem, adversarially: peeling the STALE core
+    minus the deleted users must equal the from-scratch fixpoint on
+    the reduced edge set — including when the deletion cascades
+    through users that were NOT deleted."""
+    import random
+
+    rng = random.Random(13)
+    rows = list({(rng.randint(1, 40), rng.randint(1, 25)) for _ in range(400)})
+    r = spark.createDataFrame(rows, "user_id bigint, item_id bigint")
+    core, _, conv = G.kcore_fixpoint(r, k_item=3, k_user=4)
+    assert conv
+    for mod in (3, 5):  # two different deletion sets
+        deleted = core.filter(F.col("user_id") % mod == 0).select(
+            "user_id"
+        ).distinct()
+        inc, _, c1 = G.kcore_decremental(core, deleted, k_item=3, k_user=4)
+        scratch, _, c2 = G.kcore_fixpoint(
+            r.filter(F.col("user_id") % mod != 0), k_item=3, k_user=4
+        )
+        assert c1 and c2
+        assert {tuple(x) for x in inc.collect()} == {
+            tuple(x) for x in scratch.collect()
+        }, mod
+
+
+def test_kcore_decremental_empty_deletion_is_noop(spark):
+    """Deleting nothing must return the core unchanged after ONE
+    verification round (the core is already a fixpoint)."""
+    rows = [(u, i) for u in range(6) for i in range(6)]
+    r = spark.createDataFrame(rows, "user_id bigint, item_id bigint")
+    core, _, _ = G.kcore_fixpoint(r, k_item=3, k_user=3)
+    none = spark.createDataFrame([], "user_id bigint")
+    inc, rounds, conv = G.kcore_decremental(core, none, k_item=3, k_user=3)
+    assert conv and rounds == 1
+    assert {tuple(x) for x in inc.collect()} == {tuple(x) for x in core.collect()}

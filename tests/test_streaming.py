@@ -888,3 +888,73 @@ def test_compact_ivf_index_crash_recovery(spark, tmp_path):
     assert rows.count() == rows.select("id").distinct().count()  # no dupes
     assert not os.path.exists(idx + "/corpus_old")
     assert not os.path.exists(idx + "/corpus_delta")
+
+
+def test_curation_drain_recovers_crashed_compaction(spark, tmp_path):
+    """Crashed-compaction-mid-drain (VERDICT r09 item 2): a previous
+    drain's compaction died between the two swap renames — NO corpus
+    dir, a committed corpus_new, a corpus_old, and the folded delta
+    still on disk. The next run_curation_drain must roll the swap
+    forward on entry, ingest its own batch normally, and end with
+    search results identical to a never-crashed twin."""
+    import shutil
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import similarity as SIM
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import curation as SC
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import dedup as STD
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") < 8)
+    base_emb = emb.filter(F.col("vec_id") % 5 != 0)
+
+    def drain(tag, idx):
+        in_dir = str(tmp_path / f"in_{tag}")
+        new.repartition(3).write.mode("overwrite").parquet(in_dir)
+        return SC.run_curation_drain(
+            STD.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
+            corpus, idx, str(tmp_path / f"m_{tag}"),
+            str(tmp_path / f"ck_{tag}"), emb,
+            quality_threshold=0.5, compact_if_due=True, delta_share_due=0.0,
+        )
+
+    def search(idx):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in SIM.ivf_topk_from_index(
+                spark, idx, queries, k=3, n_probe=4
+            ).collect()
+        )
+
+    # twin A: clean lifecycle
+    idx_clean = str(tmp_path / "idx_clean") + "/ivf"
+    SIM.build_ivf_index(base_emb, idx_clean, n_cells=4)
+    assert drain("clean", idx_clean)
+    want = search(idx_clean)
+
+    # twin B: same base index, seed a pre-drain delta, stage a fold,
+    # crash mid-swap
+    idx = str(tmp_path / "idx_crash") + "/ivf"
+    SIM.build_ivf_index(base_emb, idx, n_cells=4)
+    SIM.append_delta_to_ivf_index(
+        spark, idx, emb.filter(F.col("vec_id") == 1), 999
+    )
+    base = spark.read.parquet(idx + "/corpus").select("id", "v", "cell")
+    delta = spark.read.parquet(idx + "/corpus_delta").select("id", "v", "cell")
+    base.unionByName(delta).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(idx + "/corpus_new")
+    shutil.move(idx + "/corpus", idx + "/corpus_old")  # crash point
+    assert not os.path.exists(idx + "/corpus")
+
+    fired = drain("crash", idx)  # must recover on entry, then drain
+    assert fired
+    assert os.path.exists(idx + "/corpus")
+    assert not os.path.exists(idx + "/corpus_old")
+    assert not os.path.exists(idx + "/corpus_delta")
+    # the rolled-forward fold only duplicated vec 1 (already in base;
+    # probes dedup by neighbor id), so both twins must agree exactly
+    assert search(idx) == want
