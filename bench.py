@@ -136,6 +136,7 @@ HEADLINE = [
     "st14_index_staleness",
     "st15_stream_curation_e2e",
     "st16_curation_compaction",
+    "st17_stream_windowed_quality",
 ]
 
 

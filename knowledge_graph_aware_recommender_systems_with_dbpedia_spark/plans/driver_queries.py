@@ -7325,6 +7325,105 @@ FROM st15_rows
 """
 
 
+def st17_stream_windowed_quality(spark, sf_dir):
+    """EVENT-TIME windowed quality metrics with watermark semantics
+    (streaming/quality.windowed_quality_stream — VERDICT r09 item 7a:
+    the curation drain's per-batch metric log keys on ARRIVAL, so a
+    late doc just lands in a later batch and totals stay complete;
+    this is the event-time twin where lateness has real semantics).
+    The doc stream (doc_id % 5 == 0, one doc per event-minute) arrives
+    as three CONTIGUOUS time slices in order, so no row is ever beyond
+    the watermark and the drain's final no-data batch advances the
+    watermark to max_ts - 30min, sealing exactly the windows whose end
+    it passed. Output: one row per SEALED 1-hour window — append mode
+    emits each window once, final, immutable. The oracle replays the
+    windowed counts and the sealing cutoff arithmetically; the
+    in-watermark-merge and beyond-watermark-drop behaviors are pinned
+    by unit tests (they are batching-dependent by design, so they live
+    outside the oracle's deterministic surface)."""
+    import tempfile
+    import time as _time
+
+    from ..streaming.quality import windowed_quality_stream
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_micros(
+                (F.col("doc_id") * 60_000_000).cast("bigint")
+            ).alias("ts"),
+        )
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    in_dir = tempfile.mkdtemp(prefix="st17_in_")
+    ck = tempfile.mkdtemp(prefix="st17_ck_")
+    out = tempfile.mkdtemp(prefix="st17_out_") + "/win"
+    cuts = [0, hi // 3, 2 * hi // 3, hi + 1]
+    for j in range(3):
+        docs.filter(
+            (F.col("doc_id") >= cuts[j]) & (F.col("doc_id") < cuts[j + 1])
+        ).coalesce(1).write.parquet(f"{in_dir}/p{j}")
+        if j < 2:
+            _time.sleep(1.1)  # file-source order = modification time
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/p*/*.parquet")
+    )
+    q = (
+        windowed_quality_stream(
+            stream, "ts", "1 hour", "30 minutes", quality_threshold=0.68
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out)
+    return res.select(
+        (F.unix_timestamp("window_start") / 60).cast("bigint").alias(
+            "window_start_min"
+        ),
+        "total",
+        "n_good",
+        F.round(
+            F.col("n_good").cast("double") / F.col("total").cast("double"), 6
+        ).alias("good_share"),
+    )
+
+
+ST17_SQL = f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, {TOKS_SQL} AS toks
+           FROM documents WHERE doc_id % 5 = 0),
+stq AS (SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        CAST(len(toks) AS DOUBLE) AS n_toks
+        FROM t),
+scored AS (SELECT doc_id,
+  CASE WHEN round(0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+      + 0.3 * least(n_chars / 400.0, 1.0)
+      + 0.3 * least((CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END) / 6.0, 1.0), 6)
+      >= 0.68 THEN 1 ELSE 0 END AS good
+  FROM stq),
+mx AS (SELECT max(doc_id) AS max_min FROM scored),
+w AS (SELECT (doc_id // 60) * 60 AS window_start_min,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(good) AS BIGINT) AS n_good
+      FROM scored GROUP BY 1)
+SELECT w.window_start_min, w.total, w.n_good,
+       round(CAST(w.n_good AS DOUBLE) / CAST(w.total AS DOUBLE), 6) AS good_share
+FROM w, mx
+WHERE w.window_start_min + 60 <= mx.max_min - 30
+"""
+
+
 def dp5_semantic_curation(spark, sf_dir):
     """Third composed pipeline — this round's curation stack in one
     lineage: exact dedup -> near-CONTAINMENT drop (the quoted/
@@ -8634,6 +8733,7 @@ QUERIES = {
     "st14_index_staleness": st14_index_staleness,
     "st15_stream_curation_e2e": st15_stream_curation_e2e,
     "st16_curation_compaction": st16_curation_compaction,
+    "st17_stream_windowed_quality": st17_stream_windowed_quality,
     "ss10_radius_search": ss10_radius_search,
     "ss11_filtered_search": ss11_filtered_search,
     "ss12_recall_report": ss12_recall_report,
@@ -9144,6 +9244,7 @@ ORACLES = {
     "st14_index_staleness": ST14_SQL,
     "st15_stream_curation_e2e": ST15_SQL,
     "st16_curation_compaction": ST16_SQL,
+    "st17_stream_windowed_quality": ST17_SQL,
     "dp5_semantic_curation": DP5_SQL,
     "a17_ewma_daily": A17_SQL,
     "a18_sketch_distinct_band": A18_SQL,

@@ -119,3 +119,63 @@ def corpus_metrics(spark, metrics_dir: str, checks: list[Check]) -> DataFrame:
         threshold.alias("threshold"),
         passed.alias("passed"),
     )
+
+
+def windowed_quality_stream(
+    docs_stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    quality_threshold: float = 0.68,
+    text_col: str = "text",
+) -> DataFrame:
+    """EVENT-TIME quality metrics with watermark semantics — the
+    late-data twin of the arrival-time batch log (VERDICT r09 item 7a:
+    what happens when a doc arrives after its window was sealed?).
+
+    The two metric surfaces answer different questions and have
+    different lateness contracts, both exactly-once:
+
+    * the per-BATCH log (:func:`write_batch_counts`) keys on arrival:
+      a late doc simply lands in a later batch's partition, so corpus
+      totals are always arrival-complete — nothing is ever dropped,
+      and the batch-id OVERWRITE keeps retries idempotent;
+    * THIS per-WINDOW aggregate keys on event time: a late doc merges
+      into its event window until the window's state is EVICTED — the
+      first micro-batch whose starting watermark has passed
+      ``window.end`` emits the window and drops the state, and a late
+      row arriving in that same batch still merges; any later arrival
+      is DROPPED — the price of emitting each window exactly once,
+      final, in append mode (the sealed partition is never rewritten,
+      so downstream consumers may treat it as immutable). All three
+      behaviors (merge, drop, no-re-emit) are unit-pinned; st17's
+      oracle replays the sealed subset.
+
+    Returns the streaming aggregate (window_start, window_end, total,
+    n_good) — native windowed state, no foreachBatch; sink it in
+    APPEND mode so only sealed windows emit.
+    """
+    from ..functions.text import quality_score
+
+    agg = (
+        docs_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+            F.sum(
+                F.when(
+                    quality_score(F.col(text_col))
+                    >= F.lit(float(quality_threshold)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_good"),
+        )
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "total",
+        "n_good",
+    )

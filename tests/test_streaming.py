@@ -958,3 +958,68 @@ def test_curation_drain_recovers_crashed_compaction(spark, tmp_path):
     # the rolled-forward fold only duplicated vec 1 (already in base;
     # probes dedup by neighbor id), so both twins must agree exactly
     assert search(idx) == want
+
+
+def test_windowed_quality_late_data_semantics(spark, tmp_path):
+    """st17's watermark contract, pinned batch by batch. Spark seals a
+    window when its STATE IS EVICTED — the first batch whose starting
+    watermark has passed window.end — not the instant the watermark
+    crosses it: a late row arriving in the eviction batch itself still
+    merges; a late row arriving AFTER eviction is dropped (it must be,
+    or append mode would re-emit the window and break the immutable-
+    partition contract). An unsealed window never emits. These are
+    batching-dependent by design, which is why they live here and not
+    in the oracle."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming.quality import windowed_quality_stream
+
+    def mk(rows, sub):
+        df = spark.createDataFrame(
+            [(i, "hello world text", m) for i, m in rows],
+            "doc_id bigint, text string, m bigint",
+        ).select(
+            "doc_id",
+            "text",
+            F.timestamp_micros((F.col("m") * 60_000_000)).alias("ts"),
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / "feed" / sub))
+
+    # batch 0: minutes 10, 50, 150 -> watermark after = 120
+    mk([(1, 10), (2, 50), (3, 150)], "p1")
+    time.sleep(1.1)
+    # batch 1 (wm 120): minute 130 is late but its window [120,180)
+    # is still open (end 180 > 120) -> MERGES; [0,60) is evicted and
+    # emitted this batch; 300 advances the clock -> wm after = 270
+    mk([(4, 130), (5, 300)], "p2")
+    time.sleep(1.1)
+    # batch 2 (wm 270): minute 10's window [0,60) was evicted last
+    # batch -> DROPPED; [120,180) evicted+emitted now; 420 advances
+    # -> wm after = 390, sealing [300,360); [420,480) stays unsealed
+    mk([(6, 10), (7, 420)], "p3")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "feed" / "p*" / "*.parquet"))
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        windowed_quality_stream(
+            stream, "ts", "1 hour", "30 minutes", quality_threshold=0.0
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    got = {
+        int(r.window_start.timestamp() // 60): (r.total, r.n_good)
+        for r in rows
+    }
+    assert got == {0: (2, 2), 120: (2, 2), 300: (1, 1)}
+    # exactly-once append: the dropped post-eviction row must NOT have
+    # re-emitted window [0,60) — one parquet row per window, ever
+    assert len(rows) == 3
