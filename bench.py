@@ -112,6 +112,7 @@ HEADLINE = [
     "ev19_chi2_drift",
     "ev20_psi_band",
     "ev21_cusum_alarm",
+    "ev22_seasonal_anomalies",
     "a21_overlap_sketch_band",
     "g12_corating_motifs",
     "g13_kcore_incremental",
@@ -126,6 +127,7 @@ HEADLINE = [
     "dq2_snapshot_diff",
     "sp11_negative_sampling",
     "sp12_leave_one_out",
+    "sp13_rolling_origin",
     "dp6_bpr_triples",
     "j9_bloom_prefilter",
     "st1_stream_hourly_rollup",

@@ -332,3 +332,67 @@ def cusum_changepoint(
         ).alias("first_alarm"),
         F.sum((F.col("c") > h).cast("bigint")).alias("n_alarm_buckets"),
     )
+
+
+def seasonal_mad_anomalies(
+    counts: DataFrame,
+    group_col: str,
+    day_col: str,
+    slot_col: str,
+    n_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Seasonal-profile anomaly gate: flag (group, day, slot) cells
+    whose volume deviates from the group's TYPICAL volume for that
+    slot-of-day by more than ``z`` robust standard deviations — the
+    traffic-anomaly check an event pipeline runs before trusting a
+    day's data (a chi2/PSI drift test compares two windows; this
+    compares every cell against its own seasonal baseline, so one bad
+    hour on one day surfaces even when the aggregate windows agree).
+
+    Robustness comes from the median/MAD pair: per (group, slot) the
+    baseline is median(n) over days and the spread is the median
+    absolute deviation, scaled by the normal-consistency constant
+    1.4826 — one outlying day cannot drag its own threshold the way a
+    mean/std profile lets it. Both medians are EXACT (Spark
+    ``median`` and DuckDB ``median`` interpolate the same way, and
+    midpoints of integer counts are exact binary64), so the flag
+    comparison replays bit-for-bit in the oracle.
+
+    A zero-spread profile (mad = 0: more than half the days have the
+    identical count) flags ANY deviation — the standard MAD-rule
+    behavior; absent cells (zero events that hour) are out of scope
+    by construction (compose with ev13's resample-fill upstream to
+    audit those).
+
+    Scale: one keyed aggregate to the profile (bounded by groups x
+    slots), broadcast back onto the cell table — no window over the
+    fact stream, no single-partition exchange.
+    """
+    cells = counts.select(
+        F.col(group_col).alias("g"),
+        F.col(day_col).alias("day"),
+        F.col(slot_col).alias("slot"),
+        F.col(n_col).cast("bigint").alias("n"),
+    )
+    prof = cells.groupBy("g", "slot").agg(
+        F.median("n").alias("med"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    dev = cells.join(F.broadcast(prof), ["g", "slot"]).withColumn(
+        "adev", F.abs(F.col("n").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("g", "slot").agg(F.median("adev").alias("mad"))
+    scored = dev.join(F.broadcast(mad), ["g", "slot"]).withColumn(
+        "is_anomaly",
+        F.col("adev") > F.lit(float(z)) * F.lit(1.4826) * F.col("mad"),
+    )
+    return scored.filter(F.col("is_anomaly")).select(
+        "g",
+        "day",
+        "slot",
+        "n",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "n_days",
+    )

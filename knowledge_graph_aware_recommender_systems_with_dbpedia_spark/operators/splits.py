@@ -423,3 +423,111 @@ def stratified_head(
     return joined.filter(F.col("_off") + F.col("_brn") <= F.lit(int(n))).drop(
         "_u", "_bkt", "_brn", "_off"
     )
+
+
+def rolling_origin_folds(
+    ratings: DataFrame,
+    k: int = 4,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rating_col: str = "rating",
+) -> DataFrame:
+    """Rolling-origin (expanding-window) temporal cross-validation
+    audit — the CV protocol for anything time-ordered (forecasting,
+    next-item, drift-robust training): the timeline is cut into k+1
+    rank-equal segments and fold f trains on segments 0..f-1, tests on
+    segment f, so every fold's training data strictly precedes its
+    test data and later folds see more history.
+
+    Returns ONE ROW PER FOLD — the leakage audit a pipeline gates on,
+    not the row-level assignment (sp3/sp4 cover that): (fold, n_train,
+    n_test, train_max_ts, test_min_ts, test_max_ts, leakage_free)
+    where leakage_free asserts train_max_ts <= test_min_ts (equality
+    only when tied timestamps straddle the rank cut — the tie-broken
+    RANK order is strictly leak-free by construction).
+
+    Scale shape: ONE two-pass bucketed global rank over (ts,
+    tie-breaks) — no single-partition window (splits._global_rank) —
+    then everything downstream operates on the k+1-row segment-stats
+    table: segment -> fold fan-out is a bounded array explode, the
+    fold aggregate is over <= (k+1)*k tiny rows. Segment sizing reuses
+    the KFold arithmetic (sp6), so the oracle replays it verbatim.
+    """
+    kk = int(k) + 1
+    order = [
+        F.col(ts_col), F.col(user_col), F.col(item_col), F.col(rating_col)
+    ]
+    boundaries = _ts_boundaries(ratings, ts_col, 32)
+    df = _global_rank(ratings, order, descending=False, boundaries=boundaries)
+    seg = F.expr(
+        f"CASE WHEN (_rn - 1) < (_n % {kk}) * (_n div {kk} + 1) "
+        f"THEN (_rn - 1) div (_n div {kk} + 1) "
+        f"ELSE (_n % {kk}) + ((_rn - 1) - (_n % {kk}) * (_n div {kk} + 1)) "
+        f"div greatest(_n div {kk}, 1) END"
+    )
+    stats = (
+        df.withColumn("_seg", seg)
+        .groupBy("_seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c"),
+            # double-cast so the contribution struct has one fixed type
+            # whatever the source ts type (long seconds, double, ...)
+            F.min(F.col(ts_col).cast("double")).alias("_lo"),
+            F.max(F.col(ts_col).cast("double")).alias("_hi"),
+        )
+    )
+    # fan each segment out to the folds it participates in: train of
+    # every fold AFTER it, test of its own fold (segment 0 never tests)
+    empty = F.array().cast("array<bigint>")
+    train_folds = F.coalesce(
+        F.when(
+            F.col("_seg") < k, F.sequence(F.col("_seg") + 1, F.lit(int(k)))
+        ),
+        empty,
+    )
+    contrib = F.concat(
+        F.transform(
+            train_folds,
+            lambda f: F.struct(
+                f.alias("fold"),
+                F.lit("train").alias("role"),
+                F.col("_c").alias("c"),
+                F.col("_lo").alias("lo"),
+                F.col("_hi").alias("hi"),
+            ),
+        ),
+        F.when(
+            F.col("_seg") >= 1,
+            F.array(
+                F.struct(
+                    F.col("_seg").cast("bigint").alias("fold"),
+                    F.lit("test").alias("role"),
+                    F.col("_c").alias("c"),
+                    F.col("_lo").alias("lo"),
+                    F.col("_hi").alias("hi"),
+                )
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<fold:bigint,role:string,c:bigint,lo:double,hi:double>>"
+            )
+        ),
+    )
+    staged = stats.select(contrib.alias("_arr"))  # own projection: the
+    # Spark 4.1 pruning discipline (explode over fresh aggregates)
+    rows = staged.select(F.explode("_arr").alias("_e")).select("_e.*")
+    is_tr = F.col("role") == "train"
+    return (
+        rows.groupBy("fold")
+        .agg(
+            F.sum(F.when(is_tr, F.col("c")).otherwise(0)).alias("n_train"),
+            F.sum(F.when(~is_tr, F.col("c")).otherwise(0)).alias("n_test"),
+            F.max(F.when(is_tr, F.col("hi"))).alias("train_max_ts"),
+            F.min(F.when(~is_tr, F.col("lo"))).alias("test_min_ts"),
+            F.max(F.when(~is_tr, F.col("hi"))).alias("test_max_ts"),
+        )
+        .withColumn(
+            "leakage_free", F.col("train_max_ts") <= F.col("test_min_ts")
+        )
+    )

@@ -1293,6 +1293,52 @@ FROM ratings
 """
 
 
+def sp13_rolling_origin(spark, sf_dir):
+    """Rolling-origin temporal CV audit (splits.rolling_origin_folds):
+    the timeline cut into 5 rank-equal segments, fold f trains on
+    segments 0..f-1 and tests on segment f — one row per fold with the
+    train/test sizes, boundary timestamps, and the ``leakage_free``
+    assertion every time-ordered training run must gate on. Spark side
+    ranks via the window-free two-pass bucketed rank; the oracle
+    replays the sp6 KFold sizing arithmetic over a plain ORDER BY ts
+    window and aggregates the same segment stats."""
+    return SP.rolling_origin_folds(_ratings(spark, sf_dir), k=4).select(
+        "fold",
+        "n_train",
+        "n_test",
+        F.round("train_max_ts", 6).alias("train_max_ts"),
+        F.round("test_min_ts", 6).alias("test_min_ts"),
+        F.round("test_max_ts", 6).alias("test_max_ts"),
+        "leakage_free",
+    )
+
+
+SP13_SQL = f"""
+WITH ratings AS ({RATINGS_SQL}),
+w AS (SELECT ratings.*,
+      row_number() OVER (ORDER BY ts, user_id, item_id, rating) - 1 AS _rn0,
+      count(*) OVER () AS _n FROM ratings),
+s AS (SELECT *, CASE WHEN _rn0 < (_n % 5) * (_n // 5 + 1)
+      THEN _rn0 // (_n // 5 + 1)
+      ELSE (_n % 5) + (_rn0 - (_n % 5) * (_n // 5 + 1)) // greatest(_n // 5, 1)
+      END AS seg FROM w),
+st AS (SELECT seg, CAST(count(*) AS BIGINT) AS c,
+       CAST(min(ts) AS DOUBLE) AS lo, CAST(max(ts) AS DOUBLE) AS hi
+       FROM s GROUP BY 1),
+folds AS (SELECT * FROM (VALUES (1), (2), (3), (4)) t(fold)),
+tr AS (SELECT f.fold, sum(st.c) AS n_train, max(st.hi) AS train_max_ts
+       FROM folds f JOIN st ON st.seg < f.fold GROUP BY 1),
+te AS (SELECT seg AS fold, c AS n_test, lo AS test_min_ts, hi AS test_max_ts
+       FROM st WHERE seg >= 1)
+SELECT CAST(te.fold AS BIGINT) AS fold, CAST(tr.n_train AS BIGINT) AS n_train,
+       te.n_test, round(tr.train_max_ts, 6) AS train_max_ts,
+       round(te.test_min_ts, 6) AS test_min_ts,
+       round(te.test_max_ts, 6) AS test_max_ts,
+       (tr.train_max_ts <= te.test_min_ts) AS leakage_free
+FROM tr JOIN te ON tr.fold = te.fold
+"""
+
+
 def sp12_leave_one_out(spark, sf_dir):
     """SP12: leave-one-out split — each user's LAST interaction (by
     timestamp, item/rating tie-breaks) is the single test row, the
@@ -8386,6 +8432,59 @@ FROM ranked r JOIN tot t USING (user_id) WHERE rn = 1
 """
 
 
+def ev22_seasonal_anomalies(spark, sf_dir):
+    """Seasonal-profile anomaly gate (drift.seasonal_mad_anomalies):
+    every (event_type, day, hour-of-day) traffic cell is checked
+    against ITS OWN slot-of-day baseline — median over days, MAD
+    spread, 3-sigma-equivalent threshold via the 1.4826 consistency
+    constant — so one bad hour on one day surfaces even when the
+    window-vs-window drift tests (ev19/ev20) see balanced aggregates.
+    Medians are exact in both engines (midpoints of integer counts are
+    exact binary64), so the flagged set hash-matches."""
+    from ..operators.drift import seasonal_mad_anomalies
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 86400000000000").cast("bigint").alias("day"),
+        F.expr("(ts_ns div 3600000000000) % 24").cast("bigint").alias("slot"),
+    )
+    cells = e.groupBy("event_type", "day", "slot").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    out = seasonal_mad_anomalies(
+        cells, "event_type", "day", "slot", "n", z=3.0
+    )
+    return out.select(
+        F.col("g").alias("event_type"),
+        "day",
+        "slot",
+        "n",
+        "med",
+        "mad",
+        "n_days",
+    )
+
+
+EV22_SQL = """
+WITH e AS (SELECT event_type,
+  CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+  CAST((epoch_ns(ts) // 3600000000000) % 24 AS BIGINT) AS slot
+  FROM events),
+cells AS (SELECT event_type, day, slot, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2, 3),
+prof AS (SELECT event_type, slot, median(n) AS med,
+         CAST(count(*) AS BIGINT) AS n_days FROM cells GROUP BY 1, 2),
+dev AS (SELECT c.event_type, c.day, c.slot, c.n, p.med, p.n_days,
+        abs(CAST(c.n AS DOUBLE) - p.med) AS adev
+        FROM cells c JOIN prof p USING (event_type, slot)),
+madt AS (SELECT event_type, slot, median(adev) AS mad FROM dev GROUP BY 1, 2)
+SELECT d.event_type, d.day, d.slot, d.n,
+       round(d.med, 6) AS med, round(m.mad, 6) AS mad, d.n_days
+FROM dev d JOIN madt m USING (event_type, slot)
+WHERE d.adev > 3.0 * 1.4826 * m.mad
+"""
+
+
 def st11_stream_quality_gate(spark, sf_dir):
     """Streaming quality gate (streaming/quality.py): the corpus
     ingests as a 2-file availableNow stream (maxFilesPerTrigger=1 =>
@@ -8722,11 +8821,13 @@ QUERIES = {
     "dq2_snapshot_diff": dq2_snapshot_diff,
     "sp11_negative_sampling": sp11_negative_sampling,
     "sp12_leave_one_out": sp12_leave_one_out,
+    "sp13_rolling_origin": sp13_rolling_origin,
     "j9_bloom_prefilter": j9_bloom_prefilter,
     "ev18_gap_islands": ev18_gap_islands,
     "ev19_chi2_drift": ev19_chi2_drift,
     "ev20_psi_band": ev20_psi_band,
     "ev21_cusum_alarm": ev21_cusum_alarm,
+    "ev22_seasonal_anomalies": ev22_seasonal_anomalies,
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "st12_stream_mv_drift": st12_stream_mv_drift,
     "st13_stream_ann_ingest": st13_stream_ann_ingest,
@@ -9070,9 +9171,78 @@ _R09_WINDOW = [
     "ss5_pq_topk",
 ]
 assert len(_R09_WINDOW) == 50 and len(set(_R09_WINDOW)) == 50
+
+# Round-10 window (VERDICT r09 item 4): fronts this round's five
+# births, the four queries whose implementation changed this round
+# (ev20 vanished/newborn schema, st15's run_curation_drain path, st14's
+# rename-aside compaction swap, a21's pre-fan-out distinct), the three
+# stochastic _band twins (re-sampled every round), the eight r04-aged
+# stragglers the r09 header promised would roll here (tx11/tx12/tx2/
+# u4/a10/q3/q16/pk3 — after this no query is older than r06 in
+# driver-sample age), and 28 of the 47 queries last sampled in r06 as
+# fill (ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
+# the r11 window).
+_R10_WINDOW = [
+    # born this round — fronted at birth
+    "ev22_seasonal_anomalies",
+    "sp13_rolling_origin",
+    "g13_kcore_incremental",
+    "ss13_recall_curve",
+    "st16_curation_compaction",
+    "st17_stream_windowed_quality",
+    "tx19_bpe_encode_topv",
+    # impl changed this round
+    "ev20_psi_band",
+    "st15_stream_curation_e2e",
+    "st14_index_staleness",
+    "a21_overlap_sketch_band",
+    # stochastic band twins (every round)
+    "rec_node2vec_band",
+    "rec_als_band",
+    "rec_kge_transe_band",
+    # last sampled r04 (the final 8 — closes the r04 tail)
+    "a10_rollup_profile",
+    "pk3_shuffle_shards",
+    "q16_supplier_variety",
+    "q3_shipping_priority",
+    "tx11_quality_deciles",
+    "tx12_bpe_merges",
+    "tx2_vocab_topk",
+    "u4_intersect_audiences",
+    # last sampled r06 (28 of 47)
+    "a11_moving_avg",
+    "a12_linreg_trend",
+    "a13_pivot_daily",
+    "a14_unpivot_melt",
+    "a17_ewma_daily",
+    "dd12_simhash_pairs",
+    "dd13_repeated_spans",
+    "dd8_neardup_lsh",
+    "dp2_curation_pipeline",
+    "dp4_session_features",
+    "dp5_semantic_curation",
+    "ev11_retention",
+    "ev12_scd2_intervals",
+    "ev13_resample_fill",
+    "ev14_transition_matrix",
+    "ev3_sliding_rollup",
+    "ev5_overlap_pairs",
+    "ev6_point_in_span",
+    "ev7_trending",
+    "ev8_covisitation",
+    "ev9_outlier_events",
+    "mm3_media_features",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "rec_als_top5",
+    "sp10_balanced_labels",
+    "ss3_quantize_embeddings",
+    "ss4_label_centroids",
+]
+assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R09_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R09_WINDOW)},
+    **{k: QUERIES[k] for k in _R10_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)},
 }
 
 ORACLES = {
@@ -9119,6 +9289,7 @@ ORACLES = {
     "sp7_kfold_user": _sp_kfold_sql(4, "user"),
     "sp8_validation_subsplit": SP8_SQL,
     "sp12_leave_one_out": SP12_SQL,
+    "sp13_rolling_origin": SP13_SQL,
     "rec_popularity_top5": REC_POP_SQL,
     "rec_fixed_emb_top5": REC_FIXED_SQL,
     "rec_itemknn_top5": REC_ITEMKNN_SQL,
@@ -9255,6 +9426,7 @@ ORACLES = {
     "ev19_chi2_drift": EV19_SQL,
     "ev20_psi_band": EV20_SQL,
     "ev21_cusum_alarm": EV21_SQL,
+    "ev22_seasonal_anomalies": EV22_SQL,
     "u4_intersect_audiences": U4_SQL,
     "dq1_expectations": DQ1_SQL,
     "dq2_snapshot_diff": DQ2_SQL,

@@ -321,3 +321,38 @@ def test_overlap_sketch_band_exact_intersection(spark):
         assert r.n_inter == len(a & b)
     # all C(5,2) unordered pairs exactly once
     assert len(rows) == len(by_type) * (len(by_type) - 1) // 2
+
+
+def test_seasonal_mad_anomalies_hand_computed(spark):
+    """MAD rule on a hand profile: a 10x spike over a flat baseline
+    flags (mad=0 -> any deviation trips); a mild wobble within
+    3*1.4826*mad does not; the flagged row carries the exact med/mad."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import seasonal_mad_anomalies
+
+    rows = []
+    # group A, slot 1: six flat days + one spike -> med 10, mad 0
+    for d in range(6):
+        rows.append(("A", d, 1, 10))
+    rows.append(("A", 6, 1, 100))
+    # group A, slot 2: wobble 9..13 -> med 11, adevs {2,1,0,1,2} mad 1
+    # threshold 3*1.4826 = 4.4478 -> nothing flags
+    for d, n in enumerate([9, 10, 11, 12, 13]):
+        rows.append(("A", d, 2, n))
+    df = spark.createDataFrame(rows, "g string, day bigint, slot bigint, n bigint")
+    got = seasonal_mad_anomalies(df, "g", "day", "slot", "n", z=3.0).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.g, r.day, r.slot, r.n) == ("A", 6, 1, 100)
+    assert (r.med, r.mad, r.n_days) == (10.0, 0.0, 7)
+
+
+def test_seasonal_mad_anomalies_robust_to_the_outlier_itself(spark):
+    """The point of median/MAD over mean/std: the spike must not drag
+    its own baseline. With mean/std the same spike would sit at ~2.4
+    sigma and pass; the MAD profile flags it."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import seasonal_mad_anomalies
+
+    rows = [("A", d, 0, n) for d, n in enumerate([10, 11, 10, 9, 10, 11, 60])]
+    df = spark.createDataFrame(rows, "g string, day bigint, slot bigint, n bigint")
+    got = seasonal_mad_anomalies(df, "g", "day", "slot", "n", z=3.0).collect()
+    assert [(r.day, r.n) for r in got] == [(6, 60)]

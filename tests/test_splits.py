@@ -303,3 +303,33 @@ def test_leave_one_out_marks_each_users_last_interaction(spark):
     )
     assert all(r.n == 1 for r in per_user)
     assert out.count() == len(rows)
+
+
+def test_rolling_origin_folds_hand_computed(spark):
+    """10 rows, k=4 -> 5 rank-equal segments of 2; fold f trains on
+    2f rows and tests on 2; expanding history, strictly leak-free."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.splits import rolling_origin_folds
+
+    rows = [(u, 100 + u, 3.0, float(10 * u)) for u in range(10)]
+    df = spark.createDataFrame(rows, "user_id bigint, item_id bigint, rating double, ts double")
+    got = {r.fold: r for r in rolling_origin_folds(df, k=4).collect()}
+    assert sorted(got) == [1, 2, 3, 4]
+    for f, r in got.items():
+        assert (r.n_train, r.n_test) == (2 * f, 2)
+        assert r.leakage_free
+        assert r.train_max_ts < r.test_min_ts <= r.test_max_ts
+    assert got[4].train_max_ts == 70.0 and got[4].test_min_ts == 80.0
+
+
+def test_rolling_origin_folds_tied_timestamps_still_leak_free(spark):
+    """All-equal timestamps: the rank cut is arbitrary but the audit
+    must still report leakage_free (train_max == test_min is the tie
+    case, not a leak — rank order is strict)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.splits import rolling_origin_folds
+
+    rows = [(u, 100 + u, 3.0, 5.0) for u in range(9)]
+    df = spark.createDataFrame(rows, "user_id bigint, item_id bigint, rating double, ts double")
+    got = rolling_origin_folds(df, k=2).collect()
+    assert len(got) == 2
+    assert all(r.leakage_free for r in got)
+    assert sum(r.n_test for r in got) == 6  # 9 rows -> segments 3/3/3
