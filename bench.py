@@ -121,6 +121,7 @@ HEADLINE = [
     "ss11_filtered_search",
     "ss12_recall_report",
     "ss13_recall_curve",
+    "ss14_ivf_pq_topk",
     "tx18_bpe_tokenize",
     "tx19_bpe_encode_topv",
     "dq1_expectations",

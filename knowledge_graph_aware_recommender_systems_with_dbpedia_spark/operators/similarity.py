@@ -892,11 +892,13 @@ def pq_topk(
     aggregates back with one shuffle on (query, id); the final top-k
     is a per-query window. approx_cosine = sum_s q_s . c_codeword —
     the standard asymmetric-distance estimate of the true cosine."""
-    # normalize ONCE and persist: the codebook sample collect, the
-    # encode pass, and (when queries come from the same table) the
-    # query side would otherwise each re-evaluate the normalize
-    # lineage; the dim probe is likewise done once and threaded down
-    nn = _normalize(emb, id_col, vec_col).persist()
+    # normalize ONCE and cache via the bounded registry: the codebook
+    # sample collect, the encode pass, and (when queries come from the
+    # same table) the query side would otherwise each re-evaluate the
+    # normalize lineage. _cache_assignment caps live cached frames at
+    # ONE — a bare .persist() here leaked one cached frame per
+    # invocation across registry sweeps (the ADVICE r07/r09 class)
+    nn = _cache_assignment(_normalize(emb, id_col, vec_col))
     first = nn.select(F.size("v").alias("d")).limit(1).collect()
     dim = int(first[0]["d"]) if first else 0
     cb = pq_codebook(nn, n_subspaces, n_codes, seed, dim=dim)
@@ -1272,4 +1274,103 @@ def recall_curve(
                 6,
             ).alias("recall"),
         )
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composed ANN — the production index shape (FAISS
+    IVFPQ): the coarse quantizer prunes WHICH vectors get scored
+    (probe n_probe of n_cells cells) and product quantization changes
+    HOW they are scored (m table lookups over 32x-compressed codes
+    instead of a dim-wide float dot). :func:`ivf_topk` and
+    :func:`pq_topk` each solve half of 100 TB ANN; this composes them:
+    I/O is bounded by the probed cells AND the scan reads m small ints
+    per candidate, never the float vectors.
+
+    Plan: ONE shared normalize feeds centroid sampling, cell
+    assignment, codebook sampling, and encoding (bounded-registry
+    cached — the r07 fastpath policy, not a leaked persist); the
+    candidate join is corpus(cell, id, codes) x broadcast query-cell
+    table on the cell key; scoring explodes each candidate's m codes
+    against the broadcast (query, subspace, code) dot table and folds
+    in pinned subspace order. Fully deterministic (md5-ranked
+    centroids AND codewords off the same hash, argmin/rank
+    tie-breaks), so the oracle replays every stage; with
+    ``n_probe == n_cells`` the result is IDENTICAL to plain
+    :func:`pq_topk` (unit-asserted — the composition changes I/O,
+    never the ADC math)."""
+    nn = _cache_assignment(_normalize(emb, id_col, vec_col))
+    first = nn.select(F.size("v").alias("d")).limit(1).collect()
+    dim = int(first[0]["d"]) if first else 0
+    width = dim // n_subspaces if n_subspaces else 0
+    cents = _ivf_centroids(nn, n_cells, seed)
+    cb = pq_codebook(nn, n_subspaces, n_codes, seed, dim=dim)
+    corpus = (
+        _ivf_assign(nn, cents, 1)
+        .select("id", "cell")
+        .join(pq_encode(nn, cb, n_subspaces, dim=dim), "id")
+    )
+    qn = _normalize(queries, id_col, vec_col)
+    qcell = _ivf_assign(qn, cents, n_probe).select(
+        F.col("id").alias("query_id"), "cell"
+    )
+    qsubs = qn.select(
+        F.col("id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.slice("v", s * width + 1, width).alias("sub"),
+                    )
+                    for s in range(n_subspaces)
+                ]
+            )
+        ).alias("ss"),
+    ).select(
+        "query_id",
+        F.col("ss.subspace").alias("subspace"),
+        F.col("ss.sub").alias("sub"),
+    )
+    dots = qsubs.join(F.broadcast(cb), "subspace").select(
+        "query_id", "subspace", "code", _dot(F.col("sub"), F.col("cv")).alias("d")
+    )
+    cand = (
+        corpus.join(F.broadcast(qcell), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), "codes")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    ccodes = cand.select(
+        "query_id", "neighbor_id", F.posexplode("codes").alias("subspace", "code")
+    )
+    contrib = ccodes.join(F.broadcast(dots), ["query_id", "subspace", "code"])
+    scored = contrib.groupBy("query_id", "neighbor_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("subspace", "d"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["d"],
+            ),
+            6,
+        ).alias("approx_cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_cosine")
     )

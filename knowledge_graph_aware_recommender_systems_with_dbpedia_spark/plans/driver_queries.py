@@ -3125,6 +3125,89 @@ FROM ps LEFT JOIN hits h ON ps.p = h.p CROSS JOIN base b
 """
 
 
+def ss14_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (similarity.ivf_pq_topk — the FAISS IVFPQ
+    production shape): the coarse quantizer prunes WHICH vectors are
+    scored (2 of 8 cells probed) and product quantization changes HOW
+    (4 table lookups over compressed codes, never the float vectors).
+    ss2 and ss5 each prove half; this proves the composition, every
+    stage deterministic (centroids AND codewords are md5-rank slices
+    of the same hash ordering) so ONE oracle replays cell assignment,
+    codebook, encoding, the pruned candidate join, and the
+    pinned-order ADC fold. With n_probe = n_cells it degenerates to
+    exactly ss5 (unit-asserted)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=8, n_probe=2,
+        n_subspaces=4, n_codes=16,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rec_rank"),
+        "approx_cosine",
+    )
+
+
+def _ivfpq_sql(
+    n_cells=8, n_probe=2, n_subspaces=4, n_codes=16, width=16, k=5
+) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+md AS (SELECT vec_id, v,
+       CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       FROM n),
+cent0 AS (SELECT vec_id, v, h FROM md ORDER BY h, vec_id LIMIT {n_cells}),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cell, v AS cv FROM cent0),
+ca AS (SELECT m.vec_id, m.v, c.cell, list_dot_product(m.v, c.cv) AS sim
+       FROM n m CROSS JOIN cents c),
+cr AS (SELECT vec_id, v, cell,
+       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ca),
+corpus AS (SELECT vec_id, cell FROM cr WHERE rn = 1),
+qa AS (SELECT vec_id, cell FROM cr WHERE rn <= {n_probe} AND vec_id < 8),
+samp AS (SELECT vec_id, v, h FROM md ORDER BY h, vec_id LIMIT {n_codes}),
+cw AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS code, v AS wv FROM samp),
+ss AS (SELECT unnest(range({n_subspaces})) AS subspace),
+cb AS (SELECT ss.subspace, cw.code,
+       list_slice(cw.wv, ss.subspace * {width} + 1, (ss.subspace + 1) * {width}) AS cv
+       FROM cw CROSS JOIN ss),
+csub AS (SELECT n.vec_id, ss.subspace,
+         list_slice(n.v, ss.subspace * {width} + 1, (ss.subspace + 1) * {width}) AS sub
+         FROM n CROSS JOIN ss),
+ad AS (SELECT c.vec_id, c.subspace, cb.code,
+       list_dot_product(c.sub, c.sub) - 2 * list_dot_product(c.sub, cb.cv)
+         + list_dot_product(cb.cv, cb.cv) AS d2
+       FROM csub c JOIN cb ON c.subspace = cb.subspace),
+best AS (SELECT vec_id, subspace, code FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2, code) AS rn FROM ad)
+         WHERE rn = 1),
+qd AS (SELECT q.vec_id AS query_id, q.subspace, cb.code,
+       list_dot_product(q.sub, cb.cv) AS d
+       FROM csub q JOIN cb ON q.subspace = cb.subspace
+       WHERE q.vec_id < 8),
+cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM corpus c JOIN qa q ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+contrib AS (SELECT cand.query_id, cand.neighbor_id, b.subspace, qd.d
+            FROM cand
+            JOIN best b ON b.vec_id = cand.neighbor_id
+            JOIN qd ON qd.query_id = cand.query_id
+                   AND qd.subspace = b.subspace AND qd.code = b.code),
+sc AS (SELECT query_id, neighbor_id,
+       round(list_reduce(list(d ORDER BY subspace), (x, y) -> x + y), 6) AS approx_cosine
+       FROM contrib GROUP BY query_id, neighbor_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS rec_rank FROM sc)
+SELECT query_id, neighbor_id, CAST(rec_rank AS BIGINT) AS rec_rank, approx_cosine
+FROM rk WHERE rec_rank <= {k}
+"""
+
+
+SS14_SQL = _ivfpq_sql()
+
+
 def ss10_radius_search(spark, sf_dir):
     """Radius (threshold) similarity search (similarity.ivf_radius):
     all corpus vectors with cosine >= 0.25 of each query — the
@@ -8839,6 +8922,7 @@ QUERIES = {
     "ss11_filtered_search": ss11_filtered_search,
     "ss12_recall_report": ss12_recall_report,
     "ss13_recall_curve": ss13_recall_curve,
+    "ss14_ivf_pq_topk": ss14_ivf_pq_topk,
     "dp6_bpr_triples": dp6_bpr_triples,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
     "rec_node2vec_band": rec_node2vec_band,
@@ -9179,8 +9263,8 @@ assert len(_R09_WINDOW) == 50 and len(set(_R09_WINDOW)) == 50
 # stochastic _band twins (re-sampled every round), the eight r04-aged
 # stragglers the r09 header promised would roll here (tx11/tx12/tx2/
 # u4/a10/q3/q16/pk3 — after this no query is older than r06 in
-# driver-sample age), and 28 of the 47 queries last sampled in r06 as
-# fill (ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
+# driver-sample age), and 27 of the 47 queries last sampled in r06 as
+# fill (ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
 # the r11 window).
 _R10_WINDOW = [
     # born this round — fronted at birth
@@ -9188,6 +9272,7 @@ _R10_WINDOW = [
     "sp13_rolling_origin",
     "g13_kcore_incremental",
     "ss13_recall_curve",
+    "ss14_ivf_pq_topk",
     "st16_curation_compaction",
     "st17_stream_windowed_quality",
     "tx19_bpe_encode_topv",
@@ -9209,7 +9294,7 @@ _R10_WINDOW = [
     "tx12_bpe_merges",
     "tx2_vocab_topk",
     "u4_intersect_audiences",
-    # last sampled r06 (28 of 47)
+    # last sampled r06 (27 of 47)
     "a11_moving_avg",
     "a12_linreg_trend",
     "a13_pivot_daily",
@@ -9237,7 +9322,6 @@ _R10_WINDOW = [
     "rec_als_top5",
     "sp10_balanced_labels",
     "ss3_quantize_embeddings",
-    "ss4_label_centroids",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {
@@ -9438,6 +9522,7 @@ ORACLES = {
     "ss11_filtered_search": SS11_SQL,
     "ss12_recall_report": SS12_SQL,
     "ss13_recall_curve": SS13_SQL,
+    "ss14_ivf_pq_topk": SS14_SQL,
     "ss10_radius_search": SS10_SQL,
     "dp6_bpr_triples": DP6_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and

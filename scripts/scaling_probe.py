@@ -48,6 +48,11 @@ REPRESENTATIVE = [
     "g12_corating_motifs",       # capped item-key motif self-join
     "ss12_recall_report",        # brute-force + IVF recall intersection
     "tx18_bpe_tokenize",         # merge learning + map-side application
+    "g13_kcore_incremental",     # fixpoint core + decremental maintenance
+    "ss13_recall_curve",         # one-pass probe-depth sweep
+    "tx19_bpe_encode_topv",      # mapInPandas merge application
+    "sp13_rolling_origin",       # bucketed global rank + fold audit
+    "ev22_seasonal_anomalies",   # median/MAD seasonal profile
 ]
 
 

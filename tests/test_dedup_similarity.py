@@ -1081,3 +1081,48 @@ def test_recall_curve_agrees_with_recall_report(spark):
             sum(r.n_hit for r in rep),
             sum(r.n_exact for r in rep),
         ), p
+
+
+def test_ivf_pq_exhaustive_probe_equals_plain_pq(spark):
+    """ss14's degeneracy contract: with n_probe == n_cells the IVF
+    pruning admits every candidate, so IVF-PQ must equal plain PQ ADC
+    row for row — the composition changes I/O, never the math."""
+    emb = _mk_emb(spark, n=50, d=8, seed=3)
+    q = emb.filter(F.col("vec_id") < 6)
+    a = sorted(
+        map(
+            tuple,
+            SIM.ivf_pq_topk(
+                emb, q, k=4, n_cells=4, n_probe=4, n_subspaces=2, n_codes=8
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            SIM.pq_topk(emb, q, k=4, n_subspaces=2, n_codes=8).collect(),
+        )
+    )
+    assert a == b and a
+
+
+def test_ivf_pq_partial_probe_is_subset_of_probed_cells(spark):
+    """With a partial probe every returned neighbor must live in one
+    of the query's probed cells — the pruning actually prunes."""
+    emb = _mk_emb(spark, n=60, d=8, seed=9)
+    q = emb.filter(F.col("vec_id") < 5)
+    out = SIM.ivf_pq_topk(
+        emb, q, k=5, n_cells=6, n_probe=2, n_subspaces=2, n_codes=8
+    ).collect()
+    assert out
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.similarity import (
+        _ivf_assign, _ivf_centroids, _normalize,
+    )
+    nn = _normalize(emb, "vec_id", "embedding")
+    cents = _ivf_centroids(nn, 6, 42)
+    ccell = {r.id: r.cell for r in _ivf_assign(nn, cents, 1).collect()}
+    qcells = {}
+    for r in _ivf_assign(nn, cents, 2).filter(F.col("id") < 5).collect():
+        qcells.setdefault(r.id, set()).add(r.cell)
+    for r in out:
+        assert ccell[r.neighbor_id] in qcells[r.query_id], r

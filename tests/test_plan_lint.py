@@ -166,6 +166,10 @@ NLJ_ALLOWED = {
     # passes, 8) + the 1-row (n_exact, n_queries) scalar crossJoined
     # onto the 4-row depth table (2) — every non-equi side bounded
     "ss13_recall_curve": 10,
+    # two broadcast centroid-assign passes against the bounded
+    # centroid table (corpus + query sides) — the ss2 shape; the PQ
+    # encode/dot joins are all equi
+    "ss14_ivf_pq_topk": 4,
     # the `type_a < type_b` pair builder over the DISTINCT event-type
     # table: a #types x #types nested loop (5x5 here), never user rows
     "a21_overlap_sketch_band": 2,
