@@ -73,6 +73,7 @@ HEADLINE = [
     "dd11_incremental_dedup",
     "dd13_repeated_spans",
     "dd14_containment",
+    "dd15_semantic_dedup",
     "dd9_decontaminate",
     "tx3_stratified_sample",
     "sp9_stratified_head",

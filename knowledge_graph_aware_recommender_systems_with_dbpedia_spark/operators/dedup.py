@@ -858,3 +858,67 @@ def containment_pairs(
             "containment"
         ),
     ).filter(F.col("containment") >= threshold)
+
+
+def semdedup(
+    emb: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup over an embedding column (Abbas
+    et al., 2023): cluster the corpus with the coarse quantizer, find
+    high-cosine pairs WITHIN each cluster only, group them into
+    duplicate components, keep one representative per component.
+    Near-dup text dedup (MinHash/SimHash) catches lexical copies;
+    this catches paraphrases and re-renderings that share no n-grams
+    — the other half of a modern training-data dedup stack.
+
+    Returns (id, cluster_id, keep): cluster_id = smallest reachable id
+    in the duplicate component (singletons keep themselves), keep =
+    (id == cluster_id) — the deterministic min-id representative (the
+    paper keeps the point farthest from the centroid; min-id is the
+    repo's canonical-keeper convention, swap via
+    :func:`cluster_keepers` for quality-based keeping).
+
+    Scale shape — the whole point of the cluster step: the pair
+    search is an equi self-join on the cell key, so the candidate
+    count is sum over cells of c_i^2, never corpus^2 (the paper runs
+    ~100k clusters over LAION for exactly this bound; n_cells is the
+    knob and grows with the corpus). Assignment is one broadcast
+    argmax; components run over the within-cell pair graph
+    (O(log diameter) label-propagation rounds). Every stage is
+    deterministic (md5-ranked centroids, rounded cosines, min-id
+    labels), so a DuckDB oracle replays assignment, pair search, and
+    the transitive closure exactly.
+    """
+    from .similarity import _dot, _ivf_assign, _ivf_centroids, _normalize
+
+    nn = _normalize(emb, id_col, vec_col)
+    cents = _ivf_centroids(nn, n_cells, seed)
+    assigned = _ivf_assign(nn, cents, 1)
+    pairs = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.round(_dot(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id1", "id2")
+    )
+    comps = connected_components(
+        emb.select(F.col(id_col).alias("id")), pairs
+    )
+    return comps.select(
+        "id",
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )

@@ -1144,8 +1144,9 @@ def recall_report(
 
 
 def _recall_join(exact: DataFrame, approx: DataFrame) -> DataFrame:
-    """Per-query n_hit/n_exact/recall of ``approx`` vs ``exact`` —
-    shared by :func:`recall_report` and :func:`recall_curve`."""
+    """Per-query n_hit/n_exact/recall of ``approx`` vs ``exact`` (the
+    left join keeps zero-recall queries); :func:`recall_curve` folds
+    the same intersection per probe depth in one pass instead."""
     hits = (
         exact.select("query_id", "neighbor_id")
         .join(

@@ -2305,6 +2305,58 @@ SELECT doc_id, cluster_id FROM comp
 DD7_SQL = _dd7_sql()
 
 
+def dd15_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (dedup.semdedup — Abbas et al.
+    2023): embeddings cluster under the coarse quantizer, cosine>=0.3
+    pairs are searched WITHIN cells only (equi self-join on the cell
+    key — sum c_i^2 candidates, never corpus^2), duplicate components
+    collapse to their min-id representative. Catches paraphrases that
+    share no n-grams — the semantic half of the dedup stack next to
+    MinHash/SimHash. Oracle replays assignment (ss2's md5-ranked
+    centroid fragments), the within-cell pair search, and the
+    transitive closure (dd7's recursive CTE)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return DD.semdedup(emb, n_cells=8, threshold=0.3).select(
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "keep",
+    )
+
+
+DD15_SQL = """
+WITH RECURSIVE
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+md AS (SELECT vec_id, v,
+       CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       FROM n),
+cent0 AS (SELECT vec_id, v, h FROM md ORDER BY h, vec_id LIMIT 8),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cell, v AS cv FROM cent0),
+ca AS (SELECT m.vec_id, m.v, c.cell, list_dot_product(m.v, c.cv) AS sim
+       FROM n m CROSS JOIN cents c),
+cr AS (SELECT vec_id, v, cell,
+       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ca),
+corpus AS (SELECT vec_id, v, cell FROM cr WHERE rn = 1),
+good AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+         FROM corpus a JOIN corpus b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v), 6) >= 0.3),
+ed AS (SELECT id1 AS a, id2 AS b FROM good UNION SELECT id2, id1 FROM good),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),
+comp AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       (vec_id = cluster_id) AS keep
+FROM comp
+"""
+
+
 def dd10_canonical_keep(spark, sf_dir):
     """Cluster-canonical dedup: LSH pairs -> connected components ->
     keep the best-quality doc per cluster (dedup.cluster_keepers).
@@ -8877,6 +8929,7 @@ QUERIES = {
     "q21_waiting_supplier": q21_waiting_supplier,
     "q22_dormant_customers": q22_dormant_customers,
     "dd14_containment": dd14_containment,
+    "dd15_semantic_dedup": dd15_semantic_dedup,
     "tx17_tfidf_keywords": tx17_tfidf_keywords,
     "ss7_mmr_rerank": ss7_mmr_rerank,
     "ev16_rfm_segments": ev16_rfm_segments,
@@ -9263,11 +9316,12 @@ assert len(_R09_WINDOW) == 50 and len(set(_R09_WINDOW)) == 50
 # stochastic _band twins (re-sampled every round), the eight r04-aged
 # stragglers the r09 header promised would roll here (tx11/tx12/tx2/
 # u4/a10/q3/q16/pk3 — after this no query is older than r06 in
-# driver-sample age), and 27 of the 47 queries last sampled in r06 as
-# fill (ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
+# driver-sample age), and 26 of the 47 queries last sampled in r06 as
+# fill (ss3/ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
 # the r11 window).
 _R10_WINDOW = [
     # born this round — fronted at birth
+    "dd15_semantic_dedup",
     "ev22_seasonal_anomalies",
     "sp13_rolling_origin",
     "g13_kcore_incremental",
@@ -9294,7 +9348,7 @@ _R10_WINDOW = [
     "tx12_bpe_merges",
     "tx2_vocab_topk",
     "u4_intersect_audiences",
-    # last sampled r06 (27 of 47)
+    # last sampled r06 (26 of 47)
     "a11_moving_avg",
     "a12_linreg_trend",
     "a13_pivot_daily",
@@ -9321,7 +9375,6 @@ _R10_WINDOW = [
     "q2_min_cost_supplier",
     "rec_als_top5",
     "sp10_balanced_labels",
-    "ss3_quantize_embeddings",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {
@@ -9483,6 +9536,7 @@ ORACLES = {
     "q21_waiting_supplier": Q21_SQL,
     "q22_dormant_customers": Q22_SQL,
     "dd14_containment": DD14_SQL,
+    "dd15_semantic_dedup": DD15_SQL,
     "tx17_tfidf_keywords": TX17_SQL,
     "ss7_mmr_rerank": SS7_SQL,
     "ev16_rfm_segments": EV16_SQL,

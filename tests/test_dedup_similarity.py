@@ -1126,3 +1126,55 @@ def test_ivf_pq_partial_probe_is_subset_of_probed_cells(spark):
         qcells.setdefault(r.id, set()).add(r.cell)
     for r in out:
         assert ccell[r.neighbor_id] in qcells[r.query_id], r
+
+
+def test_semdedup_groups_only_within_cells_and_keeps_min(spark):
+    """semdedup's contract: duplicate components form ONLY within a
+    quantizer cell; every component keeps exactly its min id; raising
+    the threshold never drops MORE docs (monotonicity)."""
+    emb = _mk_emb(spark, n=80, d=8, seed=21)
+    out = {r.id: r for r in DD.semdedup(emb, n_cells=4, threshold=0.3).collect()}
+    assert len(out) == 80
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.similarity import (
+        _ivf_assign, _ivf_centroids, _normalize,
+    )
+    nn = _normalize(emb, "vec_id", "embedding")
+    cells = {
+        r.id: r.cell
+        for r in _ivf_assign(nn, _ivf_centroids(nn, 4, 42), 1).collect()
+    }
+    for r in out.values():
+        assert r.keep == (r.id == r.cluster_id)
+        # the representative lives in the same cell as its member
+        assert cells[r.id] == cells[r.cluster_id], r
+        # min-id representative: no member smaller than its cluster id
+        assert r.cluster_id <= r.id
+    kept_03 = sum(1 for r in out.values() if r.keep)
+    kept_06 = sum(
+        1 for r in DD.semdedup(emb, n_cells=4, threshold=0.6).collect() if r.keep
+    )
+    assert kept_06 >= kept_03
+
+
+def test_semdedup_hand_computed_component(spark):
+    """Three near-identical vectors + one orthogonal: the trio
+    collapses to its min id, the loner keeps itself."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.01]),
+        (2, [1.0, 0.01, 0.0, 0.0]),
+        (5, [0.99, 0.0, 0.01, 0.0]),
+        (9, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # n_cells=1: a single cell removes the (tiny-n) sensitivity of
+    # which corpus vectors the md5 sample picks as centroids — the
+    # pair search sees all four, so only the cosine threshold decides
+    got = {
+        r.id: (r.cluster_id, r.keep)
+        for r in DD.semdedup(emb, n_cells=1, threshold=0.9).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[5] == (1, False)
+    # the orthogonal vector is below threshold to everything
+    assert got[9] == (9, True)
