@@ -53,6 +53,8 @@ REPRESENTATIVE = [
     "tx19_bpe_encode_topv",      # mapInPandas merge application
     "sp13_rolling_origin",       # bucketed global rank + fold audit
     "ev22_seasonal_anomalies",   # median/MAD seasonal profile
+    "ss14_ivf_pq_topk",          # IVF-pruned ADC scoring
+    "dd15_semantic_dedup",       # within-cell pair search + components
 ]
 
 
