@@ -130,6 +130,7 @@ HEADLINE = [
     "sp11_negative_sampling",
     "sp12_leave_one_out",
     "sp13_rolling_origin",
+    "sp14_group_kfold",
     "dp6_bpr_triples",
     "j9_bloom_prefilter",
     "st1_stream_hourly_rollup",

@@ -1269,10 +1269,15 @@ def recall_curve(
             "n_queries",
             "n_exact",
             F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            F.round(
-                F.coalesce("n_hit", F.lit(0)).cast("double")
-                / F.col("n_exact").cast("double"),
-                6,
+            # guard the ANSI 0/0 throw: an empty query slice yields
+            # n_exact = 0 rows to recall against — recall is undefined
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(
+                    F.coalesce("n_hit", F.lit(0)).cast("double")
+                    / F.col("n_exact").cast("double"),
+                    6,
+                ),
             ).alias("recall"),
         )
     )

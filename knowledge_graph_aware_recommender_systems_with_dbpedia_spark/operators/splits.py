@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import det_unit
+from ..functions.hashing import det_hash, det_unit
 
 
 def _ceil_div_count(n_col, p: float):
@@ -276,9 +276,23 @@ def split_ratings(
         ).otherwise(rem + F.floor((F.col("_rn") - cutover) / F.greatest(base, F.lit(1))))
         return df.withColumn("fold", fold.cast("int")).drop("_rn", "_n")
 
+    if method == "group_kfold":
+        # GroupKFold: EVERY row of a user lands in the same fold, so no
+        # user's behavior leaks from train into test — the protocol for
+        # per-user feature models (sp7's k_fold level="user" answers a
+        # different question: within-user folds). Assignment is one
+        # map-side deterministic hash — zero shuffles, zero windows —
+        # and fold sizes are hash-balanced rather than exactly equal
+        # (the price of never moving data; sklearn's greedy balancing
+        # is inherently sequential).
+        if k is None or k < 2:
+            raise ValueError("group_kfold requires k >= 2")
+        fold = F.pmod(det_hash(F.col(user_col), seed=seed), F.lit(k))
+        return ratings.withColumn("fold", fold.cast("int"))
+
     raise ValueError(
         "method must be one of random_by_ratio, timestamp_by_ratio, "
-        "fixed_timestamp, leave_one_out, k_fold"
+        "fixed_timestamp, leave_one_out, k_fold, group_kfold"
     )
 
 

@@ -1339,6 +1339,31 @@ FROM tr JOIN te ON tr.fold = te.fold
 """
 
 
+def sp14_group_kfold(spark, sf_dir):
+    """SP14: GroupKFold split (splits.split_ratings
+    method='group_kfold') — every row of a user lands in the SAME
+    fold, so no user's behavior leaks from train into test (the
+    protocol for per-user feature models; sp7's user-level k_fold
+    answers the different within-user question). One map-side
+    deterministic hash: zero shuffles, zero windows, replayed verbatim
+    by the oracle's det_hash twin."""
+    df = SP.split_ratings(
+        _ratings(spark, sf_dir), "group_kfold", seed=SEED, k=5
+    )
+    return df.select(
+        "user_id", "item_id", "rating", "ts",
+        F.col("fold").cast("bigint").alias("fold"),
+    )
+
+
+SP14_SQL = f"""
+WITH ratings AS ({RATINGS_SQL})
+SELECT user_id, item_id, rating, ts,
+       CAST(({H.det_hash_sql("user_id", seed=SEED)}) % 5 AS BIGINT) AS fold
+FROM ratings
+"""
+
+
 def sp12_leave_one_out(spark, sf_dir):
     """SP12: leave-one-out split — each user's LAST interaction (by
     timestamp, item/rating tie-breaks) is the single test row, the
@@ -8958,6 +8983,7 @@ QUERIES = {
     "sp11_negative_sampling": sp11_negative_sampling,
     "sp12_leave_one_out": sp12_leave_one_out,
     "sp13_rolling_origin": sp13_rolling_origin,
+    "sp14_group_kfold": sp14_group_kfold,
     "j9_bloom_prefilter": j9_bloom_prefilter,
     "ev18_gap_islands": ev18_gap_islands,
     "ev19_chi2_drift": ev19_chi2_drift,
@@ -9316,14 +9342,15 @@ assert len(_R09_WINDOW) == 50 and len(set(_R09_WINDOW)) == 50
 # stochastic _band twins (re-sampled every round), the eight r04-aged
 # stragglers the r09 header promised would roll here (tx11/tx12/tx2/
 # u4/a10/q3/q16/pk3 — after this no query is older than r06 in
-# driver-sample age), and 26 of the 47 queries last sampled in r06 as
-# fill (ss3/ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
+# driver-sample age), and 25 of the 47 queries last sampled in r06 as
+# fill (sp10/ss3/ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
 # the r11 window).
 _R10_WINDOW = [
     # born this round — fronted at birth
     "dd15_semantic_dedup",
     "ev22_seasonal_anomalies",
     "sp13_rolling_origin",
+    "sp14_group_kfold",
     "g13_kcore_incremental",
     "ss13_recall_curve",
     "ss14_ivf_pq_topk",
@@ -9348,7 +9375,7 @@ _R10_WINDOW = [
     "tx12_bpe_merges",
     "tx2_vocab_topk",
     "u4_intersect_audiences",
-    # last sampled r06 (26 of 47)
+    # last sampled r06 (25 of 47)
     "a11_moving_avg",
     "a12_linreg_trend",
     "a13_pivot_daily",
@@ -9374,7 +9401,6 @@ _R10_WINDOW = [
     "q22_dormant_customers",
     "q2_min_cost_supplier",
     "rec_als_top5",
-    "sp10_balanced_labels",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {
@@ -9427,6 +9453,7 @@ ORACLES = {
     "sp8_validation_subsplit": SP8_SQL,
     "sp12_leave_one_out": SP12_SQL,
     "sp13_rolling_origin": SP13_SQL,
+    "sp14_group_kfold": SP14_SQL,
     "rec_popularity_top5": REC_POP_SQL,
     "rec_fixed_emb_top5": REC_FIXED_SQL,
     "rec_itemknn_top5": REC_ITEMKNN_SQL,

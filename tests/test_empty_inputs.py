@@ -151,3 +151,51 @@ def test_wratio_empty_strings():
     assert wratio("", "anything") == 0
     assert wratio(None, None) == 0
     assert extract_one("q", []) is None
+
+
+def test_semdedup_on_empty(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import dedup as DD
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert DD.semdedup(emb, n_cells=4, threshold=0.5).count() == 0
+
+
+def test_rolling_origin_folds_on_empty(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.splits import rolling_origin_folds
+
+    df = spark.createDataFrame(
+        [], "user_id bigint, item_id bigint, rating double, ts double"
+    )
+    rows = rolling_origin_folds(df, k=3).collect()
+    # every fold row exists but is empty-sided: nothing to train or test
+    assert all(r.n_train == 0 and r.n_test == 0 for r in rows)
+
+
+def test_seasonal_mad_anomalies_on_empty(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import seasonal_mad_anomalies
+
+    df = spark.createDataFrame([], "g string, day bigint, slot bigint, n bigint")
+    assert seasonal_mad_anomalies(df, "g", "day", "slot", "n").count() == 0
+
+
+def test_recall_curve_on_empty_queries(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = SIM.recall_curve(
+        emb, emb.filter("vec_id < 0"), k=3, n_cells=2, probes=(1, 2)
+    ).collect()
+    # depth rows survive with zero counts (n_exact 0 -> recall null)
+    assert {r.n_probe for r in out} == {1, 2}
+    assert all(r.n_hit == 0 and r.n_exact == 0 for r in out)
+
+
+def test_kcore_fixpoint_on_empty(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import graph as G
+
+    df = spark.createDataFrame([], "user_id bigint, item_id bigint")
+    core, rounds, conv = G.kcore_fixpoint(df, k_item=2, k_user=2)
+    assert conv and core.count() == 0

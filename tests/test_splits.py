@@ -333,3 +333,23 @@ def test_rolling_origin_folds_tied_timestamps_still_leak_free(spark):
     assert len(got) == 2
     assert all(r.leakage_free for r in got)
     assert sum(r.n_test for r in got) == 6  # 9 rows -> segments 3/3/3
+
+
+def test_group_kfold_users_never_straddle_folds(spark):
+    """GroupKFold's leakage contract: every user's rows share ONE
+    fold; all k folds are populated on enough users; determinism
+    across invocations; seed changes reshuffle assignment."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.splits import split_ratings
+
+    rows = [(u, i, 3.0, float(i)) for u in range(60) for i in range(1 + u % 4)]
+    df = spark.createDataFrame(rows, "user_id bigint, item_id bigint, rating double, ts double")
+    out = split_ratings(df, "group_kfold", seed=42, k=4)
+    per_user = out.groupBy("user_id").agg(F.count_distinct("fold").alias("nf")).collect()
+    assert all(r.nf == 1 for r in per_user)
+    folds = {r.fold for r in out.select("fold").distinct().collect()}
+    assert folds == {0, 1, 2, 3}
+    again = {(r.user_id, r.item_id): r.fold for r in split_ratings(df, "group_kfold", seed=42, k=4).collect()}
+    first = {(r.user_id, r.item_id): r.fold for r in out.collect()}
+    assert again == first
+    other = {(r.user_id, r.item_id): r.fold for r in split_ratings(df, "group_kfold", seed=7, k=4).collect()}
+    assert other != first
