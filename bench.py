@@ -132,6 +132,7 @@ HEADLINE = [
     "sp13_rolling_origin",
     "sp14_group_kfold",
     "dp6_bpr_triples",
+    "dp7_semantic_pipeline",
     "j9_bloom_prefilter",
     "st1_stream_hourly_rollup",
     "st9_stream_static_enrich",

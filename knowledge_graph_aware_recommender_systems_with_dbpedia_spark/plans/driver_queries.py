@@ -7688,6 +7688,84 @@ SELECT doc_id, lang, round(quality, 6) AS quality FROM r WHERE rn <= 30
 """
 
 
+def dp7_semantic_pipeline(spark, sf_dir):
+    """Fourth composed pipeline — the MODERN curation stack in one
+    lineage: exact dedup (dd1) -> SEMANTIC dedup over embeddings
+    (dd15's semdedup keepers: paraphrases collapse to one
+    representative) -> per-lang quality quota (top 30). dp5 composes
+    the lexical containment pruner; this is its embedding-space twin —
+    together they are the two halves of a production dedup stack. ONE
+    composed DuckDB oracle replays all three stages (exact-keeper
+    min-id, the within-cell pair search + recursive closure, the
+    quality quota rank)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "text"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = DD.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep, "doc_id", "left_semi")
+    sem = (
+        DD.semdedup(emb, n_cells=8, threshold=0.3)
+        .filter(F.col("keep"))
+        .select(F.col("id").cast("bigint").alias("doc_id"))
+    )
+    pruned = kept.join(sem, "doc_id", "left_semi")
+    scored = pruned.select(
+        "doc_id", "lang", TX.quality_score(F.col("text")).alias("quality")
+    )
+    return SP.quota_by_score(
+        scored, "lang", "quality", n=30, key_cols=["doc_id"]
+    ).select("doc_id", "lang", F.round("quality", 6).alias("quality"))
+
+
+DP7_SQL = f"""
+WITH RECURSIVE
+base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text FROM documents),
+keep1 AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+kept AS (SELECT b.* FROM base b JOIN keep1 USING (doc_id)),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           ELSE v END AS v
+      FROM e),
+md AS (SELECT vec_id, v,
+       CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       FROM n),
+cent0 AS (SELECT vec_id, v, h FROM md ORDER BY h, vec_id LIMIT 8),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cell, v AS cv FROM cent0),
+ca AS (SELECT m.vec_id, m.v, c.cell, list_dot_product(m.v, c.cv) AS sim
+       FROM n m CROSS JOIN cents c),
+cr AS (SELECT vec_id, v, cell,
+       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ca),
+corpus AS (SELECT vec_id, v, cell FROM cr WHERE rn = 1),
+good AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+         FROM corpus a JOIN corpus b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v), 6) >= 0.3),
+ed AS (SELECT id1 AS a, id2 AS b FROM good UNION SELECT id2, id1 FROM good),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),
+semkeep AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING a = min(b)),
+pruned AS (SELECT k.* FROM kept k JOIN semkeep s ON k.doc_id = s.doc_id),
+pt AS (SELECT doc_id, lang, text, {TOKS_SQL} AS toks FROM pruned),
+st AS (SELECT doc_id, lang,
+       CAST(length(text) AS DOUBLE) AS n_chars,
+       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       CAST(len(toks) AS DOUBLE) AS n_toks
+       FROM pt),
+q AS (SELECT doc_id, lang,
+      round(0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+          + 0.3 * least(n_chars / 400.0, 1.0)
+          + 0.3 * least((CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END) / 6.0, 1.0), 6) AS quality
+      FROM st),
+r AS (SELECT q.*, row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn FROM q)
+SELECT doc_id, lang, round(quality, 6) AS quality FROM r WHERE rn <= 30
+"""
+
+
 def ev19_chi2_drift(spark, sf_dir):
     """Distribution-drift gate (operators/drift.py): chi-square drift
     of per-type event-value histograms between the first and second
@@ -9003,6 +9081,7 @@ QUERIES = {
     "ss13_recall_curve": ss13_recall_curve,
     "ss14_ivf_pq_topk": ss14_ivf_pq_topk,
     "dp6_bpr_triples": dp6_bpr_triples,
+    "dp7_semantic_pipeline": dp7_semantic_pipeline,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
     "rec_node2vec_band": rec_node2vec_band,
     "rec_als_band": rec_als_band,
@@ -9342,12 +9421,13 @@ assert len(_R09_WINDOW) == 50 and len(set(_R09_WINDOW)) == 50
 # stochastic _band twins (re-sampled every round), the eight r04-aged
 # stragglers the r09 header promised would roll here (tx11/tx12/tx2/
 # u4/a10/q3/q16/pk3 — after this no query is older than r06 in
-# driver-sample age), and 25 of the 47 queries last sampled in r06 as
-# fill (sp10/ss3/ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
+# driver-sample age), and 24 of the 47 queries last sampled in r06 as
+# fill (q2/sp10/ss3/ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
 # the r11 window).
 _R10_WINDOW = [
     # born this round — fronted at birth
     "dd15_semantic_dedup",
+    "dp7_semantic_pipeline",
     "ev22_seasonal_anomalies",
     "sp13_rolling_origin",
     "sp14_group_kfold",
@@ -9375,7 +9455,7 @@ _R10_WINDOW = [
     "tx12_bpe_merges",
     "tx2_vocab_topk",
     "u4_intersect_audiences",
-    # last sampled r06 (25 of 47)
+    # last sampled r06 (24 of 47)
     "a11_moving_avg",
     "a12_linreg_trend",
     "a13_pivot_daily",
@@ -9399,7 +9479,6 @@ _R10_WINDOW = [
     "ev9_outlier_events",
     "mm3_media_features",
     "q22_dormant_customers",
-    "q2_min_cost_supplier",
     "rec_als_top5",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
@@ -9606,6 +9685,7 @@ ORACLES = {
     "ss14_ivf_pq_topk": SS14_SQL,
     "ss10_radius_search": SS10_SQL,
     "dp6_bpr_triples": DP6_SQL,
+    "dp7_semantic_pipeline": DP7_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and
     # band booleans; a hash match means the stochastic path is
     # semantically healthy (see _stochastic_band_check)
