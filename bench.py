@@ -114,6 +114,7 @@ HEADLINE = [
     "ev20_psi_band",
     "ev21_cusum_alarm",
     "ev22_seasonal_anomalies",
+    "ev23_attribution",
     "a21_overlap_sketch_band",
     "g12_corating_motifs",
     "g13_kcore_incremental",

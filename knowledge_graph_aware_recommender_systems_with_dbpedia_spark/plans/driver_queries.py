@@ -7688,6 +7688,48 @@ SELECT doc_id, lang, round(quality, 6) AS quality FROM r WHERE rn <= 30
 """
 
 
+def ev23_attribution(spark, sf_dir):
+    """Conversion attribution (streaming/events.py:
+    purchases_within_signup_window run in BATCH mode — the watermark
+    is a no-op on a batch frame, the join predicate is identical):
+    every purchase attributed to a same-user signup within 2 hours.
+    st8 proves the STREAMING execution of this exact operator against
+    a batch replay in tests; this query puts the batch semantics under
+    the DuckDB hash gate too, so the interval-join predicate itself
+    (bounds, microsecond arithmetic, epoch truncation) is
+    oracle-pinned rather than only self-consistent."""
+    from ..streaming.events import purchases_within_signup_window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    out = purchases_within_signup_window(ev)
+    return out.select(
+        "user_id",
+        "signup_id",
+        "purchase_id",
+        "signup_s",
+        "purchase_s",
+        F.round("value", 6).alias("value"),
+    )
+
+
+EV23_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, value,
+           epoch_ns(ts) // 1000 AS t_us FROM events),
+s AS (SELECT user_id, event_id AS signup_id, t_us AS s_us
+      FROM e WHERE event_type = 'signup'),
+p AS (SELECT user_id, event_id AS purchase_id, t_us AS p_us, value
+      FROM e WHERE event_type = 'purchase')
+SELECT p.user_id, s.signup_id, p.purchase_id,
+       CAST(s.s_us // 1000000 AS BIGINT) AS signup_s,
+       CAST(p.p_us // 1000000 AS BIGINT) AS purchase_s,
+       round(p.value, 6) AS value
+FROM p JOIN s ON p.user_id = s.user_id
+ AND p.p_us >= s.s_us AND p.p_us <= s.s_us + 7200000000
+"""
+
+
 def dp7_semantic_pipeline(spark, sf_dir):
     """Fourth composed pipeline — the MODERN curation stack in one
     lineage: exact dedup (dd1) -> SEMANTIC dedup over embeddings
@@ -9068,6 +9110,7 @@ QUERIES = {
     "ev20_psi_band": ev20_psi_band,
     "ev21_cusum_alarm": ev21_cusum_alarm,
     "ev22_seasonal_anomalies": ev22_seasonal_anomalies,
+    "ev23_attribution": ev23_attribution,
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "st12_stream_mv_drift": st12_stream_mv_drift,
     "st13_stream_ann_ingest": st13_stream_ann_ingest,
@@ -9421,14 +9464,15 @@ assert len(_R09_WINDOW) == 50 and len(set(_R09_WINDOW)) == 50
 # stochastic _band twins (re-sampled every round), the eight r04-aged
 # stragglers the r09 header promised would roll here (tx11/tx12/tx2/
 # u4/a10/q3/q16/pk3 — after this no query is older than r06 in
-# driver-sample age), and 24 of the 47 queries last sampled in r06 as
-# fill (q2/sp10/ss3/ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
+# driver-sample age), and 23 of the 47 queries last sampled in r06 as
+# fill (a17/q2/sp10/ss3/ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
 # the r11 window).
 _R10_WINDOW = [
     # born this round — fronted at birth
     "dd15_semantic_dedup",
     "dp7_semantic_pipeline",
     "ev22_seasonal_anomalies",
+    "ev23_attribution",
     "sp13_rolling_origin",
     "sp14_group_kfold",
     "g13_kcore_incremental",
@@ -9455,12 +9499,11 @@ _R10_WINDOW = [
     "tx12_bpe_merges",
     "tx2_vocab_topk",
     "u4_intersect_audiences",
-    # last sampled r06 (24 of 47)
+    # last sampled r06 (23 of 47)
     "a11_moving_avg",
     "a12_linreg_trend",
     "a13_pivot_daily",
     "a14_unpivot_melt",
-    "a17_ewma_daily",
     "dd12_simhash_pairs",
     "dd13_repeated_spans",
     "dd8_neardup_lsh",
@@ -9671,6 +9714,7 @@ ORACLES = {
     "ev20_psi_band": EV20_SQL,
     "ev21_cusum_alarm": EV21_SQL,
     "ev22_seasonal_anomalies": EV22_SQL,
+    "ev23_attribution": EV23_SQL,
     "u4_intersect_audiences": U4_SQL,
     "dq1_expectations": DQ1_SQL,
     "dq2_snapshot_diff": DQ2_SQL,
