@@ -26,8 +26,19 @@ from .media import (
     read_media_stream,
 )
 from .stateful import sessionize_stateful
+from .quality import (
+    corpus_metrics,
+    quality_gate_stream,
+    windowed_quality_stream,
+)
+from .curation import curation_pipeline_stream, run_curation_drain
 
 __all__ = [
+    "corpus_metrics",
+    "quality_gate_stream",
+    "windowed_quality_stream",
+    "curation_pipeline_stream",
+    "run_curation_drain",
     "decontaminate_stream",
     "exact_dedup_stream",
     "incremental_dedup_stream",
