@@ -128,13 +128,15 @@ def test_committed_transe_run_in_band_and_walltime():
     items (its cosine recs concentrate there), so mixing uniform mass
     into the popularity law raises it; BETA re-centers the Node2Vec
     axis. Both committed goldens are now inside their published ±2σ
-    bands simultaneously. The wall-clock claim stands: the r09
-    QUIET-BOX measurement is 26.52 s/fold on CPU (local[32]) = 1.11x
-    the reference's 23.94 s/fold on an RTX 4060 — the r08 1.42x was
-    shared-CPU load, not drift (VERDICT r08 item 4; no KGE code
-    changed between the two measurements)."""
+    bands simultaneously. The wall-clock claim: the r09 QUIET-BOX
+    measurement is 26.52 s/fold on CPU (local[32]) = 1.11x the
+    reference's 23.94 s/fold on an RTX 4060; the r10 golden refreshed
+    on the same unchanged kge.py reads 30.59 s/fold (1.28x; two
+    consecutive runs 29.26/30.59 at load-avg 0.4-2.9) — inside the
+    documented box-sensitivity spread (r04 1.04x .. r08 1.42x), with
+    quality metrics bit-identical to r09 (deterministic trainer)."""
     path = os.path.join(
-        os.path.dirname(__file__), "goldens", "quality_parity_transe_r09.json"
+        os.path.dirname(__file__), "goldens", "quality_parity_transe_r10.json"
     )
     with open(path) as fh:
         res = json.load(fh)
