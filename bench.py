@@ -128,6 +128,7 @@ HEADLINE = [
     "tx19_bpe_encode_topv",
     "dq1_expectations",
     "dq2_snapshot_diff",
+    "dq3_merge_upsert",
     "sp11_negative_sampling",
     "sp12_leave_one_out",
     "sp13_rolling_origin",

@@ -63,3 +63,45 @@ def snapshot_diff(
         status.alias("status"),
         *[flags[c].alias(f"{c}_changed") for c in compare_cols],
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str | None = None,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Batch MERGE INTO semantics (the Delta/Iceberg ``MERGE`` verb)
+    over plain DataFrames: rows of ``changes`` REPLACE matching-key
+    rows of ``base``, insert when unmatched, and — when ``op_col`` is
+    given — rows flagged ``delete_op`` remove their base key instead.
+    :func:`snapshot_diff` asks what changed between two snapshots;
+    this APPLIES a change set, the other half of the reconciliation
+    loop (CDC apply, backfill patching, st10's merge-on-read
+    compaction expressed as one batch operator).
+
+    Scale shape: ONE anti-join of the base against the change keys
+    (equi on the key — broadcast when the change set is small, the
+    normal CDC case; co-partitioned sort-merge otherwise) + one
+    union with the upsert rows. The base is never shuffled twice and
+    never joined row-to-row against itself. The operation is
+    IDEMPOTENT: applying the same change set twice yields the same
+    table (upserts replace themselves, deletes stay deleted) —
+    unit-asserted, the retry-safety property every apply job needs.
+
+    ``changes`` must carry exactly the base columns (plus ``op_col``);
+    duplicate keys WITHIN a change set are the caller's bug (apply
+    order would be undefined — dedup upstream, e.g. latest-wins by a
+    version column)."""
+    if op_col is not None:
+        tombstones = changes.filter(F.col(op_col) == delete_op).select(*keys)
+        upserts = changes.filter(F.col(op_col) != delete_op).drop(op_col)
+    else:
+        tombstones = None
+        upserts = changes
+    touched = upserts.select(*keys)
+    if tombstones is not None:
+        touched = touched.unionByName(tombstones)
+    kept = base.join(touched, keys, "left_anti")
+    return kept.unionByName(upserts)

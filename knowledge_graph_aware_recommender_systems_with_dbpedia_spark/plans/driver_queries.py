@@ -8460,6 +8460,63 @@ FROM m
 """
 
 
+def dq3_merge_upsert(spark, sf_dir):
+    """Batch MERGE INTO (reconcile.merge_upsert — the apply half of
+    the dq2 reconciliation loop: CDC apply / backfill patch as ONE
+    base anti-join + union, base never shuffled twice). Change set
+    derived deterministically from orders: keys %10==3 are updates
+    (status 'U', +1.00 on the total), %10==7 are deletes, and a
+    negative-key copy of %10==1 rows are inserts. Output is the merged
+    table's keyed rows; the oracle replays the set algebra (base minus
+    touched keys, union upserts) verbatim."""
+    from ..operators.reconcile import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        F.lit("upsert").alias("op"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit("delete").alias("op"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 10 == 1).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit("upsert").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = merge_upsert(o, changes, ["o_orderkey"], op_col="op")
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+DQ3_SQL = """
+WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders),
+ups AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice
+        FROM o WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT -o_orderkey, 'N', o_totalprice FROM o WHERE o_orderkey % 10 = 1),
+touched AS (SELECT o_orderkey FROM ups
+            UNION SELECT o_orderkey FROM o WHERE o_orderkey % 10 = 7),
+kept AS (SELECT o.* FROM o ANTI JOIN touched t ON o.o_orderkey = t.o_orderkey)
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice FROM kept
+UNION ALL
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice FROM ups
+"""
+
+
 def dq2_snapshot_diff(spark, sf_dir):
     """Snapshot reconciliation (operators/reconcile.py): two
     deterministic versions of orders are derived by det_hash cohort —
@@ -9100,6 +9157,7 @@ QUERIES = {
     "u4_intersect_audiences": u4_intersect_audiences,
     "dq1_expectations": dq1_expectations,
     "dq2_snapshot_diff": dq2_snapshot_diff,
+    "dq3_merge_upsert": dq3_merge_upsert,
     "sp11_negative_sampling": sp11_negative_sampling,
     "sp12_leave_one_out": sp12_leave_one_out,
     "sp13_rolling_origin": sp13_rolling_origin,
@@ -9464,13 +9522,14 @@ assert len(_R09_WINDOW) == 50 and len(set(_R09_WINDOW)) == 50
 # stochastic _band twins (re-sampled every round), the eight r04-aged
 # stragglers the r09 header promised would roll here (tx11/tx12/tx2/
 # u4/a10/q3/q16/pk3 — after this no query is older than r06 in
-# driver-sample age), and 23 of the 47 queries last sampled in r06 as
-# fill (a17/q2/sp10/ss3/ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
+# driver-sample age), and 22 of the 47 queries last sampled in r06 as
+# fill (a14/a17/q2/sp10/ss3/ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
 # the r11 window).
 _R10_WINDOW = [
     # born this round — fronted at birth
     "dd15_semantic_dedup",
     "dp7_semantic_pipeline",
+    "dq3_merge_upsert",
     "ev22_seasonal_anomalies",
     "ev23_attribution",
     "sp13_rolling_origin",
@@ -9499,11 +9558,10 @@ _R10_WINDOW = [
     "tx12_bpe_merges",
     "tx2_vocab_topk",
     "u4_intersect_audiences",
-    # last sampled r06 (23 of 47)
+    # last sampled r06 (22 of 47)
     "a11_moving_avg",
     "a12_linreg_trend",
     "a13_pivot_daily",
-    "a14_unpivot_melt",
     "dd12_simhash_pairs",
     "dd13_repeated_spans",
     "dd8_neardup_lsh",
@@ -9718,6 +9776,7 @@ ORACLES = {
     "u4_intersect_audiences": U4_SQL,
     "dq1_expectations": DQ1_SQL,
     "dq2_snapshot_diff": DQ2_SQL,
+    "dq3_merge_upsert": DQ3_SQL,
     "sp11_negative_sampling": SP11_SQL,
     "j9_bloom_prefilter": J9_SQL,
     "ev18_gap_islands": EV18_SQL,

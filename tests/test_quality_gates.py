@@ -474,3 +474,37 @@ def test_corpus_metrics_exact_gate_integer_compare(spark, tmp_path):
     rep = {r["check"]: (r["metric"], r["passed"]) for r in SQ.corpus_metrics(spark, met, checks).collect()}
     assert rep["c_exact"] == (1.0, False)
     assert rep["c_soft"] == (1.0, True)
+
+
+def test_merge_upsert_semantics_and_idempotence(spark):
+    """MERGE INTO: matched keys replaced, unmatched inserted, flagged
+    keys deleted — and applying the SAME change set twice yields the
+    identical table (retry safety)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.reconcile import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, s string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", 21.0, "upsert"),   # update
+            (9, "n", 90.0, "upsert"),   # insert
+            (3, "c", 30.0, "delete"),   # delete
+        ],
+        "k bigint, s string, v double, op string",
+    )
+    once = merge_upsert(base, changes, ["k"], op_col="op")
+    got = {r.k: (r.s, r.v) for r in once.collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 21.0), 9: ("n", 90.0)}
+    twice = merge_upsert(once, changes, ["k"], op_col="op")
+    assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in once.collect()}
+
+
+def test_merge_upsert_without_ops_is_pure_upsert(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.reconcile import merge_upsert
+
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double")
+    ch = spark.createDataFrame([(2, 9.0), (5, 5.0)], "k bigint, v double")
+    got = {r.k: r.v for r in merge_upsert(base, ch, ["k"]).collect()}
+    assert got == {1: 1.0, 2: 9.0, 5: 5.0}
