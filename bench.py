@@ -129,6 +129,7 @@ HEADLINE = [
     "dq1_expectations",
     "dq2_snapshot_diff",
     "dq3_merge_upsert",
+    "dq4_scd2_apply",
     "sp11_negative_sampling",
     "sp12_leave_one_out",
     "sp13_rolling_origin",

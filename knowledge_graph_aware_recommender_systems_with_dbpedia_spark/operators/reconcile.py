@@ -105,3 +105,78 @@ def merge_upsert(
         touched = touched.unionByName(tombstones)
     kept = base.join(touched, keys, "left_anti")
     return kept.unionByName(upserts)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    attr_cols: list[str],
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension APPLY — the incremental
+    maintenance verb for a versioned dimension (:func:`merge_upsert`
+    is type-1 overwrite; ev12 DERIVES the interval history from a raw
+    event log from scratch — this applies one change batch to an
+    EXISTING history without rebuilding it):
+
+    * a change whose attributes differ from the key's current row
+      CLOSES that row (``valid_to`` = change ts, ``is_current`` false)
+      and OPENS a new current row from the change ts;
+    * a change equal to the current attributes is a NO-OP (idempotent
+      re-application — retry safety, unit-asserted);
+    * an unmatched key opens its first current row;
+    * closed history rows pass through untouched.
+
+    One change row per key per batch (dedup upstream, latest-wins).
+    Scale shape: history rows pass through map-side; only the CURRENT
+    slice joins the change batch — one equi join on the key (broadcast
+    for the normal CDC-sized batch), then every output row is a
+    map-side projection. Nothing rebuilds, nothing windows over the
+    history."""
+    ne = lambda a, b: ~a.eqNullSafe(b)  # noqa: E731 — null-safe differ
+    cur = dim.filter(F.col(current_col))
+    hist = dim.filter(~F.col(current_col))
+    ch = changes.select(
+        *[F.col(k).alias(f"_c_{k}") for k in keys],
+        *[F.col(a).alias(f"_c_{a}") for a in attr_cols],
+        F.col(ts_col).alias("_c_ts"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"_c_{k}")
+        cond = c if cond is None else cond & c
+    j = cur.join(F.broadcast(ch), cond, "full_outer")
+    differs = None
+    for a in attr_cols:
+        d = ne(F.col(a), F.col(f"_c_{a}"))
+        differs = d if differs is None else differs | d
+    has_cur = F.col(keys[0]).isNotNull()
+    has_ch = F.col(f"_c_{keys[0]}").isNotNull()
+    # surviving current rows: no change row, or change equals current
+    keep_cur = j.filter(has_cur & (~has_ch | ~differs)).select(*dim.columns)
+    # closed versions of changed current rows
+    closed = j.filter(has_cur & has_ch & differs).select(
+        *keys,
+        *attr_cols,
+        F.col(from_col),
+        F.col("_c_ts").alias(to_col),
+        F.lit(False).alias(current_col),
+    )
+    # new current rows: changed keys + brand-new keys
+    opened = j.filter(has_ch & (~has_cur | differs)).select(
+        *[F.col(f"_c_{k}").alias(k) for k in keys],
+        *[F.col(f"_c_{a}").alias(a) for a in attr_cols],
+        F.col("_c_ts").alias(from_col),
+        F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+        F.lit(True).alias(current_col),
+    )
+    return (
+        hist.select(*dim.columns)
+        .unionByName(keep_cur)
+        .unionByName(closed.select(*dim.columns))
+        .unionByName(opened.select(*dim.columns))
+    )

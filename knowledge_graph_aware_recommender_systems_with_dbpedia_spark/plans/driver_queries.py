@@ -8517,6 +8517,75 @@ SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice FROM up
 """
 
 
+def dq4_scd2_apply(spark, sf_dir):
+    """Type-2 SCD APPLY (reconcile.scd2_apply — ev12 DERIVES interval
+    history from a raw log; this MAINTAINS an existing versioned
+    dimension with one change batch): the customer dimension starts
+    all-current; a batch then changes the segment for keys %7==2
+    (close + open), re-sends the UNCHANGED segment for %7==3 (must be
+    a no-op — idempotence inside the query), and introduces new
+    negative keys for %7==5 (first current row). History rows pass
+    map-side; only the current slice joins the broadcast change batch.
+    The oracle replays the full case algebra."""
+    from ..operators.reconcile import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_mktsegment",
+    )
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        c.filter(F.col("c_custkey") % 7 == 2)
+        .select("c_custkey", F.lit("MOVED").alias("c_mktsegment"),
+                F.lit(100).cast("bigint").alias("ts"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 3).select(
+                "c_custkey", "c_mktsegment",
+                F.lit(100).cast("bigint").alias("ts"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 5).select(
+                (-F.col("c_custkey")).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(100).cast("bigint").alias("ts"),
+            )
+        )
+    )
+    return scd2_apply(
+        dim, changes, ["c_custkey"], ["c_mktsegment"], ts_col="ts"
+    ).select("c_custkey", "c_mktsegment", "valid_from", "valid_to", "is_current")
+
+
+DQ4_SQL = """
+WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment FROM customer),
+-- keys %7==2 change segment: closed old row + new current row
+closed AS (SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+           CAST(100 AS BIGINT) AS valid_to, FALSE AS is_current
+           FROM c WHERE c_custkey % 7 = 2),
+opened AS (SELECT c_custkey, 'MOVED' AS c_mktsegment, CAST(100 AS BIGINT) AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+           FROM c WHERE c_custkey % 7 = 2),
+-- %7==3 re-sends the same segment: NO-OP; everything not %7==2 stays current
+kept AS (SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+         FROM c WHERE c_custkey % 7 <> 2),
+-- %7==5 introduces new negative keys
+news AS (SELECT -c_custkey AS c_custkey, 'NEWSEG' AS c_mktsegment,
+         CAST(100 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+         TRUE AS is_current
+         FROM c WHERE c_custkey % 7 = 5)
+SELECT * FROM kept UNION ALL SELECT * FROM closed
+UNION ALL SELECT * FROM opened UNION ALL SELECT * FROM news
+"""
+
+
 def dq2_snapshot_diff(spark, sf_dir):
     """Snapshot reconciliation (operators/reconcile.py): two
     deterministic versions of orders are derived by det_hash cohort —
@@ -9158,6 +9227,7 @@ QUERIES = {
     "dq1_expectations": dq1_expectations,
     "dq2_snapshot_diff": dq2_snapshot_diff,
     "dq3_merge_upsert": dq3_merge_upsert,
+    "dq4_scd2_apply": dq4_scd2_apply,
     "sp11_negative_sampling": sp11_negative_sampling,
     "sp12_leave_one_out": sp12_leave_one_out,
     "sp13_rolling_origin": sp13_rolling_origin,
@@ -9522,14 +9592,15 @@ assert len(_R09_WINDOW) == 50 and len(set(_R09_WINDOW)) == 50
 # stochastic _band twins (re-sampled every round), the eight r04-aged
 # stragglers the r09 header promised would roll here (tx11/tx12/tx2/
 # u4/a10/q3/q16/pk3 — after this no query is older than r06 in
-# driver-sample age), and 22 of the 47 queries last sampled in r06 as
-# fill (a14/a17/q2/sp10/ss3/ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
+# driver-sample age), and 21 of the 47 queries last sampled in r06 as
+# fill (a13/a14/a17/q2/sp10/ss3/ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
 # the r11 window).
 _R10_WINDOW = [
     # born this round — fronted at birth
     "dd15_semantic_dedup",
     "dp7_semantic_pipeline",
     "dq3_merge_upsert",
+    "dq4_scd2_apply",
     "ev22_seasonal_anomalies",
     "ev23_attribution",
     "sp13_rolling_origin",
@@ -9558,10 +9629,9 @@ _R10_WINDOW = [
     "tx12_bpe_merges",
     "tx2_vocab_topk",
     "u4_intersect_audiences",
-    # last sampled r06 (22 of 47)
+    # last sampled r06 (21 of 47)
     "a11_moving_avg",
     "a12_linreg_trend",
-    "a13_pivot_daily",
     "dd12_simhash_pairs",
     "dd13_repeated_spans",
     "dd8_neardup_lsh",
@@ -9777,6 +9847,7 @@ ORACLES = {
     "dq1_expectations": DQ1_SQL,
     "dq2_snapshot_diff": DQ2_SQL,
     "dq3_merge_upsert": DQ3_SQL,
+    "dq4_scd2_apply": DQ4_SQL,
     "sp11_negative_sampling": SP11_SQL,
     "j9_bloom_prefilter": J9_SQL,
     "ev18_gap_islands": EV18_SQL,

@@ -508,3 +508,38 @@ def test_merge_upsert_without_ops_is_pure_upsert(spark):
     ch = spark.createDataFrame([(2, 9.0), (5, 5.0)], "k bigint, v double")
     got = {r.k: r.v for r in merge_upsert(base, ch, ["k"]).collect()}
     assert got == {1: 1.0, 2: 9.0, 5: 5.0}
+
+
+def test_scd2_apply_case_algebra_and_idempotence(spark):
+    """SCD-2 apply: changed attrs close+open, equal attrs no-op, new
+    keys open, history passes through untouched; re-applying the same
+    batch changes nothing (the opened rows now EQUAL the batch)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.reconcile import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "a", 0, 50, False),   # closed history row
+            (1, "b", 50, None, True), # current for key 1
+            (2, "x", 0, None, True),  # current for key 2
+        ],
+        "k bigint, attr string, valid_from bigint, valid_to bigint, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "c", 100),  # differs -> close 'b' at 100, open 'c'
+            (2, "x", 100),  # equal   -> no-op
+            (9, "n", 100),  # new key -> first current row
+        ],
+        "k bigint, attr string, ts bigint",
+    )
+    out = scd2_apply(dim, changes, ["k"], ["attr"], ts_col="ts")
+    rows = {(r.k, r.attr): (r.valid_from, r.valid_to, r.is_current) for r in out.collect()}
+    assert rows == {
+        (1, "a"): (0, 50, False),
+        (1, "b"): (50, 100, False),
+        (1, "c"): (100, None, True),
+        (2, "x"): (0, None, True),
+        (9, "n"): (100, None, True),
+    }
+    again = scd2_apply(out, changes, ["k"], ["attr"], ts_col="ts")
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
