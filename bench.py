@@ -115,6 +115,7 @@ HEADLINE = [
     "ev21_cusum_alarm",
     "ev22_seasonal_anomalies",
     "ev23_attribution",
+    "ev24_rolling_reach",
     "a21_overlap_sketch_band",
     "g12_corating_motifs",
     "g13_kcore_incremental",

@@ -7175,6 +7175,51 @@ FROM rk WHERE rec_rank <= 3
 """
 
 
+def ev24_rolling_reach(spark, sf_dir):
+    """7-day ROLLING DISTINCT reach (rolling WAU) — the windowed
+    count-distinct no built-in window gives you (count_distinct is not
+    an allowed window function): each distinct (user, day) row
+    map-side EXPLODES to the <=7 report days whose trailing window it
+    belongs to, then one groupBy(day) countDistinct — exact, one
+    shuffle after a bounded x7 fan-out of the already-deduped
+    (user, day) table, never a per-day rescan of the corpus and never
+    a self-join of days x events. At 100 TB the same shape swaps
+    countDistinct for HLL++ partials (the a16 sketch swap) or for the
+    set-size merge of per-day HLL sketches. Output: one row per day
+    that has a FULL 7-day trailing window inside the observed range
+    (partial leading windows report a different quantity — dropped,
+    matching the oracle)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 86400000000000").cast("bigint").alias("day"),
+    ).distinct()
+    lo, hi = e.agg(F.min("day"), F.max("day")).first()
+    fan = e.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.least(F.col("day") + 6, F.lit(int(hi))))
+        ).alias("report_day"),
+    )
+    out = (
+        fan.groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("reach_7d"))
+        .filter(F.col("report_day") >= F.lit(int(lo) + 6))
+    )
+    return out.select(F.col("report_day").cast("bigint").alias("day"), "reach_7d")
+
+
+EV24_SQL = """
+WITH e AS (SELECT DISTINCT user_id,
+           CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day FROM events),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+fan AS (SELECT e.user_id, CAST(u.d AS BIGINT) AS report_day
+        FROM e, b, unnest(generate_series(e.day, least(e.day + 6, b.hi))) AS u(d))
+SELECT report_day AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS reach_7d
+FROM fan, b WHERE report_day >= b.lo + 6
+GROUP BY report_day
+"""
+
+
 def a16_distinct_users(spark, sf_dir):
     """Exact distinct-user counts per event type + the overall
     distinct reach — THE count-distinct shape. Spark plans
@@ -9239,6 +9284,7 @@ QUERIES = {
     "ev21_cusum_alarm": ev21_cusum_alarm,
     "ev22_seasonal_anomalies": ev22_seasonal_anomalies,
     "ev23_attribution": ev23_attribution,
+    "ev24_rolling_reach": ev24_rolling_reach,
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "st12_stream_mv_drift": st12_stream_mv_drift,
     "st13_stream_ann_ingest": st13_stream_ann_ingest,
@@ -9592,8 +9638,8 @@ assert len(_R09_WINDOW) == 50 and len(set(_R09_WINDOW)) == 50
 # stochastic _band twins (re-sampled every round), the eight r04-aged
 # stragglers the r09 header promised would roll here (tx11/tx12/tx2/
 # u4/a10/q3/q16/pk3 — after this no query is older than r06 in
-# driver-sample age), and 21 of the 47 queries last sampled in r06 as
-# fill (a13/a14/a17/q2/sp10/ss3/ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
+# driver-sample age), and 20 of the 47 queries last sampled in r06 as
+# fill (a12/a13/a14/a17/q2/sp10/ss3/ss4/ss6/ss7/ss9/st2/st3/st7/st8/st9/tx3-tx10/tx15-tx17 roll to
 # the r11 window).
 _R10_WINDOW = [
     # born this round — fronted at birth
@@ -9603,6 +9649,7 @@ _R10_WINDOW = [
     "dq4_scd2_apply",
     "ev22_seasonal_anomalies",
     "ev23_attribution",
+    "ev24_rolling_reach",
     "sp13_rolling_origin",
     "sp14_group_kfold",
     "g13_kcore_incremental",
@@ -9629,9 +9676,8 @@ _R10_WINDOW = [
     "tx12_bpe_merges",
     "tx2_vocab_topk",
     "u4_intersect_audiences",
-    # last sampled r06 (21 of 47)
+    # last sampled r06 (20 of 47)
     "a11_moving_avg",
-    "a12_linreg_trend",
     "dd12_simhash_pairs",
     "dd13_repeated_spans",
     "dd8_neardup_lsh",
@@ -9843,6 +9889,7 @@ ORACLES = {
     "ev21_cusum_alarm": EV21_SQL,
     "ev22_seasonal_anomalies": EV22_SQL,
     "ev23_attribution": EV23_SQL,
+    "ev24_rolling_reach": EV24_SQL,
     "u4_intersect_audiences": U4_SQL,
     "dq1_expectations": DQ1_SQL,
     "dq2_snapshot_diff": DQ2_SQL,

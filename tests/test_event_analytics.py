@@ -356,3 +356,32 @@ def test_seasonal_mad_anomalies_robust_to_the_outlier_itself(spark):
     df = spark.createDataFrame(rows, "g string, day bigint, slot bigint, n bigint")
     got = seasonal_mad_anomalies(df, "g", "day", "slot", "n", z=3.0).collect()
     assert [(r.day, r.n) for r in got] == [(6, 60)]
+
+
+def test_rolling_reach_hand_computed(spark):
+    """7-day rolling distinct reach via the x7 fan-out: hand data
+    where users overlap across days, verifying dedup within the
+    window and the full-window-only output contract."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.driver_queries import ev24_rolling_reach
+    import pyspark.sql.functions as _F
+
+    # build a tiny parquet events table: day d = user set
+    import tempfile, os
+    days = {0: [1, 2], 1: [2], 2: [3], 3: [], 4: [1], 5: [4], 6: [2, 4],
+            7: [5], 8: [1]}
+    rows = []
+    eid = 0
+    for d, users in days.items():
+        for u in users:
+            rows.append((eid, u, "view", float(u), d * 86400_000_000_000 + 1))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, value double, ts_ns bigint"
+    ).withColumn("ts", _F.timestamp_micros(_F.expr("ts_ns div 1000")))
+    tmp = tempfile.mkdtemp()
+    df.drop("ts_ns").withColumn("ts", _F.col("ts")).write.parquet(os.path.join(tmp, "events.parquet"))
+    got = {r.day: r.reach_7d for r in ev24_rolling_reach(spark, tmp).collect()}
+    # day 6 window [0..6]: users {1,2,3,4} = 4
+    # day 7 window [1..7]: users {2,3,1,4,5} = 5
+    # day 8 window [2..8]: users {3,1,4,2,5} = 5
+    assert got == {6: 4, 7: 5, 8: 5}
