@@ -93,10 +93,15 @@ def merge_upsert(
     ``changes`` must carry exactly the base columns (plus ``op_col``);
     duplicate keys WITHIN a change set are the caller's bug (apply
     order would be undefined — dedup upstream, e.g. latest-wins by a
-    version column)."""
+    version column). A NULL ``op_col`` is treated as an upsert (the
+    null-safe predicate below): a plain ``!= delete_op`` filter is
+    NULL-false, so rows with a missing op flag would silently land in
+    NEITHER branch and vanish from the applied change set (ADVICE r10
+    — a lossy failure mode for CDC feeds with absent op columns)."""
     if op_col is not None:
-        tombstones = changes.filter(F.col(op_col) == delete_op).select(*keys)
-        upserts = changes.filter(F.col(op_col) != delete_op).drop(op_col)
+        is_delete = F.col(op_col).eqNullSafe(F.lit(delete_op))
+        tombstones = changes.filter(is_delete).select(*keys)
+        upserts = changes.filter(~is_delete).drop(op_col)
     else:
         tombstones = None
         upserts = changes
@@ -133,10 +138,17 @@ def scd2_apply(
 
     One change row per key per batch (dedup upstream, latest-wins).
     Scale shape: history rows pass through map-side; only the CURRENT
-    slice joins the change batch — one equi join on the key (broadcast
-    for the normal CDC-sized batch), then every output row is a
-    map-side projection. Nothing rebuilds, nothing windows over the
-    history."""
+    slice joins the change batch. The join is split so the change
+    batch genuinely broadcasts (ADVICE r10: a broadcast hint on a
+    full_outer join is silently IGNORED — Spark's broadcast hash join
+    cannot build a full-outer side — so the old single full_outer ran
+    as a sort-merge join, shuffling the whole dimension): a LEFT join
+    of the current slice against the broadcast change batch covers
+    kept / closed / reopened keys without shuffling the dimension,
+    and brand-new keys come from anti-joining the change batch against
+    the (change-batch-sized, also broadcast) matched-key set derived
+    from that same left join. Every output row is then a map-side
+    projection; the dimension is never shuffled."""
     ne = lambda a, b: ~a.eqNullSafe(b)  # noqa: E731 — null-safe differ
     cur = dim.filter(F.col(current_col))
     hist = dim.filter(~F.col(current_col))
@@ -149,34 +161,42 @@ def scd2_apply(
     for k in keys:
         c = F.col(k) == F.col(f"_c_{k}")
         cond = c if cond is None else cond & c
-    j = cur.join(F.broadcast(ch), cond, "full_outer")
+    j = cur.join(F.broadcast(ch), cond, "left")
     differs = None
     for a in attr_cols:
         d = ne(F.col(a), F.col(f"_c_{a}"))
         differs = d if differs is None else differs | d
-    has_cur = F.col(keys[0]).isNotNull()
     has_ch = F.col(f"_c_{keys[0]}").isNotNull()
     # surviving current rows: no change row, or change equals current
-    keep_cur = j.filter(has_cur & (~has_ch | ~differs)).select(*dim.columns)
+    keep_cur = j.filter(~has_ch | ~differs).select(*dim.columns)
     # closed versions of changed current rows
-    closed = j.filter(has_cur & has_ch & differs).select(
+    closed = j.filter(has_ch & differs).select(
         *keys,
         *attr_cols,
         F.col(from_col),
         F.col("_c_ts").alias(to_col),
         F.lit(False).alias(current_col),
     )
-    # new current rows: changed keys + brand-new keys
-    opened = j.filter(has_ch & (~has_cur | differs)).select(
+    opened_cols = [
         *[F.col(f"_c_{k}").alias(k) for k in keys],
         *[F.col(f"_c_{a}").alias(a) for a in attr_cols],
         F.col("_c_ts").alias(from_col),
         F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
         F.lit(True).alias(current_col),
-    )
+    ]
+    # new current rows for CHANGED keys come from the left join ...
+    opened_changed = j.filter(has_ch & differs).select(*opened_cols)
+    # ... and BRAND-NEW keys from an anti-join of the change batch
+    # against the matched keys (at most |changes| rows, so it
+    # broadcasts too — LeftAnti builds the right side)
+    matched = j.filter(has_ch).select(*[f"_c_{k}" for k in keys])
+    opened_new = ch.join(
+        F.broadcast(matched), [f"_c_{k}" for k in keys], "left_anti"
+    ).select(*opened_cols)
     return (
         hist.select(*dim.columns)
         .unionByName(keep_cur)
         .unionByName(closed.select(*dim.columns))
-        .unionByName(opened.select(*dim.columns))
+        .unionByName(opened_changed.select(*dim.columns))
+        .unionByName(opened_new.select(*dim.columns))
     )

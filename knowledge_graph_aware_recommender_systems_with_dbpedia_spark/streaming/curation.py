@@ -71,19 +71,23 @@ def curation_pipeline_stream(
     returns the started StreamingQuery (availableNow — caller awaits).
     The caller must have materialized the base IVF index at
     ``index_path`` (operators/similarity.build_ivf_index over the
-    corpus embeddings). If ``corpus_state`` (the persisted
-    ``build_corpus_dedup_index`` pair) is None it is built and
-    persisted here — the CALLER then owns the unpersist; prefer
-    :func:`run_curation_drain`, which scopes the persist to the drain
-    and retires it in a ``finally``."""
+    corpus embeddings). ``corpus_state`` — the persisted
+    ``build_corpus_dedup_index`` pair — is REQUIRED (ADVICE r10: the
+    old build-if-None path persisted two DataFrames but returned only
+    the StreamingQuery, so direct callers had no handle to unpersist
+    and every invocation stranded two persisted frames — the exact
+    leak class r10 closed for run_curation_drain). Use
+    :func:`run_curation_drain`, which builds the state, scopes the
+    persist to the drain, and retires it in a ``finally``."""
     if checks is None:
         checks = [Check("text_present", "completeness", text_col, 1.0)]
 
     if corpus_state is None:
-        buckets, shingles = build_corpus_dedup_index(
-            corpus, bands, n_hashes, n, id_col, text_col
+        raise ValueError(
+            "curation_pipeline_stream requires corpus_state (the persisted "
+            "build_corpus_dedup_index pair) so its lifecycle has an owner — "
+            "use run_curation_drain, which builds, persists, and retires it."
         )
-        corpus_state = (buckets.persist(), shingles.persist())
     state = corpus_state
     emb = embeddings.select(
         F.col(vec_id_col), F.col(vec_col)

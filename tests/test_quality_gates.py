@@ -510,6 +510,42 @@ def test_merge_upsert_without_ops_is_pure_upsert(spark):
     assert got == {1: 1.0, 2: 9.0, 5: 5.0}
 
 
+def test_merge_upsert_null_op_is_upsert_not_dropped(spark):
+    """ADVICE r10: with a plain != predicate a NULL op flag is
+    NULL-false on BOTH branches, so the row vanished from the applied
+    change set. The null-safe predicate treats missing ops as upserts
+    — a CDC feed with absent op flags loses nothing."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.reconcile import merge_upsert
+
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double")
+    changes = spark.createDataFrame(
+        [(2, 9.0, None), (5, 5.0, None), (1, 1.0, "delete")],
+        "k bigint, v double, op string",
+    )
+    got = {r.k: r.v for r in merge_upsert(base, changes, ["k"], op_col="op").collect()}
+    assert got == {2: 9.0, 5: 5.0}  # NULL-op rows applied, key 1 deleted
+
+
+def test_scd2_apply_broadcasts_change_batch(spark):
+    """ADVICE r10: broadcast on a full_outer join is silently ignored
+    (no broadcast hash full-outer exists), so the old plan sort-merged
+    the whole dimension. The split left-join + anti-join plan must
+    contain broadcast joins and never shuffle-join the dimension."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.reconcile import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "b", 50, None, True), (2, "x", 0, None, True)],
+        "k bigint, attr string, valid_from bigint, valid_to bigint, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "c", 100), (9, "n", 100)], "k bigint, attr string, ts bigint"
+    )
+    out = scd2_apply(dim, changes, ["k"], ["attr"], ts_col="ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_scd2_apply_case_algebra_and_idempotence(spark):
     """SCD-2 apply: changed attrs close+open, equal attrs no-op, new
     keys open, history passes through untouched; re-applying the same

@@ -676,10 +676,11 @@ def test_curation_pipeline_batching_invariant_and_gated(spark, tmp_path):
         metrics = str(tmp_path / f"m_{tag}")
         SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=4)
         new.repartition(n_files).write.mode("overwrite").parquet(in_dir)
-        SC.curation_pipeline_stream(
+        SC.run_curation_drain(
             STD.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
             corpus, idx, metrics, ck, emb, quality_threshold=0.5,
-        ).awaitTermination()
+            compact_if_due=False,
+        )
         results[tag] = {
             (r.id, r.cell)
             for r in spark.read.parquet(idx + "/corpus_delta")
@@ -888,6 +889,47 @@ def test_compact_ivf_index_crash_recovery(spark, tmp_path):
     assert rows.count() == rows.select("id").distinct().count()  # no dupes
     assert not os.path.exists(idx + "/corpus_old")
     assert not os.path.exists(idx + "/corpus_delta")
+
+    # crash window D (ADVICE r10, medium): between the two cleanup
+    # rmtrees. The delta log is retired FIRST, so this crash leaves
+    # (corpus folded, corpus_old marker, NO delta) — the recovery
+    # branch retires the marker and a re-run re-folds nothing. (The
+    # old cleanup order deleted corpus_old first; a crash then left
+    # the folded corpus beside a live-looking delta with no marker,
+    # and the re-run duplicated every delta row.)
+    idx = build("d")
+    base = spark.read.parquet(idx + "/corpus").select("id", "v", "cell")
+    delta = spark.read.parquet(idx + "/corpus_delta").select("id", "v", "cell")
+    base.unionByName(delta).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(idx + "/corpus_new")
+    shutil.move(idx + "/corpus", idx + "/corpus_old")
+    shutil.move(idx + "/corpus_new", idx + "/corpus")
+    shutil.rmtree(idx + "/corpus_delta")  # first rmtree done, crash here
+    SIM.compact_ivf_index(spark, idx)
+    assert search(idx) == want
+    rows = spark.read.parquet(idx + "/corpus")
+    assert rows.count() == rows.select("id").distinct().count()  # no dupes
+    assert not os.path.exists(idx + "/corpus_old")
+    assert not os.path.exists(idx + "/corpus_delta")
+
+
+def test_curation_pipeline_stream_requires_corpus_state(spark, tmp_path):
+    """ADVICE r10: the corpus_state=None path persisted two DataFrames
+    and returned only the StreamingQuery — the caller had no handle to
+    unpersist, stranding two persisted frames per invocation. The None
+    path now fails loudly and points at run_curation_drain."""
+    import pytest
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import curation as SC
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(5)
+    with pytest.raises(ValueError, match="run_curation_drain"):
+        SC.curation_pipeline_stream(
+            docs, docs, str(tmp_path / "i"), str(tmp_path / "m"),
+            str(tmp_path / "c"), docs, corpus_state=None,
+        )
 
 
 def test_curation_drain_recovers_crashed_compaction(spark, tmp_path):
