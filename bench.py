@@ -147,6 +147,7 @@ HEADLINE = [
     "st15_stream_curation_e2e",
     "st16_curation_compaction",
     "st17_stream_windowed_quality",
+    "st18_intra_drain_dedup",
 ]
 
 

@@ -818,6 +818,78 @@ def dedup_against_corpus(
     return new_docs.join(flagged, id_col, "left_anti")
 
 
+def greedy_state_dedup_drops(
+    state_bands: DataFrame,
+    state_shingles: DataFrame,
+    batch_id: int,
+    verify_threshold: float = 0.5,
+    batch_col: str = "batch",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Drop set for one micro-batch of a GREEDY first-seen dedup over
+    an accumulating per-batch state (the intra-drain new-vs-new stage
+    of streaming/curation.curate_batch — VERDICT r10 item 1): given
+    band buckets (id, band, bkey, batch) and shingles (id, shingle,
+    batch) of every doc seen so far INCLUDING batch ``batch_id``,
+    return the ids of batch docs that have a VERIFIED near-dup with a
+    smaller id anywhere in the state. With ids monotone in arrival
+    order this equals the global "no smaller-id verified neighbor"
+    rule, which is invariant under re-slicing the stream (the curation
+    module documents the contract; the one band equi-join covers
+    within-batch and cross-batch pairs identically).
+
+    Both sides read the already-materialized state (the caller wrote
+    this batch's partition first), so nothing re-shingles or
+    re-signatures the batch — the band join is batch × drain-so-far
+    and the Jaccard verify touches candidate docs only, exactly the
+    :func:`minhash_lsh_pairs_between` shape. ``cache_registry``: the
+    candidate frame is persisted into the caller-owned list (see
+    :func:`minhash_lsh_pairs_between`).
+
+    Returns a one-column DataFrame (``id``) of batch docs to drop.
+    """
+    nb = state_bands.filter(F.col(batch_col) == int(batch_id)).select(
+        F.col("id").alias("new_id"), "band", "bkey"
+    )
+    cb = state_bands.select(F.col("id").alias("seen_id"), "band", "bkey")
+    cands = (
+        nb.join(cb, ["band", "bkey"])
+        .filter(F.col("seen_id") < F.col("new_id"))
+        .select("new_id", "seen_id")
+        .distinct()
+    )
+    if cache_registry is not None:
+        cands = cands.persist()
+        cache_registry.append(cands)
+    sh_new = (
+        state_shingles.filter(F.col(batch_col) == int(batch_id))
+        .select("id", "shingle")
+        .join(cands.select(F.col("new_id").alias("id")).distinct(), "id", "left_semi")
+    )
+    sh_seen = state_shingles.select("id", "shingle").join(
+        cands.select(F.col("seen_id").alias("id")).distinct(), "id", "left_semi"
+    )
+    sn = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
+    sc = sh_seen.groupBy("id").agg(F.count(F.lit(1)).alias("n2"))
+    common = (
+        sh_new.select(F.col("id").alias("new_id"), "shingle")
+        .join(sh_seen.select(F.col("id").alias("seen_id"), "shingle"), "shingle")
+        .groupBy("new_id", "seen_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cands, ["new_id", "seen_id"], "left_semi")
+    )
+    verified = (
+        common.join(sn.select(F.col("id").alias("new_id"), "n1"), "new_id")
+        .join(sc.select(F.col("id").alias("seen_id"), "n2"), "seen_id")
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double")
+            >= F.lit(float(verify_threshold))
+        )
+    )
+    return verified.select(F.col("new_id").alias("id")).distinct()
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.9,

@@ -7675,6 +7675,176 @@ WHERE w.window_start_min + 60 <= mx.max_min - 30
 """
 
 
+def st18_intra_drain_dedup(spark, sf_dir):
+    """st15's drain with intra-drain NEW-vs-NEW dedup ON (VERDICT r10
+    item 1: the corpus index covers only pre-drain docs, so two
+    near-dups arriving within one drain — same or different
+    micro-batches — both survived and both entered the index).
+    ``run_curation_drain(intra_drain_dedup=True)`` makes stage 2b of
+    every micro-batch (streaming/curation.curate_batch) write the
+    batch's corpus-surviving curated docs' bands/shingles to an
+    exactly-once per-batch state partition, then drop a doc iff a
+    verified near-dup with a SMALLER id exists in the accumulated
+    drain state (which includes the batch itself, so within-batch and
+    cross-batch pairs share one band equi-join). The feed seeds
+    cross-batch pairs deterministically: the 'echo' docs
+    (doc_id % 100 == 45) carry the donor's text (donor = smallest
+    quality-passing new doc, in micro-batch 1; echoes spread across
+    all three id-ordered slices), so every echo is an exact dup whose
+    keeper sits in an EARLIER micro-batch. Ids are monotone in arrival
+    order, so the greedy keep-smallest-id rule equals the global
+    "no smaller-id verified neighbor among the drain's
+    corpus-surviving curated docs" — batch-split invariant
+    (unit-asserted 1-slice ≡ 3-slice) and replayed verbatim by the
+    batch oracle. Output: (doc_id, cell) of every curated, fully
+    deduped, indexed document."""
+    import tempfile
+    import time as _time
+
+    from ..streaming import curation as SC
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    donor_id = (
+        new.filter(TX.quality_score(F.col("text")) >= 0.68)
+        .agg(F.min("doc_id"))
+        .first()[0]
+    )
+    donor_text = docs.filter(F.col("doc_id") == donor_id).first().text
+    feed = new.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 100 == 45, F.lit(donor_text)).otherwise(
+            F.col("text")
+        ),
+    )
+    hi = feed.agg(F.max("doc_id")).first()[0]
+    idx = tempfile.mkdtemp(prefix="st18_idx_") + "/ivf"
+    in_dir = tempfile.mkdtemp(prefix="st18_in_")
+    ck_dir = tempfile.mkdtemp(prefix="st18_ck_")
+    metrics = tempfile.mkdtemp(prefix="st18_m_") + "/metrics"
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=8)
+    cuts = [0, hi // 3, 2 * hi // 3, hi + 1]
+    for j in range(3):
+        feed.filter(
+            (F.col("doc_id") >= cuts[j]) & (F.col("doc_id") < cuts[j + 1])
+        ).coalesce(1).write.parquet(f"{in_dir}/p{j}")
+        if j < 2:
+            _time.sleep(1.1)  # file-source order = modification time
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/p*/*.parquet")
+    )
+    SC.run_curation_drain(
+        stream, corpus, idx, metrics, ck_dir, emb,
+        quality_threshold=0.68, compact_if_due=False,
+        intra_drain_dedup=True,
+    )
+    return spark.read.parquet(idx + "/corpus_delta").select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cell").cast("bigint").alias("cell"),
+    )
+
+
+ST18_SQL = f"""
+WITH
+-- donor: smallest quality-passing RAW new doc (pre-override — the
+-- echo override depends on it, so it must come from raw text)
+t_raw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, {TOKS_SQL} AS toks
+          FROM documents WHERE doc_id % 5 = 0),
+stq_raw AS (SELECT doc_id, text,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        CAST(len(toks) AS DOUBLE) AS n_toks
+        FROM t_raw),
+donor AS (SELECT min(doc_id) AS did FROM stq_raw
+  WHERE round(0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+      + 0.3 * least(n_chars / 400.0, 1.0)
+      + 0.3 * least((CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END) / 6.0, 1.0), 6)
+      >= 0.68),
+-- the drained feed: echo docs carry the donor's text
+feed AS (SELECT r.doc_id,
+         CASE WHEN r.doc_id % 100 = 45
+              THEN (SELECT s.text FROM stq_raw s JOIN donor d ON s.doc_id = d.did)
+              ELSE r.text END AS text
+         FROM t_raw r),
+alldocs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+            FROM documents WHERE doc_id % 5 <> 0
+            UNION ALL SELECT doc_id, text FROM feed),
+t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM alldocs),
+sh AS MATERIALIZED (SELECT doc_id AS id, u.sh AS shingle FROM (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sls
+         FROM t) d, unnest(d.sls) AS u(sh)),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+common AS (SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+           GROUP BY a.id, b.id),
+jac AS MATERIALIZED (SELECT id1, id2,
+        CAST(n_common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) AS jaccard
+        FROM common
+        JOIN sizes s1 ON s1.id = id1
+        JOIN sizes s2 ON s2.id = id2),
+-- stage 1: quality gate on the FEED text
+stq AS (SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        CAST(len({TOKS_SQL}) AS DOUBLE) AS n_toks
+        FROM feed),
+curated AS (SELECT doc_id FROM stq
+  WHERE round(0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+      + 0.3 * least(n_chars / 400.0, 1.0)
+      + 0.3 * least((CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END) / 6.0, 1.0), 6)
+      >= 0.68),
+-- stage 2: dd11 incremental near-dup anti-select vs the corpus
+sig AS (SELECT id AS doc_id, {_minhash_min_exprs_sql()} FROM sh GROUP BY id),
+buckets AS MATERIALIZED ({_lsh_bands_sql(8, 16)}),
+cand AS (SELECT DISTINCT a.id AS nid, b.id AS cid
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
+         WHERE a.id % 5 = 0 AND b.id % 5 <> 0),
+flagged AS (SELECT DISTINCT c.nid FROM cand c
+            JOIN jac j ON j.id1 = least(c.nid, c.cid)
+                      AND j.id2 = greatest(c.nid, c.cid)
+            WHERE j.jaccard >= 0.1),
+surv0 AS MATERIALIZED (SELECT doc_id FROM curated
+              WHERE doc_id NOT IN (SELECT nid FROM flagged)),
+-- stage 2b: intra-drain greedy dedup — drop a doc iff a verified
+-- smaller-id near-dup exists among the drain's corpus-surviving
+-- curated docs (batch-order-independent given id-monotone arrival)
+nn_cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+            JOIN surv0 sa ON sa.doc_id = a.id
+            JOIN surv0 sb ON sb.doc_id = b.id),
+nn_drop AS (SELECT DISTINCT c.id2 AS doc_id FROM nn_cand c
+            JOIN jac j ON j.id1 = c.id1 AND j.id2 = c.id2
+            WHERE j.jaccard >= 0.1),
+survivors AS (SELECT doc_id FROM surv0
+              WHERE doc_id NOT IN (SELECT doc_id FROM nn_drop)),
+-- stage 3: st13 centroid assignment of the survivors' embeddings
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+nv AS (SELECT vec_id,
+       CASE WHEN sqrt(list_dot_product(v, v)) > 0
+            THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+            ELSE v END AS v
+       FROM e),
+md2 AS (SELECT vec_id, v,
+        CAST(('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM nv WHERE vec_id % 5 <> 0),
+cent0 AS (SELECT vec_id, v, h FROM md2 ORDER BY h, vec_id LIMIT 8),
+cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cell, v AS cv FROM cent0),
+sv AS (SELECT s.doc_id, n.v FROM survivors s JOIN nv n ON n.vec_id = s.doc_id),
+ca AS (SELECT sv.doc_id, c.cell, list_dot_product(sv.v, c.cv) AS sim
+       FROM sv CROSS JOIN cents c),
+cr AS (SELECT doc_id, cell,
+       row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, cell) AS rn FROM ca)
+SELECT doc_id, CAST(cell AS BIGINT) AS cell FROM cr WHERE rn = 1
+"""
+
+
 def dp5_semantic_curation(spark, sf_dir):
     """Third composed pipeline — this round's curation stack in one
     lineage: exact dedup -> near-CONTAINMENT drop (the quoted/
@@ -9292,6 +9462,7 @@ QUERIES = {
     "st15_stream_curation_e2e": st15_stream_curation_e2e,
     "st16_curation_compaction": st16_curation_compaction,
     "st17_stream_windowed_quality": st17_stream_windowed_quality,
+    "st18_intra_drain_dedup": st18_intra_drain_dedup,
     "ss10_radius_search": ss10_radius_search,
     "ss11_filtered_search": ss11_filtered_search,
     "ss12_recall_report": ss12_recall_report,
@@ -9877,6 +10048,7 @@ ORACLES = {
     "st15_stream_curation_e2e": ST15_SQL,
     "st16_curation_compaction": ST16_SQL,
     "st17_stream_windowed_quality": ST17_SQL,
+    "st18_intra_drain_dedup": ST18_SQL,
     "dp5_semantic_curation": DP5_SQL,
     "a17_ewma_daily": A17_SQL,
     "a18_sketch_distinct_band": A18_SQL,

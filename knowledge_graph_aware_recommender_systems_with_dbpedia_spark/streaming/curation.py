@@ -37,7 +37,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score
-from ..operators.dedup import build_corpus_dedup_index, dedup_against_corpus
+from ..operators.dedup import (
+    band_buckets,
+    build_corpus_dedup_index,
+    dedup_against_corpus,
+    doc_shingles,
+    greedy_state_dedup_drops,
+)
 from ..operators.expectations import Check
 from ..operators.similarity import (
     append_delta_to_ivf_index,
@@ -66,6 +72,7 @@ def curation_pipeline_stream(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_state=None,
+    drain_state_dir: str | None = None,
 ):
     """Start the composed curation drain over a document stream;
     returns the started StreamingQuery (availableNow — caller awaits).
@@ -97,7 +104,7 @@ def curation_pipeline_stream(
         curate_batch(
             batch, batch_id, corpus, state, emb, index_path, metrics_dir,
             checks, quality_threshold, bands, n_hashes, n, verify_threshold,
-            id_col, text_col, vec_id_col, vec_col,
+            id_col, text_col, vec_id_col, vec_col, drain_state_dir,
         )
 
     import os
@@ -130,10 +137,21 @@ def run_curation_drain(
     compact_if_due: bool = True,
     delta_share_due: float = 0.2,
     max_delta_batches: int = 8,
+    intra_drain_dedup: bool = False,
 ) -> bool:
     """Blocking curation drain with a COMPLETE index lifecycle
     (VERDICT r09 item 2: st14 computed ``compaction_due`` but nothing
     consumed it, so st15's deltas accumulated unboundedly).
+
+    ``intra_drain_dedup``: when True, new docs are ALSO deduped
+    against the other new docs of the same drain (within and across
+    micro-batches — VERDICT r10 item 1: the corpus index covers only
+    pre-drain docs, so near-dups arriving together both survived);
+    the per-batch dedup state lives under
+    ``checkpoint_dir/drain_state`` — the checkpoint's lifetime IS the
+    drain's, so a checkpoint-resumed drain finds exactly the state
+    its committed batches wrote. See :func:`curate_batch` for the
+    keep-smallest-id contract and its batching-invariance condition.
 
     Builds + persists the corpus dedup state, runs the availableNow
     drain to completion, unpersists the state in a ``finally`` (the
@@ -157,12 +175,17 @@ def run_curation_drain(
         corpus, bands, n_hashes, n, id_col, text_col
     )
     state = (buckets.persist(), shingles.persist())
+    import os
+
+    drain_state_dir = (
+        os.path.join(checkpoint_dir, "drain_state") if intra_drain_dedup else None
+    )
     try:
         curation_pipeline_stream(
             docs_stream, corpus, index_path, metrics_dir, checkpoint_dir,
             embeddings, checks, quality_threshold, bands, n_hashes, n,
             verify_threshold, id_col, text_col, vec_id_col, vec_col,
-            corpus_state=state,
+            corpus_state=state, drain_state_dir=drain_state_dir,
         ).awaitTermination()
     finally:
         buckets.unpersist()
@@ -201,14 +224,24 @@ def curate_batch(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    drain_state_dir: str | None = None,
 ) -> None:
     """One micro-batch of the curation drain — module-level so the
     at-least-once retry contract is directly testable: every write is
     an OVERWRITE of a batch-id-deterministic partition (metric rows in
     ``metrics_dir/batch_id=N``, index rows in
-    ``corpus_delta/batch=N``), so re-running the SAME (batch,
-    batch_id) replaces its own output bit-for-bit instead of
-    appending a duplicate copy."""
+    ``corpus_delta/batch=N``, intra-drain dedup state in
+    ``drain_state_dir/{bands,shingles}/batch=N``), so re-running the
+    SAME (batch, batch_id) replaces its own output bit-for-bit instead
+    of appending a duplicate copy.
+
+    ``drain_state_dir``: when set, stage 2b also dedups NEW docs
+    against the other new docs of the SAME drain (within-batch and
+    across its micro-batches) — see the inline contract note. When
+    None (the default) the drain keeps the dd11 corpus-only
+    semantics: every per-doc verdict depends only on (doc, static
+    state), so the output is invariant under ANY re-batching of the
+    stream, not just order-preserving splits."""
     # 1. quality gate: exactly-once metric log + row-level curation
     write_batch_counts(batch, checks, metrics_dir, batch_id)
     curated = batch.filter(
@@ -235,6 +268,53 @@ def curate_batch(
             corpus_state=corpus_state,
             cache_registry=batch_caches,
         )
+        # 2b. intra-drain new-vs-new dedup (VERDICT r10 item 1: the
+        # corpus index covers only PRE-drain docs, so two near-dups
+        # arriving within one drain both survived). Every corpus-
+        # surviving curated doc's bands/shingles land in an
+        # exactly-once per-batch state partition FIRST (overwrite —
+        # retries replace), then one band equi-join of this batch
+        # against the accumulated state (batch <= N, which includes
+        # this batch itself, so within-batch pairs need no second
+        # path) verifies candidates and drops a doc iff a verified
+        # near-dup with a SMALLER id has been seen. With ids monotone
+        # in arrival order (the crawl-ingest norm) this greedy rule
+        # equals the global "no smaller-id verified neighbor among
+        # the drain's corpus-surviving curated docs" — batch-split
+        # invariant and replayable by a batch oracle; dropped docs
+        # STAY in the state so duplicate chains remain suppressed.
+        # Per-trigger cost is batch-vs-drain, never corpus-sized.
+        if drain_state_dir is not None:
+            spark = batch.sparkSession
+            # the corpus-surviving frame is consumed four times below
+            # (two state writes, the new-side of the band join, the
+            # final delta write) and its lineage embeds the whole
+            # batch-vs-corpus dedup join — persist it through the
+            # batch registry or every consumer replays that join
+            survivors = survivors.persist()
+            batch_caches.append(survivors)
+            band_buckets(
+                survivors, bands, n_hashes, n, id_col, text_col
+            ).write.mode("overwrite").parquet(
+                f"{drain_state_dir}/bands/batch={int(batch_id)}"
+            )
+            doc_shingles(survivors, id_col, text_col, n).write.mode(
+                "overwrite"
+            ).parquet(f"{drain_state_dir}/shingles/batch={int(batch_id)}")
+            seen_bands = spark.read.parquet(
+                f"{drain_state_dir}/bands"
+            ).filter(F.col("batch") <= int(batch_id))
+            seen_shingles = spark.read.parquet(
+                f"{drain_state_dir}/shingles"
+            ).filter(F.col("batch") <= int(batch_id))
+            nn_drops = greedy_state_dedup_drops(
+                seen_bands,
+                seen_shingles,
+                batch_id,
+                verify_threshold=verify_threshold,
+                cache_registry=batch_caches,
+            ).withColumnRenamed("id", id_col)
+            survivors = survivors.join(nn_drops, id_col, "left_anti")
         # 3. index the survivors' embeddings as an exactly-once delta
         batch_emb = survivors.select(F.col(id_col).alias("_id")).join(
             emb, F.col("_id") == F.col(vec_id_col), "inner"

@@ -914,6 +914,89 @@ def test_compact_ivf_index_crash_recovery(spark, tmp_path):
     assert not os.path.exists(idx + "/corpus_delta")
 
 
+def test_intra_drain_new_vs_new_dedup_batching_invariant(spark, tmp_path):
+    """VERDICT r10 item 1: near-dups arriving within ONE drain (same
+    or different micro-batches, neither in the corpus) must not both
+    survive. Feed = the %5 new docs, with the 'echo' docs
+    (doc_id % 100 == 45) given the donor's text (donor = smallest
+    quality-passing new doc), so every echo is an exact dup of the
+    donor and the donor/echo pairs span micro-batches. Asserts:
+    (a) 1-slice and 3-slice drains land the identical index — the
+    batching-invariance contract now holds WITH new-new semantics;
+    (b) the donor is indexed, every echo is dropped (keep-smallest-id);
+    (c) a drain without intra_drain_dedup indexes the echoes — the
+    new stage, not an upstream filter, is what drops them."""
+    import time as _time
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions.text import quality_score
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import similarity as SIM
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import curation as SC
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    donor_id = (
+        new.filter(quality_score(F.col("text")) >= 0.68)
+        .agg(F.min("doc_id"))
+        .first()[0]
+    )
+    donor_text = docs.filter(F.col("doc_id") == donor_id).first().text
+    feed = new.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 100 == 45, F.lit(donor_text)).otherwise(
+            F.col("text")
+        ),
+    )
+    echo_ids = {
+        r.doc_id
+        for r in feed.filter(
+            (F.col("doc_id") % 100 == 45) & (F.col("doc_id") != donor_id)
+        ).collect()
+    }
+    assert len(echo_ids) >= 3  # the fixture must exercise the path
+    hi = feed.agg(F.max("doc_id")).first()[0]
+
+    def drain(tag, n_slices, dedup):
+        idx = str(tmp_path / f"idx_{tag}") + "/ivf"
+        in_dir = str(tmp_path / f"in_{tag}")
+        SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=4)
+        cuts = [0] + [hi * (j + 1) // n_slices + 1 for j in range(n_slices)]
+        for j in range(n_slices):
+            feed.filter(
+                (F.col("doc_id") >= cuts[j]) & (F.col("doc_id") < cuts[j + 1])
+            ).coalesce(1).write.parquet(f"{in_dir}/p{j}")
+            if j < n_slices - 1:
+                _time.sleep(1.1)  # file-source order = modification time
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{in_dir}/p*/*.parquet")
+        )
+        SC.run_curation_drain(
+            stream, corpus, idx, str(tmp_path / f"m_{tag}"),
+            str(tmp_path / f"ck_{tag}"), emb, quality_threshold=0.68,
+            compact_if_due=False, intra_drain_dedup=dedup,
+        )
+        return {
+            (r.id, r.cell)
+            for r in spark.read.parquet(idx + "/corpus_delta")
+            .select("id", "cell").collect()
+        }
+
+    one = drain("one", 1, True)
+    three = drain("three", 3, True)
+    assert one == three and one  # split-invariant with new-new semantics
+    indexed = {i for i, _ in three}
+    assert donor_id in indexed  # keep-smallest-id keeps the donor
+    assert not (echo_ids & indexed)  # every echo dropped
+    # in the 3-slice feed the donor and the last echo are in different
+    # micro-batches — the pair the corpus-only drain cannot see
+    raw = drain("raw", 3, False)
+    assert echo_ids & {i for i, _ in raw}  # without 2b the echoes land
+
+
 def test_curation_pipeline_stream_requires_corpus_state(spark, tmp_path):
     """ADVICE r10: the corpus_state=None path persisted two DataFrames
     and returned only the StreamingQuery — the caller had no handle to
