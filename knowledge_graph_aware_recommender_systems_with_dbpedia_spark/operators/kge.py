@@ -636,6 +636,368 @@ def train_kge_partitioned(
     return m
 
 
+def _table_kinds(
+    model_cls, dim: int
+) -> tuple[dict[str, str], dict[str, tuple]]:
+    """Classify each of a model's parameter tables by what indexes its
+    axis 0 — ``ent`` (entity-indexed), ``rel`` (relation-indexed), or
+    ``global`` (shared, e.g. TuckER's core tensor) — by instantiating
+    a sentinel-sized template. Returns (kinds, row_shapes) keyed by
+    table name; row_shapes[name] is the per-row shape (axis 1+)."""
+    s_ent, s_rel = 101, 103  # primes no dim collides with
+    assert dim not in (s_ent, s_rel), f"dim={dim} collides with sentinels"
+    tmpl = model_cls(s_ent, s_rel, dim, np.random.default_rng(0))
+    kinds, shapes = {}, {}
+    for name, arr in _param_tables(tmpl).items():
+        kinds[name] = (
+            "ent" if arr.shape[0] == s_ent
+            else "rel" if arr.shape[0] == s_rel
+            else "global"
+        )
+        shapes[name] = arr.shape[1:] if arr.ndim > 1 else (1,)
+    return kinds, shapes
+
+
+def params_to_df(spark, m: _KGEModel) -> DataFrame:
+    """One-time conversion of a model's numpy tables to the sharded
+    parameter DataFrame layout: (tbl, idx, vec array<double>), complex
+    tables as ``name:re`` / ``name:im`` row pairs. This is the ONLY
+    driver-side materialization the sharded trainer needs (the init
+    snapshot); pass its output — or any DataFrame with the same layout
+    generated distributed — as ``params_init``."""
+    rows: list[tuple[str, int, list[float]]] = []
+    for name, arr in _param_tables(m).items():
+        flat = arr.reshape(len(arr), -1)
+        comps = (
+            ((":re", flat.real), (":im", flat.imag))
+            if np.iscomplexobj(flat)
+            else (("", flat),)
+        )
+        for suffix, mat in comps:
+            for i in range(len(mat)):
+                rows.append((name + suffix, int(i), [float(x) for x in mat[i]]))
+    return spark.createDataFrame(rows, "tbl string, idx long, vec array<double>")
+
+
+def _normalize_params_df(
+    params: DataFrame, tables: list[str], complex_tables: set[str]
+) -> DataFrame:
+    """DataFrame twin of ``_KGEModel.normalize``: project the named
+    entity tables back onto the unit ball (divide rows whose L2 norm
+    exceeds 1). Complex tables normalize by the modulus, touching the
+    ``:re``/``:im`` row pair together. Norms are materialized in their
+    own projection BEFORE the division lambda (the Spark 4.1
+    aggregate-inside-transform re-evaluation pitfall)."""
+    out = params.filter(
+        ~F.col("tbl").isin(
+            [t for t in tables if t not in complex_tables]
+            + [f"{t}:re" for t in tables if t in complex_tables]
+            + [f"{t}:im" for t in tables if t in complex_tables]
+        )
+    )
+    real_targets = [t for t in tables if t not in complex_tables]
+    if real_targets:
+        tgt = params.filter(F.col("tbl").isin(real_targets))
+        tgt = tgt.select(
+            "tbl", "idx", "vec",
+            F.sqrt(
+                F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x)
+            ).alias("_n"),
+        ).select(
+            "tbl", "idx",
+            F.transform("vec", lambda x: x / F.greatest(F.col("_n"), F.lit(1.0))).alias("vec"),
+        )
+        out = out.unionByName(tgt)
+    for t in tables:
+        if t not in complex_tables:
+            continue
+        re = params.filter(F.col("tbl") == f"{t}:re").select(
+            "idx", F.col("vec").alias("_re")
+        )
+        im = params.filter(F.col("tbl") == f"{t}:im").select(
+            "idx", F.col("vec").alias("_im")
+        )
+        j = re.join(im, "idx").select(
+            "idx", "_re", "_im",
+            F.sqrt(
+                F.aggregate("_re", F.lit(0.0), lambda a, x: a + x * x)
+                + F.aggregate("_im", F.lit(0.0), lambda a, x: a + x * x)
+            ).alias("_n"),
+        )
+        div = lambda c: F.transform(  # noqa: E731
+            c, lambda x: x / F.greatest(F.col("_n"), F.lit(1.0))
+        )
+        out = out.unionByName(
+            j.select(F.lit(f"{t}:re").alias("tbl"), "idx", div("_re").alias("vec"))
+        ).unionByName(
+            j.select(F.lit(f"{t}:im").alias("tbl"), "idx", div("_im").alias("vec"))
+        )
+    return out
+
+
+def train_kge_sharded(
+    triples_idx_df: DataFrame,
+    n_ent: int,
+    n_rel: int,
+    model: str = "transe",
+    dim: int = 32,
+    epochs: int = 5,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    batch_size: int = 1024,
+    seed: int = 42,
+    n_negatives: int = 1,
+    adversarial_alpha: float | None = None,
+    n_partitions: int = 8,
+    params_init: DataFrame | None = None,
+) -> DataFrame:
+    """Fully sharded KGE training — parameters NEVER driver-resident
+    during training (VERDICT r10 item 4: :func:`train_kge_partitioned`
+    keeps the triples on the cluster but ``collect()``s the summed
+    delta table each epoch and applies it to driver-held numpy tables,
+    so at a 100 TB triple store the entity-parameter table itself
+    outgrows the driver).
+
+    The parameter state lives as a DataFrame (tbl, idx, vec) across
+    epochs. Per epoch:
+
+    1. each deterministic triple partition's TOUCHED parameter rows
+       (the entities/relations appearing in its triples, plus the
+       shared global tables) are shipped to it via one equi-join —
+       no full-table broadcast, each task holds O(its working set);
+    2. a cogrouped ``applyInPandas`` over (triples, params) runs the
+       exact :func:`_run_epoch` SGD batch logic on a LOCAL dense
+       remap of its slice and emits sparse per-row deltas;
+    3. deltas are summed Spark-side and joined back into the
+       parameter DataFrame (``vec + sum(delta)/n_partitions`` —
+       unweighted model averaging, as the partitioned trainer);
+    4. the translational family re-projects onto the unit ball with
+       the DataFrame twin of ``normalize`` and the lineage is
+       truncated with an eager localCheckpoint.
+
+    Semantics vs :func:`train_kge_partitioned`: negative corruption
+    samples from the partition's LOCAL entity set (the shipped slice
+    is all a task can see) — the standard distributed-KGE compromise
+    (DGL-KE's per-partition negatives); with ONE partition whose
+    triples cover every entity the two trainers are numerically
+    equivalent (unit-pinned). Parity is metric-band, like every
+    stochastic trainer here (SURVEY §6).
+
+    Init: ``params_init`` defaults to a one-time driver conversion of
+    the standard numpy init (:func:`params_to_df` — the same O(n_ent
+    x dim) one-shot footprint as writing any init checkpoint, freed
+    immediately); for corpora where even that is too large, pass a
+    distributed-generated DataFrame with the same layout and the
+    driver never holds a single table row.
+
+    Returns the final parameter DataFrame (tbl, idx, vec); feed the
+    entity table to scoring via :func:`sharded_entity_embeddings`.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import md5_long
+
+    spark = triples_idx_df.sparkSession
+    model_cls = KGE_MODELS[model]
+    kinds, row_shapes = _table_kinds(model_cls, dim)
+    complex_tables = {
+        name
+        for name, arr in _param_tables(
+            model_cls(2, 2, dim, np.random.default_rng(0))
+        ).items()
+        if np.iscomplexobj(arr)
+    }
+    if params_init is None:
+        m0 = model_cls(n_ent, n_rel, dim, np.random.default_rng(seed))
+        params = params_to_df(spark, m0)
+        del m0
+    else:
+        params = params_init
+    params = params.localCheckpoint(eager=True)
+    translational = model in TRANSLATIONAL
+    norm_tables = (
+        (["E", "Ep", "Rp"] if model == "transd" else ["E"])
+        if translational
+        else []
+    )
+
+    parts = triples_idx_df.select(
+        F.col("h").cast("long"),
+        F.col("r").cast("long"),
+        F.col("t").cast("long"),
+        F.pmod(
+            md5_long(F.concat_ws(":", "h", "r", "t")), F.lit(n_partitions)
+        ).alias("part"),
+    ).persist()
+    # (part, tbl, idx) of every parameter row a partition needs: its
+    # triples' entities for ent tables, relations for rel tables, and
+    # every row of the (tiny) global tables
+    ent_touch = parts.select(
+        "part", F.explode(F.array("h", "t")).alias("idx")
+    ).distinct()
+    rel_touch = parts.select("part", F.col("r").alias("idx")).distinct()
+    live_parts = parts.select("part").distinct()
+    touches = []
+    for name, kind in kinds.items():
+        row_names = (
+            [f"{name}:re", f"{name}:im"] if name in complex_tables else [name]
+        )
+        for rn in row_names:
+            if kind == "ent":
+                touches.append(ent_touch.select("part", F.lit(rn).alias("tbl"), "idx"))
+            elif kind == "rel":
+                touches.append(rel_touch.select("part", F.lit(rn).alias("tbl"), "idx"))
+            else:
+                touches.append(
+                    live_parts.join(
+                        params.filter(F.col("tbl") == rn).select("tbl", "idx"),
+                        F.lit(True),
+                    ).select("part", "tbl", "idx")
+                )
+    touched = touches[0]
+    for t in touches[1:]:
+        touched = touched.unionByName(t)
+    # eager localCheckpoint (not persist): severs the lineage back to
+    # `parts`, which the cogroup below also consumes — otherwise the
+    # shared `part` column is an ambiguous self-join — and the touch
+    # map is computed once, reused every epoch
+    touched = touched.localCheckpoint(eager=True)
+    out_schema = "tbl string, idx long, delta array<double>"
+    table_names = sorted(kinds)
+
+    for epoch in range(epochs):
+        part_params = touched.join(params, ["tbl", "idx"])
+
+        def make_runner(_epoch):
+            def run(key, tri_pdf, par_pdf):
+                part_id = int(key[0])
+                h = tri_pdf["h"].to_numpy(np.int64)
+                r = tri_pdf["r"].to_numpy(np.int64)
+                t = tri_pdf["t"].to_numpy(np.int64)
+                l_ents = np.unique(np.concatenate([h, t]))
+                l_rels = np.unique(r)
+                local = model_cls(
+                    len(l_ents), len(l_rels), dim, np.random.default_rng(0)
+                )
+                grp = {k: g for k, g in par_pdf.groupby("tbl")}
+
+                def rows_of(rn, rows_idx, per_row):
+                    g = grp.get(rn)
+                    vals = np.zeros((len(rows_idx), per_row), dtype=np.float64)
+                    if g is not None and len(g):
+                        pos = np.searchsorted(rows_idx, g["idx"].to_numpy(np.int64))
+                        vals[pos] = np.vstack(
+                            [np.asarray(v, dtype=np.float64) for v in g["vec"]]
+                        )
+                    return vals
+
+                refs = {}
+                idx_of = {}
+                for name in table_names:
+                    kind = kinds[name]
+                    shape = row_shapes[name]
+                    per_row = int(np.prod(shape))
+                    rows_idx = (
+                        l_ents if kind == "ent"
+                        else l_rels if kind == "rel"
+                        else np.arange(getattr(local, name).shape[0], dtype=np.int64)
+                    )
+                    idx_of[name] = rows_idx
+                    if name in complex_tables:
+                        arr = rows_of(f"{name}:re", rows_idx, per_row) + 1j * rows_of(
+                            f"{name}:im", rows_idx, per_row
+                        )
+                    else:
+                        arr = rows_of(name, rows_idx, per_row)
+                    arr = np.ascontiguousarray(arr.reshape(len(rows_idx), *shape))
+                    if per_row == 1 and getattr(local, name).ndim == 1:
+                        arr = arr.reshape(len(rows_idx))
+                    setattr(local, name, arr.copy())
+                    refs[name] = arr
+                tri = np.stack(
+                    [
+                        np.searchsorted(l_ents, h),
+                        np.searchsorted(l_rels, r),
+                        np.searchsorted(l_ents, t),
+                    ],
+                    axis=1,
+                )
+                order = np.lexsort((tri[:, 2], tri[:, 1], tri[:, 0]))
+                tri = tri[order]
+                rng_l = np.random.default_rng([seed, _epoch, part_id])
+                _run_epoch(
+                    local, tri, rng_l, lr, margin, batch_size, n_negatives,
+                    adversarial_alpha,
+                )
+                rows: list[tuple[str, int, list[float]]] = []
+                for name in table_names:
+                    delta = getattr(local, name) - refs[name]
+                    flat = delta.reshape(len(delta), -1)
+                    touched_rows = np.nonzero(np.any(flat != 0, axis=1))[0]
+                    comps = (
+                        ((":re", flat.real), (":im", flat.imag))
+                        if np.iscomplexobj(flat)
+                        else (("", flat),)
+                    )
+                    gidx = idx_of[name]
+                    for suffix, mat in comps:
+                        for i in touched_rows:
+                            rows.append(
+                                (
+                                    name + suffix,
+                                    int(gidx[i]),
+                                    [float(x) for x in mat[i]],
+                                )
+                            )
+                return pd.DataFrame(rows, columns=["tbl", "idx", "delta"])
+
+            return run
+
+        deltas = (
+            parts.groupby("part")
+            .cogroup(part_params.groupby("part"))
+            .applyInPandas(make_runner(epoch), out_schema)
+        )
+        summed = (
+            deltas.select("tbl", "idx", F.posexplode("delta").alias("pos", "val"))
+            .groupBy("tbl", "idx", "pos")
+            .agg(F.sum("val").alias("s"))
+            .groupBy("tbl", "idx")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
+                ).alias("delta")
+            )
+        )
+        params = params.join(summed, ["tbl", "idx"], "left").select(
+            "tbl",
+            "idx",
+            F.when(F.col("delta").isNull(), F.col("vec"))
+            .otherwise(
+                F.zip_with(
+                    "vec",
+                    "delta",
+                    lambda a, b: a + b / F.lit(float(n_partitions)),
+                )
+            )
+            .alias("vec"),
+        )
+        if translational:
+            params = _normalize_params_df(params, norm_tables, complex_tables)
+        params = params.localCheckpoint(eager=True)
+    parts.unpersist()
+    return params
+
+
+def sharded_entity_embeddings(params: DataFrame, model: str) -> DataFrame:
+    """Entity-vector table (idx, vec) from a sharded parameter
+    DataFrame — the DataFrame twin of ``entity_vectors`` (complex
+    models export the real part, M5)."""
+    tbl = "E:re" if KGE_MODELS[model].complex_entities else "E"
+    return params.filter(F.col("tbl") == tbl).select("idx", "vec")
+
+
 def embeddings_to_df(
     spark, model: _KGEModel, ents: DataFrame
 ) -> DataFrame:
@@ -675,8 +1037,11 @@ class KGERecommender(Recommender):
         assert scoring in ("exact", "lsh", "broadcast"), scoring
         # "driver" = reference-parity single-node SGD (triples collect,
         # guarded); "partitioned" = distributed partition-wise SGD —
-        # triples never leave the cluster (train_kge_partitioned)
-        assert trainer in ("driver", "partitioned"), trainer
+        # triples never leave the cluster (train_kge_partitioned);
+        # "sharded" = partitioned SGD with the parameter tables ALSO
+        # kept as a DataFrame across epochs (train_kge_sharded — the
+        # 100 TB path where even the entity table outgrows the driver)
+        assert trainer in ("driver", "partitioned", "sharded"), trainer
         self.trainer = trainer
         self.n_partitions = n_partitions
         self._train: DataFrame | None = None
@@ -705,6 +1070,15 @@ class KGERecommender(Recommender):
             n_negatives=self.n_negatives,
             adversarial_alpha=self.adversarial_alpha,
         )
+        if self.trainer == "sharded":
+            params = train_kge_sharded(
+                indexed_triples_df(triples, ents, rels),
+                ents.count(), rels.count(),
+                n_partitions=self.n_partitions, **hyper,
+            )
+            evec = sharded_entity_embeddings(params, self.model_name)
+            self._emb = ents.join(evec, "idx").select("e", "vec").persist()
+            return self
         if self.trainer == "partitioned":
             m = train_kge_partitioned(
                 indexed_triples_df(triples, ents, rels),

@@ -187,6 +187,100 @@ def test_partitioned_trainer_complex_and_matrix_params(spark, model):
     assert not np.array_equal(m.entity_vectors(), fresh.entity_vectors())
 
 
+def test_sharded_trainer_equals_partitioned_single_partition(spark):
+    """VERDICT r10 item 4: the sharded trainer keeps the parameter
+    tables as a DataFrame across epochs (joined delta updates, DF
+    normalize) instead of driver-held numpy. With ONE partition whose
+    triples cover every entity, its local entity set == the global
+    set, so local negative sampling draws the identical rng stream and
+    the two trainers must agree numerically — pinning that the DF
+    round-trip (init -> join-update -> normalize -> export) computes
+    exactly what the numpy path computes."""
+    df, _ = _chain_df(spark)
+    kw = dict(model="transe", dim=16, epochs=3, lr=0.1, seed=11, n_partitions=1)
+    m = kge.train_kge_partitioned(df, 20, 1, **kw)
+    params = kge.train_kge_sharded(df, 20, 1, **kw)
+    evec = {
+        r.idx: np.array(r.vec)
+        for r in kge.sharded_entity_embeddings(params, "transe").collect()
+    }
+    got = np.vstack([evec[i] for i in range(20)])
+    assert np.allclose(got, m.entity_vectors(), atol=1e-9)
+    rvec = {r.idx: np.array(r.vec) for r in params.filter("tbl = 'R'").collect()}
+    assert np.allclose(rvec[0], m.R[0], atol=1e-9)
+
+
+@pytest.mark.parametrize("model", ["rotate", "rescal"])
+def test_sharded_trainer_complex_and_matrix_params(spark, model):
+    """The DF parameter layout round-trips complex tables (re/im row
+    pairs) and per-relation matrices through shipping, local SGD, and
+    the join update — full row inventory, finite, and moved."""
+    df, _ = _chain_df(spark)
+    params = kge.train_kge_sharded(
+        df, 20, 1, model=model, dim=8, epochs=2, lr=0.05, seed=11,
+        n_partitions=2,
+    )
+    counts = {
+        r.tbl: r.c
+        for r in params.groupBy("tbl").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    want = (
+        {"E:re": 20, "E:im": 20, "theta": 1}
+        if model == "rotate"
+        else {"E": 20, "M": 1}
+    )
+    assert counts == want
+    rows = sorted(
+        kge.sharded_entity_embeddings(params, model).collect(), key=lambda r: r.idx
+    )
+    got = np.vstack([np.array(r.vec) for r in rows])
+    assert got.shape == (20, 8) and np.isfinite(got).all()
+    fresh = kge.KGE_MODELS[model](20, 1, 8, np.random.default_rng(11))
+    assert not np.allclose(got, fresh.entity_vectors())
+
+
+def test_sharded_training_separates_pos_from_neg(spark):
+    """Multi-partition sharded training (per-partition LOCAL negative
+    sampling — the DGL-KE compromise) still learns the chain."""
+    df, pos = _chain_df(spark)
+    params = kge.train_kge_sharded(
+        df, 20, 1, model="transe", dim=16, epochs=20, lr=0.15, seed=11,
+        n_partitions=2,
+    )
+    tbls = {
+        (r.tbl, r.idx): np.array(r.vec) for r in params.collect()
+    }
+    m = kge.KGE_MODELS["transe"](20, 1, 16, np.random.default_rng(0))
+    m.E = np.vstack([tbls[("E", i)] for i in range(20)])
+    m.R = np.vstack([tbls[("R", 0)]])
+    rng = np.random.default_rng(3)
+    neg = pos.copy()
+    neg[:, 2] = rng.integers(0, 20, len(neg))
+    keep = neg[:, 2] != pos[:, 2]
+    f_pos = m.f(pos[:, 0], pos[:, 1], pos[:, 2]).mean()
+    f_neg = m.f(neg[keep, 0], neg[keep, 1], neg[keep, 2]).mean()
+    assert f_pos < f_neg, (f_pos, f_neg)
+
+
+def test_kge_recommender_sharded_end_to_end(spark):
+    ratings = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        (F.col("o_orderkey") % 50).alias("item_id"),
+        (F.col("o_orderkey") % 5 + 1).cast("double").alias("rating"),
+    ).limit(800)
+    rec = kge.KGERecommender(
+        "transe", k=5, dim=16, epochs=2, trainer="sharded", n_partitions=4
+    ).train(ratings)
+    recs = rec.get_recommendations()
+    assert recs.columns == ["user_id", "item_id", "rank"]
+    assert recs.groupBy("user_id").count().agg(F.max("count")).collect()[0][0] <= 5
+    overlap = recs.join(
+        ratings.select(F.col("user_id").cast("string").alias("user_id"),
+                       F.col("item_id").cast("string").alias("item_id")),
+        ["user_id", "item_id"]).count()
+    assert overlap == 0
+
+
 def test_kge_recommender_partitioned_end_to_end(spark):
     ratings = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
         F.col("o_custkey").alias("user_id"),
