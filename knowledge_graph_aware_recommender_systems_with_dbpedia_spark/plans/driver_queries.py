@@ -9870,9 +9870,78 @@ _R10_WINDOW = [
     "rec_als_top5",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+
+# Round-11 window (VERDICT r10 item 6): fronts this round's birth
+# (st18), the seven queries whose implementation changed this round
+# (dq3/dq4 reconcile null-safe ops + broadcast split, st15/st16
+# cache-registry path, st14 compaction cleanup order, dd15/dp7 semdedup
+# default derivation), the three stochastic _band twins (re-sampled
+# every round), ALL 27 queries last sampled in r06 (closes the r06
+# tail — after this no query is older than r07 in driver-sample age),
+# and 12 of the 46 r07-aged queries as fill (dedup family fronted —
+# dd1/dd4/dd11 share machinery with this round's intra-drain work);
+# the remaining 34 r07-aged roll to the r12 window.
+_R11_WINDOW = [
+    # born this round — fronted at birth
+    "st18_intra_drain_dedup",
+    # impl changed this round
+    "dq3_merge_upsert",
+    "dq4_scd2_apply",
+    "st15_stream_curation_e2e",
+    "st16_curation_compaction",
+    "st14_index_staleness",
+    "dd15_semantic_dedup",
+    "dp7_semantic_pipeline",
+    # stochastic band twins (every round)
+    "rec_node2vec_band",
+    "rec_als_band",
+    "rec_kge_transe_band",
+    # last sampled r06 (all 27 — closes the r06 tail)
+    "a12_linreg_trend",
+    "a13_pivot_daily",
+    "a14_unpivot_melt",
+    "a17_ewma_daily",
+    "q2_min_cost_supplier",
+    "sp10_balanced_labels",
+    "ss3_quantize_embeddings",
+    "ss4_label_centroids",
+    "ss6_hard_negatives",
+    "ss7_mmr_rerank",
+    "ss9_incremental_index",
+    "st2_stream_sessionize_stateful",
+    "st3_stream_media_features",
+    "st7_stream_anomaly",
+    "st8_stream_stream_join",
+    "st9_stream_static_enrich",
+    "tx10_domain_quota",
+    "tx15_bigram_logprob",
+    "tx16_zipf_slope",
+    "tx17_tfidf_keywords",
+    "tx3_stratified_sample",
+    "tx4_scrub_pii",
+    "tx5_repetition_stats",
+    "tx6_unigram_logprob",
+    "tx7_lang_confusion",
+    "tx8_corpus_profile",
+    "tx9_mixture_weights",
+    # last sampled r07 (12 of 46; rest roll to r12)
+    "a1_group_concat",
+    "a2_o1_user_rating_lists",
+    "dd1_exact_dedup",
+    "dd11_incremental_dedup",
+    "dd4_minhash_lsh_pairs",
+    "di1_title_normalize",
+    "e2_map_at_5",
+    "ev4_asof_enrich",
+    "g4_kcore_user",
+    "q10_returned_items",
+    "sp4_temporal_user",
+    "tx14_weighted_sample",
+]
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R10_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)},
+    **{k: QUERIES[k] for k in _R11_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)},
 }
 
 ORACLES = {

@@ -219,3 +219,99 @@ def test_guard_disabled_explicitly(spark):
     df = spark.createDataFrame(rows, "user_id long, item_id long, rating double")
     got = IK.item_cosine_similarity(df, max_user_degree=None).collect()
     assert {(r.item_a, r.item_b) for r in got} == {(1, 2), (2, 1)}
+
+
+def test_itemknn_skew_stress_guard_and_aqe_at_sf01(spark):
+    """VERDICT r10 item 7: adversarial skew stress for the one
+    legitimate big-big sort-merge join in the registry (the co-rating
+    self-join on user_id) at sf0.1 with a synthetic power-law user.
+
+    (a) With the guard, the hub is excluded ENTIRELY: similarities
+        over hub-polluted ratings hash-equal the hub-free twin, and
+        the guarded join input's max key multiplicity <= cap — the
+        join key is user_id, so per-task pair work is bounded by
+        C(cap, 2) whatever the input distribution (the task-time
+        spread claim the docstring argues, now measured).
+    (b) With the guard explicitly disabled, the session's AQE
+        skew-join posture is the remaining backstop: the finalized
+        adaptive plan splits the hub's shuffle partition
+        (skew=true) and the inflated job still completes.
+    """
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.driver_queries import _ratings
+
+    ratings = _ratings(spark, "/root/testdata/sf0.1").select(
+        "user_id", "item_id", "rating"
+    )
+    hub_deg, cap = 3000, 64
+    hub = spark.range(hub_deg).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.col("id") + 1_000_000).alias("item_id"),
+        F.lit(1.0).alias("rating"),
+    )
+    rts = ratings.unionByName(hub)
+
+    def fingerprint(df):
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(  # pmod-bounded: summing raw 64-bit hashes overflows ANSI
+                F.pmod(
+                    F.xxhash64("item_a", "item_b", "n_common", F.round("sim", 9)),
+                    F.lit(2**31),
+                )
+            ).alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    with_hub = IK.item_cosine_similarity(rts, min_support=2, max_user_degree=cap)
+    hub_free = IK.item_cosine_similarity(
+        ratings, min_support=2, max_user_degree=cap
+    )
+    assert fingerprint(with_hub) == fingerprint(hub_free)
+    assert fingerprint(with_hub)[0] > 0
+    # the guard's join-input bound: max user multiplicity <= cap, so no
+    # join task can see more than C(cap,2) pairs for one key
+    deg = rts.groupBy("user_id").agg(F.count(F.lit(1)).alias("d"))
+    over = deg.filter(F.col("d") > cap)
+    capped = rts.join(over.select("user_id"), "user_id", "left_anti")
+    max_deg = capped.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert max_deg <= cap
+    assert {r.user_id for r in over.collect()} >= {-1}  # hub is over-cap
+    plan = with_hub._jdf.queryExecution().executedPlan().toString()
+    # (the hub branch's constant user_id=-1 lets Catalyst rewrite ITS
+    # anti-join as a LocalLimit-1 existence probe via a nested-loop
+    # node — a <=1-row build, not a pair blow-up — so only a true
+    # cartesian on the data-sized sides is a failure here)
+    assert "CartesianProduct" not in plan
+
+    # (b) guard off: AQE's skew split is the backstop for the hub key
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        unguarded = IK.item_cosine_similarity(
+            rts, min_support=1, max_user_degree=None
+        )
+        # hub pairs all have n_common=1 -> present at min_support=1:
+        # the join genuinely processed the C(hub_deg,2) blow-up
+        counted = unguarded.filter(
+            (F.col("item_a") >= 1_000_000) & (F.col("item_b") >= 1_000_000)
+        ).agg(F.count(F.lit(1)).alias("n"))
+        # .collect() (not .first(), which wraps a new limit query)
+        # executes THIS frame's QueryExecution, finalizing its plan
+        assert counted.collect()[0].n == hub_deg * (hub_deg - 1)  # both dirs
+        # read the finalized adaptive plan from the query that RAN
+        plan = counted._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert plan.count("skew=true") >= 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
