@@ -1851,6 +1851,39 @@ def rec_kge_transe_band(spark, sf_dir):
     )
 
 
+def rec_kge_sharded_top5(spark, sf_dir):
+    """M2 at the 100 TB shape: TransE through the fully SHARDED trainer
+    (operators/kge.train_kge_sharded — VERDICT r10 item 4: parameters
+    live as a DataFrame across epochs; each partition receives only its
+    touched rows via a cogrouped join, deltas fold back Spark-side, and
+    nothing parameter-sized ever funnels through the driver). Scoring
+    is the unchanged cosine top-5 contract. Rows-only on its own; the
+    semantic gate is :func:`rec_kge_sharded_band`."""
+    from ..operators.kge import KGERecommender
+
+    train, _ = SP.train_test(_user_split(spark, sf_dir))
+    rec = KGERecommender(
+        "transe", k=5, dim=16, epochs=3, seed=SEED,
+        trainer="sharded", n_partitions=8,
+    ).train(train.select("user_id", "item_id", "rating"))
+    return rec.get_recommendations(5).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("item_id").cast("bigint").alias("item_id"),
+        F.col("rank").cast("bigint").alias("rec_rank"),
+    )
+
+
+def rec_kge_sharded_band(spark, sf_dir):
+    """Band+contract check for the sharded-trainer TransE path
+    (measured 0.0014153 at sf0.01, identical across 8/32-thread runs —
+    the md5 partitions, per-(seed,epoch,partition) rngs, and
+    deterministic joins leave only the Spark-side delta-sum order as a
+    float jitter source; band set at the repo's x/÷2.5 convention)."""
+    return _stochastic_band_check(
+        spark, sf_dir, "kge_sharded", rec_kge_sharded_top5, 0.0005, 0.0036
+    )
+
+
 _FE_DIM = 4
 
 
@@ -9474,6 +9507,8 @@ QUERIES = {
     "rec_node2vec_band": rec_node2vec_band,
     "rec_als_band": rec_als_band,
     "rec_kge_transe_band": rec_kge_transe_band,
+    "rec_kge_sharded_top5": rec_kge_sharded_top5,
+    "rec_kge_sharded_band": rec_kge_sharded_band,
 }
 
 # Driver sampling window rotation (VERDICT r03 #5): the driver's
@@ -9871,19 +9906,20 @@ _R10_WINDOW = [
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 
-# Round-11 window (VERDICT r10 item 6): fronts this round's birth
-# (st18), the seven queries whose implementation changed this round
-# (dq3/dq4 reconcile null-safe ops + broadcast split, st15/st16
-# cache-registry path, st14 compaction cleanup order, dd15/dp7 semdedup
-# default derivation), the three stochastic _band twins (re-sampled
-# every round), ALL 27 queries last sampled in r06 (closes the r06
-# tail — after this no query is older than r07 in driver-sample age),
-# and 12 of the 46 r07-aged queries as fill (dedup family fronted —
-# dd1/dd4/dd11 share machinery with this round's intra-drain work);
-# the remaining 34 r07-aged roll to the r12 window.
+# Round-11 window (VERDICT r10 item 6): fronts this round's births
+# (st18 + the sharded-KGE band), the seven queries whose implementation
+# changed this round (dq3/dq4 reconcile null-safe ops + broadcast
+# split, st15/st16 cache-registry path, st14 compaction cleanup order,
+# dd15/dp7 semdedup default derivation), the three standing stochastic
+# _band twins (re-sampled every round), ALL 27 queries last sampled in
+# r06 (closes the r06 tail — after this no query is older than r07 in
+# driver-sample age), and 11 of the 46 r07-aged queries as fill (dedup
+# family fronted — dd1/dd4/dd11 share machinery with this round's
+# intra-drain work); the remaining 35 r07-aged roll to the r12 window.
 _R11_WINDOW = [
     # born this round — fronted at birth
     "st18_intra_drain_dedup",
+    "rec_kge_sharded_band",
     # impl changed this round
     "dq3_merge_upsert",
     "dq4_scd2_apply",
@@ -9936,7 +9972,6 @@ _R11_WINDOW = [
     "g4_kcore_user",
     "q10_returned_items",
     "sp4_temporal_user",
-    "tx14_weighted_sample",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
@@ -10154,6 +10189,7 @@ ORACLES = {
     "rec_node2vec_band": _BAND_SQL.format(m="node2vec"),
     "rec_als_band": _BAND_SQL.format(m="als"),
     "rec_kge_transe_band": _BAND_SQL.format(m="kge_transe"),
+    "rec_kge_sharded_band": _BAND_SQL.format(m="kge_sharded"),
 }
 
 
