@@ -28,6 +28,10 @@ SKIP = {
     "rec_node2vec_band",
     "rec_als_band",
     "rec_kge_transe_band",
+    # sharded trainer: epoch-wise localCheckpoints sever the lineage,
+    # so the final plan is opaque to the linter anyway (and it trains)
+    "rec_kge_sharded_top5",
+    "rec_kge_sharded_band",
 }
 ALLOWED = {
     "a8_max_degree": 1,        # final 1-row max

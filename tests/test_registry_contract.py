@@ -26,6 +26,7 @@ TABLES = (
 EXPECTED_ROWS_ONLY = {
     "rec_node2vec_top5",
     "rec_kge_transe_top5",
+    "rec_kge_sharded_top5",
     "rec_als_top5",
 }
 
@@ -56,10 +57,12 @@ def test_query_callables_take_spark_and_sf_dir():
 EAGER_TRAINERS = {
     "rec_node2vec_top5",
     "rec_kge_transe_top5",
+    "rec_kge_sharded_top5",
     "rec_als_top5",
     "rec_node2vec_band",
     "rec_als_band",
     "rec_kge_transe_band",
+    "rec_kge_sharded_band",
 }
 
 
