@@ -55,6 +55,7 @@ REPRESENTATIVE = [
     "ev22_seasonal_anomalies",   # median/MAD seasonal profile
     "ss14_ivf_pq_topk",          # IVF-pruned ADC scoring
     "dd15_semantic_dedup",       # within-cell pair search + components
+    "st18_intra_drain_dedup",    # drain + greedy state dedup (r11)
 ]
 
 
