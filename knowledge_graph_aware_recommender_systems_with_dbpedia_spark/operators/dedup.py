@@ -818,9 +818,35 @@ def dedup_against_corpus(
     return new_docs.join(flagged, id_col, "left_anti")
 
 
+def dedup_state_rows(
+    docs: DataFrame,
+    bands: int = 4,
+    n_hashes: int = N_HASHES,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Band buckets AND shingles of ``docs`` as ONE frame — the
+    per-batch dedup-state layout :func:`greedy_state_dedup_drops`
+    consumes: (id, band, bkey, shingle), band rows with NULL shingle
+    and shingle rows with NULL band/bkey. One frame means the
+    streaming drain pays ONE state write job per micro-batch instead
+    of two (the write count, not the data volume, dominates at batch
+    sizes)."""
+    bb = band_buckets(docs, bands, n_hashes, n, id_col, text_col).select(
+        "id", "band", "bkey", F.lit(None).cast("string").alias("shingle")
+    )
+    sh = doc_shingles(docs, id_col, text_col, n).select(
+        "id",
+        F.lit(None).cast("int").alias("band"),
+        F.lit(None).cast("string").alias("bkey"),
+        "shingle",
+    )
+    return bb.unionByName(sh)
+
+
 def greedy_state_dedup_drops(
-    state_bands: DataFrame,
-    state_shingles: DataFrame,
+    state: DataFrame,
     batch_id: int,
     verify_threshold: float = 0.5,
     batch_col: str = "batch",
@@ -829,14 +855,15 @@ def greedy_state_dedup_drops(
     """Drop set for one micro-batch of a GREEDY first-seen dedup over
     an accumulating per-batch state (the intra-drain new-vs-new stage
     of streaming/curation.curate_batch — VERDICT r10 item 1): given
-    band buckets (id, band, bkey, batch) and shingles (id, shingle,
-    batch) of every doc seen so far INCLUDING batch ``batch_id``,
-    return the ids of batch docs that have a VERIFIED near-dup with a
-    smaller id anywhere in the state. With ids monotone in arrival
-    order this equals the global "no smaller-id verified neighbor"
-    rule, which is invariant under re-slicing the stream (the curation
-    module documents the contract; the one band equi-join covers
-    within-batch and cross-batch pairs identically).
+    the :func:`dedup_state_rows` layout (band rows + shingle rows,
+    each tagged with the batch that wrote them) of every doc seen so
+    far INCLUDING batch ``batch_id``, return the ids of batch docs
+    that have a VERIFIED near-dup with a smaller id anywhere in the
+    state. With ids monotone in arrival order this equals the global
+    "no smaller-id verified neighbor" rule, which is invariant under
+    re-slicing the stream (the curation module documents the
+    contract; the one band equi-join covers within-batch and
+    cross-batch pairs identically).
 
     Both sides read the already-materialized state (the caller wrote
     this batch's partition first), so nothing re-shingles or
@@ -848,6 +875,8 @@ def greedy_state_dedup_drops(
 
     Returns a one-column DataFrame (``id``) of batch docs to drop.
     """
+    state_bands = state.filter(F.col("bkey").isNotNull())
+    state_shingles = state.filter(F.col("shingle").isNotNull())
     nb = state_bands.filter(F.col(batch_col) == int(batch_id)).select(
         F.col("id").alias("new_id"), "band", "bkey"
     )

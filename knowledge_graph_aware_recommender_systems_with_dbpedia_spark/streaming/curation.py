@@ -38,10 +38,9 @@ from pyspark.sql import functions as F
 
 from ..functions.text import quality_score
 from ..operators.dedup import (
-    band_buckets,
     build_corpus_dedup_index,
     dedup_against_corpus,
-    doc_shingles,
+    dedup_state_rows,
     greedy_state_dedup_drops,
 )
 from ..operators.expectations import Check
@@ -231,7 +230,7 @@ def curate_batch(
     an OVERWRITE of a batch-id-deterministic partition (metric rows in
     ``metrics_dir/batch_id=N``, index rows in
     ``corpus_delta/batch=N``, intra-drain dedup state in
-    ``drain_state_dir/{bands,shingles}/batch=N``), so re-running the
+    ``drain_state_dir/state/batch=N``), so re-running the
     SAME (batch, batch_id) replaces its own output bit-for-bit instead
     of appending a duplicate copy.
 
@@ -286,30 +285,23 @@ def curate_batch(
         # Per-trigger cost is batch-vs-drain, never corpus-sized.
         if drain_state_dir is not None:
             spark = batch.sparkSession
-            # the corpus-surviving frame is consumed four times below
-            # (two state writes, the new-side of the band join, the
+            # the corpus-surviving frame is consumed three times below
+            # (the state write, the new-side of the band join, the
             # final delta write) and its lineage embeds the whole
             # batch-vs-corpus dedup join — persist it through the
             # batch registry or every consumer replays that join
             survivors = survivors.persist()
             batch_caches.append(survivors)
-            band_buckets(
+            dedup_state_rows(
                 survivors, bands, n_hashes, n, id_col, text_col
             ).write.mode("overwrite").parquet(
-                f"{drain_state_dir}/bands/batch={int(batch_id)}"
+                f"{drain_state_dir}/state/batch={int(batch_id)}"
             )
-            doc_shingles(survivors, id_col, text_col, n).write.mode(
-                "overwrite"
-            ).parquet(f"{drain_state_dir}/shingles/batch={int(batch_id)}")
-            seen_bands = spark.read.parquet(
-                f"{drain_state_dir}/bands"
-            ).filter(F.col("batch") <= int(batch_id))
-            seen_shingles = spark.read.parquet(
-                f"{drain_state_dir}/shingles"
-            ).filter(F.col("batch") <= int(batch_id))
+            seen = spark.read.parquet(f"{drain_state_dir}/state").filter(
+                F.col("batch") <= int(batch_id)
+            )
             nn_drops = greedy_state_dedup_drops(
-                seen_bands,
-                seen_shingles,
+                seen,
                 batch_id,
                 verify_threshold=verify_threshold,
                 cache_registry=batch_caches,
