@@ -262,6 +262,80 @@ def test_sharded_training_separates_pos_from_neg(spark):
     assert f_pos < f_neg, (f_pos, f_neg)
 
 
+@pytest.mark.parametrize("model", ["transe", "transh", "transr", "rotate", "tucker"])
+def test_distributed_params_init_layout_matches_numpy_init(spark, model):
+    """distributed_params_init must emit exactly the (tbl, idx, |vec|)
+    inventory params_to_df derives from the numpy init — same tables,
+    same row counts, same flattened row widths — so the sharded
+    trainer consumes either interchangeably."""
+    p = kge.distributed_params_init(spark, model, n_ent=7, n_rel=3, dim=4, seed=5)
+    ref = kge.params_to_df(
+        spark, kge.KGE_MODELS[model](7, 3, 4, np.random.default_rng(5))
+    )
+    a = {(r.tbl, r.idx): len(r.vec) for r in p.collect()}
+    b = {(r.tbl, r.idx): len(r.vec) for r in ref.collect()}
+    assert a == b
+
+
+def test_distributed_params_init_distributions(spark):
+    """Per-table init semantics: vectors within U(-s,s), TransR M =
+    I + U(-0.01,0.01), TransH W rows unit-norm, RotatE theta within
+    [-pi, pi]."""
+    dim, s = 4, 6.0 / np.sqrt(4)
+    p = {
+        (r.tbl, r.idx): np.array(r.vec)
+        for r in kge.distributed_params_init(
+            spark, "transr", 5, 2, dim, seed=7
+        ).collect()
+    }
+    E = np.vstack([p[("E", i)] for i in range(5)])
+    assert (np.abs(E) <= s).all() and E.std() > 0
+    M = p[("M", 0)].reshape(dim, dim)
+    assert np.allclose(np.diag(M), 1.0, atol=0.01)
+    off = M[~np.eye(dim, dtype=bool)]
+    assert (np.abs(off) <= 0.01).all()
+    ph = {
+        (r.tbl, r.idx): np.array(r.vec)
+        for r in kge.distributed_params_init(
+            spark, "transh", 5, 2, dim, seed=7
+        ).collect()
+    }
+    for i in range(2):
+        assert abs(np.linalg.norm(ph[("W", i)]) - 1.0) < 1e-9
+    pr = {
+        (r.tbl, r.idx): np.array(r.vec)
+        for r in kge.distributed_params_init(
+            spark, "rotate", 5, 2, dim, seed=7
+        ).collect()
+    }
+    th = pr[("theta", 0)]
+    assert (np.abs(th) <= np.pi).all()
+    assert ("E:re", 0) in pr and ("E:im", 0) in pr
+
+
+def test_sharded_training_from_distributed_init_learns(spark):
+    """End-to-end driver-free path: cluster-generated init feeds the
+    sharded trainer via params_init and still learns the chain — at
+    no point does a parameter table exist on the driver."""
+    df, pos = _chain_df(spark)
+    init = kge.distributed_params_init(spark, "transe", 20, 1, 16, seed=11)
+    params = kge.train_kge_sharded(
+        df, 20, 1, model="transe", dim=16, epochs=20, lr=0.15, seed=11,
+        n_partitions=2, params_init=init,
+    )
+    tbls = {(r.tbl, r.idx): np.array(r.vec) for r in params.collect()}
+    m = kge.KGE_MODELS["transe"](20, 1, 16, np.random.default_rng(0))
+    m.E = np.vstack([tbls[("E", i)] for i in range(20)])
+    m.R = np.vstack([tbls[("R", 0)]])
+    rng = np.random.default_rng(3)
+    neg = pos.copy()
+    neg[:, 2] = rng.integers(0, 20, len(neg))
+    keep = neg[:, 2] != pos[:, 2]
+    f_pos = m.f(pos[:, 0], pos[:, 1], pos[:, 2]).mean()
+    f_neg = m.f(neg[keep, 0], neg[keep, 1], neg[keep, 2]).mean()
+    assert f_pos < f_neg, (f_pos, f_neg)
+
+
 def test_kge_recommender_sharded_end_to_end(spark):
     ratings = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
         F.col("o_custkey").alias("user_id"),
