@@ -997,6 +997,72 @@ def test_intra_drain_new_vs_new_dedup_batching_invariant(spark, tmp_path):
     assert echo_ids & {i for i, _ in raw}  # without 2b the echoes land
 
 
+def test_intra_drain_state_extends_across_successive_drains(spark, tmp_path):
+    """Successive drains sharing a checkpoint: the corpus dedup state
+    is rebuilt per drain from the STATIC corpus frame, so a doc
+    ingested by drain 1 is invisible to drain 2's corpus check — but
+    the intra-drain state accumulates under the checkpoint (batch ids
+    continue across drains), so drain 2's near-dups of drain-1
+    SURVIVORS are still dropped. Pins the cross-drain continuity that
+    makes intra_drain_dedup=True the complete daily-crawl semantics."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions.text import quality_score
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import similarity as SIM
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import curation as SC
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    donor_id = (
+        new.filter(quality_score(F.col("text")) >= 0.68)
+        .agg(F.min("doc_id"))
+        .first()[0]
+    )
+    donor_text = docs.filter(F.col("doc_id") == donor_id).first().text
+    # the echo id must HAVE an embedding (else it would be absent from
+    # the index whatever the dedup did, and the assertion would pass
+    # vacuously): donor_id+1 is embedded at every SF and larger than
+    # the donor, so the greedy smaller-id rule applies
+    echo_id = donor_id + 1
+    assert emb.filter(F.col("vec_id") == echo_id).count() == 1
+    idx = str(tmp_path / "idx") + "/ivf"
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=4)
+
+    def drain(feed_df, subdir):
+        feed_df.coalesce(1).write.parquet(f"{in_dir}/{subdir}")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{in_dir}/*/*.parquet")
+        )
+        SC.run_curation_drain(
+            stream, corpus, idx, str(tmp_path / "m"), ck, emb,
+            quality_threshold=0.68, compact_if_due=False,
+            intra_drain_dedup=True,
+        )
+
+    drain(new, "d1")  # drain 1: the donor survives and is indexed
+    indexed1 = {
+        r.id for r in spark.read.parquet(idx + "/corpus_delta").select("id").collect()
+    }
+    assert donor_id in indexed1
+    # drain 2: ONE new doc — an exact copy of the drain-1 donor under
+    # a fresh id. The static corpus check cannot see the donor (it is
+    # not in `corpus`), so only the accumulated drain state drops it.
+    echo = spark.createDataFrame(
+        [(int(echo_id), donor_text)], "doc_id bigint, text string"
+    )
+    drain(echo, "d2")
+    indexed2 = {
+        r.id for r in spark.read.parquet(idx + "/corpus_delta").select("id").collect()
+    }
+    assert echo_id not in indexed2  # dropped against drain-1's survivor
+    assert indexed2 == indexed1  # drain 2 added nothing else either
+
+
 def test_curation_pipeline_stream_requires_corpus_state(spark, tmp_path):
     """ADVICE r10: the corpus_state=None path persisted two DataFrames
     and returned only the StreamingQuery — the caller had no handle to
