@@ -845,6 +845,66 @@ def dedup_state_rows(
     return bb.unionByName(sh)
 
 
+def recover_dedup_state_compaction(state_dir: str) -> None:
+    """Roll a crashed :func:`compact_dedup_state` forward — the same
+    single-writer state machine as similarity.recover_ivf_compaction
+    (and the same deletion-order lesson: there is exactly one marker
+    dir to retire, deleted last)."""
+    import os
+    import shutil
+
+    live, old, new = (
+        f"{state_dir}/state",
+        f"{state_dir}/state_old",
+        f"{state_dir}/state_new",
+    )
+    if os.path.exists(old):
+        if not os.path.exists(live):
+            shutil.move(new, live)  # committed fold — promote it
+        shutil.rmtree(old)
+    elif os.path.exists(new):
+        shutil.rmtree(new)  # uncommitted (possibly partial) stage
+
+
+def compact_dedup_state(spark, state_dir: str) -> bool:
+    """Fold every per-batch dedup-state partition into ONE base
+    partition (``batch=-1``) — the small-files control for the
+    intra-drain dedup state (each micro-batch writes its own dir, so
+    a long-lived checkpoint accumulates one small parquet dir per
+    batch forever; every later batch then lists and reads them all).
+    Folding preserves :func:`greedy_state_dedup_drops` semantics
+    exactly: the drop rule compares IDS (seen_id < new_id), and the
+    batch column only selects the CURRENT batch as the new side —
+    base rows at batch=-1 stay on the seen side of every future
+    batch's ``batch <= N`` read. Run between drains (the drain is the
+    single writer; :func:`~..streaming.curation.run_curation_drain`
+    fires it after the stream completes).
+
+    Crash-safe rename-aside: stage to ``state_new``, swap via
+    ``state`` → ``state_old`` → promote, delete the marker LAST; a
+    crash anywhere leaves a state :func:`recover_dedup_state_compaction`
+    rolls forward. Returns True iff a fold happened."""
+    import os
+    import shutil
+
+    recover_dedup_state_compaction(state_dir)
+    live = f"{state_dir}/state"
+    if not os.path.exists(live):
+        return False
+    df = spark.read.parquet(live)
+    if not [f for f in df.schema.fields if f.name == "batch"]:
+        return False
+    if df.select("batch").filter(F.col("batch") != -1).limit(1).count() == 0:
+        return False  # already a lone base partition
+    df.drop("batch").write.mode("overwrite").parquet(
+        f"{state_dir}/state_new/batch=-1"
+    )
+    shutil.move(live, f"{state_dir}/state_old")
+    shutil.move(f"{state_dir}/state_new", live)
+    shutil.rmtree(f"{state_dir}/state_old")
+    return True
+
+
 def greedy_state_dedup_drops(
     state: DataFrame,
     batch_id: int,

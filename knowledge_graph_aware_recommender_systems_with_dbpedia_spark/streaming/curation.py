@@ -176,9 +176,16 @@ def run_curation_drain(
     state = (buckets.persist(), shingles.persist())
     import os
 
+    from ..operators.dedup import compact_dedup_state, recover_dedup_state_compaction
+
     drain_state_dir = (
         os.path.join(checkpoint_dir, "drain_state") if intra_drain_dedup else None
     )
+    if drain_state_dir is not None:
+        # same single-writer recovery duty as the IVF swap above: a
+        # state compaction that died mid-swap on the previous drain
+        # rolls forward before any batch reads the state
+        recover_dedup_state_compaction(drain_state_dir)
     try:
         curation_pipeline_stream(
             docs_stream, corpus, index_path, metrics_dir, checkpoint_dir,
@@ -189,6 +196,11 @@ def run_curation_drain(
     finally:
         buckets.unpersist()
         shingles.unpersist()
+    if drain_state_dir is not None:
+        # fold this drain's per-batch state dirs into the single base
+        # partition (small-files control — semantics preserved, see
+        # operators/dedup.compact_dedup_state)
+        compact_dedup_state(spark, drain_state_dir)
     if not compact_if_due:
         return False
     due = (

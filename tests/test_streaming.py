@@ -997,6 +997,75 @@ def test_intra_drain_new_vs_new_dedup_batching_invariant(spark, tmp_path):
     assert echo_ids & {i for i, _ in raw}  # without 2b the echoes land
 
 
+def test_compact_dedup_state_folds_and_recovers(spark, tmp_path):
+    """Drain-state small-files control: per-batch state dirs fold into
+    one batch=-1 base with the row multiset unchanged; every crash
+    window of the rename-aside swap rolls forward; re-compacting a
+    lone base is a no-op. (The cross-drain continuity test proves the
+    fold preserves dedup SEMANTICS — drain 2 still drops an echo of a
+    drain-1 survivor after drain 1's state was compacted.)"""
+    import shutil
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import dedup as DD
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(40)
+    sd = str(tmp_path / "ds")
+
+    def build():
+        shutil.rmtree(sd, ignore_errors=True)
+        for b, pred in ((0, F.col("doc_id") % 2 == 0), (1, F.col("doc_id") % 2 == 1)):
+            DD.dedup_state_rows(docs.filter(pred)).write.parquet(
+                f"{sd}/state/batch={b}"
+            )
+        return {
+            tuple(r)
+            for r in spark.read.parquet(sd + "/state").drop("batch").collect()
+        }
+
+    want = build()
+    assert DD.compact_dedup_state(spark, sd)
+    got = spark.read.parquet(sd + "/state")
+    assert {r.batch for r in got.select("batch").distinct().collect()} == {-1}
+    assert {tuple(r) for r in got.drop("batch").collect()} == want
+    assert not DD.compact_dedup_state(spark, sd)  # lone base: no-op
+
+    # crash A: staged, no rename yet — live untouched, stage discarded
+    build()
+    spark.read.parquet(sd + "/state").drop("batch").write.parquet(
+        f"{sd}/state_new/batch=-1"
+    )
+    DD.recover_dedup_state_compaction(sd)
+    assert not os.path.exists(sd + "/state_new")
+    assert {
+        tuple(r) for r in spark.read.parquet(sd + "/state").drop("batch").collect()
+    } == want
+
+    # crash B: between renames — committed fold promoted forward
+    build()
+    spark.read.parquet(sd + "/state").drop("batch").write.parquet(
+        f"{sd}/state_new/batch=-1"
+    )
+    shutil.move(sd + "/state", sd + "/state_old")
+    DD.recover_dedup_state_compaction(sd)
+    assert not os.path.exists(sd + "/state_old")
+    got = spark.read.parquet(sd + "/state")
+    assert {tuple(r) for r in got.drop("batch").collect()} == want
+
+    # crash C: after promote, marker left — retired
+    build()
+    spark.read.parquet(sd + "/state").drop("batch").write.parquet(
+        f"{sd}/state_new/batch=-1"
+    )
+    shutil.move(sd + "/state", sd + "/state_old")
+    shutil.move(sd + "/state_new", sd + "/state")
+    DD.recover_dedup_state_compaction(sd)
+    assert not os.path.exists(sd + "/state_old")
+    assert {
+        tuple(r) for r in spark.read.parquet(sd + "/state").drop("batch").collect()
+    } == want
+
+
 def test_intra_drain_state_extends_across_successive_drains(spark, tmp_path):
     """Successive drains sharing a checkpoint: the corpus dedup state
     is rebuilt per drain from the STATIC corpus frame, so a doc
