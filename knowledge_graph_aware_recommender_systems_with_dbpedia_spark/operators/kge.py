@@ -746,39 +746,42 @@ def distributed_params_init(
     else:  # pragma: no cover — KGE_MODELS lookup already raised
         raise ValueError(model)
 
+    def make_element(_name, _low, _high, _post, _pr):
+        def element(p):
+            u = F.pmod(
+                md5_long(
+                    F.concat_ws(
+                        ":", F.lit(int(seed)), F.lit(_name),
+                        F.col("idx").cast("string"), p.cast("string"),
+                    )
+                ),
+                F.lit(MINHASH_PRIME),
+            ).cast("double") / F.lit(float(MINHASH_PRIME))
+            val = F.lit(float(_low)) + F.lit(float(_high - _low)) * u
+            if _post == "identity":
+                # flattened row-major dim x dim: diagonal at p = k*(dim+1)
+                val = val + F.when(
+                    F.pmod(p, F.lit(int(_math.isqrt(_pr)) + 1)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0))
+            return val
+
+        return element
+
     out = None
     for name, n_rows, per_row, low, high, post in specs:
-        u = F.pmod(
-            md5_long(
-                F.concat_ws(
-                    ":", F.lit(int(seed)), F.lit(name),
-                    F.col("idx").cast("string"), F.col("p").cast("string"),
-                )
-            ),
-            F.lit(MINHASH_PRIME),
-        ).cast("double") / F.lit(float(MINHASH_PRIME))
-        val = F.lit(float(low)) + (F.lit(float(high - low))) * u
-        if post == "identity":
-            # flattened row-major dim x dim: diagonal at p = k*(dim+1)
-            val = val + F.when(
-                F.pmod(F.col("p"), F.lit(int(_math.isqrt(per_row)) + 1)) == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(0.0))
+
+        # one map-side projection per table — no explode, no shuffle
         t = (
             spark.range(n_rows)
             .select(F.col("id").alias("idx"))
             .select(
                 F.lit(name).alias("tbl"),
                 "idx",
-                F.explode(F.sequence(F.lit(0), F.lit(per_row - 1))).alias("p"),
-            )
-            .select("tbl", "idx", "p", val.alias("v"))
-            .groupBy("tbl", "idx")
-            .agg(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "v"))),
-                    lambda x: x["v"],
-                ).alias("vec")
+                    F.sequence(F.lit(0), F.lit(per_row - 1)),
+                    make_element(name, low, high, post, per_row),
+                ).alias("vec"),
             )
         )
         if post == "l2norm":
