@@ -56,6 +56,10 @@ def _kge(kind: str):
             scoring=p.get("scoring", "exact"),
             n_negatives=p.get("n_negatives", 1),
             adversarial_alpha=p.get("adversarial_alpha"),
+            # reference configs never set these (driver = the pykeen-
+            # parity stage); the scale trainers opt in via YAML
+            trainer=p.get("trainer", "driver"),
+            n_partitions=p.get("n_partitions", 8),
         )
 
     return make

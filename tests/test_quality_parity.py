@@ -143,3 +143,25 @@ def test_committed_transe_run_in_band_and_walltime():
     assert res["map5_in_band"] and res["ndcg5_in_band"], res
     assert res["ref_map5_band"][0] <= res["map5_mean"] <= res["ref_map5_band"][1]
     assert res["sec_per_fold"] > 0
+
+
+def test_committed_sharded_transe_run_in_band():
+    """r11: the fully SHARDED trainer (DataFrame-resident parameters,
+    per-partition local negative sampling — kge.train_kge_sharded)
+    through the SAME published TransE acceptance band: the distributed
+    execution compromises (touched-row shipping, delta averaging,
+    local negatives) must not cost measurable quality. Committed
+    5-fold result: MAP@5 0.005667 / nDCG@5 0.009941, both inside the
+    reference's ±2σ; 47.1 s/fold on CPU (the driver-parity trainer
+    remains the throughput figure — this is the scale path)."""
+    path = os.path.join(
+        os.path.dirname(__file__), "goldens",
+        "quality_parity_transe_sharded_r11.json",
+    )
+    with open(path) as fh:
+        res = json.load(fh)
+    assert res["trainer"] == "sharded"
+    assert res["map5_in_band"] and res["ndcg5_in_band"], res
+    assert res["ref_map5_band"][0] <= res["map5_mean"] <= res["ref_map5_band"][1]
+    assert res["ref_ndcg5_band"][0] <= res["ndcg5_mean"] <= res["ref_ndcg5_band"][1]
+    assert len(res["map5_folds"]) == 5
