@@ -1035,6 +1035,105 @@ def containment_pairs(
     ).filter(F.col("containment") >= threshold)
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 20,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    'Winnowing: Local Algorithms for Document Fingerprinting',
+    SIGMOD'03 — the MOSS algorithm): hash every character ``k``-gram,
+    slide a window of ``w`` consecutive hashes, keep each window's
+    minimum (rightmost on ties). Guarantees every shared substring of
+    length >= k + w - 1 contributes at least one shared fingerprint,
+    while storing only ~2/(w+1) of the k-gram hashes — the classic
+    position-robust alternative to fixed-stride sampling for
+    plagiarism / boilerplate / near-dup span detection.
+
+    Returns distinct ``(id, h, pos)`` selected fingerprints.
+
+    Spark shape: one projection explodes the per-position k-gram
+    hashes (map-side, no shuffle), ONE shuffle partitions by doc for
+    the sliding ``min(struct(h, -pos))`` window — the struct min gives
+    the rightmost-tie rule for free — and window starts are limited to
+    full windows (a doc shorter than w hashes keeps its global min).
+    Everything is per-doc bounded: no step ever sees more rows than
+    the doc has characters, so the operator is embarrassingly parallel
+    at 100 TB. The hash is the engine-portable md5_long so the DuckDB
+    oracle replays selection bit-identically.
+    """
+    s = docs.select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("s"))
+    count = F.greatest(F.length("s") - F.lit(k - 1), F.lit(0))
+    # explode positions first, then hash in a second projection so the
+    # md5 runs exactly once per gram (an inlined transform-lambda would
+    # re-evaluate the tokenizer per element — see ngrams_from_tokens).
+    # Spark's sequence(1, stop) DESCENDS when stop < 1, so a doc
+    # shorter than k needs the explicit empty-array branch.
+    positions = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = s.select("id", F.explode(positions).alias("pos"), "s").select(
+        "id", "pos", md5_long(F.expr(f"substring(s, pos, {k})")).alias("h")
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("id").orderBy("pos")
+    sel_w = wd.rowsBetween(Window.currentRow, w - 1)
+    n_w = wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    picked = (
+        grams.withColumn("_m", F.count(F.lit(1)).over(n_w))
+        .withColumn(
+            "_sel", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("npos"))).over(sel_w)
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("_m") - F.lit(w - 1), F.lit(1)))
+        .select(
+            "id",
+            F.col("_sel.h").alias("h"),
+            (-F.col("_sel.npos")).cast("bigint").alias("pos"),
+        )
+        .distinct()
+    )
+    return picked
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 20,
+    w: int = 8,
+    min_shared: int = 2,
+    max_fp_df: int | None = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fingerprint-overlap candidate pairs from :func:`winnow_fingerprints`:
+    ``(doc_a, doc_b, n_shared)`` where the docs share >= ``min_shared``
+    distinct selected fingerprint hashes — MOSS's match report.
+
+    Scale shape: an inverted-index equi self-join on the fingerprint
+    hash (cost = sum df^2 over fingerprints, never all-pairs), with
+    ``max_fp_df`` dropping fingerprints carried by more than that many
+    docs BEFORE the join — boilerplate spans every doc shares carry no
+    pair signal but would otherwise dominate the join fan-out (the
+    same hot-key guard as ngram_jaccard_pairs' max_shingle_df)."""
+    fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    by_hash = fp.select("id", "h").distinct()
+    if max_fp_df is not None:
+        dfc = by_hash.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        by_hash = by_hash.join(
+            dfc.filter(F.col("_df") <= max_fp_df).select("h"), "h"
+        )
+    return (
+        by_hash.alias("a")
+        .join(by_hash.alias("b"), "h")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def _semdedup_default_cells(n: int) -> int:
     """Corpus-derived default cell count for :func:`semdedup`:
     ``max(8, ceil(sqrt(n)))``. The within-cell pair search costs

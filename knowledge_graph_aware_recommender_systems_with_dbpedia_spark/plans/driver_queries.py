@@ -2415,6 +2415,50 @@ FROM comp
 """
 
 
+def dd16_winnowing(spark, sf_dir):
+    """Winnowing fingerprint match report (dedup.winnow_pairs —
+    Schleimer et al., SIGMOD'03 / MOSS): char-20-gram md5 hashes,
+    window-8 minimum selection with the rightmost-tie rule, then the
+    fingerprint-overlap pair report (>= 2 shared fingerprints, hot
+    fingerprints carried by > 50 docs dropped before the join).
+    Position-robust span detection: any shared substring of length
+    >= 27 chars is guaranteed a shared fingerprint while only ~2/9 of
+    the grams are stored — the sampling-based third leg of the exact-
+    substring stack next to dd13's full span report and dd14's
+    containment. Oracle replays gram hashing, the window-min selection
+    (struct min), the df guard, and the pair aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.winnow_pairs(
+        docs, k=20, w=8, min_shared=2, max_fp_df=50
+    ).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "n_shared",
+    )
+
+
+DD16_SQL = """
+WITH s AS (SELECT doc_id AS id, lower(text) AS s FROM documents),
+g AS (SELECT id, CAST(i AS BIGINT) AS pos,
+        CAST(('0x' || substring(md5(substr(s, CAST(i AS INT), 20)), 1, 15)) AS BIGINT) AS h
+      FROM s, unnest(range(1, greatest(length(s) - 19, 0) + 1)) AS t(i)),
+win AS (SELECT id, pos AS start,
+          count(*) OVER (PARTITION BY id) AS m,
+          min(struct_pack(h := h, npos := -pos)) OVER (
+            PARTITION BY id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
+        FROM g),
+fp AS (SELECT DISTINCT id, sel.h AS h FROM win
+       WHERE start <= greatest(m - 7, 1)),
+kept AS (SELECT id, h FROM fp
+         WHERE h IN (SELECT h FROM fp GROUP BY h HAVING count(*) <= 50))
+SELECT CAST(a.id AS BIGINT) AS doc_a, CAST(b.id AS BIGINT) AS doc_b,
+       count(*) AS n_shared
+FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def dd10_canonical_keep(spark, sf_dir):
     """Cluster-canonical dedup: LSH pairs -> connected components ->
     keep the best-quality doc per cluster (dedup.cluster_keepers).
@@ -9449,6 +9493,7 @@ QUERIES = {
     "q22_dormant_customers": q22_dormant_customers,
     "dd14_containment": dd14_containment,
     "dd15_semantic_dedup": dd15_semantic_dedup,
+    "dd16_winnowing": dd16_winnowing,
     "tx17_tfidf_keywords": tx17_tfidf_keywords,
     "ss7_mmr_rerank": ss7_mmr_rerank,
     "ev16_rfm_segments": ev16_rfm_segments,
@@ -9920,6 +9965,7 @@ _R11_WINDOW = [
     # born this round — fronted at birth
     "st18_intra_drain_dedup",
     "rec_kge_sharded_band",
+    "dd16_winnowing",
     # impl changed this round
     "dq3_merge_upsert",
     "dq4_scd2_apply",
@@ -9971,7 +10017,6 @@ _R11_WINDOW = [
     "ev4_asof_enrich",
     "g4_kcore_user",
     "q10_returned_items",
-    "sp4_temporal_user",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
@@ -10134,6 +10179,7 @@ ORACLES = {
     "q21_waiting_supplier": Q21_SQL,
     "q22_dormant_customers": Q22_SQL,
     "dd14_containment": DD14_SQL,
+    "dd16_winnowing": DD16_SQL,
     "dd15_semantic_dedup": DD15_SQL,
     "tx17_tfidf_keywords": TX17_SQL,
     "ss7_mmr_rerank": SS7_SQL,

@@ -1203,3 +1203,75 @@ def test_semdedup_hand_computed_component(spark):
     assert got[5] == (1, False)
     # the orthogonal vector is below threshold to everything
     assert got[9] == (9, True)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing's core guarantee (Schleimer et al. SIGMOD'03): any
+    substring shared between two docs of length >= k + w - 1 yields at
+    least one SHARED selected fingerprint, at ~2/(w+1) storage. The
+    shared span here sits at DIFFERENT offsets in each doc — the
+    position-robustness fixed-stride sampling lacks."""
+    shared = "xqzjvkwpfyghmbtrlcdn"  # 20 chars >= k + w - 1 = 11
+    d1 = "aaaa bbbb cccc " + shared + " dddd eeee"
+    d2 = "totally other prefix words here " + shared
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    fp = DD.winnow_fingerprints(docs, k=8, w=4)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, set()).add(r.h)
+    assert by_doc[1] & by_doc[2], "shared span must share a fingerprint"
+    # density: selected distinct positions well below total gram count
+    n_grams_1 = len(d1) - 7
+    sel_1 = len([r for r in rows if r.id == 1])
+    assert sel_1 < n_grams_1
+    assert sel_1 >= 2 * n_grams_1 // (4 + 1) // 2  # loose lower sanity
+
+
+def test_winnowing_short_doc_fallback(spark):
+    """A doc with fewer than w grams keeps its single global min
+    (window start clamps to 1); a doc shorter than k selects nothing."""
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc")], "doc_id long, text string"
+    )
+    fp = DD.winnow_fingerprints(docs, k=8, w=4).collect()
+    assert len([r for r in fp if r.id == 1]) == 1  # 3 grams < w -> 1 pick
+    assert len([r for r in fp if r.id == 2]) == 0  # shorter than k
+
+
+def test_winnowing_rightmost_tie_rule(spark):
+    """Equal hashes inside one window resolve to the RIGHTMOST
+    position (min over struct(h, -pos)) — the MOSS convention. A text
+    of one repeated character makes every gram hash identical, so the
+    selected positions are exactly the last window slot(s)."""
+    docs = spark.createDataFrame([(1, "a" * 15)], "doc_id long, text string")
+    fp = DD.winnow_fingerprints(docs, k=8, w=4).collect()
+    # 8 grams, 5 valid window starts (pos 1..5), all hashes equal ->
+    # each window picks its rightmost slot: start p picks pos p+3
+    assert sorted(r.pos for r in fp) == [4, 5, 6, 7, 8]
+    assert len({r.h for r in fp}) == 1
+
+
+def test_winnow_pairs_hot_fingerprint_guard(spark):
+    """Fingerprints carried by more than max_fp_df docs are dropped
+    BEFORE the pair join — boilerplate shared by everything can't
+    blow up the inverted-index fan-out."""
+    boiler = "this boilerplate footer appears everywhere in the corpus"
+    rows = [(i, f"unique{'x' * i}padding word soup {i} " + boiler) for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    open_pairs = DD.winnow_pairs(docs, k=8, w=4, min_shared=1, max_fp_df=None)
+    assert open_pairs.count() == 10  # all C(5,2) pairs share the footer
+    # df cap 1: no fingerprint carried by 2+ docs may enter the join,
+    # so the pair report is empty BY CONSTRUCTION regardless of which
+    # grams winnowing happened to select per doc
+    guarded = DD.winnow_pairs(docs, k=8, w=4, min_shared=1, max_fp_df=1)
+    assert guarded.count() == 0
+    # intermediate cap: strictly fewer pairs than the unguarded run,
+    # and every surviving pair exists unguarded too
+    mid = DD.winnow_pairs(docs, k=8, w=4, min_shared=1, max_fp_df=3)
+    open_set = {(r.doc_a, r.doc_b) for r in open_pairs.collect()}
+    mid_rows = mid.collect()
+    assert len(mid_rows) < 10
+    assert {(r.doc_a, r.doc_b) for r in mid_rows} <= open_set
