@@ -4264,6 +4264,79 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
 """
 
 
+def ev25_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (operators/asof.py,
+    direction='nearest' — pandas merge_asof parity): every click is
+    enriched with the user's CLOSEST purchase in either direction
+    within a 1-hour tolerance; exact ties prefer the backward match
+    (documented deterministic rule). Same one-shuffle tagged-union
+    plan as ev4 — the backward `last` and forward `first` windows
+    share one sort, so Catalyst emits a single Window node, never an
+    inequality join. Oracle replays it as a tolerance-band join +
+    per-click argmin ordered by (distance, is-forward)."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").cast("bigint").alias("ts_us"),
+        "value",
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    tol = 3_600_000_000  # 1 hour in µs
+    j = asof_join(
+        clicks,
+        purchases,
+        on="ts_us",
+        by=["user_id"],
+        value_cols=["purchase_value"],
+        suffix="_p",
+        direction="nearest",
+        tolerance=tol,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.coalesce(F.col("ts_us_p"), F.lit(-1)).cast("bigint").alias("purchase_us"),
+        F.coalesce(F.col("purchase_value_p"), F.lit(-1.0)).alias("purchase_value"),
+        F.coalesce(F.abs(F.col("ts_us") - F.col("ts_us_p")), F.lit(-1))
+        .cast("bigint")
+        .alias("dist_us"),
+    )
+
+
+EV25_SQL = """
+WITH l AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+           FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+cand AS (SELECT l.event_id, l.user_id, l.ts_us,
+                r.ts_us AS p_us, r.purchase_value,
+                abs(l.ts_us - r.ts_us) AS d,
+                CASE WHEN r.ts_us > l.ts_us THEN 1 ELSE 0 END AS fwd,
+                row_number() OVER (
+                  PARTITION BY l.event_id
+                  ORDER BY abs(l.ts_us - r.ts_us),
+                           CASE WHEN r.ts_us > l.ts_us THEN 1 ELSE 0 END) AS rn
+         FROM l JOIN r ON l.user_id = r.user_id
+          AND abs(l.ts_us - r.ts_us) <= 3600000000)
+SELECT l.event_id, l.user_id, l.ts_us,
+       CAST(COALESCE(c.p_us, -1) AS BIGINT) AS purchase_us,
+       COALESCE(c.purchase_value, -1.0) AS purchase_value,
+       CAST(COALESCE(c.d, -1) AS BIGINT) AS dist_us
+FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
+"""
+
+
 def ev5_overlap_pairs(spark, sf_dir):
     """Interval-overlap range join (operators/rangejoin.py): per-user
     daily error-activity spans, then every cross-user pair of spans
@@ -9533,6 +9606,7 @@ QUERIES = {
     "ev22_seasonal_anomalies": ev22_seasonal_anomalies,
     "ev23_attribution": ev23_attribution,
     "ev24_rolling_reach": ev24_rolling_reach,
+    "ev25_asof_nearest": ev25_asof_nearest,
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "st12_stream_mv_drift": st12_stream_mv_drift,
     "st13_stream_ann_ingest": st13_stream_ann_ingest,
@@ -9966,6 +10040,7 @@ _R11_WINDOW = [
     "st18_intra_drain_dedup",
     "rec_kge_sharded_band",
     "dd16_winnowing",
+    "ev25_asof_nearest",
     # impl changed this round
     "dq3_merge_upsert",
     "dq4_scd2_apply",
@@ -10016,7 +10091,6 @@ _R11_WINDOW = [
     "e2_map_at_5",
     "ev4_asof_enrich",
     "g4_kcore_user",
-    "q10_returned_items",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
@@ -10212,6 +10286,7 @@ ORACLES = {
     "ev22_seasonal_anomalies": EV22_SQL,
     "ev23_attribution": EV23_SQL,
     "ev24_rolling_reach": EV24_SQL,
+    "ev25_asof_nearest": EV25_SQL,
     "u4_intersect_audiences": U4_SQL,
     "dq1_expectations": DQ1_SQL,
     "dq2_snapshot_diff": DQ2_SQL,

@@ -93,3 +93,112 @@ def test_latest_of_duplicate_right_ts_wins(spark):
     # documented as caller-must-preaggregate for determinism; here both
     # orders collapse to one of the two values.
     assert out.collect()[0]["v_r"] in (1.0, 2.0)
+
+
+def test_forward_inclusive_match(spark, frames):
+    """direction='forward': earliest right row at-or-after, inclusive
+    at equal timestamps, NULL when nothing follows."""
+    left, right = frames
+    got = {
+        r.id: (r.t_right, r.v_right)
+        for r in asof_join(
+            left, right, on="t", by=["k"], value_cols=["v", "w"],
+            direction="forward",
+        ).collect()
+    }
+    assert got[1] == (10, 1.5)      # equal ts -> inclusive
+    assert got[2] == (None, None)   # nothing at-or-after 20 for k=a... (19 < 20)
+    assert got[3] == (8, 9.9)       # next right after 5
+    assert got[4] == (None, None)   # right b@40 is before left 100
+    assert got[5] == (None, None)   # no right rows for k=c
+
+
+def test_nearest_prefers_closer_and_breaks_ties_backward(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 14), (3, "a", 16), (4, "a", 15)],
+        "id int, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0)], "k string, t long, v double"
+    )
+    got = {
+        r.id: r.t_right
+        for r in asof_join(
+            left, right, on="t", by=["k"], value_cols=["v"], direction="nearest"
+        ).collect()
+    }
+    assert got[1] == 10   # distance 0 backward
+    assert got[2] == 10   # 4 back vs 6 forward
+    assert got[3] == 20   # 6 back vs 4 forward
+    assert got[4] == 10   # exact tie (5 vs 5) -> backward wins
+
+
+def test_nearest_tolerance_both_sides(spark):
+    left = spark.createDataFrame([(1, "a", 50)], "id int, k string, t long")
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 95, 2.0)], "k string, t long, v double"
+    )
+    with_tol = asof_join(
+        left, right, on="t", by=["k"], value_cols=["v"],
+        direction="nearest", tolerance=30,
+    ).collect()[0]
+    assert with_tol.t_right is None  # nearest is 40/45 away, > 30
+    no_tol = asof_join(
+        left, right, on="t", by=["k"], value_cols=["v"], direction="nearest"
+    ).collect()[0]
+    assert no_tol.t_right == 10
+
+
+def test_directions_match_bruteforce_reference(spark):
+    """Randomized pin of all three directions (+tolerance) against a
+    brute-force argmin with OUR documented tie rule (nearest ties ->
+    backward). Deterministic fixture via md5-free arithmetic."""
+    import itertools
+
+    lrows = [(i, f"k{i % 3}", (i * 37) % 101) for i in range(60)]
+    rrows = [(f"k{j % 3}", (j * 53) % 97, float(j)) for j in range(40)]
+    # one right row per (key, ts): keep max v like the driver queries do
+    dedup = {}
+    for k, t, v in rrows:
+        dedup[(k, t)] = max(dedup.get((k, t), float("-inf")), v)
+    rrows = [(k, t, v) for (k, t), v in dedup.items()]
+    left = spark.createDataFrame(lrows, "id int, k string, t long")
+    right = spark.createDataFrame(rrows, "k string, t long, v double")
+
+    def brute(direction, tolerance):
+        out = {}
+        for i, k, t in lrows:
+            cands = [(rt, v) for rk, rt, v in rrows if rk == k]
+            if direction == "backward":
+                cands = [c for c in cands if c[0] <= t]
+                best = max(cands, key=lambda c: c[0], default=None)
+            elif direction == "forward":
+                cands = [c for c in cands if c[0] >= t]
+                best = min(cands, key=lambda c: c[0], default=None)
+            else:
+                # nearest: min abs distance, tie -> backward (rt <= t)
+                best = min(
+                    cands, key=lambda c: (abs(c[0] - t), c[0] > t), default=None
+                )
+            if best is not None and tolerance is not None and abs(best[0] - t) > tolerance:
+                best = None
+            out[i] = best
+        return out
+
+    for direction, tol in itertools.product(
+        ["backward", "forward", "nearest"], [None, 13]
+    ):
+        got = {
+            r.id: (None if r.t_right is None else (r.t_right, r.v_right))
+            for r in asof_join(
+                left, right, on="t", by=["k"], value_cols=["v"],
+                direction=direction, tolerance=tol,
+            ).collect()
+        }
+        assert got == brute(direction, tol), f"{direction} tol={tol}"
+
+
+def test_bad_direction_raises(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="t", by=["k"], value_cols=["v"], direction="sideways")
