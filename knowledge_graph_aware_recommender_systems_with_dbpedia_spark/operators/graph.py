@@ -724,3 +724,72 @@ def kcore_decremental(
     return kcore_fixpoint(
         remaining, k_item, k_user, user_col, item_col, max_rounds
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation —
+    the MapReduce-classic wedge-check algorithm (Suri & Vassilvitskii,
+    WWW'11; Cohen's MR triangle enumeration).
+
+    Input: undirected edges, any direction, duplicates/self-loops
+    tolerated (normalized away). Output: ``(node, n_triangles)`` for
+    every node in at least one triangle.
+
+    Why orientation is THE scale lever: counting wedges on the raw
+    graph costs sum(deg^2) — a single celebrity node with degree 10M
+    creates 10^14 wedges. Orienting every edge from its (degree, id)-
+    lesser endpoint to the greater makes the wedge cost
+    sum(out_deg^2) with out_deg <= O(sqrt(m)) for ANY graph (each
+    node's out-neighbors all have >= its degree, and there can only be
+    sqrt(2m) nodes of degree >= sqrt(2m)). Every triangle is counted
+    exactly once, at its (degree,id)-smallest vertex's wedge.
+
+    Plan: two self-equi-joins (wedge build on the oriented source,
+    closure check on the oriented (v,w) edge) + one explode-free
+    unpivot aggregate. No inequality join, no enumeration of the raw
+    neighborhood squares.
+    """
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    # orient lesser (deg, id) -> greater (deg, id)
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # wedge at u: out-neighbors v < w in (deg, id) order
+    wedges = o1.join(o2, "u").filter(
+        (F.col("o1.dv") < F.col("o2.dv"))
+        | ((F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v")))
+    ).select(
+        F.col("u").alias("ta"), F.col("o1.v").alias("tb"), F.col("o2.v").alias("tc")
+    )
+    closing = oriented.select(F.col("u").alias("tb"), F.col("v").alias("tc"))
+    tris = wedges.join(closing, ["tb", "tc"])
+    nodes = (
+        tris.select(F.col("ta").alias("node"))
+        .unionAll(tris.select(F.col("tb").alias("node")))
+        .unionAll(tris.select(F.col("tc").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

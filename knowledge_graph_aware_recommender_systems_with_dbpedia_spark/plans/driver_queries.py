@@ -1161,6 +1161,68 @@ def g4_kcore_alternating(spark, sf_dir):
     return G.filter_kcore(r1, k=8, target="user", iterations=1)
 
 
+def g14_triangles(spark, sf_dir):
+    """Degree-ordered triangle counting (graph.triangle_counts — Suri
+    & Vassilvitskii WWW'11): per-part triangle membership in the
+    co-ordered-parts graph (parts appearing in the same order, sliced
+    to part_id % 8 == 0 to keep the demo graph interesting-but-
+    bounded; the per-order distinct-part cap bounds the pair fan-out
+    exactly like ev8). The orientation trick is the 100 TB story:
+    wedges cost sum(out_deg^2) with out_deg <= O(sqrt(m)) REGARDLESS
+    of hub skew — a celebrity part cannot create a quadratic wedge
+    set. Oracle replays the slice, the orientation, the wedge closure,
+    and the 3-way unpivot count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").cast("bigint").alias("part"),
+    ).filter(F.col("l_partkey") % 8 == 0)
+    items = li.distinct()
+    w = Window.partitionBy("okey").orderBy("part")
+    capped = (
+        items.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 8)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    edges = (
+        a.join(b, "okey")
+        .filter(F.col("a.part") < F.col("b.part"))
+        .select(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
+    )
+    return G.triangle_counts(edges).select(
+        F.col("node").cast("bigint").alias("part_id"), "n_triangles"
+    )
+
+
+G14_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS part
+            FROM lineitem WHERE l_partkey % 8 = 0),
+capped AS (SELECT okey, part FROM (
+             SELECT okey, part, row_number() OVER (
+               PARTITION BY okey ORDER BY part) AS rn FROM li)
+           WHERE rn <= 8),
+e AS (SELECT DISTINCT a.part AS a, b.part AS b
+      FROM capped a JOIN capped b ON a.okey = b.okey AND a.part < b.part),
+deg AS (SELECT n, count(*) AS d FROM (
+          SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS v,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN db.d ELSE da.d END AS dv
+      FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+tri AS (SELECT o1.u AS ta, o1.v AS tb, o2.v AS tc
+        FROM o o1 JOIN o o2 ON o1.u = o2.u
+         AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+        JOIN o oc ON oc.u = o1.v AND oc.v = o2.v)
+SELECT CAST(node AS BIGINT) AS part_id, count(*) AS n_triangles FROM (
+  SELECT ta AS node FROM tri UNION ALL SELECT tb FROM tri
+  UNION ALL SELECT tc FROM tri)
+GROUP BY node
+"""
+
+
 def g13_kcore_incremental(spark, sf_dir):
     """Incremental (5,8)-core maintenance under deletions
     (graph.kcore_decremental — VERDICT r09 item 7b: the one graph
@@ -9574,6 +9636,7 @@ QUERIES = {
     "g11_personalized_pagerank": g11_personalized_pagerank,
     "g12_corating_motifs": g12_corating_motifs,
     "g13_kcore_incremental": g13_kcore_incremental,
+    "g14_triangles": g14_triangles,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_profit_proxy": q9_profit_proxy,
     "q11_important_parts": q11_important_parts,
@@ -10041,6 +10104,7 @@ _R11_WINDOW = [
     "rec_kge_sharded_band",
     "dd16_winnowing",
     "ev25_asof_nearest",
+    "g14_triangles",
     # impl changed this round
     "dq3_merge_upsert",
     "dq4_scd2_apply",
@@ -10090,7 +10154,6 @@ _R11_WINDOW = [
     "di1_title_normalize",
     "e2_map_at_5",
     "ev4_asof_enrich",
-    "g4_kcore_user",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
@@ -10133,6 +10196,7 @@ ORACLES = {
     "g11_personalized_pagerank": G11_SQL,
     "g12_corating_motifs": G12_SQL,
     "g13_kcore_incremental": G13_SQL,
+    "g14_triangles": G14_SQL,
     "sp1_random_global": _sp_ratio_sql(0.25, "global"),
     "sp2_random_user": _sp_ratio_sql(0.2, "user"),
     "sp3_temporal_global": _sp_ratio_sql(0.3, "global", by_ts=True),

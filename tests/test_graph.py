@@ -389,3 +389,41 @@ def test_kcore_decremental_empty_deletion_is_noop(spark):
     inc, rounds, conv = G.kcore_decremental(core, none, k_item=3, k_user=3)
     assert conv and rounds == 1
     assert {tuple(x) for x in inc.collect()} == {tuple(x) for x in core.collect()}
+
+
+def test_triangle_counts_k4_plus_path(spark):
+    """K4: every vertex sits in C(3,2)=3 triangles; the pendant path
+    adds none. Duplicate, reversed, and self-loop edges normalize
+    away."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(4, 5), (5, 6)] + [(2, 1), (3, 3), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_matches_bruteforce_random(spark):
+    """Randomized pin vs an O(n^3) brute force on a deterministic
+    arithmetic graph."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.graph import triangle_counts
+
+    n = 25
+    edges = [
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if (i * 31 + j * 17) % 5 == 0
+    ]
+    adj = set(edges)
+    expected = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            for k in range(j + 1, n):
+                if (i, j) in adj and (j, k) in adj and (i, k) in adj:
+                    for v in (i, j, k):
+                        expected[v] = expected.get(v, 0) + 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == expected
