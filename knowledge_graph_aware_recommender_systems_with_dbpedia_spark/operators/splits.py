@@ -545,3 +545,77 @@ def rolling_origin_folds(
             "leakage_free", F.col("train_max_ts") <= F.col("test_min_ts")
         )
     )
+
+
+def purged_embargo_folds(
+    ratings: DataFrame,
+    k: int = 4,
+    embargo_frac: float = 0.02,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rating_col: str = "rating",
+) -> DataFrame:
+    """Purged K-fold CV with embargo (Lopez de Prado, 'Advances in
+    Financial Machine Learning' ch.7 — the leakage-control protocol
+    for serially-correlated data): the timeline is cut into k
+    rank-equal contiguous test blocks; fold f trains on everything
+    OUTSIDE its test block except an embargo margin of
+    ``ceil(embargo_frac * n)`` ranks on each side, which is PURGED —
+    rows adjacent to the test window are correlated with it, and
+    dropping them is what k-fold on time series needs to stop
+    overstating skill.
+
+    Returns one row per fold: (fold, n_train, n_test, n_purged,
+    test_min_ts, test_max_ts).
+
+    Scale shape: ONE two-pass bucketed global rank (no
+    single-partition window), then a bounded ``explode`` fans each row
+    to the k folds (k is a small constant — cost k*n exactly like
+    ev24's ×7 rolling-reach fan-out) and one hash aggregate per
+    (fold, role) finishes it. Block bounds and the embargo width are
+    pure rank arithmetic (sp6's KFold sizing), so the oracle replays
+    every decision bit-identically.
+    """
+    kk = int(k)
+    order = [
+        F.col(ts_col), F.col(user_col), F.col(item_col), F.col(rating_col)
+    ]
+    boundaries = _ts_boundaries(ratings, ts_col, 32)
+    df = _global_rank(ratings, order, descending=False, boundaries=boundaries)
+    fanned = df.select(
+        (F.col("_rn") - 1).alias("_rn0"),
+        F.col("_n"),
+        F.col(ts_col).cast("double").alias("_ts"),
+        F.explode(F.sequence(F.lit(0), F.lit(kk - 1))).alias("fold"),
+    )
+    # sp6 sizing: first (n % k) blocks get n//k + 1 rows
+    big = F.col("_n") % kk
+    size_small = F.expr(f"_n div {kk}")
+    s_f = F.when(
+        F.col("fold") < big, F.col("fold") * (size_small + 1)
+    ).otherwise(big * (size_small + 1) + (F.col("fold") - big) * size_small)
+    e_f = s_f + F.when(F.col("fold") < big, size_small + 1).otherwise(
+        size_small
+    ) - 1
+    emb = F.ceil(F.col("_n") * F.lit(float(embargo_frac))).cast("bigint")
+    in_test = (F.col("_rn0") >= s_f) & (F.col("_rn0") <= e_f)
+    in_embargo = (F.col("_rn0") >= s_f - emb) & (F.col("_rn0") <= e_f + emb)
+    role = (
+        F.when(in_test, F.lit("test"))
+        .when(in_embargo, F.lit("purged"))
+        .otherwise(F.lit("train"))
+    )
+    rows = fanned.withColumn("_role", role)
+    is_te = F.col("_role") == "test"
+    return rows.groupBy("fold").agg(
+        F.sum(F.when(F.col("_role") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(is_te, 1).otherwise(0)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("_role") == "purged", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purged"),
+        F.min(F.when(is_te, F.col("_ts"))).alias("test_min_ts"),
+        F.max(F.when(is_te, F.col("_ts"))).alias("test_max_ts"),
+    )

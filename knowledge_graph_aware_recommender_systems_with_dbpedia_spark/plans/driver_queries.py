@@ -1401,6 +1401,54 @@ FROM tr JOIN te ON tr.fold = te.fold
 """
 
 
+def sp15_purged_embargo(spark, sf_dir):
+    """Purged K-fold CV with embargo (splits.purged_embargo_folds —
+    Lopez de Prado ch.7): 4 contiguous rank-equal test blocks, an
+    embargo of ceil(2% * n) ranks purged on BOTH sides of each block,
+    train = everything else — the leakage control k-fold on
+    serially-correlated data requires. One bucketed global rank + a
+    bounded x4 fan-out; the oracle replays the sp6 block sizing, the
+    embargo width, and the role partition from a plain ranked window."""
+    return SP.purged_embargo_folds(
+        _ratings(spark, sf_dir), k=4, embargo_frac=0.02
+    ).select(
+        F.col("fold").cast("bigint").alias("fold"),
+        "n_train",
+        "n_test",
+        "n_purged",
+        F.round("test_min_ts", 6).alias("test_min_ts"),
+        F.round("test_max_ts", 6).alias("test_max_ts"),
+    )
+
+
+SP15_SQL = f"""
+WITH ratings AS ({RATINGS_SQL}),
+w AS (SELECT ratings.*,
+      row_number() OVER (ORDER BY ts, user_id, item_id, rating) - 1 AS rn0,
+      count(*) OVER () AS n FROM ratings),
+fanned AS (SELECT w.*, f.fold FROM w
+           CROSS JOIN (SELECT unnest(range(4)) AS fold) f),
+b AS (SELECT *,
+      CASE WHEN fold < n % 4 THEN fold * (n // 4 + 1)
+           ELSE (n % 4) * (n // 4 + 1) + (fold - n % 4) * (n // 4) END AS s_f,
+      CASE WHEN fold < n % 4 THEN n // 4 + 1 ELSE n // 4 END AS sz,
+      CAST(ceil(n * 0.02) AS BIGINT) AS emb
+      FROM fanned),
+r AS (SELECT *, s_f + sz - 1 AS e_f,
+      CASE WHEN rn0 BETWEEN s_f AND s_f + sz - 1 THEN 'test'
+           WHEN rn0 BETWEEN s_f - emb AND s_f + sz - 1 + emb THEN 'purged'
+           ELSE 'train' END AS role
+      FROM b)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(sum(CASE WHEN role = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN role = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN role = 'purged' THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+       round(min(CASE WHEN role = 'test' THEN CAST(ts AS DOUBLE) END), 6) AS test_min_ts,
+       round(max(CASE WHEN role = 'test' THEN CAST(ts AS DOUBLE) END), 6) AS test_max_ts
+FROM r GROUP BY 1
+"""
+
+
 def sp14_group_kfold(spark, sf_dir):
     """SP14: GroupKFold split (splits.split_ratings
     method='group_kfold') — every row of a user lands in the SAME
@@ -9661,6 +9709,7 @@ QUERIES = {
     "sp12_leave_one_out": sp12_leave_one_out,
     "sp13_rolling_origin": sp13_rolling_origin,
     "sp14_group_kfold": sp14_group_kfold,
+    "sp15_purged_embargo": sp15_purged_embargo,
     "j9_bloom_prefilter": j9_bloom_prefilter,
     "ev18_gap_islands": ev18_gap_islands,
     "ev19_chi2_drift": ev19_chi2_drift,
@@ -10105,6 +10154,7 @@ _R11_WINDOW = [
     "dd16_winnowing",
     "ev25_asof_nearest",
     "g14_triangles",
+    "sp15_purged_embargo",
     # impl changed this round
     "dq3_merge_upsert",
     "dq4_scd2_apply",
@@ -10153,7 +10203,6 @@ _R11_WINDOW = [
     "dd4_minhash_lsh_pairs",
     "di1_title_normalize",
     "e2_map_at_5",
-    "ev4_asof_enrich",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
@@ -10208,6 +10257,7 @@ ORACLES = {
     "sp12_leave_one_out": SP12_SQL,
     "sp13_rolling_origin": SP13_SQL,
     "sp14_group_kfold": SP14_SQL,
+    "sp15_purged_embargo": SP15_SQL,
     "rec_popularity_top5": REC_POP_SQL,
     "rec_fixed_emb_top5": REC_FIXED_SQL,
     "rec_itemknn_top5": REC_ITEMKNN_SQL,

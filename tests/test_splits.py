@@ -353,3 +353,44 @@ def test_group_kfold_users_never_straddle_folds(spark):
     assert again == first
     other = {(r.user_id, r.item_id): r.fold for r in split_ratings(df, "group_kfold", seed=7, k=4).collect()}
     assert other != first
+
+
+def test_purged_embargo_folds_bruteforce(spark):
+    """Pin purged-embargo CV against a brute-force replay of the rank
+    arithmetic: block bounds via sp6 sizing, embargo = ceil(frac*n)
+    ranks each side, roles partition every (row, fold) pair."""
+    import math
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.splits import purged_embargo_folds
+
+    n = 103
+    rows = [(i % 7, i % 11, float(i % 5), float(i * 3 % 97)) for i in range(n)]
+    df = spark.createDataFrame(rows, "user_id long, item_id long, rating double, ts double")
+    k, frac = 4, 0.05
+    got = {
+        r.fold: (r.n_train, r.n_test, r.n_purged, r.test_min_ts, r.test_max_ts)
+        for r in purged_embargo_folds(df, k=k, embargo_frac=frac).collect()
+    }
+    ordered = sorted(rows, key=lambda t: (t[3], t[0], t[1], t[2]))
+    emb = math.ceil(n * frac)
+    small, big = n // k, n % k
+    for f in range(k):
+        s = f * (small + 1) if f < big else big * (small + 1) + (f - big) * small
+        e = s + (small + 1 if f < big else small) - 1
+        test = [r for i, r in enumerate(ordered) if s <= i <= e]
+        purged = [
+            r
+            for i, r in enumerate(ordered)
+            if (s - emb <= i <= e + emb) and not (s <= i <= e)
+        ]
+        train_n = n - len(test) - len(purged)
+        assert got[f] == (
+            train_n,
+            len(test),
+            len(purged),
+            min(r[3] for r in test),
+            max(r[3] for r in test),
+        ), f"fold {f}"
+    # every fold partitions all n rows
+    for f in range(k):
+        assert got[f][0] + got[f][1] + got[f][2] == n
