@@ -396,3 +396,132 @@ def seasonal_mad_anomalies(
         F.round("mad", 6).alias("mad"),
         "n_days",
     )
+
+
+_NUMERIC_PREFIXES = (
+    "int", "bigint", "smallint", "tinyint", "long", "double", "float", "decimal"
+)
+
+
+def column_profiles(
+    df: DataFrame, cols: list[str] | None = None, scale: int = 1_000_000
+) -> DataFrame:
+    """Per-column data-contract profile: one row per column with
+    (column, n_rows, n_null, n_distinct, mean) — the generic
+    column-level monitoring sweep a quality gate runs on every
+    snapshot (complements ev19/ev20's per-value distribution drift).
+
+    Numeric means use the half-up fixed-point contract (floor(x*scale
+    + 0.5) summed as BIGINT, divided back at the end) so two engines
+    computing the profile agree bit-for-bit — never an order-dependent
+    raw double sum. Non-numeric columns report a NULL mean.
+
+    Plan shape: ONE aggregate over the frame (count/count(col)/
+    count-distinct/fixed-point-sum per column — the multi-distinct
+    Expand multiplies map-side rows by the column count, not the data
+    by passes), then a k-element struct array explodes into the
+    k-row report. One scan at 100 TB regardless of column count.
+    """
+    fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    if cols is not None:
+        want = {c for c in cols}
+        fields = [f for f in fields if f[0] in want]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    numeric = {}
+    for name, dt in fields:
+        numeric[name] = dt.startswith(_NUMERIC_PREFIXES)
+        aggs.append(F.count(F.col(name)).alias(f"_c_{name}"))
+        aggs.append(F.countDistinct(F.col(name)).alias(f"_d_{name}"))
+        if numeric[name]:
+            aggs.append(
+                F.sum(
+                    F.floor(F.col(name).cast("double") * scale + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).alias(f"_s_{name}")
+            )
+    row = df.agg(*aggs)
+    entries = []
+    for name, _dt in fields:
+        mean = (
+            F.when(
+                F.col(f"_c_{name}") > 0,
+                F.round(
+                    F.col(f"_s_{name}").cast("double")
+                    / (F.col(f"_c_{name}").cast("double") * scale),
+                    6,
+                ),
+            )
+            if numeric[name]
+            else F.lit(None).cast("double")
+        )
+        entries.append(
+            F.struct(
+                F.lit(name).alias("column"),
+                F.col("_n").cast("bigint").alias("n_rows"),
+                (F.col("_n") - F.col(f"_c_{name}")).cast("bigint").alias("n_null"),
+                F.col(f"_d_{name}").cast("bigint").alias("n_distinct"),
+                mean.alias("mean"),
+            )
+        )
+    return row.select(F.explode(F.array(*entries)).alias("_p")).select("_p.*")
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str] | None = None,
+    null_rate_tol: float = 0.01,
+    distinct_ratio_band: tuple[float, float] = (0.5, 2.0),
+    mean_rel_tol: float = 0.05,
+) -> DataFrame:
+    """Column-profile drift report between two snapshots: joins the
+    two :func:`column_profiles` frames (k rows each — the join is
+    trivially broadcast) and flags per column
+
+    * ``null_drift``    — |null_rate_new - null_rate_old| > tol,
+    * ``distinct_drift``— distinct-count ratio outside the band,
+    * ``mean_drift``    — relative mean shift > tol (numeric only).
+
+    All flags compute from the ROUNDED profile numbers, so an oracle
+    replaying the same integer arithmetic reproduces every boolean
+    exactly. Missing-in-either columns surface with status
+    'added'/'removed' — schema drift is drift too.
+    """
+    po = column_profiles(old, cols).alias("o")
+    pn = column_profiles(new, cols).alias("n")
+    j = po.join(pn, "column", "full_outer")
+    nr_old = F.round(F.col("o.n_null").cast("double") / F.col("o.n_rows"), 6)
+    nr_new = F.round(F.col("n.n_null").cast("double") / F.col("n.n_rows"), 6)
+    lo, hi = distinct_ratio_band
+    ratio = F.col("n.n_distinct").cast("double") / F.nullif(
+        F.col("o.n_distinct").cast("double"), F.lit(0.0)
+    )
+    null_drift = F.abs(nr_new - nr_old) > null_rate_tol
+    distinct_drift = (ratio < lo) | (ratio > hi)
+    mean_drift = F.when(
+        F.col("o.mean").isNotNull() & F.col("n.mean").isNotNull(),
+        F.abs(F.col("n.mean") - F.col("o.mean"))
+        > mean_rel_tol * F.greatest(F.abs(F.col("o.mean")), F.lit(1e-9)),
+    ).otherwise(F.lit(False))
+    status = (
+        F.when(F.col("o.n_rows").isNull(), F.lit("added"))
+        .when(F.col("n.n_rows").isNull(), F.lit("removed"))
+        .when(null_drift | distinct_drift | mean_drift, F.lit("drifted"))
+        .otherwise(F.lit("stable"))
+    )
+    return j.select(
+        "column",
+        F.col("o.n_rows").alias("n_rows_old"),
+        F.col("n.n_rows").alias("n_rows_new"),
+        nr_old.alias("null_rate_old"),
+        nr_new.alias("null_rate_new"),
+        F.col("o.n_distinct").alias("n_distinct_old"),
+        F.col("n.n_distinct").alias("n_distinct_new"),
+        F.col("o.mean").alias("mean_old"),
+        F.col("n.mean").alias("mean_new"),
+        F.coalesce(null_drift, F.lit(False)).alias("null_drift"),
+        F.coalesce(distinct_drift, F.lit(False)).alias("distinct_drift"),
+        mean_drift.alias("mean_drift"),
+        status.alias("status"),
+    )

@@ -4447,6 +4447,121 @@ FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
 """
 
 
+def dq5_profile_drift(spark, sf_dir):
+    """Column-profile drift gate (drift.profile_drift): the generic
+    per-column data-contract sweep — null rate, exact distinct count,
+    half-up fixed-point mean — computed for two snapshots in ONE
+    aggregate each and diffed into per-column drift flags. The 'new'
+    snapshot deterministically injects the two failure modes the gate
+    must catch (det_hash cohort 3's event_type nulled -> null_drift;
+    cohort 2's value re-priced x1.2 at cent precision -> mean_drift)
+    while user_id stays stable. Oracle replays each column's profile
+    with the same integer arithmetic and re-derives every flag from
+    the rounded numbers."""
+    from ..operators.drift import profile_drift
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.pmod(H.det_hash(F.col("event_id"), seed=11), F.lit(20)).alias("_h"),
+    )
+    cols = ["user_id", "event_type", "value"]
+    old = base.select(*cols)
+    new = base.select(
+        "user_id",
+        F.when(F.col("_h") == 3, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(
+            F.col("_h") == 2,
+            F.floor(F.col("value") * 120 + F.lit(0.5)) / 100,
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return profile_drift(old, new, cols=cols).select(
+        F.col("column").alias("col_name"),
+        "n_rows_old",
+        "n_rows_new",
+        "null_rate_old",
+        "null_rate_new",
+        "n_distinct_old",
+        "n_distinct_new",
+        "mean_old",
+        "mean_new",
+        "null_drift",
+        "distinct_drift",
+        "mean_drift",
+        "status",
+    )
+
+
+_DQ5_HASH = H.det_hash_sql("event_id", seed=11)
+_DQ5_PROFILE = """
+  SELECT 'user_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(user_id) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+         CASE WHEN count(user_id) > 0 THEN round(
+           sum(CAST(floor(CAST(user_id AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           / (count(user_id) * 1000000.0), 6) END AS mean
+  FROM {t}
+  UNION ALL
+  SELECT 'event_type', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(event_type) AS BIGINT),
+         CAST(count(DISTINCT event_type) AS BIGINT), NULL
+  FROM {t}
+  UNION ALL
+  SELECT 'value', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(value) AS BIGINT),
+         CAST(count(DISTINCT value) AS BIGINT),
+         CASE WHEN count(value) > 0 THEN round(
+           sum(CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           / (count(value) * 1000000.0), 6) END
+  FROM {t}
+"""
+
+DQ5_SQL = f"""
+WITH base AS (SELECT event_id, user_id, event_type, value,
+                     ({_DQ5_HASH}) % 20 AS h
+              FROM events),
+old AS (SELECT user_id, event_type, value FROM base),
+new AS (SELECT user_id,
+               CASE WHEN h = 3 THEN NULL ELSE event_type END AS event_type,
+               CASE WHEN h = 2 THEN floor(value * 120 + 0.5) / 100
+                    ELSE value END AS value
+        FROM base),
+po AS ({_DQ5_PROFILE.format(t='old')}),
+pn AS ({_DQ5_PROFILE.format(t='new')}),
+j AS (SELECT po.col_name,
+             po.n_rows AS n_rows_old, pn.n_rows AS n_rows_new,
+             round(po.n_null / CAST(po.n_rows AS DOUBLE), 6) AS null_rate_old,
+             round(pn.n_null / CAST(pn.n_rows AS DOUBLE), 6) AS null_rate_new,
+             po.n_distinct AS n_distinct_old, pn.n_distinct AS n_distinct_new,
+             po.mean AS mean_old, pn.mean AS mean_new
+      FROM po JOIN pn USING (col_name)),
+f AS (SELECT j.*,
+             (abs(null_rate_new - null_rate_old) > 0.01) AS null_drift,
+             (n_distinct_new / nullif(CAST(n_distinct_old AS DOUBLE), 0.0) < 0.5
+              OR n_distinct_new / nullif(CAST(n_distinct_old AS DOUBLE), 0.0) > 2.0)
+               AS distinct_drift,
+             COALESCE(CASE WHEN mean_old IS NOT NULL AND mean_new IS NOT NULL
+               THEN abs(mean_new - mean_old)
+                    > 0.05 * greatest(abs(mean_old), 0.000000001)
+               END, FALSE) AS mean_drift
+      FROM j)
+SELECT col_name, n_rows_old, n_rows_new, null_rate_old, null_rate_new,
+       n_distinct_old, n_distinct_new, mean_old, mean_new,
+       COALESCE(null_drift, FALSE) AS null_drift,
+       COALESCE(distinct_drift, FALSE) AS distinct_drift,
+       mean_drift,
+       CASE WHEN COALESCE(null_drift, FALSE) OR COALESCE(distinct_drift, FALSE)
+                 OR mean_drift THEN 'drifted' ELSE 'stable' END AS status
+FROM f
+"""
+
+
 def ev5_overlap_pairs(spark, sf_dir):
     """Interval-overlap range join (operators/rangejoin.py): per-user
     daily error-activity spans, then every cross-user pair of spans
@@ -9705,6 +9820,7 @@ QUERIES = {
     "dq2_snapshot_diff": dq2_snapshot_diff,
     "dq3_merge_upsert": dq3_merge_upsert,
     "dq4_scd2_apply": dq4_scd2_apply,
+    "dq5_profile_drift": dq5_profile_drift,
     "sp11_negative_sampling": sp11_negative_sampling,
     "sp12_leave_one_out": sp12_leave_one_out,
     "sp13_rolling_origin": sp13_rolling_origin,
@@ -10155,6 +10271,7 @@ _R11_WINDOW = [
     "ev25_asof_nearest",
     "g14_triangles",
     "sp15_purged_embargo",
+    "dq5_profile_drift",
     # impl changed this round
     "dq3_merge_upsert",
     "dq4_scd2_apply",
@@ -10202,7 +10319,6 @@ _R11_WINDOW = [
     "dd11_incremental_dedup",
     "dd4_minhash_lsh_pairs",
     "di1_title_normalize",
-    "e2_map_at_5",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
@@ -10406,6 +10522,7 @@ ORACLES = {
     "dq2_snapshot_diff": DQ2_SQL,
     "dq3_merge_upsert": DQ3_SQL,
     "dq4_scd2_apply": DQ4_SQL,
+    "dq5_profile_drift": DQ5_SQL,
     "sp11_negative_sampling": SP11_SQL,
     "j9_bloom_prefilter": J9_SQL,
     "ev18_gap_islands": EV18_SQL,

@@ -71,6 +71,9 @@ ALLOWED = {
     # offsets are window-free as of r08 (no 1P exchange from the rank)
     "sp11_negative_sampling": 1,
     "dp6_bpr_triples": 1,       # inherits sp11's bounded 1P
+    # one 1-row profile aggregate per snapshot (k-column struct array,
+    # exploded to the k-row report — both sides bounded by design)
+    "dq5_profile_drift": 2,
 }
 
 

@@ -579,3 +579,39 @@ def test_scd2_apply_case_algebra_and_idempotence(spark):
     }
     again = scd2_apply(out, changes, ["k"], ["attr"], ts_col="ts")
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_column_profiles_and_drift(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import (
+        column_profiles,
+        profile_drift,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "a", None)],
+        "id long, cat string, x double",
+    )
+    prof = {r.column: r for r in column_profiles(old).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_null == 0
+    assert prof["cat"].n_null == 1 and prof["cat"].n_distinct == 2
+    assert prof["cat"].mean is None
+    assert prof["x"].n_distinct == 3 and prof["x"].mean == 20.0
+
+    # new snapshot: cat nulls spike, x mean shifts +50%, id stable
+    new = spark.createDataFrame(
+        [(1, None, 30.0), (2, None, 30.0), (3, None, 30.0), (4, "a", 30.0)],
+        "id long, cat string, x double",
+    )
+    rep = {r.column: r for r in profile_drift(old, new).collect()}
+    assert rep["id"].status == "stable"
+    assert rep["cat"].null_drift and rep["cat"].status == "drifted"
+    assert rep["x"].mean_drift and rep["x"].status == "drifted"
+
+
+def test_profile_drift_schema_add_remove(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import profile_drift
+
+    old = spark.createDataFrame([(1, 2.0)], "id long, gone double")
+    new = spark.createDataFrame([(1, "x")], "id long, born string")
+    rep = {r.column: r.status for r in profile_drift(old, new).collect()}
+    assert rep == {"id": "stable", "gone": "removed", "born": "added"}
