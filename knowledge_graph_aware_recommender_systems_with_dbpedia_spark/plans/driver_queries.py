@@ -8320,6 +8320,119 @@ FROM p JOIN s ON p.user_id = s.user_id
 """
 
 
+def dp8_tokenize_pack_shard(spark, sf_dir):
+    """The tokenizer-to-trainer handoff as ONE composed lineage — the
+    last mile of a pretraining data pipeline: learn 3 BPE merges
+    (tx12's O(1)-job learner), compute each doc's POST-BPE token count
+    (vocab fertility broadcast-joined onto the exploded doc tokens —
+    the piece count the packer must budget by, not the whitespace
+    count), pack docs into capacity-1024 sequences (pk1's bucketed
+    next-fit cumsum), deal the packed sequences into 8 reproducible
+    training shards (pk3's salted md5 shuffle), and report per-shard
+    (n_seqs, n_docs, total_tokens, fill_rate). Every stage is the
+    already-oracled operator; the oracle replays the whole composition
+    in one SQL chain."""
+    from ..operators import bpe as BPE
+    from ..operators import packing as PK
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in BPE.learn_bpe_merges_topv(docs, n_merges=3)
+        .orderBy("step")
+        .collect()
+    ]
+    seg = BPE.segment_words(docs, merges)
+    fert = seg.select(
+        "word", F.size("pieces").cast("bigint").alias("n_pieces")
+    )
+    toks = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("_toks")
+    ).select("doc_id", F.explode("_toks").alias("word"))
+    counted = (
+        toks.join(F.broadcast(fert), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").alias("_bpe"))
+    )
+    per_doc = (
+        docs.select("doc_id")
+        .join(counted, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("_bpe"), F.lit(0)).alias("n_bpe_tokens")
+        )
+    )
+    packed = PK.pack_sequences(
+        per_doc,
+        capacity=1024,
+        n_buckets=16,
+        id_col="doc_id",
+        n_tokens_col="n_bpe_tokens",
+    )
+    seqs = (
+        packed.groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        )
+        .select(
+            (F.col("bucket") * 100000 + F.col("seq_id")).alias("seq_key"),
+            "n_docs",
+            "seq_tokens",
+        )
+    )
+    sharded = PK.shuffle_shards(seqs, n_shards=8, id_col="seq_key")
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("seq_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("seq_tokens").cast("double") / (F.count(F.lit(1)) * 1024.0), 6
+        ).alias("fill_rate"),
+    )
+
+
+_DP8_CHAIN, _DP8_LAST = _bpe_chain_sql(3)
+DP8_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+w AS (SELECT u.tok AS word, count(*) AS cnt FROM t, unnest(t.toks) AS u(tok) GROUP BY 1),
+seq0 AS (SELECT cnt, chr(1) || array_to_string(string_split(word, ''), chr(2) || chr(1)) || chr(2) AS seq FROM w),
+{_DP8_CHAIN},
+fin AS (SELECT cnt,
+        string_split(substr(seq, 2, length(seq) - 2), chr(2) || chr(1)) AS pieces,
+        replace(replace(seq, chr(1), ''), chr(2), '') AS word
+        FROM {_DP8_LAST}),
+fert AS (SELECT word, CAST(len(pieces) AS BIGINT) AS n_pieces FROM fin),
+dt AS (SELECT doc_id, u.tok AS word FROM t, unnest(t.toks) AS u(tok)),
+pd AS (SELECT d.doc_id,
+              COALESCE((SELECT sum(f.n_pieces) FROM dt JOIN fert f USING (word)
+                        WHERE dt.doc_id = d.doc_id), 0) AS n_tokens
+       FROM (SELECT doc_id FROM documents) d),
+b AS (SELECT doc_id, n_tokens,
+             ({H.DUCKDB_MD5_LONG.format(expr="CAST(doc_id AS VARCHAR)")}) % 16 AS bucket
+      FROM pd),
+p AS (SELECT doc_id, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b),
+pk AS (SELECT doc_id, bucket, n_tokens,
+              CAST(floor((cum - n_tokens) / 1024.0) AS BIGINT) AS seq_id
+       FROM p),
+sq AS (SELECT bucket * 100000 + seq_id AS seq_key,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+       FROM pk GROUP BY 1),
+sh AS (SELECT sq.*,
+              ({H.DUCKDB_MD5_LONG.format(expr="CAST(seq_key AS VARCHAR) || ':shuf42'")}) % 8 AS shard
+       FROM sq)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+       round(sum(seq_tokens) / (count(*) * 1024.0), 6) AS fill_rate
+FROM sh GROUP BY 1
+"""
+
+
 def dp7_semantic_pipeline(spark, sf_dir):
     """Fourth composed pipeline — the MODERN curation stack in one
     lineage: exact dedup (dd1) -> SEMANTIC dedup over embeddings
@@ -9850,6 +9963,7 @@ QUERIES = {
     "ss14_ivf_pq_topk": ss14_ivf_pq_topk,
     "dp6_bpr_triples": dp6_bpr_triples,
     "dp7_semantic_pipeline": dp7_semantic_pipeline,
+    "dp8_tokenize_pack_shard": dp8_tokenize_pack_shard,
     # semantic oracles for the stochastic model paths (VERDICT r03 #8)
     "rec_node2vec_band": rec_node2vec_band,
     "rec_als_band": rec_als_band,
@@ -10272,6 +10386,7 @@ _R11_WINDOW = [
     "g14_triangles",
     "sp15_purged_embargo",
     "dq5_profile_drift",
+    "dp8_tokenize_pack_shard",
     # impl changed this round
     "dq3_merge_upsert",
     "dq4_scd2_apply",
@@ -10318,7 +10433,6 @@ _R11_WINDOW = [
     "dd1_exact_dedup",
     "dd11_incremental_dedup",
     "dd4_minhash_lsh_pairs",
-    "di1_title_normalize",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
@@ -10535,6 +10649,7 @@ ORACLES = {
     "ss10_radius_search": SS10_SQL,
     "dp6_bpr_triples": DP6_SQL,
     "dp7_semantic_pipeline": DP7_SQL,
+    "dp8_tokenize_pack_shard": DP8_SQL,
     # constant-TRUE oracles: the Spark side computes the contract and
     # band booleans; a hash match means the stochastic path is
     # semantically healthy (see _stochastic_band_check)
