@@ -148,6 +148,12 @@ HEADLINE = [
     "st16_curation_compaction",
     "st17_stream_windowed_quality",
     "st18_intra_drain_dedup",
+    "dd16_winnowing",
+    "ev25_asof_nearest",
+    "g14_triangles",
+    "sp15_purged_embargo",
+    "dq5_profile_drift",
+    "dp8_tokenize_pack_shard",
 ]
 
 

@@ -1117,12 +1117,20 @@ def winnow_pairs(
     docs BEFORE the join — boilerplate spans every doc shares carry no
     pair signal but would otherwise dominate the join fan-out (the
     same hot-key guard as ngram_jaccard_pairs' max_shingle_df)."""
+    from pyspark.sql import Window
+
     fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
     by_hash = fp.select("id", "h").distinct()
     if max_fp_df is not None:
-        dfc = by_hash.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-        by_hash = by_hash.join(
-            dfc.filter(F.col("_df") <= max_fp_df).select("h"), "h"
+        # df guard as a count-over-window on h (NOT a groupBy +
+        # re-join, which would recompute the whole fingerprint lineage
+        # for the count side): one shuffle on h, which the pair
+        # self-join below reuses via exchange reuse
+        wh = Window.partitionBy("h")
+        by_hash = (
+            by_hash.withColumn("_df", F.count(F.lit(1)).over(wh))
+            .filter(F.col("_df") <= max_fp_df)
+            .drop("_df")
         )
     return (
         by_hash.alias("a")

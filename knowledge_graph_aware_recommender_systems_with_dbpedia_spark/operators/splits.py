@@ -570,12 +570,15 @@ def purged_embargo_folds(
     test_min_ts, test_max_ts).
 
     Scale shape: ONE two-pass bucketed global rank (no
-    single-partition window), then a bounded ``explode`` fans each row
-    to the k folds (k is a small constant — cost k*n exactly like
-    ev24's ×7 rolling-reach fan-out) and one hash aggregate per
-    (fold, role) finishes it. Block bounds and the embargo width are
-    pure rank arithmetic (sp6's KFold sizing), so the oracle replays
-    every decision bit-identically.
+    single-partition window) and then NO row fan-out at all — every
+    fold's role partition is a contiguous rank range, so the counts
+    are pure arithmetic in (n, fold, embargo) and the test-block
+    boundary timestamps are the ``ts`` values AT ranks s_f and e_f
+    (``ts`` leads the rank order, so the block min/max ts live exactly
+    at its rank endpoints). The plan filters the ranked frame to the
+    2k boundary ranks (map-side, k a small constant) and aggregates a
+    2k-row frame; everything else is sp6's KFold sizing arithmetic,
+    replayed bit-identically by the oracle.
     """
     kk = int(k)
     order = [
@@ -583,39 +586,54 @@ def purged_embargo_folds(
     ]
     boundaries = _ts_boundaries(ratings, ts_col, 32)
     df = _global_rank(ratings, order, descending=False, boundaries=boundaries)
-    fanned = df.select(
-        (F.col("_rn") - 1).alias("_rn0"),
-        F.col("_n"),
-        F.col(ts_col).cast("double").alias("_ts"),
-        F.explode(F.sequence(F.lit(0), F.lit(kk - 1))).alias("fold"),
+
+    # sp6 sizing: first (n % k) blocks get n//k + 1 rows — all pure
+    # column arithmetic over (_n, fold)
+    def _bounds(fold):
+        big = F.col("_n") % kk
+        small = F.expr(f"_n div {kk}")
+        s = F.when(fold < big, fold * (small + 1)).otherwise(
+            big * (small + 1) + (fold - big) * small
+        )
+        sz = F.when(fold < big, small + 1).otherwise(small)
+        return s, s + sz - 1
+
+    # fold membership of a BOUNDARY row: rank == s_f or e_f for some f
+    rn0 = (F.col("_rn") - 1).alias("_rn0")
+    folds = F.filter(
+        F.sequence(F.lit(0), F.lit(kk - 1)),
+        lambda f: (_bounds(f)[0] == F.col("_rn") - 1)
+        | (_bounds(f)[1] == F.col("_rn") - 1),
     )
-    # sp6 sizing: first (n % k) blocks get n//k + 1 rows
-    big = F.col("_n") % kk
-    size_small = F.expr(f"_n div {kk}")
-    s_f = F.when(
-        F.col("fold") < big, F.col("fold") * (size_small + 1)
-    ).otherwise(big * (size_small + 1) + (F.col("fold") - big) * size_small)
-    e_f = s_f + F.when(F.col("fold") < big, size_small + 1).otherwise(
-        size_small
-    ) - 1
+    hits = (
+        df.select(
+            rn0,
+            F.col("_n"),
+            F.col(ts_col).cast("double").alias("_ts"),
+            folds.alias("_folds"),
+        )
+        .filter(F.size("_folds") > 0)
+        .select("_rn0", "_n", "_ts", F.explode("_folds").alias("fold"))
+    )
+    s_f, e_f = _bounds(F.col("fold"))
     emb = F.ceil(F.col("_n") * F.lit(float(embargo_frac))).cast("bigint")
-    in_test = (F.col("_rn0") >= s_f) & (F.col("_rn0") <= e_f)
-    in_embargo = (F.col("_rn0") >= s_f - emb) & (F.col("_rn0") <= e_f + emb)
-    role = (
-        F.when(in_test, F.lit("test"))
-        .when(in_embargo, F.lit("purged"))
-        .otherwise(F.lit("train"))
+    n_test = e_f - s_f + 1
+    purged_span = (
+        F.least(e_f + emb, F.col("_n") - 1) - F.greatest(s_f - emb, F.lit(0)) + 1
     )
-    rows = fanned.withColumn("_role", role)
-    is_te = F.col("_role") == "test"
-    return rows.groupBy("fold").agg(
-        F.sum(F.when(F.col("_role") == "train", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_train"),
-        F.sum(F.when(is_te, 1).otherwise(0)).cast("bigint").alias("n_test"),
-        F.sum(F.when(F.col("_role") == "purged", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_purged"),
-        F.min(F.when(is_te, F.col("_ts"))).alias("test_min_ts"),
-        F.max(F.when(is_te, F.col("_ts"))).alias("test_max_ts"),
+    return (
+        hits.groupBy("fold")
+        .agg(
+            F.min(F.when(F.col("_rn0") == s_f, F.col("_ts"))).alias("test_min_ts"),
+            F.max(F.when(F.col("_rn0") == e_f, F.col("_ts"))).alias("test_max_ts"),
+            F.first("_n").alias("_n"),
+        )
+        .select(
+            "fold",
+            (F.col("_n") - purged_span).cast("bigint").alias("n_train"),
+            n_test.cast("bigint").alias("n_test"),
+            (purged_span - n_test).cast("bigint").alias("n_purged"),
+            "test_min_ts",
+            "test_max_ts",
+        )
     )
