@@ -5131,6 +5131,81 @@ ORDER BY total_cnt DESC, piece LIMIT 30
 """
 
 
+def tx20_dup_span_audit(spark, sf_dir):
+    """Per-document duplicated-span audit at chunk granularity (the
+    accounting step of Lee et al.'s exact-substring dedup, CCNet's
+    paragraph-hash dedup generalized to fixed windows): docs split
+    into NON-overlapping 32-token windows (ck1's chunker with
+    stride == chunk), each window md5-keyed, the corpus-global keeper
+    of every window value = min (doc_id, chunk_idx), and each doc
+    reports how many of its chunks (and what token fraction) already
+    exist earlier in the corpus. One explode + one hash agg on the
+    window hash + one equi-join back — linear end to end, never
+    pairwise; the shuffle carries 16-byte hashes, not text. Oracle
+    replays the chunk grid, the md5 keys, and the struct-min keeper."""
+    from ..operators import packing as PK
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = PK.chunk_documents(docs, chunk=32, stride=32)
+    hashed = ch.select(
+        "id", "chunk_idx", "n_tokens", F.md5(F.col("chunk_text")).alias("h")
+    )
+    keeper = hashed.groupBy("h").agg(
+        F.min(F.struct("id", "chunk_idx")).alias("k")
+    )
+    j = hashed.join(keeper, "h")
+    dup = (F.col("k.id") != F.col("id")) | (
+        F.col("k.chunk_idx") != F.col("chunk_idx")
+    )
+    return (
+        j.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("n_dup_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(dup, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+        .select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            "n_chunks",
+            "n_dup_chunks",
+            "n_tokens",
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
+TX20_SQL = f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {TOKS_SQL} AS toks
+           FROM documents),
+s AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) > 32
+                  THEN CAST(ceil((len(toks) - 32) / 32.0) AS INT)
+                  ELSE 0 END AS last_i
+      FROM t WHERE len(toks) > 0),
+e AS (SELECT doc_id, toks, CAST(u.ci AS BIGINT) AS chunk_idx, u.ci * 32 AS start
+      FROM s, unnest(range(0, last_i + 1)) AS u(ci)),
+c AS (SELECT doc_id, chunk_idx,
+             CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_tokens,
+             md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS h
+      FROM e WHERE len(list_slice(toks, start + 1, start + 32)) > 0),
+k AS (SELECT h, min(struct_pack(id := doc_id, ci := chunk_idx)) AS k FROM c GROUP BY h),
+j AS (SELECT c.*, (k.k.id <> c.doc_id OR k.k.ci <> c.chunk_idx) AS dup
+      FROM c JOIN k USING (h))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(CASE WHEN dup THEN n_tokens ELSE 0 END)
+             / CAST(sum(n_tokens) AS DOUBLE), 6) AS dup_token_frac
+FROM j GROUP BY 1
+"""
+
+
 def tx19_bpe_encode_topv(spark, sf_dir):
     """tx18's encode step through the SCALE path
     (bpe.segment_words_scale — VERDICT r09 item 1): the same 3 learned
@@ -5757,6 +5832,52 @@ SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
        CAST(CASE WHEN lead(tus) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
        value
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+"""
+
+
+def ev26_ohlc_downsample(spark, sf_dir):
+    """OHLC bar downsampling — the canonical time-series compaction
+    (financial candlesticks, metrics rollups): per (event_type, hour)
+    the first/highest/lowest/last value plus the event count. open and
+    close are argmin/argmax over (ts, event_id) via min/max of a
+    struct — ONE hash aggregate with map-side partial combine, no
+    window, no sort: the struct comparator never reaches the value
+    field because (ts, event_id) is unique, so the result is
+    deterministic and the oracle's identical struct min/max replays it
+    bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 3600000000000").cast("bigint").alias("hour"),
+        F.expr("ts_ns div 1000").cast("bigint").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    return e.groupBy("event_type", "hour").agg(
+        F.min(F.struct("ts_us", "event_id", "value"))
+        .getField("value")
+        .alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.struct("ts_us", "event_id", "value"))
+        .getField("value")
+        .alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+EV26_SQL = """
+WITH e AS (SELECT event_type,
+                  epoch_ns(ts) // 3600000000000 AS hour,
+                  epoch_ns(ts) // 1000 AS ts_us,
+                  event_id, value
+           FROM events)
+SELECT event_type, CAST(hour AS BIGINT) AS hour,
+       min(struct_pack(t := ts_us, e := event_id, v := value)).v AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(struct_pack(t := ts_us, e := event_id, v := value)).v AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY 1, 2
 """
 
 
@@ -9842,6 +9963,7 @@ QUERIES = {
     "tx12_bpe_merges": tx12_bpe_merges,
     "tx18_bpe_tokenize": tx18_bpe_tokenize,
     "tx19_bpe_encode_topv": tx19_bpe_encode_topv,
+    "tx20_dup_span_audit": tx20_dup_span_audit,
     "ev9_outlier_events": ev9_outlier_events,
     "pk2_sequence_stats": pk2_sequence_stats,
     "pk3_shuffle_shards": pk3_shuffle_shards,
@@ -9948,6 +10070,7 @@ QUERIES = {
     "ev23_attribution": ev23_attribution,
     "ev24_rolling_reach": ev24_rolling_reach,
     "ev25_asof_nearest": ev25_asof_nearest,
+    "ev26_ohlc_downsample": ev26_ohlc_downsample,
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "st12_stream_mv_drift": st12_stream_mv_drift,
     "st13_stream_ann_ingest": st13_stream_ann_ingest,
@@ -10387,6 +10510,8 @@ _R11_WINDOW = [
     "sp15_purged_embargo",
     "dq5_profile_drift",
     "dp8_tokenize_pack_shard",
+    "ev26_ohlc_downsample",
+    "tx20_dup_span_audit",
     # impl changed this round
     "dq3_merge_upsert",
     "dq4_scd2_apply",
@@ -10431,8 +10556,6 @@ _R11_WINDOW = [
     "a1_group_concat",
     "a2_o1_user_rating_lists",
     "dd1_exact_dedup",
-    "dd11_incremental_dedup",
-    "dd4_minhash_lsh_pairs",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
@@ -10557,6 +10680,7 @@ ORACLES = {
     "tx12_bpe_merges": TX12_SQL,
     "tx18_bpe_tokenize": TX18_SQL,
     "tx19_bpe_encode_topv": TX19_SQL,
+    "tx20_dup_span_audit": TX20_SQL,
     "ev9_outlier_events": EV9_SQL,
     "pk3_shuffle_shards": PK3_SQL,
     "ss3_quantize_embeddings": SS3_SQL,
@@ -10631,6 +10755,7 @@ ORACLES = {
     "ev23_attribution": EV23_SQL,
     "ev24_rolling_reach": EV24_SQL,
     "ev25_asof_nearest": EV25_SQL,
+    "ev26_ohlc_downsample": EV26_SQL,
     "u4_intersect_audiences": U4_SQL,
     "dq1_expectations": DQ1_SQL,
     "dq2_snapshot_diff": DQ2_SQL,
