@@ -154,6 +154,11 @@ HEADLINE = [
     "sp15_purged_embargo",
     "dq5_profile_drift",
     "dp8_tokenize_pack_shard",
+    "ev26_ohlc_downsample",
+    "tx20_dup_span_audit",
+    "ev27_decay_engagement",
+    "ev28_locf_ttl",
+    "g15_ra_link_prediction",
 ]
 
 

@@ -1143,6 +1143,53 @@ ORDER BY n_common DESC, user_a, user_b LIMIT 100
 """
 
 
+def g15_ra_link_prediction(spark, sf_dir):
+    """Resource-Allocation link prediction (Zhou/Lu/Zhang 2009 — the
+    strongest of the classic local similarity indices): for item pairs
+    sharing raters, RA(i,j) = sum over shared users of 1/deg(u),
+    computed FIXED-POINT (floor(1e6/deg) summed as BIGINT) so the
+    score is hash-exact across engines where float division would
+    drift in ULPs. Same sum(deg^2)-bounded shape as g12's motif
+    search: users above degree 40 are dropped BEFORE the pair
+    self-join (hubs carry ~zero RA weight anyway — that's the POINT of
+    the index), both sides hash on user, top-100 is a
+    TakeOrderedAndProject."""
+    e = _ratings(spark, sf_dir).select("user_id", "item_id").distinct()
+    udeg = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("d"))
+    kept = e.join(udeg.filter(F.col("d") <= 40), "user_id")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("a.item_id") < F.col("b.item_id"))
+        .groupBy(
+            F.col("a.item_id").alias("item_a"),
+            F.col("b.item_id").alias("item_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(F.expr("1000000 div a.d")).cast("bigint").alias("ra_score_fp"),
+        )
+    )
+    return pairs.orderBy(
+        F.desc("ra_score_fp"), "item_a", "item_b"
+    ).limit(100)
+
+
+G15_SQL = f"""
+WITH ratings AS ({RATINGS_SQL}),
+e AS (SELECT DISTINCT user_id AS u, item_id AS i FROM ratings),
+deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+kept AS (SELECT e.u, e.i, deg.d FROM e JOIN deg USING (u) WHERE deg.d <= 40),
+p AS (SELECT a.i AS item_a, b.i AS item_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(1000000 // a.d) AS BIGINT) AS ra_score_fp
+      FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+      GROUP BY 1, 2)
+SELECT item_a, item_b, n_common, ra_score_fp FROM p
+ORDER BY ra_score_fp DESC, item_a, item_b LIMIT 100
+"""
+
+
 def g4_kcore_user(spark, sf_dir):
     return G.filter_kcore(_ratings(spark, sf_dir), k=8, target="user", iterations=1)
 
@@ -5881,6 +5928,128 @@ FROM e GROUP BY 1, 2
 """
 
 
+def ev27_decay_engagement(spark, sf_dir):
+    """Recency-decayed engagement score per user — the time-decay
+    aggregate behind churn/LTV features: every event contributes
+    value * 2^-(age_days), age measured against the USER's own latest
+    event. The decay is integer halving on cent-scaled values
+    (cents >> age_days, exactly floor(cents / 2^age)) — a hash-exact
+    portability contract where a float pow()/exp() would differ in
+    ULPs between engines and break the oracle. One window max over the
+    user partition + one hash agg on the same key (exchange reused —
+    a single shuffle end to end)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 1000").cast("bigint").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id")
+    aged = e.withColumn("_t_max", F.max("ts_us").over(w)).select(
+        "user_id",
+        "cents",
+        F.least(
+            F.expr("(_t_max - ts_us) div 86400000000"), F.lit(40)
+        ).alias("_age"),
+    )
+    decayed = aged.select(
+        "user_id",
+        (
+            F.col("cents")
+            / F.pow(F.lit(2.0), F.col("_age").cast("double")).cast("bigint")
+        ).cast("bigint").alias("_dc"),
+    )
+    return decayed.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("_dc").cast("bigint").alias("score_cents"),
+    )
+
+
+EV27_SQL = """
+WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+                  CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+a AS (SELECT user_id, cents,
+             least((max(ts_us) OVER (PARTITION BY user_id) - ts_us)
+                   // 86400000000, 40) AS age
+      FROM e)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents // CAST(pow(2, age) AS BIGINT)) AS BIGINT) AS score_cents
+FROM a GROUP BY 1
+"""
+
+
+def ev28_locf_ttl(spark, sf_dir):
+    """Last-observation-carried-forward with a TTL — the sensor/
+    metrics gap-fill ev13's zero-fill can't express: on the per-user
+    dense hourly grid, a missing hour inherits the user's most recent
+    hourly value ONLY while the gap is <= 3 hours old; staler holes
+    stay null (reported as -1). The carry is one window
+    last(ignorenulls) over (user ORDER BY hour) for the value and one
+    for its source hour — same partition, same sort, ONE shuffle; the
+    TTL check is a map-side projection. The grid generation is ev13's
+    bounded per-user sequence explode."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 3600000000000").cast("bigint").alias("hour"),
+        F.floor(F.col("value") * 100).alias("cents"),
+    )
+    hourly = e.groupBy("user_id", "hour").agg(
+        (F.sum("cents").cast("double") / 100).alias("v")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select("user_id", F.explode(F.sequence("h0", "h1")).alias("hour"))
+    )
+    g = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    src_hour = F.last(
+        F.when(F.col("v").isNotNull(), F.col("hour")), ignorenulls=True
+    ).over(w)
+    carried = F.last("v", ignorenulls=True).over(w)
+    filled = F.when(F.col("hour") - src_hour <= 3, carried)
+    return g.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "hour",
+        F.coalesce(filled, F.lit(-1.0)).alias("filled_value"),
+        (F.col("v").isNull() & filled.isNotNull()).alias("was_filled"),
+    )
+
+
+EV28_SQL = """
+WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour,
+                  CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+hourly AS (SELECT user_id, hour, sum(cents) / 100.0 AS v
+           FROM e GROUP BY 1, 2),
+span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+         FROM hourly GROUP BY 1),
+grid AS (SELECT user_id, CAST(u.h AS BIGINT) AS hour
+         FROM span, unnest(range(h0, h1 + 1)) AS u(h)),
+g AS (SELECT grid.user_id, grid.hour, hourly.v
+      FROM grid LEFT JOIN hourly USING (user_id, hour)),
+c AS (SELECT user_id, hour, v,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY hour
+                ROWS UNBOUNDED PRECEDING) AS carried,
+             last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY hour
+                     ROWS UNBOUNDED PRECEDING) AS src_hour
+      FROM g)
+SELECT CAST(user_id AS BIGINT) AS user_id, hour,
+       COALESCE(CASE WHEN hour - src_hour <= 3 THEN carried END, -1.0)
+         AS filled_value,
+       (v IS NULL AND (CASE WHEN hour - src_hour <= 3 THEN carried END)
+        IS NOT NULL) AS was_filled
+FROM c
+"""
+
+
 def ev13_resample_fill(spark, sf_dir):
     """Time-series resampling with gap filling: per-user hourly value
     sums on a DENSE hour grid (every hour between the user's first and
@@ -10035,6 +10204,7 @@ QUERIES = {
     "g12_corating_motifs": g12_corating_motifs,
     "g13_kcore_incremental": g13_kcore_incremental,
     "g14_triangles": g14_triangles,
+    "g15_ra_link_prediction": g15_ra_link_prediction,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_profit_proxy": q9_profit_proxy,
     "q11_important_parts": q11_important_parts,
@@ -10071,6 +10241,8 @@ QUERIES = {
     "ev24_rolling_reach": ev24_rolling_reach,
     "ev25_asof_nearest": ev25_asof_nearest,
     "ev26_ohlc_downsample": ev26_ohlc_downsample,
+    "ev27_decay_engagement": ev27_decay_engagement,
+    "ev28_locf_ttl": ev28_locf_ttl,
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "st12_stream_mv_drift": st12_stream_mv_drift,
     "st13_stream_ann_ingest": st13_stream_ann_ingest,
@@ -10512,6 +10684,9 @@ _R11_WINDOW = [
     "dp8_tokenize_pack_shard",
     "ev26_ohlc_downsample",
     "tx20_dup_span_audit",
+    "ev27_decay_engagement",
+    "ev28_locf_ttl",
+    "g15_ra_link_prediction",
     # impl changed this round
     "dq3_merge_upsert",
     "dq4_scd2_apply",
@@ -10528,7 +10703,6 @@ _R11_WINDOW = [
     "a12_linreg_trend",
     "a13_pivot_daily",
     "a14_unpivot_melt",
-    "a17_ewma_daily",
     "q2_min_cost_supplier",
     "sp10_balanced_labels",
     "ss3_quantize_embeddings",
@@ -10553,8 +10727,6 @@ _R11_WINDOW = [
     "tx8_corpus_profile",
     "tx9_mixture_weights",
     # last sampled r07 (12 of 46; rest roll to r12)
-    "a1_group_concat",
-    "a2_o1_user_rating_lists",
     "dd1_exact_dedup",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
@@ -10599,6 +10771,7 @@ ORACLES = {
     "g12_corating_motifs": G12_SQL,
     "g13_kcore_incremental": G13_SQL,
     "g14_triangles": G14_SQL,
+    "g15_ra_link_prediction": G15_SQL,
     "sp1_random_global": _sp_ratio_sql(0.25, "global"),
     "sp2_random_user": _sp_ratio_sql(0.2, "user"),
     "sp3_temporal_global": _sp_ratio_sql(0.3, "global", by_ts=True),
@@ -10756,6 +10929,8 @@ ORACLES = {
     "ev24_rolling_reach": EV24_SQL,
     "ev25_asof_nearest": EV25_SQL,
     "ev26_ohlc_downsample": EV26_SQL,
+    "ev27_decay_engagement": EV27_SQL,
+    "ev28_locf_ttl": EV28_SQL,
     "u4_intersect_audiences": U4_SQL,
     "dq1_expectations": DQ1_SQL,
     "dq2_snapshot_diff": DQ2_SQL,
