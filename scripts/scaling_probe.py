@@ -56,6 +56,12 @@ REPRESENTATIVE = [
     "ss14_ivf_pq_topk",          # IVF-pruned ADC scoring
     "dd15_semantic_dedup",       # within-cell pair search + components
     "st18_intra_drain_dedup",    # drain + greedy state dedup (r11)
+    "dd16_winnowing",            # window-min fingerprint + guarded pair join (r11)
+    "g14_triangles",             # degree-oriented wedge closure (r11)
+    "sp15_purged_embargo",       # bucketed rank + boundary-rank arithmetic (r11)
+    "dp8_tokenize_pack_shard",   # BPE fertility -> packing -> shards (r11)
+    "tx20_dup_span_audit",       # chunk-hash keeper join (r11)
+    "g15_ra_link_prediction",    # capped weighted co-rating join (r11)
 ]
 
 
