@@ -159,6 +159,7 @@ HEADLINE = [
     "ev27_decay_engagement",
     "ev28_locf_ttl",
     "g15_ra_link_prediction",
+    "ev29_ab_ttest",
 ]
 
 

@@ -6050,6 +6050,92 @@ FROM c
 """
 
 
+def ev29_ab_ttest(spark, sf_dir):
+    """A/B experiment readout — the analytics op every product
+    pipeline ends at: users dealt into two variants by det_hash
+    (stable under retries/repartitions, unlike F.rand), per-variant
+    purchase-value moments accumulated as EXACT integers (cent sums
+    and cent-squared sums in BIGINT), then Welch's t computed from
+    those integers. The float math (divide/sqrt on fixed inputs) is
+    IEEE-correctly-rounded, so the statistic is bit-identical across
+    engines — the reason the moments must be integer is that a raw
+    double sum's value depends on partition order, while everything
+    AFTER the aggregate is a pure function. Output: one row per
+    variant + pooled |t| and the significance verdict replicated on
+    both rows (keeps the frame join-free)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    v = e.withColumn(
+        "variant", F.pmod(H.det_hash(F.col("user_id"), seed=SEED), F.lit(2))
+    )
+    m = v.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("s2"),
+    )
+    # Welch from integer moments: mean = s1/n, var = (s2 - s1^2/n)/(n-1)
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    stats = m.select(
+        F.col("variant").cast("bigint").alias("variant"),
+        "n",
+        "s1",
+        "s2",
+        F.round(mean / 100, 6).alias("mean_value"),
+        F.round(var / 10000, 6).alias("var_value"),
+    )
+    a = stats.filter(F.col("variant") == 0).alias("a")
+    b = stats.filter(F.col("variant") == 1).alias("b")
+    t = (
+        (F.col("a.s1").cast("double") / F.col("a.n")
+         - F.col("b.s1").cast("double") / F.col("b.n"))
+        / F.sqrt(
+            ((F.col("a.s2").cast("double")
+              - F.col("a.s1").cast("double") * F.col("a.s1") / F.col("a.n"))
+             / (F.col("a.n") - 1)) / F.col("a.n")
+            + ((F.col("b.s2").cast("double")
+                - F.col("b.s1").cast("double") * F.col("b.s1") / F.col("b.n"))
+               / (F.col("b.n") - 1)) / F.col("b.n")
+        )
+    )
+    paired = a.crossJoin(b).select(
+        F.round(F.abs(t), 6).alias("abs_t"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    )
+    return stats.crossJoin(F.broadcast(paired)).select(
+        "variant", "n", "mean_value", "var_value", "abs_t", "significant_95"
+    )
+
+
+EV29_SQL = f"""
+WITH e AS (SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT cents, ({H.det_hash_sql("user_id", seed=SEED)}) % 2 AS variant FROM e),
+m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(cents * cents) AS BIGINT) AS s2
+      FROM v GROUP BY 1),
+t AS (SELECT abs((a.s1 / CAST(a.n AS DOUBLE) - b.s1 / CAST(b.n AS DOUBLE))
+        / sqrt(((a.s2 - CAST(a.s1 AS DOUBLE) * a.s1 / a.n) / (a.n - 1)) / a.n
+             + ((b.s2 - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / (b.n - 1)) / b.n))
+        AS abs_t
+      FROM m a JOIN m b ON a.variant = 0 AND b.variant = 1)
+SELECT CAST(m.variant AS BIGINT) AS variant, m.n,
+       round((m.s1 / CAST(m.n AS DOUBLE)) / 100, 6) AS mean_value,
+       round(((m.s2 - CAST(m.s1 AS DOUBLE) * m.s1 / m.n) / (m.n - 1)) / 10000, 6)
+         AS var_value,
+       round(t.abs_t, 6) AS abs_t,
+       (t.abs_t > 1.96) AS significant_95
+FROM m CROSS JOIN t
+"""
+
+
 def ev13_resample_fill(spark, sf_dir):
     """Time-series resampling with gap filling: per-user hourly value
     sums on a DENSE hour grid (every hour between the user's first and
@@ -10243,6 +10329,7 @@ QUERIES = {
     "ev26_ohlc_downsample": ev26_ohlc_downsample,
     "ev27_decay_engagement": ev27_decay_engagement,
     "ev28_locf_ttl": ev28_locf_ttl,
+    "ev29_ab_ttest": ev29_ab_ttest,
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "st12_stream_mv_drift": st12_stream_mv_drift,
     "st13_stream_ann_ingest": st13_stream_ann_ingest,
@@ -10687,6 +10774,7 @@ _R11_WINDOW = [
     "ev27_decay_engagement",
     "ev28_locf_ttl",
     "g15_ra_link_prediction",
+    "ev29_ab_ttest",
     # impl changed this round
     "dq3_merge_upsert",
     "dq4_scd2_apply",
@@ -10700,7 +10788,6 @@ _R11_WINDOW = [
     "rec_als_band",
     "rec_kge_transe_band",
     # last sampled r06 (all 27 — closes the r06 tail)
-    "a12_linreg_trend",
     "a13_pivot_daily",
     "a14_unpivot_melt",
     "q2_min_cost_supplier",
@@ -10931,6 +11018,7 @@ ORACLES = {
     "ev26_ohlc_downsample": EV26_SQL,
     "ev27_decay_engagement": EV27_SQL,
     "ev28_locf_ttl": EV28_SQL,
+    "ev29_ab_ttest": EV29_SQL,
     "u4_intersect_audiences": U4_SQL,
     "dq1_expectations": DQ1_SQL,
     "dq2_snapshot_diff": DQ2_SQL,

@@ -195,6 +195,9 @@ NLJ_ALLOWED = {
     # 1-row catalog-count scalar broadcast onto the proposal frame
     "sp11_negative_sampling": 2,
     "dp6_bpr_triples": 2,       # same scalar, via the sp11 stage
+    # two 1-row crossJoins: variant A x variant B (the Welch pairing)
+    # and the 1-row t-stat broadcast back onto the 2-row variant table
+    "ev29_ab_ttest": 4,
 }
 
 
