@@ -1117,21 +1117,25 @@ def winnow_pairs(
     docs BEFORE the join — boilerplate spans every doc shares carry no
     pair signal but would otherwise dominate the join fan-out (the
     same hot-key guard as ngram_jaccard_pairs' max_shingle_df)."""
-    from pyspark.sql import Window
-
     fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
-    by_hash = fp.select("id", "h").distinct()
+    # cache: the fingerprint set feeds the hot-list count AND both pair
+    # sides — one window pass over the corpus instead of three (the
+    # containment_pairs shingle-cache precedent)
+    by_hash = fp.select("id", "h").distinct().cache()
     if max_fp_df is not None:
-        # df guard as a count-over-window on h (NOT a groupBy +
-        # re-join, which would recompute the whole fingerprint lineage
-        # for the count side): one shuffle on h, which the pair
-        # self-join below reuses via exchange reuse
-        wh = Window.partitionBy("h")
-        by_hash = (
-            by_hash.withColumn("_df", F.count(F.lit(1)).over(wh))
-            .filter(F.col("_df") <= max_fp_df)
-            .drop("_df")
+        # df guard as a map-side-combined count + BROADCAST anti-join
+        # of the (tiny) hot set: a corpus-wide boilerplate fingerprint
+        # concentrates its rows in one task under any h-partitioned
+        # window/join, but the groupBy count partial-aggregates it
+        # map-side and the hot list itself is small by definition —
+        # the guard is skew-proof exactly where it is needed
+        hot = (
+            by_hash.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_fp_df)
+            .select("h")
         )
+        by_hash = by_hash.join(F.broadcast(hot), "h", "left_anti")
     return (
         by_hash.alias("a")
         .join(by_hash.alias("b"), "h")
