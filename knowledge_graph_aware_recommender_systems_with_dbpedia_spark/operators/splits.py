@@ -598,13 +598,16 @@ def purged_embargo_folds(
         sz = F.when(fold < big, small + 1).otherwise(small)
         return s, s + sz - 1
 
-    # fold membership of a BOUNDARY row: rank == s_f or e_f for some f
+    # fold membership of a BOUNDARY row: rank == s_f or e_f for some
+    # NON-EMPTY fold (an empty block's e_f = s_f - 1 would otherwise
+    # alias a real rank and fabricate a zero-test fold row)
     rn0 = (F.col("_rn") - 1).alias("_rn0")
-    folds = F.filter(
-        F.sequence(F.lit(0), F.lit(kk - 1)),
-        lambda f: (_bounds(f)[0] == F.col("_rn") - 1)
-        | (_bounds(f)[1] == F.col("_rn") - 1),
-    )
+
+    def _member(f):
+        s, e = _bounds(f)
+        return (e >= s) & ((s == F.col("_rn") - 1) | (e == F.col("_rn") - 1))
+
+    folds = F.filter(F.sequence(F.lit(0), F.lit(kk - 1)), _member)
     hits = (
         df.select(
             rn0,

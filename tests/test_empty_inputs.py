@@ -199,3 +199,57 @@ def test_kcore_fixpoint_on_empty(spark):
     df = spark.createDataFrame([], "user_id bigint, item_id bigint")
     core, rounds, conv = G.kcore_fixpoint(df, k_item=2, k_user=2)
     assert conv and core.count() == 0
+
+
+def test_winnowing_on_empty_and_all_short(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import dedup as DD
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert DD.winnow_fingerprints(empty, k=8, w=4).count() == 0
+    assert DD.winnow_pairs(empty, k=8, w=4).count() == 0
+    short = spark.createDataFrame([(1, "ab"), (2, "cd")], "doc_id long, text string")
+    assert DD.winnow_fingerprints(short, k=8, w=4).count() == 0
+
+
+def test_triangle_counts_on_empty_and_triangle_free(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.graph import triangle_counts
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_counts(empty).count() == 0
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_counts(path).count() == 0
+
+
+def test_purged_embargo_tiny_n(spark):
+    """n < k: trailing folds have empty test blocks and (documented)
+    drop out of the report; the folds that do exist partition n."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.splits import purged_embargo_folds
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0, 1.0), (2, 2, 2.0, 2.0), (3, 3, 3.0, 3.0)],
+        "user_id long, item_id long, rating double, ts double",
+    )
+    rows = {r.fold: r for r in purged_embargo_folds(df, k=4, embargo_frac=0.0).collect()}
+    assert set(rows) == {0, 1, 2}
+    for f, r in rows.items():
+        assert r.n_test == 1 and r.n_train + r.n_test + r.n_purged == 3
+
+
+def test_column_profiles_on_empty(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import column_profiles
+
+    df = spark.createDataFrame([], "id long, x double, s string")
+    prof = {r.column: r for r in column_profiles(df).collect()}
+    assert set(prof) == {"id", "x", "s"}
+    assert all(r.n_rows == 0 and r.n_null == 0 and r.mean is None for r in prof.values())
+
+
+def test_asof_nearest_on_empty_right(spark):
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "a", 5)], "id int, k string, t long")
+    right = spark.createDataFrame([], "k string, t long, v double")
+    got = asof_join(
+        left, right, on="t", by=["k"], value_cols=["v"], direction="nearest"
+    ).collect()
+    assert len(got) == 1 and got[0].t_right is None and got[0].v_right is None
