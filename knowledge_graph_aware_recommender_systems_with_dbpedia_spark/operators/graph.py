@@ -770,11 +770,16 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # materialize: the oriented list feeds BOTH wedge sides and the
+    # closure probe — left lazy, each of the three references expands
+    # the full edges+degree lineage and the plan grows multiplicatively
+    # (~270 exchange nodes on the co-order graph); the checkpoint makes
+    # downstream three scans of one computed table
     oriented = withdeg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # wedge at u: out-neighbors v < w in (deg, id) order
     wedges = o1.join(o2, "u").filter(
