@@ -10749,16 +10749,17 @@ _R10_WINDOW = [
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 
-# Round-11 window (VERDICT r10 item 6): fronts this round's births
-# (st18 + the sharded-KGE band), the seven queries whose implementation
-# changed this round (dq3/dq4 reconcile null-safe ops + broadcast
-# split, st15/st16 cache-registry path, st14 compaction cleanup order,
-# dd15/dp7 semdedup default derivation), the three standing stochastic
-# _band twins (re-sampled every round), ALL 27 queries last sampled in
-# r06 (closes the r06 tail — after this no query is older than r07 in
-# driver-sample age), and 11 of the 46 r07-aged queries as fill (dedup
-# family fronted — dd1/dd4/dd11 share machinery with this round's
-# intra-drain work); the remaining 35 r07-aged roll to the r12 window.
+# Round-11 window (VERDICT r10 item 6, extended by the late-round
+# widening): fronts ALL 14 of this round's births (st18 + the
+# sharded-KGE band from the main push; dd16/ev25/ev26/ev27/ev28/ev29/
+# g14/g15/sp15/dq5/dp8/tx20 from the continuation), the seven queries
+# whose implementation changed (dq3/dq4 reconcile null-safe ops +
+# broadcast split, st15/st16 cache-registry path, st14 compaction
+# cleanup order, dd15/dp7 semdedup default derivation), the three
+# standing stochastic _band twins (re-sampled every round), 25 of the
+# 27 r06-aged queries (a12/a17 displaced by births, re-queued for
+# r12), and dd1 as the one r07 fill; the remaining r06/r07-aged roll
+# to the r12 window.
 _R11_WINDOW = [
     # born this round — fronted at birth
     "st18_intra_drain_dedup",
