@@ -160,6 +160,7 @@ HEADLINE = [
     "ev28_locf_ttl",
     "g15_ra_link_prediction",
     "ev29_ab_ttest",
+    "ev30_funnel_window",
 ]
 
 

@@ -5692,6 +5692,86 @@ UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
 """
 
 
+def ev30_funnel_window(spark, sf_dir):
+    """Conversion-WINDOW funnel — ev10 with the timeout every product
+    analytics tool applies: the first click within 1 HOUR of the
+    user's first view, the first purchase within 1 hour of that click;
+    later conversions don't count. Same chained conditional min-agg
+    shape (every stage keyed on user_id, stage tables bounded by
+    #users), plus a per-stage conversion rate computed from the exact
+    BIGINT counts via a 2-row lag window — deterministic, join-free.
+    The window vs. unbounded contrast with ev10 IS the product
+    question ("how many convert immediately vs. eventually")."""
+    hour_ns = 3_600_000_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts_ns") >= F.col("v_ts"))
+            & (F.col("ts_ns") <= F.col("v_ts") + F.lit(hour_ns))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts_ns") >= F.col("c_ts"))
+            & (F.col("ts_ns") <= F.col("c_ts") + F.lit(hour_ns))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("p_ts"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users")
+        ).select(F.lit(label).alias("stage"), "n_users")
+
+    stages = (
+        stage(v, "1_view")
+        .unionAll(stage(c, "2_click_1h"))
+        .unionAll(stage(p, "3_purchase_1h"))
+    )
+    w = Window.orderBy("stage")
+    return stages.withColumn(
+        "conversion",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.lag("n_users", 1).over(w).cast("double"),
+            6,
+        ),
+    )
+
+
+EV30_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+v AS (SELECT user_id, min(ts_ns) AS v_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(ts_ns) AS c_ts FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts_ns >= v_ts
+        AND ts_ns <= v_ts + 3600000000000 GROUP BY 1),
+p AS (SELECT e.user_id, min(ts_ns) AS p_ts FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts_ns >= c_ts
+        AND ts_ns <= c_ts + 3600000000000 GROUP BY 1),
+s AS (SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL SELECT '2_click_1h', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL SELECT '3_purchase_1h', CAST(count(*) AS BIGINT) FROM p)
+SELECT stage, n_users,
+       round(n_users / CAST(lag(n_users) OVER (ORDER BY stage) AS DOUBLE), 6)
+         AS conversion
+FROM s
+"""
+
+
 def ev11_retention(spark, sf_dir):
     """Cohort retention triangle: users grouped by first-active day
     (cohort), counted on each later active day as a (cohort_day,
@@ -10330,6 +10410,7 @@ QUERIES = {
     "ev27_decay_engagement": ev27_decay_engagement,
     "ev28_locf_ttl": ev28_locf_ttl,
     "ev29_ab_ttest": ev29_ab_ttest,
+    "ev30_funnel_window": ev30_funnel_window,
     "st11_stream_quality_gate": st11_stream_quality_gate,
     "st12_stream_mv_drift": st12_stream_mv_drift,
     "st13_stream_ann_ingest": st13_stream_ann_ingest,
@@ -10776,6 +10857,7 @@ _R11_WINDOW = [
     "ev28_locf_ttl",
     "g15_ra_link_prediction",
     "ev29_ab_ttest",
+    "ev30_funnel_window",
     # impl changed this round
     "dq3_merge_upsert",
     "dq4_scd2_apply",
@@ -10814,8 +10896,6 @@ _R11_WINDOW = [
     "tx7_lang_confusion",
     "tx8_corpus_profile",
     "tx9_mixture_weights",
-    # last sampled r07 (12 of 46; rest roll to r12)
-    "dd1_exact_dedup",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
@@ -11020,6 +11100,7 @@ ORACLES = {
     "ev27_decay_engagement": EV27_SQL,
     "ev28_locf_ttl": EV28_SQL,
     "ev29_ab_ttest": EV29_SQL,
+    "ev30_funnel_window": EV30_SQL,
     "u4_intersect_audiences": U4_SQL,
     "dq1_expectations": DQ1_SQL,
     "dq2_snapshot_diff": DQ2_SQL,

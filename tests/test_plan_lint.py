@@ -198,6 +198,9 @@ NLJ_ALLOWED = {
     # two 1-row crossJoins: variant A x variant B (the Welch pairing)
     # and the 1-row t-stat broadcast back onto the 2-row variant table
     "ev29_ab_ttest": 4,
+    # ev10's three final 1-row stage counts + the 3-row lag window for
+    # the conversion ratios
+    "ev30_funnel_window": 4,
 }
 
 
