@@ -6013,9 +6013,9 @@ def ev27_decay_engagement(spark, sf_dir):
     aggregate behind churn/LTV features: every event contributes
     value * 2^-(age_days), age measured against the USER's own latest
     event. The decay is integer halving on cent-scaled values
-    (cents >> age_days, exactly floor(cents / 2^age)) — a hash-exact
-    portability contract where a float pow()/exp() would differ in
-    ULPs between engines and break the oracle. One window max over the
+    (cents div (1 << age), a pure BIGINT shift on both engines) — a
+    hash-exact portability contract where a float pow()/exp() would
+    differ in ULPs between engines and break the oracle. One window max over the
     user partition + one hash agg on the same key (exchange reused —
     a single shuffle end to end)."""
     e = load_table(spark, sf_dir, "events").select(
@@ -6033,10 +6033,9 @@ def ev27_decay_engagement(spark, sf_dir):
     )
     decayed = aged.select(
         "user_id",
-        (
-            F.col("cents")
-            / F.pow(F.lit(2.0), F.col("_age").cast("double")).cast("bigint")
-        ).cast("bigint").alias("_dc"),
+        F.expr("cents div shiftleft(cast(1 as bigint), cast(_age as int))").alias(
+            "_dc"
+        ),
     )
     return decayed.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -6054,7 +6053,7 @@ a AS (SELECT user_id, cents,
       FROM e)
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(cents // CAST(pow(2, age) AS BIGINT)) AS BIGINT) AS score_cents
+       CAST(sum(cents // (CAST(1 AS BIGINT) << age)) AS BIGINT) AS score_cents
 FROM a GROUP BY 1
 """
 

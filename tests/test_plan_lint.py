@@ -74,6 +74,9 @@ ALLOWED = {
     # one 1-row profile aggregate per snapshot (k-column struct array,
     # exploded to the k-row report — both sides bounded by design)
     "dq5_profile_drift": 2,
+    # ev10's three final 1-row stage counts; the conversion-rate lag
+    # window rides the 3-row stage frame
+    "ev30_funnel_window": 3,
 }
 
 
@@ -198,9 +201,6 @@ NLJ_ALLOWED = {
     # two 1-row crossJoins: variant A x variant B (the Welch pairing)
     # and the 1-row t-stat broadcast back onto the 2-row variant table
     "ev29_ab_ttest": 4,
-    # ev10's three final 1-row stage counts + the 3-row lag window for
-    # the conversion ratios
-    "ev30_funnel_window": 4,
 }
 
 
