@@ -726,28 +726,18 @@ def kcore_decremental(
     )
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Per-node triangle counts via degree-ordered edge orientation —
-    the MapReduce-classic wedge-check algorithm (Suri & Vassilvitskii,
-    WWW'11; Cohen's MR triangle enumeration).
+def orient_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree-order every undirected edge from its (degree, id)-lesser
+    endpoint to the greater: ``(u, v, dv)`` with dv = deg(v).
 
-    Input: undirected edges, any direction, duplicates/self-loops
-    tolerated (normalized away). Output: ``(node, n_triangles)`` for
-    every node in at least one triangle.
-
-    Why orientation is THE scale lever: counting wedges on the raw
-    graph costs sum(deg^2) — a single celebrity node with degree 10M
-    creates 10^14 wedges. Orienting every edge from its (degree, id)-
-    lesser endpoint to the greater makes the wedge cost
-    sum(out_deg^2) with out_deg <= O(sqrt(m)) for ANY graph (each
-    node's out-neighbors all have >= its degree, and there can only be
-    sqrt(2m) nodes of degree >= sqrt(2m)). Every triangle is counted
-    exactly once, at its (degree,id)-smallest vertex's wedge.
-
-    Plan: two self-equi-joins (wedge build on the oriented source,
-    closure check on the oriented (v,w) edge) + one explode-free
-    unpivot aggregate. No inequality join, no enumeration of the raw
-    neighborhood squares.
+    The resulting DAG's out-degree is <= O(sqrt(m)) for ANY input
+    graph — a node's out-neighbors all have degree >= its own, and at
+    most sqrt(2m) nodes can have degree >= sqrt(2m) — which is the
+    whole skew story for wedge-based algorithms (triangles, clustering
+    coefficient, butterfly counting): a hub of degree 10M has
+    out-degree ~0, so the sum(out_deg^2) wedge cost survives
+    celebrity nodes. Normalizes duplicates/reversed edges/self-loops
+    away first.
     """
     e = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
@@ -766,20 +756,43 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
         .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
     )
-    # orient lesser (deg, id) -> greater (deg, id)
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    # materialize: the oriented list feeds BOTH wedge sides and the
-    # closure probe — left lazy, each of the three references expands
-    # the full edges+degree lineage and the plan grows multiplicatively
-    # (~270 exchange nodes on the co-order graph); the checkpoint makes
-    # downstream three scans of one computed table
-    oriented = withdeg.select(
+    return withdeg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).localCheckpoint(eager=True)
+    )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation —
+    the MapReduce-classic wedge-check algorithm (Suri & Vassilvitskii,
+    WWW'11; Cohen's MR triangle enumeration).
+
+    Input: undirected edges, any direction, duplicates/self-loops
+    tolerated (normalized away). Output: ``(node, n_triangles)`` for
+    every node in at least one triangle.
+
+    Why orientation is THE scale lever: counting wedges on the raw
+    graph costs sum(deg^2) — a single celebrity node with degree 10M
+    creates 10^14 wedges. Orienting every edge from its (degree, id)-
+    lesser endpoint to the greater makes the wedge cost
+    sum(out_deg^2) with out_deg <= O(sqrt(m)) for ANY graph (each
+    node's out-neighbors all have >= its degree, and there can only be
+    sqrt(2m) nodes of degree >= sqrt(2m)). Every triangle is counted
+    exactly once, at its (degree,id)-smallest vertex's wedge.
+
+    Plan: the oriented list (orient_edges) is localCheckpointed —
+    left lazy, its three consumers (both wedge sides + the closure
+    probe) each re-expand the edges+degree lineage and the plan grows
+    multiplicatively (~270 exchange nodes on the co-order graph; 13
+    after) — then two self-equi-joins and one explode-free unpivot
+    aggregate. No inequality join, no enumeration of the raw
+    neighborhood squares.
+    """
+    oriented = orient_edges(edges, src, dst).localCheckpoint(eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # wedge at u: out-neighbors v < w in (deg, id) order
     wedges = o1.join(o2, "u").filter(

@@ -427,3 +427,28 @@ def test_triangle_counts_matches_bruteforce_random(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == expected
+
+
+def test_orient_edges_kills_hub_skew(spark):
+    """The degree-orientation skew guarantee, measured: a 1000-leaf
+    star's hub ends with out-degree ZERO (every edge points INTO the
+    max-degree node), so the wedge stage sees sum(out_deg^2) = 0 from
+    the hub instead of C(1000,2) — and the attached triangle still
+    counts exactly once."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.graph import (
+        orient_edges,
+        triangle_counts,
+    )
+
+    hub = 0
+    star = [(hub, i) for i in range(1, 1001)]
+    tri = [(1, 2)]  # leaves 1,2 + hub close one triangle
+    df = spark.createDataFrame(star + tri, "src long, dst long")
+    out_deg = {
+        r.u: r.c
+        for r in orient_edges(df).groupBy("u").count().withColumnRenamed("count", "c").collect()
+    }
+    assert hub not in out_deg  # hub emits NO wedges
+    assert max(out_deg.values()) <= 2
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
