@@ -1275,3 +1275,37 @@ def test_winnow_pairs_hot_fingerprint_guard(spark):
     mid_rows = mid.collect()
     assert len(mid_rows) < 10
     assert {(r.doc_a, r.doc_b) for r in mid_rows} <= open_set
+
+
+def test_winnowing_guarantee_randomized(spark):
+    """Property pin of THE winnowing theorem (Schleimer et al. §3):
+    for ANY two documents sharing a substring of length >= k + w - 1,
+    the selected fingerprint sets intersect. Random word-soup docs
+    with a random shared span planted at random offsets on both
+    sides."""
+    import numpy as np
+
+    rng = np.random.RandomState(1234)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    k, w = 8, 4
+    need = k + w - 1  # 11 chars
+
+    cases = []
+    for t in range(12):
+        span_len = rng.randint(need, need + 30)
+        span = "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"), size=span_len))
+        d1 = " ".join(rng.choice(vocab, size=rng.randint(0, 12))) + " " + span + " " + " ".join(
+            rng.choice(vocab, size=rng.randint(0, 12))
+        )
+        d2 = " ".join(rng.choice(vocab, size=rng.randint(0, 20))) + " " + span
+        cases.append((2 * t, d1.strip()))
+        cases.append((2 * t + 1, d2.strip()))
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    fp = DD.winnow_fingerprints(docs, k=k, w=w)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.id, set()).add(r.h)
+    for t in range(12):
+        assert by_doc.get(2 * t, set()) & by_doc.get(2 * t + 1, set()), (
+            f"case {t}: planted span produced no shared fingerprint"
+        )

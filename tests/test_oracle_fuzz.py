@@ -28,6 +28,8 @@ DOC_QUERIES = [
     "dd14_containment",
     "tx17_tfidf_keywords",
     "tx2_vocab_topk",
+    "dd16_winnowing",
+    "tx20_dup_span_audit",
 ]
 
 VOCAB = (
