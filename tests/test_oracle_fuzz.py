@@ -94,7 +94,20 @@ def test_doc_oracles_agree_on_random_corpora(spark, tmp_path, seed):
             pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
 
 
-EVENT_QUERIES = ["a9_value_counts", "ev1_hourly_rollup", "a16_distinct_users"]
+EVENT_QUERIES = [
+    "a9_value_counts",
+    "ev1_hourly_rollup",
+    "a16_distinct_users",
+    # late-r11 event analytics — all pure functions of the events
+    # table, so the random-stream replay is a full cross-engine check
+    "ev25_asof_nearest",
+    "ev26_ohlc_downsample",
+    "ev27_decay_engagement",
+    "ev28_locf_ttl",
+    "ev29_ab_ttest",
+    "ev30_funnel_window",
+    "dq5_profile_drift",
+]
 
 
 @pytest.mark.parametrize("seed", [7])
@@ -113,7 +126,7 @@ def test_event_oracles_agree_on_random_streams(spark, tmp_path, seed):
                 i,
                 base + datetime.timedelta(seconds=int(rng.randint(0, 86400 * 7))),
                 int(rng.randint(1, 20)),
-                str(rng.choice(["view", "click", "buy"])),
+                str(rng.choice(["view", "click", "purchase"])),
                 float(np.round(rng.rand() * 100, 2)),
                 '{"k": %d}' % rng.randint(0, 5),
             )
