@@ -176,6 +176,12 @@ METRIC_QUERIES = [
     "e4_mrr_at_5",
     "e5_hitrate_at_5",
     "e6_kfold_map_popularity",
+    # late-r11 graph/CV analytics over the same randomized co-rating
+    # structure: orientation, fixed-point RA weights, and the
+    # purged-embargo rank arithmetic must replay on ANY tie pattern
+    "g14_triangles",
+    "g15_ra_link_prediction",
+    "sp15_purged_embargo",
 ]
 
 
