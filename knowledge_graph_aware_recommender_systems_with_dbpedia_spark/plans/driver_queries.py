@@ -10830,9 +10830,9 @@ _R10_WINDOW = [
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 
 # Round-11 window (VERDICT r10 item 6, extended by the late-round
-# widening): fronts ALL 14 of this round's births (st18 + the
+# widening): fronts ALL 15 of this round's births (st18 + the
 # sharded-KGE band from the main push; dd16/ev25/ev26/ev27/ev28/ev29/
-# g14/g15/sp15/dq5/dp8/tx20 from the continuation), the seven queries
+# ev30/g14/g15/sp15/dq5/dp8/tx20 from the continuation), the seven queries
 # whose implementation changed (dq3/dq4 reconcile null-safe ops +
 # broadcast split, st15/st16 cache-registry path, st14 compaction
 # cleanup order, dd15/dp7 semdedup default derivation), the three
