@@ -425,6 +425,16 @@ def column_profiles(
     fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     if cols is not None:
         want = {c for c in cols}
+        known = {name for name, _dt in fields}
+        unknown = sorted(want - known)
+        if unknown:
+            # a silent drop here makes a typo'd column vanish from the
+            # drift report — a false PASS for a data-contract gate
+            # (ADVICE r11), so unknown names are a hard error
+            raise ValueError(
+                f"column_profiles: columns not in schema: {unknown} "
+                f"(schema has: {sorted(known)})"
+            )
         fields = [f for f in fields if f[0] in want]
     aggs = [F.count(F.lit(1)).alias("_n")]
     numeric = {}
@@ -498,7 +508,13 @@ def profile_drift(
         F.col("o.n_distinct").cast("double"), F.lit(0.0)
     )
     null_drift = F.abs(nr_new - nr_old) > null_rate_tol
-    distinct_drift = (ratio < lo) | (ratio > hi)
+    # old n_distinct == 0 makes the ratio NULL, which the final
+    # coalesce would read as "no drift" — but 0 -> N distinct values
+    # (an all-null baseline column coming alive) is exactly a
+    # distinct-count explosion, so flag it explicitly (ADVICE r11)
+    distinct_drift = F.when(
+        (F.col("o.n_distinct") == 0) & (F.col("n.n_distinct") > 0), F.lit(True)
+    ).otherwise((ratio < lo) | (ratio > hi))
     mean_drift = F.when(
         F.col("o.mean").isNotNull() & F.col("n.mean").isNotNull(),
         F.abs(F.col("n.mean") - F.col("o.mean"))

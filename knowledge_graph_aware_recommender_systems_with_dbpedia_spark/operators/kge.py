@@ -102,12 +102,13 @@ def collect_indexed_triples(
 
     Guarded: counts before collecting and raises if the triple set
     exceeds ``max_triples`` — the single-node SGD stage is for
-    reference-scale graphs. At 100 TB, use
-    :func:`train_kge_partitioned` instead: the triples stay a
-    DataFrame, each partition runs local SGD from broadcast
-    parameters, and the sparse parameter deltas are aggregated
-    Spark-side each epoch; scoring downstream is unchanged — it only
-    needs the final entity-vector DataFrame.
+    reference-scale graphs. At 100 TB, use :func:`train_kge_sharded`
+    instead: triples AND parameters stay DataFrames (per-partition
+    local SGD over equi-joined parameter slices, deltas summed and
+    joined back Spark-side) — nothing parameter-sized touches the
+    driver; :func:`train_kge_partitioned` is the mid-tier (parameters
+    driver-held). Scoring downstream is unchanged either way — it
+    only needs the final entity-vector DataFrame.
     """
     idx = indexed_triples_df(triples, ents, rels)
     n = idx.count()
@@ -116,10 +117,12 @@ def collect_indexed_triples(
             f"refusing to collect {n:,} triples to the driver "
             f"(cap {max_triples:,}): the single-node KGE SGD stage is for "
             "reference-scale graphs. For larger graphs use "
-            "train_kge_partitioned (KGERecommender(trainer='partitioned')): "
-            "partition-wise SGD with Spark-side delta aggregation — the "
-            "triples never leave the cluster; the resulting entity vectors "
-            "feed the unchanged scoring path."
+            "train_kge_sharded (KGERecommender(trainer='sharded')): the "
+            "triples AND the parameter tables live on the cluster — "
+            "nothing parameter-sized ever touches the driver; "
+            "trainer='partitioned' is the mid-tier (triples stay "
+            "distributed, parameters driver-held). The resulting entity "
+            "vectors feed the unchanged scoring path either way."
         )
     rows = idx.collect()
     return np.array([[r.h, r.r, r.t] for r in rows], dtype=np.int64)
@@ -529,8 +532,14 @@ def train_kge_partitioned(
     n_partitions: int = 8,
 ) -> _KGEModel:
     """Distributed KGE training: partition-wise SGD with per-epoch
-    parameter averaging (federated-averaging style). The scale path
-    the reference's single-GPU pykeen stage cannot offer.
+    parameter averaging (federated-averaging style). The MID-TIER
+    trainer: triples stay distributed but the parameter tables are
+    driver-held and the summed deltas round-trip through the driver
+    each epoch, so the ceiling is O(n_ent * dim) driver memory. For
+    graphs where the parameter table itself outgrows the driver, use
+    :func:`train_kge_sharded` (``KGERecommender(trainer='sharded')``)
+    — parameters live as a DataFrame across epochs and nothing
+    parameter-sized ever touches the driver; that is the 100 TB path.
 
     Per epoch: current parameters are broadcast; each of
     ``n_partitions`` deterministic triple partitions runs one local

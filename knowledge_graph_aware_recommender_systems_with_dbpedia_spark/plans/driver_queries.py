@@ -4590,9 +4590,10 @@ j AS (SELECT po.col_name,
       FROM po JOIN pn USING (col_name)),
 f AS (SELECT j.*,
              (abs(null_rate_new - null_rate_old) > 0.01) AS null_drift,
-             (n_distinct_new / nullif(CAST(n_distinct_old AS DOUBLE), 0.0) < 0.5
-              OR n_distinct_new / nullif(CAST(n_distinct_old AS DOUBLE), 0.0) > 2.0)
-               AS distinct_drift,
+             CASE WHEN n_distinct_old = 0 AND n_distinct_new > 0 THEN TRUE
+                  ELSE (n_distinct_new / nullif(CAST(n_distinct_old AS DOUBLE), 0.0) < 0.5
+                        OR n_distinct_new / nullif(CAST(n_distinct_old AS DOUBLE), 0.0) > 2.0)
+             END AS distinct_drift,
              COALESCE(CASE WHEN mean_old IS NOT NULL AND mean_new IS NOT NULL
                THEN abs(mean_new - mean_old)
                     > 0.05 * greatest(abs(mean_old), 0.000000001)
@@ -8830,7 +8831,15 @@ def dp8_tokenize_pack_shard(spark, sf_dir):
             F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
         )
         .select(
-            (F.col("bucket") * 100000 + F.col("seq_id")).alias("seq_key"),
+            # shard key must be collision-free: bucket*1e5+seq_id
+            # aliased distinct sequences once any bucket packed >=100k
+            # of them (ADVICE r11) — bucket<16 and seq_id<2^40 give
+            # shiftleft(bucket,40)+seq_id a disjoint range per bucket
+            # (2^40 sequences/bucket = 2^50 tokens/bucket headroom)
+            (
+                F.shiftleft(F.col("bucket").cast("bigint"), 40)
+                + F.col("seq_id")
+            ).alias("seq_key"),
             "n_docs",
             "seq_tokens",
         )
@@ -8872,7 +8881,7 @@ p AS (SELECT doc_id, bucket, n_tokens,
 pk AS (SELECT doc_id, bucket, n_tokens,
               CAST(floor((cum - n_tokens) / 1024.0) AS BIGINT) AS seq_id
        FROM p),
-sq AS (SELECT bucket * 100000 + seq_id AS seq_key,
+sq AS (SELECT bucket * 1099511627776 + seq_id AS seq_key,
               CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
        FROM pk GROUP BY 1),

@@ -1261,7 +1261,9 @@ def test_winnow_pairs_hot_fingerprint_guard(spark):
     boiler = "this boilerplate footer appears everywhere in the corpus"
     rows = [(i, f"unique{'x' * i}padding word soup {i} " + boiler) for i in range(1, 6)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    open_pairs = DD.winnow_pairs(docs, k=8, w=4, min_shared=1, max_fp_df=None)
+    import math as _math
+
+    open_pairs = DD.winnow_pairs(docs, k=8, w=4, min_shared=1, max_fp_df=_math.inf)
     assert open_pairs.count() == 10  # all C(5,2) pairs share the footer
     # df cap 1: no fingerprint carried by 2+ docs may enter the join,
     # so the pair report is empty BY CONSTRUCTION regardless of which
@@ -1275,6 +1277,54 @@ def test_winnow_pairs_hot_fingerprint_guard(spark):
     mid_rows = mid.collect()
     assert len(mid_rows) < 10
     assert {(r.doc_a, r.doc_b) for r in mid_rows} <= open_set
+
+
+def test_winnow_default_fp_df_derivation():
+    """max(50, ceil(sqrt(n))): 50 floors the small-corpus range, the
+    cap grows as sqrt past 2500 docs (the dd15 n_cells precedent)."""
+    assert DD._winnow_default_fp_df(0) == 50
+    assert DD._winnow_default_fp_df(1) == 50
+    assert DD._winnow_default_fp_df(2500) == 50
+    assert DD._winnow_default_fp_df(2501) == 51
+    assert DD._winnow_default_fp_df(10**6) == 1000
+
+
+def test_winnow_pairs_auto_cap_equals_explicit(spark):
+    """The derived default (n=5 -> floor 50) is bit-identical to
+    passing the same cap explicitly — auto-scaling changes the
+    DEFAULT, never the semantics of a pinned value."""
+    rows = [(i, f"unique{'x' * i}padding word soup number {i} here") for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    auto = DD.winnow_pairs(docs, k=8, w=4, min_shared=1)
+    explicit = DD.winnow_pairs(docs, k=8, w=4, min_shared=1, max_fp_df=50)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_winnow_pairs_boilerplate_skew_bounded(spark):
+    """A boilerplate span shared by 10^3 docs (df = 1000 >> the
+    derived cap of 50) is dropped BEFORE the pair join, so the join
+    input stays sum(df^2)-bounded at the cap instead of fanning out
+    C(1000,2) pairs from one hot fingerprint."""
+    boiler = " the standard footer every page carries verbatim always"
+    rows = [(i, f"doc{i}head{'y' * (i % 7)}" + boiler) for i in range(1, 1001)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # the hot fingerprint really exists: some selected hash has df=1000
+    fp = DD.winnow_fingerprints(docs, k=8, w=4).select("id", "h").distinct()
+    max_df = (
+        fp.groupBy("h").count().agg(F.max("count").alias("m")).collect()[0].m
+    )
+    assert max_df == 1000
+    # derived cap = max(50, ceil(sqrt(1000))) = 50 -> every shared-by-
+    # all fingerprint is dropped; only sub-cap fingerprints may join
+    pairs = DD.winnow_pairs(docs, k=8, w=4, min_shared=1)
+    got = pairs.count()
+    # upper bound: sum over SURVIVING (df <= cap) fingerprints of
+    # C(df,2) — the hot fingerprint's C(1000,2) never enters
+    df_counts = fp.groupBy("h").count().filter(F.col("count") <= 50).collect()
+    bound = sum(r["count"] * (r["count"] - 1) // 2 for r in df_counts)
+    assert got <= bound < 1000 * 999 // 2
 
 
 def test_winnowing_guarantee_randomized(spark):
