@@ -905,6 +905,50 @@ def compact_dedup_state(spark, state_dir: str) -> bool:
     return True
 
 
+def maybe_compact_dedup_state(
+    spark, state_dir: str, max_state_dirs: int = 8
+) -> bool:
+    """Threshold-triggered IN-DRAIN fold of the per-batch dedup state
+    (VERDICT r11 item 1): :func:`compact_dedup_state` only ran between
+    drains, so within a long-lived drain every micro-batch listed and
+    read ALL prior per-batch state dirs — O(B^2) listing/read overhead
+    over a B-batch drain. This is the st14 staleness-trigger pattern
+    applied to the dedup state: when more than ``max_state_dirs``
+    NON-BASE batch dirs have accumulated, fold them into the batch=-1
+    base (same crash-safe rename-aside swap; a crashed fold rolls
+    forward via :func:`recover_dedup_state_compaction`).
+
+    Safe mid-drain because the drain is the state's single writer and
+    the caller (streaming/curation.curate_batch) invokes this BEFORE
+    writing the current batch's own dir or issuing any read of the
+    state — nothing lazy can hold a reference to the pre-fold layout.
+    Folding preserves the greedy drop rule exactly: the rule compares
+    ids and base rows (batch=-1) stay on the seen side of every future
+    ``batch <= N`` read. The dir count check is a pure listing — zero
+    Spark jobs until the trigger actually fires.
+
+    At-least-once note: a batch whose state dir was folded and whose
+    offsets were NOT yet committed replays after a crash and rewrites
+    its dir, so its rows can transiently exist in base AND batch=N;
+    :func:`greedy_state_dedup_drops` is idempotent under duplicated
+    state rows (distinct-hardened), so the verdicts are unchanged.
+
+    Returns True iff a fold happened."""
+    import os
+
+    live = f"{state_dir}/state"
+    if not os.path.isdir(live):
+        return False
+    n_dirs = sum(
+        1
+        for d in os.listdir(live)
+        if d.startswith("batch=") and d != "batch=-1"
+    )
+    if n_dirs <= max_state_dirs:
+        return False
+    return compact_dedup_state(spark, state_dir)
+
+
 def greedy_state_dedup_drops(
     state: DataFrame,
     batch_id: int,
@@ -955,8 +999,21 @@ def greedy_state_dedup_drops(
         .select("id", "shingle")
         .join(cands.select(F.col("new_id").alias("id")).distinct(), "id", "left_semi")
     )
-    sh_seen = state_shingles.select("id", "shingle").join(
-        cands.select(F.col("seen_id").alias("id")).distinct(), "id", "left_semi"
+    # distinct-hardened: in the fold/replay crash window a doc's rows
+    # can transiently exist in the batch=-1 base AND its rewritten
+    # batch=N dir (see maybe_compact_dedup_state); duplicated shingle
+    # rows would double-count n2/n_common and corrupt the Jaccard, so
+    # the seen side dedups (id, shingle) AFTER the candidate semi-join
+    # (candidate-doc-bounded, not state-sized). sh_new needs no
+    # distinct: it reads exactly one batch dir.
+    sh_seen = (
+        state_shingles.select("id", "shingle")
+        .join(
+            cands.select(F.col("seen_id").alias("id")).distinct(),
+            "id",
+            "left_semi",
+        )
+        .distinct()
     )
     sn = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
     sc = sh_seen.groupBy("id").agg(F.count(F.lit(1)).alias("n2"))

@@ -72,6 +72,7 @@ def curation_pipeline_stream(
     vec_col: str = "embedding",
     corpus_state=None,
     drain_state_dir: str | None = None,
+    state_compact_dirs: int = 8,
 ):
     """Start the composed curation drain over a document stream;
     returns the started StreamingQuery (availableNow — caller awaits).
@@ -104,6 +105,7 @@ def curation_pipeline_stream(
             batch, batch_id, corpus, state, emb, index_path, metrics_dir,
             checks, quality_threshold, bands, n_hashes, n, verify_threshold,
             id_col, text_col, vec_id_col, vec_col, drain_state_dir,
+            state_compact_dirs,
         )
 
     import os
@@ -137,6 +139,7 @@ def run_curation_drain(
     delta_share_due: float = 0.2,
     max_delta_batches: int = 8,
     intra_drain_dedup: bool = False,
+    state_compact_dirs: int = 8,
 ) -> bool:
     """Blocking curation drain with a COMPLETE index lifecycle
     (VERDICT r09 item 2: st14 computed ``compaction_due`` but nothing
@@ -151,6 +154,12 @@ def run_curation_drain(
     drain's, so a checkpoint-resumed drain finds exactly the state
     its committed batches wrote. See :func:`curate_batch` for the
     keep-smallest-id contract and its batching-invariance condition.
+    ``state_compact_dirs``: once more than this many per-batch state
+    dirs accumulate WITHIN the drain, the next batch folds them into
+    the batch=-1 base before reading (VERDICT r11 item 1 — caps the
+    per-batch state listing/read at O(threshold) instead of O(B),
+    killing the O(B^2) term over a long drain); the end-of-drain fold
+    below still runs for whatever tail the last trigger left.
 
     Builds + persists the corpus dedup state, runs the availableNow
     drain to completion, unpersists the state in a ``finally`` (the
@@ -192,6 +201,7 @@ def run_curation_drain(
             embeddings, checks, quality_threshold, bands, n_hashes, n,
             verify_threshold, id_col, text_col, vec_id_col, vec_col,
             corpus_state=state, drain_state_dir=drain_state_dir,
+            state_compact_dirs=state_compact_dirs,
         ).awaitTermination()
     finally:
         buckets.unpersist()
@@ -236,6 +246,7 @@ def curate_batch(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     drain_state_dir: str | None = None,
+    state_compact_dirs: int = 8,
 ) -> None:
     """One micro-batch of the curation drain — module-level so the
     at-least-once retry contract is directly testable: every write is
@@ -297,6 +308,17 @@ def curate_batch(
         # Per-trigger cost is batch-vs-drain, never corpus-sized.
         if drain_state_dir is not None:
             spark = batch.sparkSession
+            # mid-drain small-files control (VERDICT r11 item 1): fold
+            # the accumulated per-batch state dirs into the base BEFORE
+            # this batch writes its own dir or reads the state — the
+            # one point in the trigger where no lazy plan can reference
+            # the pre-fold layout. Threshold-gated; the check itself is
+            # a pure listing (no Spark job until a fold actually fires)
+            from ..operators.dedup import maybe_compact_dedup_state
+
+            maybe_compact_dedup_state(
+                spark, drain_state_dir, max_state_dirs=state_compact_dirs
+            )
             # the corpus-surviving frame is consumed three times below
             # (the state write, the new-side of the band join, the
             # final delta write) and its lineage embeds the whole

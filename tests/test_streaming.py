@@ -1132,6 +1132,209 @@ def test_intra_drain_state_extends_across_successive_drains(spark, tmp_path):
     assert indexed2 == indexed1  # drain 2 added nothing else either
 
 
+def test_mid_drain_state_compaction_folds_and_preserves_verdicts(spark, tmp_path):
+    """VERDICT r11 item 1: a long-lived drain must not accumulate one
+    state dir per micro-batch forever (every later batch lists and
+    reads them all — O(B^2) over the drain). Drive curate_batch
+    directly for 12 micro-batches with state_compact_dirs=3 and
+    assert (a) the non-base dir count never exceeds threshold+1 —
+    the fold fires IN-DRAIN, (b) the batch=-1 base appears after the
+    first fold, and (c) the final indexed set is bit-identical to a
+    no-fold twin (threshold=10^6) — folding changes the file layout,
+    never a verdict."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import similarity as SIM
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.dedup import build_corpus_dedup_index
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.expectations import Check
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import curation as SC
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    checks = [Check("text_present", "completeness", "text", 1.0)]
+    hi = new.agg(F.max("doc_id")).first()[0]
+    n_batches = 12
+    cuts = [0] + [hi * (j + 1) // n_batches + 1 for j in range(n_batches)]
+
+    def run(tag, threshold):
+        idx = str(tmp_path / f"idx_{tag}") + "/ivf"
+        sd = str(tmp_path / f"sd_{tag}")
+        metrics = str(tmp_path / f"m_{tag}")
+        SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=4)
+        state = build_corpus_dedup_index(corpus, 8, 16, 3, "doc_id", "text")
+        state = (state[0].persist(), state[1].persist())
+        max_dirs_seen, base_seen_at = 0, None
+        try:
+            for b in range(n_batches):
+                batch = new.filter(
+                    (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
+                )
+                SC.curate_batch(
+                    batch, b, corpus, state, emb, idx, metrics, checks,
+                    quality_threshold=0.68, drain_state_dir=sd,
+                    state_compact_dirs=threshold,
+                )
+                live = os.listdir(sd + "/state")
+                non_base = [d for d in live if d.startswith("batch=") and d != "batch=-1"]
+                max_dirs_seen = max(max_dirs_seen, len(non_base))
+                if base_seen_at is None and "batch=-1" in live:
+                    base_seen_at = b
+        finally:
+            state[0].unpersist()
+            state[1].unpersist()
+        indexed = {
+            r.id for r in spark.read.parquet(idx + "/corpus_delta").select("id").collect()
+        }
+        return indexed, max_dirs_seen, base_seen_at
+
+    folded, max_dirs, base_at = run("fold", 3)
+    # fold fires at the start of batch 4 (4 dirs > 3), 8 — so the live
+    # non-base count is capped at threshold+1 and the base exists from
+    # batch 4 on; without the fold 12 dirs would accumulate
+    assert max_dirs == 4
+    assert base_at == 4
+    plain, max_dirs_plain, base_at_plain = run("plain", 10**6)
+    assert max_dirs_plain == n_batches and base_at_plain is None
+    assert folded == plain and folded  # verdicts identical, non-trivial
+
+
+def test_greedy_drops_idempotent_under_fold_replay_duplication(spark, tmp_path):
+    """The one at-least-once window mid-drain folding opens: a crashed
+    attempt of batch N wrote state/batch=N, the replay's pre-read fold
+    swept those rows into the batch=-1 base, and the replay rewrites
+    batch=N — the doc's state rows now exist TWICE on the seen side.
+    greedy_state_dedup_drops must return the same drop set as on the
+    clean layout (the distinct-hardened seen side), or the doubled
+    shingle counts would corrupt every Jaccard the doc participates
+    in."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import dedup as DD
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(60)
+    # three batches by doc_id thirds; plant an exact dup across batches
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    donor, echo = ids[0], ids[-1]
+    donor_text = docs.filter(F.col("doc_id") == donor).first().text
+    feed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == echo, F.lit(donor_text)).otherwise(F.col("text")),
+    )
+    slices = [
+        feed.filter(F.col("doc_id") <= ids[19]),
+        feed.filter((F.col("doc_id") > ids[19]) & (F.col("doc_id") <= ids[39])),
+        feed.filter(F.col("doc_id") > ids[39]),
+    ]
+
+    def drops(sd):
+        seen = spark.read.parquet(sd + "/state").filter(F.col("batch") <= 2)
+        return {
+            r.id for r in DD.greedy_state_dedup_drops(seen, 2, 0.5).collect()
+        }
+
+    # clean layout: dirs batch=0,1,2
+    clean = str(tmp_path / "clean")
+    for b, s in enumerate(slices):
+        DD.dedup_state_rows(s).write.parquet(f"{clean}/state/batch={b}")
+    want = drops(clean)
+    assert echo in want  # the fixture exercises a real cross-batch drop
+
+    # crash-window layout: batches 0,1,2 ALL folded into base (the
+    # replayed batch 2's crashed attempt was swept in), then batch=2
+    # rewritten by the replay — batch 2's rows exist twice
+    dup = str(tmp_path / "dup")
+    for b, s in enumerate(slices):
+        DD.dedup_state_rows(s).write.parquet(f"{dup}/state/batch={b}")
+    assert DD.compact_dedup_state(spark, dup)
+    DD.dedup_state_rows(slices[2]).write.parquet(f"{dup}/state/batch=2")
+    assert drops(dup) == want
+
+
+def test_drain_restart_continuity_with_mid_drain_folds(spark, tmp_path):
+    """VERDICT r11 item 7 — the cross-drain continuity claim as ONE
+    end-to-end pin: drain 1 runs 10 micro-batches with
+    state_compact_dirs=3 (mid-drain folds fire at batches 4 and 8),
+    the process 'crashes' between drains leaving a HALF-STAGED state
+    fold (state_new written, swap not started), drain 2 starts on the
+    same checkpoint — its recovery discards the stage — and an echo
+    of a drain-1 SURVIVOR is still dropped: fold + crash + restart
+    never forget a seen doc."""
+    import shutil
+    import time as _time
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions.text import quality_score
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import similarity as SIM
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import curation as SC
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    donor_id = (
+        new.filter(quality_score(F.col("text")) >= 0.68)
+        .agg(F.min("doc_id"))
+        .first()[0]
+    )
+    donor_text = docs.filter(F.col("doc_id") == donor_id).first().text
+    echo_id = donor_id + 1
+    assert emb.filter(F.col("vec_id") == echo_id).count() == 1
+    idx = str(tmp_path / "idx") + "/ivf"
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=4)
+
+    def drain(subdir):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{in_dir}/*/*.parquet")
+        )
+        SC.run_curation_drain(
+            stream, corpus, idx, str(tmp_path / "m"), ck, emb,
+            quality_threshold=0.68, compact_if_due=False,
+            intra_drain_dedup=True, state_compact_dirs=3,
+        )
+
+    # drain 1: 10 single-file micro-batches so the in-drain fold fires
+    hi = new.agg(F.max("doc_id")).first()[0]
+    cuts = [0] + [hi * (j + 1) // 10 + 1 for j in range(10)]
+    for j in range(10):
+        new.filter(
+            (F.col("doc_id") >= cuts[j]) & (F.col("doc_id") < cuts[j + 1])
+        ).coalesce(1).write.parquet(f"{in_dir}/d1_{j:02d}")
+        if j < 9:
+            _time.sleep(1.05)  # file-source order = modification time
+    drain("d1")
+    indexed1 = {
+        r.id for r in spark.read.parquet(idx + "/corpus_delta").select("id").collect()
+    }
+    assert donor_id in indexed1
+    sd = ck + "/drain_state"
+    live = os.listdir(sd + "/state")
+    assert live == ["batch=-1"]  # end-of-drain fold left a lone base
+    # crash between drains: a state fold died after staging state_new
+    spark.read.parquet(sd + "/state").drop("batch").write.parquet(
+        f"{sd}/state_new/batch=-1"
+    )
+    assert os.path.exists(sd + "/state_new")
+    shutil.rmtree(str(tmp_path / "m"), ignore_errors=True)
+    # drain 2: one echo of the drain-1 donor under a fresh id — only
+    # the recovered drain state can drop it (the static corpus never
+    # contained the donor)
+    spark.createDataFrame(
+        [(int(echo_id), donor_text)], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(f"{in_dir}/d2")
+    drain("d2")
+    assert not os.path.exists(sd + "/state_new")  # recovery ran
+    indexed2 = {
+        r.id for r in spark.read.parquet(idx + "/corpus_delta").select("id").collect()
+    }
+    assert echo_id not in indexed2
+    assert indexed2 == indexed1
+
+
 def test_curation_pipeline_stream_requires_corpus_state(spark, tmp_path):
     """ADVICE r10: the corpus_state=None path persisted two DataFrames
     and returned only the StreamingQuery — the caller had no handle to
