@@ -810,34 +810,64 @@ def distributed_params_init(
 
 
 def _normalize_params_df(
-    params: DataFrame, tables: list[str], complex_tables: set[str]
+    params: DataFrame,
+    tables: list[str],
+    complex_tables: set[str],
+    touched_only: bool = False,
 ) -> DataFrame:
     """DataFrame twin of ``_KGEModel.normalize``: project the named
     entity tables back onto the unit ball (divide rows whose L2 norm
     exceeds 1). Complex tables normalize by the modulus, touching the
     ``:re``/``:im`` row pair together. Norms are materialized in their
     own projection BEFORE the division lambda (the Spark 4.1
-    aggregate-inside-transform re-evaluation pitfall)."""
-    out = params.filter(
-        ~F.col("tbl").isin(
-            [t for t in tables if t not in complex_tables]
-            + [f"{t}:re" for t in tables if t in complex_tables]
-            + [f"{t}:im" for t in tables if t in complex_tables]
-        )
+    aggregate-inside-transform re-evaluation pitfall).
+
+    ``touched_only``: when True and the frame carries a boolean
+    ``_upd`` column, real-valued tables project only rows updated this
+    epoch — exact, not an approximation: a row untouched since the
+    last projection has norm <= 1, where the projection divides by
+    greatest(norm, 1.0) = 1.0 — an IEEE-exact identity. The first
+    epoch must run with touched_only=False (init rows have never been
+    projected). VERDICT r11 item 2: re-normalizing the full entity
+    table every epoch was one of the sharded trainer's two per-epoch
+    full-table passes. Complex (:re/:im) tables keep the all-rows
+    join path — the cross-row pairing can't gate per-row, and the
+    projection is idempotent there too. The ``_upd`` column is
+    consumed and dropped."""
+    has_upd = "_upd" in params.columns
+    gate = (
+        F.col("_upd") if (touched_only and has_upd) else F.lit(True)
     )
     real_targets = [t for t in tables if t not in complex_tables]
+    cplx_rows = [f"{t}:{p}" for t in tables if t in complex_tables for p in ("re", "im")]
+    keep = ["_upd"] if (has_upd and cplx_rows) else []
     if real_targets:
-        tgt = params.filter(F.col("tbl").isin(real_targets))
-        tgt = tgt.select(
-            "tbl", "idx", "vec",
-            F.sqrt(
-                F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x)
+        # ONE projection pair over the whole frame (no split + union):
+        # stage the norm, then divide gated rows — non-target and
+        # un-gated rows pass through untouched
+        do = F.col("tbl").isin(real_targets) & gate
+        staged = params.select(
+            "tbl", "idx", "vec", *keep,
+            F.when(
+                do,
+                F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x)),
             ).alias("_n"),
-        ).select(
-            "tbl", "idx",
-            F.transform("vec", lambda x: x / F.greatest(F.col("_n"), F.lit(1.0))).alias("vec"),
         )
-        out = out.unionByName(tgt)
+        params = staged.select(
+            "tbl", "idx",
+            F.when(
+                F.col("_n").isNotNull(),
+                F.transform(
+                    "vec", lambda x: x / F.greatest(F.col("_n"), F.lit(1.0))
+                ),
+            )
+            .otherwise(F.col("vec"))
+            .alias("vec"),
+            *keep,
+        )
+    if not cplx_rows:
+        return params.drop("_upd") if has_upd else params
+    out = params.filter(~F.col("tbl").isin(cplx_rows)).select("tbl", "idx", "vec")
     for t in tables:
         if t not in complex_tables:
             continue
@@ -880,6 +910,7 @@ def train_kge_sharded(
     adversarial_alpha: float | None = None,
     n_partitions: int = 8,
     params_init: DataFrame | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fully sharded KGE training — parameters NEVER driver-resident
     during training (VERDICT r10 item 4: :func:`train_kge_partitioned`
@@ -902,8 +933,14 @@ def train_kge_sharded(
        parameter DataFrame (``vec + sum(delta)/n_partitions`` —
        unweighted model averaging, as the partitioned trainer);
     4. the translational family re-projects onto the unit ball with
-       the DataFrame twin of ``normalize`` and the lineage is
-       truncated with an eager localCheckpoint.
+       the DataFrame twin of ``normalize`` — every row on epoch 0,
+       only this epoch's TOUCHED rows afterwards (exact: an untouched
+       row's norm is already <= 1, where the projection is an
+       IEEE-exact identity); the lineage is truncated with an eager
+       localCheckpoint every ``checkpoint_every`` epochs; in-between
+       epochs are EAGERLY persisted (values are unchanged by the
+       cadence — it trades checkpoint block copies for cache blocks;
+       see the in-loop comment for why the persist must be eager).
 
     Semantics vs :func:`train_kge_partitioned`: negative corruption
     samples from the partition's LOCAL entity set (the shipped slice
@@ -952,14 +989,23 @@ def train_kge_sharded(
         else []
     )
 
-    parts = triples_idx_df.select(
-        F.col("h").cast("long"),
-        F.col("r").cast("long"),
-        F.col("t").cast("long"),
-        F.pmod(
-            md5_long(F.concat_ws(":", "h", "r", "t")), F.lit(n_partitions)
-        ).alias("part"),
-    ).persist()
+    parts = (
+        triples_idx_df.select(
+            F.col("h").cast("long"),
+            F.col("r").cast("long"),
+            F.col("t").cast("long"),
+            F.pmod(
+                md5_long(F.concat_ws(":", "h", "r", "t")), F.lit(n_partitions)
+            ).alias("part"),
+        )
+        # hash-partition on `part` BEFORE persisting: the cogroup
+        # requires a clustered distribution on the key, so the cached
+        # layout satisfies it and the (static) triple side is never
+        # re-exchanged — the old layout re-shuffled it every epoch
+        .repartition("part")
+        .persist()
+    )
+    epoch_caches: list[DataFrame] = []
     # (part, tbl, idx) of every parameter row a partition needs: its
     # triples' entities for ent tables, relations for rel tables, and
     # every row of the (tiny) global tables
@@ -1089,17 +1135,19 @@ def train_kge_sharded(
             .cogroup(part_params.groupby("part"))
             .applyInPandas(make_runner(epoch), out_schema)
         )
-        summed = (
-            deltas.select("tbl", "idx", F.posexplode("delta").alias("pos", "val"))
-            .groupBy("tbl", "idx", "pos")
-            .agg(F.sum("val").alias("s"))
-            .groupBy("tbl", "idx")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                    lambda x: x["s"],
-                ).alias("delta")
-            )
+        # ONE shuffle on (tbl, idx) carrying whole delta ARRAYS, folded
+        # element-wise after the grouping — the old posexplode path
+        # shuffled dim x touched rows and needed a second groupBy to
+        # reassemble (VERDICT r11 item 2: the per-epoch cost center).
+        # At most n_partitions arrays meet per row, so the fold is
+        # O(n_partitions * dim) per row with no re-sort.
+        lst = F.collect_list("delta")
+        summed = deltas.groupBy("tbl", "idx").agg(
+            F.aggregate(
+                F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+                F.element_at(lst, 1),
+                lambda acc, d: F.zip_with(acc, d, lambda a, b: a + b),
+            ).alias("delta")
         )
         params = params.join(summed, ["tbl", "idx"], "left").select(
             "tbl",
@@ -1113,10 +1161,36 @@ def train_kge_sharded(
                 )
             )
             .alias("vec"),
+            F.col("delta").isNotNull().alias("_upd"),
         )
         if translational:
-            params = _normalize_params_df(params, norm_tables, complex_tables)
-        params = params.localCheckpoint(eager=True)
+            # epoch 0 projects EVERY row (init vectors have never been
+            # projected); later epochs only the rows this epoch's
+            # deltas touched — exact, see _normalize_params_df
+            params = _normalize_params_df(
+                params, norm_tables, complex_tables, touched_only=epoch > 0
+            )
+        else:
+            params = params.drop("_upd")
+        if (epoch + 1) % checkpoint_every == 0 or epoch == epochs - 1:
+            params = params.localCheckpoint(eager=True)
+            for c in epoch_caches:
+                c.unpersist(blocking=False)
+            epoch_caches.clear()
+        else:
+            # between checkpoints: EAGERLY persisted (count forces the
+            # cache NOW, in its own job). A lazy persist here loses a
+            # race under AQE: the next epoch consumes params through
+            # two branches (cogroup input + join-back) that can run as
+            # concurrent shuffle-map stages, both finding the cache
+            # cold and both recomputing the full upstream cogroup
+            # chain — measured 48-75 s/call vs 18-27 s/call on the
+            # parity workload. Eager materialization makes cadence > 1
+            # race-free: the only thing a checkpoint adds over the
+            # cached epoch is the block copy + lineage truncation.
+            params = params.persist()
+            params.count()
+            epoch_caches.append(params)
     parts.unpersist()
     return params
 

@@ -152,11 +152,17 @@ def test_committed_sharded_transe_run_in_band():
     execution compromises (touched-row shipping, delta averaging,
     local negatives) must not cost measurable quality. Committed
     5-fold result: MAP@5 0.005667 / nDCG@5 0.009941, both inside the
-    reference's ±2σ; 47.1 s/fold on CPU (the driver-parity trainer
-    remains the throughput figure — this is the scale path)."""
+    reference's ±2σ and bit-identical to the r11 golden (the r12
+    trainer rework — one-shuffle array-fold delta aggregation,
+    touched-only unit-ball projection after epoch 0, pre-partitioned
+    triple cache — changes scheduling, not values); 37.4 s/fold on
+    CPU = 1.56x the reference GPU figure, measured on a box where the
+    UNCHANGED r11 code read 58.5 s/fold the same hour (r11 committed
+    47.1) — the trainer itself is ~1.9x faster in-context (per-call
+    instrumentation: 48-75 s -> 18-27 s)."""
     path = os.path.join(
         os.path.dirname(__file__), "goldens",
-        "quality_parity_transe_sharded_r11.json",
+        "quality_parity_transe_sharded_r12.json",
     )
     with open(path) as fh:
         res = json.load(fh)
