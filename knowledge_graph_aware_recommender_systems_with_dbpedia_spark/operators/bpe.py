@@ -111,6 +111,102 @@ def learn_bpe_merges(
     )
 
 
+def learn_bpe_merges_batched(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    batch_m: int = 16,
+    candidate_factor: int = 4,
+) -> DataFrame:
+    """EXACT distributed BPE with a Spark-job count of
+    O(n_merges / batch_m) — the middle path between
+    :func:`learn_bpe_merges` (exact, one job PER merge: 32k merges =
+    32k driver round-trips) and :func:`learn_bpe_merges_topv` (O(1)
+    jobs but exact only over the bounded top-V vocabulary). VERDICT
+    r11 item 4.
+
+    Per round: ONE distributed pair count over the full vocabulary,
+    then a greedy scan of the top candidates accepting up to
+    ``batch_m`` pairs that are pairwise CONFLICT-FREE — no accepted
+    pair shares a symbol with an earlier-accepted pair of the same
+    round — and one rewrite pass applying them together. Disjoint
+    pairs commute: merging (a,b) can neither create nor destroy an
+    occurrence of (c,d) when {a,b} ∩ {c,d} = ∅, so every accepted
+    pair's recorded count is the count sequential BPE would have seen
+    at its turn, and the within-round rewrites don't interact.
+
+    At ``batch_m=1`` this IS :func:`learn_bpe_merges` (one accepted
+    pair per count, same (count desc, pair asc) tie-break) — pinned by
+    the parity test. At ``batch_m>1`` it can diverge from sequential
+    BPE: sequential re-counts after EVERY merge, so a brand-new pair
+    involving a just-merged symbol can outrank the round's remaining
+    candidates. Example (pinned as a divergence test): corpus
+    "abc"x10 + "de"x9 — sequential merges (a,b) then (ab,c) (the new
+    pair counts 10 > 9); batched(2) merges (a,b) and (d,e) in one
+    round, never seeing (ab,c). With Zipfian pair mass the divergence
+    touches only near-tie tail merges — the standard batching
+    compromise of distributed tokenizer trainers.
+
+    ``candidate_factor``: each round collects
+    ``max(candidate_factor * batch_m, 16)`` top rows to scan past
+    conflicts (a bounded driver transfer); if conflicts exhaust the
+    window the round closes early with what it accepted and the next
+    round's fresh count continues — never wrong, only a shorter round.
+    """
+    spark = docs.sparkSession
+    words = word_counts(docs, text_col).persist()
+    seqs = words.select("cnt", _wrapped_chars(F.col("word")).alias("seq"))
+    merges: list[tuple[int, str, str, str, int]] = []
+    step = 1
+    while step <= n_merges:
+        syms = seqs.select("cnt", _symbols("seq").alias("s"))
+        pairs = (
+            syms.select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("s"), 1, F.size("s") - 1),
+                        F.slice(F.col("s"), 2, F.size("s") - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        m_round = min(batch_m, n_merges - step + 1)
+        top = (
+            pairs.orderBy(F.desc("pair_count"), "a", "b")
+            .limit(max(candidate_factor * m_round, 16))
+            .collect()
+        )
+        if not top:
+            break
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for r in top:
+            if len(accepted) >= m_round:
+                break
+            if r["a"] in used or r["b"] in used:
+                continue
+            accepted.append((r["a"], r["b"], int(r["pair_count"])))
+            used.add(r["a"])
+            used.add(r["b"])
+        expr = F.col("seq")
+        for a, b, cnt in accepted:
+            merges.append((step, a, b, a + b, cnt))
+            step += 1
+            expr = F.replace(
+                expr, F.lit(D1 + a + D2 + D1 + b + D2), F.lit(D1 + a + b + D2)
+            )
+        seqs = seqs.select("cnt", expr.alias("seq"))
+    words.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "step bigint, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
+
+
 def learn_bpe_merges_topv(
     docs: DataFrame,
     n_merges: int = 3,

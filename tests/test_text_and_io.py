@@ -310,6 +310,102 @@ def test_bpe_topv_matches_distributed_loop(spark):
     assert len(topv) == 6
 
 
+def test_bpe_batched_m1_equals_sequential(spark):
+    """learn_bpe_merges_batched at batch_m=1 IS the per-merge loop:
+    one accepted pair per distributed count, same (count desc, pair
+    asc) tie-break — the fallback contract (VERDICT r11 item 4)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "low low low lower lower newest newest newest"),
+            ("d2", "widest widest newest aaaa aaaa banana"),
+        ],
+        "doc_id string, text string",
+    )
+    seq = [tuple(r) for r in BPE.learn_bpe_merges(docs, n_merges=6).collect()]
+    one = [
+        tuple(r)
+        for r in BPE.learn_bpe_merges_batched(docs, n_merges=6, batch_m=1).collect()
+    ]
+    assert one == seq and len(one) == 6
+
+
+def test_bpe_batched_equals_sequential_when_conflict_free(spark):
+    """On a corpus whose top merges are symbol-DISJOINT and whose
+    merged symbols spawn no competitive new pairs (2-char words merge
+    to a single symbol), batched(m) reproduces sequential BPE exactly
+    — disjoint pairs commute and their counts are invariant under
+    each other's rewrites."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [("d1", " ".join(["ab"] * 10 + ["cd"] * 9 + ["ef"] * 8 + ["gh"] * 7))],
+        "doc_id string, text string",
+    )
+    seq = [tuple(r) for r in BPE.learn_bpe_merges(docs, n_merges=4).collect()]
+    bat = [
+        tuple(r)
+        for r in BPE.learn_bpe_merges_batched(docs, n_merges=4, batch_m=4).collect()
+    ]
+    assert bat == seq
+    assert [(r[1], r[2], r[4]) for r in bat] == [
+        ("a", "b", 10), ("c", "d", 9), ("e", "f", 8), ("g", "h", 7)
+    ]
+
+
+def test_bpe_batched_documented_divergence(spark):
+    """THE divergence batching admits (documented in the docstring):
+    sequential re-counts after every merge, so a pair involving a
+    just-merged symbol can outrank the round's remaining candidates.
+    'abc'x10 + 'de'x9: sequential merges (a,b) then the NEW pair
+    (ab,c) (count 10 > 9); batched(2) accepts (a,b) and — (b,c)
+    conflicting on b — (d,e) in the same round, never seeing (ab,c)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [("d1", " ".join(["abc"] * 10 + ["de"] * 9))],
+        "doc_id string, text string",
+    )
+    seq = [
+        (r.left_sym, r.right_sym)
+        for r in BPE.learn_bpe_merges(docs, n_merges=2).orderBy("step").collect()
+    ]
+    bat = [
+        (r.left_sym, r.right_sym)
+        for r in BPE.learn_bpe_merges_batched(docs, n_merges=2, batch_m=2)
+        .orderBy("step")
+        .collect()
+    ]
+    assert seq == [("a", "b"), ("ab", "c")]
+    assert bat == [("a", "b"), ("d", "e")]
+
+
+def test_bpe_batched_conflict_window_closes_round_early(spark):
+    """When every further candidate conflicts with an accepted pair,
+    the round closes with what it has and the NEXT round's fresh count
+    picks up the rest — shorter rounds, never wrong merges. 'aaaa'
+    corpus: round 1 accepts only (a,a) (all other candidates contain
+    a), round 2 merges (aa,aa)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [("d1", " ".join(["aaaa"] * 5))], "doc_id string, text string"
+    )
+    got = [
+        (r.step, r.left_sym, r.right_sym)
+        for r in BPE.learn_bpe_merges_batched(docs, n_merges=2, batch_m=4)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == [(1, "a", "a"), (2, "aa", "aa")]
+    seq = [
+        (r.step, r.left_sym, r.right_sym)
+        for r in BPE.learn_bpe_merges(docs, n_merges=2).orderBy("step").collect()
+    ]
+    assert got == seq  # conflict-gating happens to preserve sequential here
+
+
 def test_bpe_topv_truncation_bounds_vocab(spark):
     """max_vocab keeps only the top words by (cnt desc, word asc) —
     merges then reflect the truncated vocabulary only."""
