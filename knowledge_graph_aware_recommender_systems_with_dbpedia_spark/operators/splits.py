@@ -362,6 +362,85 @@ def quota_by_score(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    strata_col: str,
+    score_col: str,
+    tokens_col: str,
+    budgets: DataFrame,
+    key_cols: list[str] | None = None,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Per-stratum TOKEN-budget selection — the "fill each domain's
+    token allowance with its best documents" step that turns mixture
+    weights (tx9) into an actual training corpus: within every
+    stratum, rows are taken in (``score_col`` desc, ``key_cols`` asc)
+    order while the cumulative ``tokens_col`` of the rows BEFORE them
+    is still under the stratum's budget — so the document that crosses
+    the boundary is INCLUDED (greedy fill; a budget is met mid-doc,
+    the packing norm) and a stratum whose total mass is under budget
+    is selected whole (the "needs >1 epoch" case the mix report must
+    surface). ``budgets``: a small (strata_col, budget_tokens)
+    DataFrame, broadcast-joined.
+
+    quota_by_score selects a COUNT per stratum; this selects a token
+    MASS — the unit production mixes are actually specified in.
+
+    Scale shape: the :func:`quota_by_score` bucket trick with SUMS
+    instead of counts — never a whole-stratum window. Rows
+    range-bucket by ``floor((1 - score) * B)`` (bucket asc == score
+    desc since the bucket is a monotone function of the score, so the
+    within-(stratum, bucket) order concatenates to the exact global
+    per-stratum order), a window per (stratum, bucket) computes the
+    running token sum BEFORE each row, and broadcast per-stratum
+    bucket token totals reconstruct the global prefix sum. The
+    offsets frame is #strata x ``n_buckets`` rows — driver-small by
+    construction.
+
+    Deterministic: ordering is (score desc, keys asc) — pure column
+    data, no rand()/hash needed — so the selection is reproducible
+    across runs, repartitionings, and engines (the oracle twin is a
+    plain SQL window cumsum).
+
+    Returns the selected rows with ``_cum_before`` dropped (input
+    columns only).
+    """
+    key_cols = key_cols or [df.columns[0]]
+    bkt = F.least(
+        F.floor((F.lit(1.0) - F.col(score_col)) * n_buckets).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    keyed = df.withColumn("_bkt", F.greatest(bkt, F.lit(0)))
+    order = [F.col(score_col).desc()] + [F.col(c).asc() for c in key_cols]
+    w = (
+        Window.partitionBy(strata_col, "_bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keyed = keyed.withColumn(
+        "_bcum", F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("bigint")
+    )
+    totals = keyed.groupBy(strata_col, "_bkt").agg(
+        F.sum(tokens_col).cast("bigint").alias("_bt")
+    )
+    off_w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(off_w), F.lit(0)).cast("bigint")
+    )
+    joined = keyed.join(
+        F.broadcast(offs.select(strata_col, "_bkt", "_off")), [strata_col, "_bkt"]
+    ).join(F.broadcast(budgets), strata_col)
+    budget_col = [c for c in budgets.columns if c != strata_col][0]
+    return (
+        joined.filter(F.col("_off") + F.col("_bcum") < F.col(budget_col))
+        .drop("_bkt", "_bcum", "_off", budget_col)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

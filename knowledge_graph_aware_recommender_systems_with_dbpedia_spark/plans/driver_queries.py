@@ -5029,6 +5029,126 @@ SELECT doc_id, source, quality FROM r WHERE rn <= 15
 """
 
 
+def tx21_token_budget_mix(spark, sf_dir):
+    """Token-budget mix materialization (splits.token_budget_select +
+    tx9's temperature weighting, alpha=0.5 here): allocate HALF the
+    corpus token mass across sources by weight_i ∝ sqrt(tokens_i)
+    (integer-exact: budget_i = w6_i·GB/1e6 computed in overflow-safe
+    BIGINT pieces, w6 = micro-weights rounded once), then fill each
+    source's budget with its highest-quality documents (quality desc,
+    doc_id tie-break; the crossing doc included — greedy fill).
+    Sources whose allowance exceeds their mass are selected whole and
+    surface fill_ratio < 1 (the needs->1-epoch case a mix report must
+    show). quota_by_score caps COUNTS; this is the op production
+    mixes actually specify — token MASS. Plan: a budget pass (one
+    hash aggregate + 1-row broadcast) and a selection pass (the
+    bucket-offset prefix-sum trick — never a whole-stratum window,
+    broadcast budgets); the oracle replays selection with a plain SQL
+    window cumsum."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "text"
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.token_count(F.col("text")).alias("tc"),
+    )
+    agg = d.groupBy("source").agg(F.sum("tc").cast("bigint").alias("n_tokens"))
+    p = agg.withColumn("_pw", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = p.agg(
+        F.sum("_pw").alias("_tpw"),
+        F.sum("n_tokens").cast("bigint").alias("_tt"),
+    )
+    b = (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("_pw") / F.col("_tpw") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("w6"),
+            F.expr("_tt div 2").alias("gb"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            # budget = w6 * gb / 1e6 — split so the product never
+            # exceeds BIGINT at 100 TB token masses (w6 <= 1e6,
+            # gb ~ 2.5e13 -> naive product 2.5e19 > 2^63)
+            (
+                F.col("w6") * F.expr("gb div 1000000")
+                + F.expr("(w6 * (gb % 1000000)) div 1000000")
+            ).alias("budget_tokens"),
+        )
+    )
+    sel = SP.token_budget_select(
+        d, "source", "quality", "tc",
+        b.select("source", "budget_tokens"), key_cols=["doc_id"],
+    )
+    rep = sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_sel"),
+        F.sum("tc").cast("bigint").alias("tokens_sel"),
+    )
+    return b.join(rep, "source", "left").select(
+        "source",
+        "n_tokens",
+        "budget_tokens",
+        F.coalesce("n_docs_sel", F.lit(0)).cast("bigint").alias("n_docs_sel"),
+        F.coalesce("tokens_sel", F.lit(0)).cast("bigint").alias("tokens_sel"),
+        F.when(
+            F.col("budget_tokens") > 0,
+            F.round(
+                F.coalesce("tokens_sel", F.lit(0)).cast("double")
+                / F.col("budget_tokens"),
+                6,
+            ),
+        ).alias("fill_ratio"),
+    )
+
+
+TX21_SQL = f"""
+WITH t AS (SELECT doc_id, text, source, {TOKS_SQL} AS toks FROM documents),
+st AS (SELECT doc_id, source,
+       CAST(length(text) AS DOUBLE) AS n_chars,
+       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       CAST(len(toks) AS DOUBLE) AS n_toks
+       FROM t),
+q AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      round(0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+          + 0.3 * least(n_chars / 400.0, 1.0)
+          + 0.3 * least((CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END) / 6.0, 1.0), 6) AS quality,
+      CAST(n_toks AS BIGINT) AS tc
+      FROM st),
+a AS (SELECT source, CAST(sum(tc) AS BIGINT) AS n_tokens FROM q GROUP BY 1),
+p AS (SELECT a.*, sqrt(CAST(n_tokens AS DOUBLE)) AS pw FROM a),
+tot AS (SELECT sum(pw) AS tpw, CAST(sum(n_tokens) AS BIGINT) AS tt FROM p),
+b AS (SELECT source, n_tokens,
+             CAST(round(pw / tpw * 1000000) AS BIGINT) AS w6,
+             tt // 2 AS gb
+      FROM p, tot),
+bb AS (SELECT source, n_tokens,
+              CAST(w6 * (gb // 1000000) + (w6 * (gb % 1000000)) // 1000000 AS BIGINT)
+                AS budget_tokens
+       FROM b),
+c AS (SELECT q.*, COALESCE(SUM(tc) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      FROM q),
+sel AS (SELECT c.source, c.tc FROM c JOIN bb USING (source)
+        WHERE c.cumb < bb.budget_tokens),
+r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_sel,
+             CAST(sum(tc) AS BIGINT) AS tokens_sel
+      FROM sel GROUP BY 1)
+SELECT bb.source, bb.n_tokens, bb.budget_tokens,
+       COALESCE(r.n_docs_sel, 0) AS n_docs_sel,
+       COALESCE(r.tokens_sel, 0) AS tokens_sel,
+       CASE WHEN bb.budget_tokens > 0
+            THEN round(COALESCE(r.tokens_sel, 0) / CAST(bb.budget_tokens AS DOUBLE), 6)
+       END AS fill_ratio
+FROM bb LEFT JOIN r USING (source)
+"""
+
+
 def tx11_quality_deciles(spark, sf_dir):
     """Global feature binning WITHOUT a global window: every doc's
     quality decile via the two-pass range-bucketed rank
@@ -10307,6 +10427,7 @@ QUERIES = {
     "tx18_bpe_tokenize": tx18_bpe_tokenize,
     "tx19_bpe_encode_topv": tx19_bpe_encode_topv,
     "tx20_dup_span_audit": tx20_dup_span_audit,
+    "tx21_token_budget_mix": tx21_token_budget_mix,
     "ev9_outlier_events": ev9_outlier_events,
     "pk2_sequence_stats": pk2_sequence_stats,
     "pk3_shuffle_shards": pk3_shuffle_shards,
@@ -10906,9 +11027,79 @@ _R11_WINDOW = [
     "tx9_mixture_weights",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+
+# Round-12 window (VERDICT r11 item 6): fronts the 7 queries whose
+# implementation was touched this round (rec_kge_sharded_band — the
+# reworked sharded trainer; st18/st15/st16 — mid-drain state fold in
+# curate_batch; dd16 — winnow_pairs cap derivation; dq5 — the
+# distinct-drift 0->N rule + cols validation; dp8 — the non-colliding
+# shard key), the three standing stochastic _band twins (re-sampled
+# every round), the two r06-aged queries displaced from the r11 window
+# (a12/a17), and 38 of the 46 r07-aged queries — the oldest tail in
+# the registry. The 8 deferred r07 TPC-H mid-range queries
+# (q12/q13/q14/q15/q17/q18/q19/q20) roll to the r13 window, plus
+# q11_important_parts displaced by the tx21 birth.
+_R12_WINDOW = [
+    # born this round — fronted at birth
+    "tx21_token_budget_mix",
+    # impl touched this round
+    "rec_kge_sharded_band",
+    "st18_intra_drain_dedup",
+    "st15_stream_curation_e2e",
+    "st16_curation_compaction",
+    "dd16_winnowing",
+    "dq5_profile_drift",
+    "dp8_tokenize_pack_shard",
+    # stochastic band twins (every round)
+    "rec_node2vec_band",
+    "rec_als_band",
+    "rec_kge_transe_band",
+    # r06-aged (displaced from the r11 window)
+    "a12_linreg_trend",
+    "a17_ewma_daily",
+    # r07-aged tail
+    "a1_group_concat",
+    "a5_coverage_stats",
+    "a6_mean_std",
+    "a8_max_degree",
+    "a9_value_counts",
+    "g3_graph_summary",
+    "g4_kcore_user",
+    "g5_relabel",
+    "sp4_temporal_user",
+    "sp5_fixed_timestamp",
+    "a2_o1_user_rating_lists",
+    "a3_item_reverse_index",
+    "di1_title_normalize",
+    "di3_json_props",
+    "e2_map_at_5",
+    "e3_ndcg_at_5",
+    "dd1_exact_dedup",
+    "dd3_minhash_signatures",
+    "dd4_minhash_lsh_pairs",
+    "dd5_simhash",
+    "dd6_embedding_neardup",
+    "dd9_decontaminate",
+    "dp1_training_pipeline",
+    "dd11_incremental_dedup",
+    "ev1_hourly_rollup",
+    "ev4_asof_enrich",
+    "tx14_weighted_sample",
+    "q4_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_proxy",
+    "q10_returned_items",
+    "a18_sketch_distinct_band",
+    "a19_cube_profile",
+    "ev17_quantile_sketch_band",
+]
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R11_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)},
+    **{k: QUERIES[k] for k in _R12_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)},
 }
 
 ORACLES = {
@@ -11030,6 +11221,7 @@ ORACLES = {
     "tx18_bpe_tokenize": TX18_SQL,
     "tx19_bpe_encode_topv": TX19_SQL,
     "tx20_dup_span_audit": TX20_SQL,
+    "tx21_token_budget_mix": TX21_SQL,
     "ev9_outlier_events": EV9_SQL,
     "pk3_shuffle_shards": PK3_SQL,
     "ss3_quantize_embeddings": SS3_SQL,

@@ -77,6 +77,9 @@ ALLOWED = {
     # ev10's three final 1-row stage counts; the conversion-rate lag
     # window rides the 3-row stage frame
     "ev30_funnel_window": 3,
+    # 1-row (sum pw, sum tokens) normalizer over #sources rows —
+    # tx9's shape; the budget frame it feeds is broadcast both times
+    "tx21_token_budget_mix": 2,
 }
 
 
@@ -201,6 +204,10 @@ NLJ_ALLOWED = {
     # two 1-row crossJoins: variant A x variant B (the Welch pairing)
     # and the 1-row t-stat broadcast back onto the 2-row variant table
     "ev29_ab_ttest": 4,
+    # the 1-row (sum pw, sum tokens) normalizer crossJoined onto the
+    # #sources budget frame, which is consumed twice (selection join +
+    # final report join) — tx9's scalar-broadcast shape, both bounded
+    "tx21_token_budget_mix": 4,
 }
 
 

@@ -394,3 +394,56 @@ def test_purged_embargo_folds_bruteforce(spark):
     # every fold partitions all n rows
     for f in range(k):
         assert got[f][0] + got[f][1] + got[f][2] == n
+
+
+def test_token_budget_select_matches_naive_cumsum(spark):
+    """token_budget_select == the naive per-stratum (score desc, id)
+    window cumsum rule: take rows while the tokens of strictly-better
+    rows are under budget (so the crossing doc is INCLUDED); a budget
+    above the stratum's mass selects it whole; budget 0 selects
+    nothing. The bucketed prefix-sum reconstruction (never a
+    whole-stratum window) must reproduce the naive rule exactly."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.splits import token_budget_select
+
+    rows = [
+        (i, f"s{i % 3}", round(((i * 37) % 101) / 101.0, 6), 10 + (i * 13) % 50)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double, tc long")
+    budgets = spark.createDataFrame(
+        [("s0", 300), ("s1", 10**9), ("s2", 0)], "source string, budget_tokens long"
+    )
+    got = {
+        r.doc_id
+        for r in token_budget_select(
+            df, "source", "quality", "tc", budgets, key_cols=["doc_id"]
+        ).collect()
+    }
+    want = set()
+    b = {"s0": 300, "s1": 10**9, "s2": 0}
+    for s in ("s0", "s1", "s2"):
+        cum = 0
+        for doc_id, _, q, tc in sorted(
+            (r for r in rows if r[1] == s), key=lambda r: (-r[2], r[0])
+        ):
+            if cum < b[s]:
+                want.add(doc_id)
+            cum += tc
+    assert got == want
+    assert not {d for d in got if rows[d][1] == "s2"}  # budget 0 -> none
+    assert {d for d in got if rows[d][1] == "s1"} == {
+        r[0] for r in rows if r[1] == "s1"
+    }  # over-mass budget -> whole stratum
+    # crossing doc included: s0's selected mass strictly exceeds 300
+    s0_sel = sum(rows[d][3] for d in got if rows[d][1] == "s0")
+    assert s0_sel >= 300
+    # partitioning-invariant (deterministic ordering, no rand())
+    got1 = {
+        r.doc_id
+        for r in token_budget_select(
+            df.repartition(7), "source", "quality", "tc", budgets, key_cols=["doc_id"]
+        ).collect()
+    }
+    assert got1 == got
