@@ -1,0 +1,76 @@
+"""Scale diagnostics — the pre-flight checks a 100 TB job runs BEFORE
+committing to a shuffle plan.
+
+Greenfield operators (no reference counterpart; the reference never
+has to care — its datasets fit one GPU). At cluster scale the single
+most common run-killer is JOIN-KEY SKEW: one hot key concentrates a
+shuffle partition onto one task, and the job is as slow as that task.
+This module measures it declaratively so pipelines can GATE on it
+(choose a salt factor, switch to a broadcast or skew-join strategy)
+instead of discovering it in a 10-hour straggler.
+
+Everything here is one hash-aggregate pass — map-side combined, no
+window over the data, no collect beyond the bounded top-k — so the
+diagnostic itself is safe to run on the full input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 10,
+) -> DataFrame:
+    """Hot-key report for a prospective shuffle key: the ``top``
+    heaviest key values with, per key, its row count, share of the
+    input, the skew factor (count / mean-rows-per-key — how many
+    "average keys" this one key weighs), and the minimal SALT factor
+    that would bring its partition-share down to the mean (the number
+    a salting rewrite should use; 1 = no salting needed).
+
+    Shape: ONE groupBy over the key (map-side combined — a hot key
+    partial-aggregates inside each input partition, so the diagnostic
+    never concentrates the hot key's raw rows on one task; the
+    combiner output is #distinct-keys rows), a 1-row (n_rows, n_keys)
+    scalar broadcast back, and a bounded top-k sort. The mean-based
+    skew factor matches what AQE's skew-join trigger reasons about
+    (partition size vs median); gate on ``skew_factor`` before
+    choosing a plain hash join at scale.
+
+    Returns (rank, key, n_rows, share, skew_factor, salt_factor),
+    rank 1 = heaviest, key rendered as a string (composite keys join
+    with ``\\u0001`` so the report schema is key-type-agnostic).
+    """
+    key = F.concat_ws("", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+    )
+    ranked = (
+        counts.orderBy(F.desc("n_rows"), "key")
+        .limit(int(top))
+        .crossJoin(F.broadcast(tot))
+    )
+    mean = F.col("_n").cast("double") / F.col("_k").cast("double")
+    return ranked.select(
+        # the rank window rides the <= top-row frame, never the data
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_rows"), "key"))
+        .cast("bigint")
+        .alias("rank"),
+        "key",
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("_n"), 6).alias("share"),
+        F.round(F.col("n_rows").cast("double") / mean, 6).alias("skew_factor"),
+        F.greatest(
+            F.ceil(F.col("n_rows").cast("double") / mean).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("salt_factor"),
+    )

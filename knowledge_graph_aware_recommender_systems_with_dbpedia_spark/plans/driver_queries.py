@@ -4610,6 +4610,37 @@ FROM f
 """
 
 
+def dq6_key_skew_report(spark, sf_dir):
+    """Join-key skew pre-flight (diagnostics.key_skew_report): the
+    top event types by row count with share, skew factor (rows /
+    mean-rows-per-key — the quantity AQE's skew-join trigger reasons
+    about), and the minimal salt factor that would flatten the key to
+    the mean. The check a 100 TB pipeline runs BEFORE committing a
+    hash join on a candidate key. ONE map-side-combined aggregate +
+    a 1-row scalar broadcast + a bounded top-k; the rank window rides
+    the <= top-row frame. Oracle replays the identical arithmetic."""
+    from ..operators.diagnostics import key_skew_report
+
+    events = load_table(spark, sf_dir, "events")
+    return key_skew_report(events, ["event_type"], top=10)
+
+
+DQ6_SQL = """
+WITH c AS (SELECT COALESCE(CAST(event_type AS VARCHAR), '') AS key,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY 1),
+tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+        FROM c),
+r AS (SELECT c.*, row_number() OVER (ORDER BY n_rows DESC, key) AS rank FROM c)
+SELECT CAST(r.rank AS BIGINT) AS rank, r.key, r.n_rows,
+       round(r.n_rows / CAST(tot.n AS DOUBLE), 6) AS share,
+       round(r.n_rows / (CAST(tot.n AS DOUBLE) / tot.k), 6) AS skew_factor,
+       greatest(CAST(ceil(r.n_rows / (CAST(tot.n AS DOUBLE) / tot.k)) AS BIGINT),
+                1) AS salt_factor
+FROM r, tot WHERE r.rank <= 10
+"""
+
+
 def ev5_overlap_pairs(spark, sf_dir):
     """Interval-overlap range join (operators/rangejoin.py): per-user
     daily error-activity spans, then every cross-user pair of spans
@@ -5146,6 +5177,65 @@ SELECT bb.source, bb.n_tokens, bb.budget_tokens,
             THEN round(COALESCE(r.tokens_sel, 0) / CAST(bb.budget_tokens AS DOUBLE), 6)
        END AS fill_ratio
 FROM bb LEFT JOIN r USING (source)
+"""
+
+
+def tx22_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty — the memorization/boilerplate
+    audit of a training corpus: the fraction of a doc's DISTINCT word
+    trigrams that occur in no other document (corpus df == 1). Low
+    novelty = the doc is assembled from corpus-common phrasing
+    (template/boilerplate risk); high = unique content. Plan: explode
+    trigrams once, distinct (doc, gram), ONE df aggregate on the gram,
+    equi-join back (sum(df) rows total — linear, never a pair join),
+    per-doc aggregate. Docs shorter than 3 tokens report NULL
+    novelty. The oracle replays trigram construction and both
+    aggregates verbatim."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    g = t.select(
+        "doc_id", F.explode(TX.ngrams_from_tokens(F.col("toks"), 3)).alias("g")
+    ).distinct()
+    dfreq = g.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    per = g.join(dfreq, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) > 0,
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ),
+        ).alias("novelty"),
+    )
+
+
+TX22_SQL = f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {TOKS_SQL} AS toks
+           FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             u.ng AS g
+      FROM t, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS u(ng)),
+dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM g JOIN dfreq USING (g) GROUP BY 1)
+SELECT t.doc_id,
+       COALESCE(per.n_grams, 0) AS n_grams,
+       COALESCE(per.n_novel, 0) AS n_novel,
+       CASE WHEN COALESCE(per.n_grams, 0) > 0
+            THEN round(per.n_novel / CAST(per.n_grams AS DOUBLE), 6)
+       END AS novelty
+FROM t LEFT JOIN per USING (doc_id)
 """
 
 
@@ -10428,6 +10518,8 @@ QUERIES = {
     "tx19_bpe_encode_topv": tx19_bpe_encode_topv,
     "tx20_dup_span_audit": tx20_dup_span_audit,
     "tx21_token_budget_mix": tx21_token_budget_mix,
+    "tx22_ngram_novelty": tx22_ngram_novelty,
+    "dq6_key_skew_report": dq6_key_skew_report,
     "ev9_outlier_events": ev9_outlier_events,
     "pk2_sequence_stats": pk2_sequence_stats,
     "pk3_shuffle_shards": pk3_shuffle_shards,
@@ -11038,10 +11130,12 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 # (a12/a17), and 38 of the 46 r07-aged queries — the oldest tail in
 # the registry. The 8 deferred r07 TPC-H mid-range queries
 # (q12/q13/q14/q15/q17/q18/q19/q20) roll to the r13 window, plus
-# q11_important_parts displaced by the tx21 birth.
+# q9/q10/q11 displaced by the tx21/tx22/dq6 births.
 _R12_WINDOW = [
     # born this round — fronted at birth
     "tx21_token_budget_mix",
+    "tx22_ngram_novelty",
+    "dq6_key_skew_report",
     # impl touched this round
     "rec_kge_sharded_band",
     "st18_intra_drain_dedup",
@@ -11090,8 +11184,6 @@ _R12_WINDOW = [
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q8_market_share",
-    "q9_profit_proxy",
-    "q10_returned_items",
     "a18_sketch_distinct_band",
     "a19_cube_profile",
     "ev17_quantile_sketch_band",
@@ -11222,6 +11314,8 @@ ORACLES = {
     "tx19_bpe_encode_topv": TX19_SQL,
     "tx20_dup_span_audit": TX20_SQL,
     "tx21_token_budget_mix": TX21_SQL,
+    "tx22_ngram_novelty": TX22_SQL,
+    "dq6_key_skew_report": DQ6_SQL,
     "ev9_outlier_events": EV9_SQL,
     "pk3_shuffle_shards": PK3_SQL,
     "ss3_quantize_embeddings": SS3_SQL,

@@ -1,0 +1,48 @@
+"""diagnostics.key_skew_report — the join-key skew pre-flight."""
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.diagnostics import key_skew_report
+
+
+def test_key_skew_report_values(spark):
+    """Known distribution: key 'hot' 60 rows, 'warm' 30, 'cold' 10 —
+    n=100, k=3, mean=33.33. Checks share/skew/salt arithmetic, the
+    heaviest-first rank order, and the salt floor of 1 for sub-mean
+    keys."""
+    rows = (
+        [("hot", i) for i in range(60)]
+        + [("warm", i) for i in range(30)]
+        + [("cold", i) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {r.key: r for r in key_skew_report(df, ["k"], top=10).collect()}
+    assert [r.key for r in sorted(got.values(), key=lambda r: r.rank)] == [
+        "hot", "warm", "cold"
+    ]
+    assert got["hot"].n_rows == 60 and got["hot"].share == 0.6
+    assert got["hot"].skew_factor == 1.8  # 60 / (100/3)
+    assert got["hot"].salt_factor == 2  # ceil(1.8)
+    assert got["cold"].skew_factor == 0.3
+    assert got["cold"].salt_factor == 1  # never below 1
+
+
+def test_key_skew_report_top_bounds_and_composite_keys(spark):
+    """`top` caps the report; composite keys join with the \\x01
+    separator so ('a','bc') and ('ab','c') stay distinct keys."""
+    rows = [("a", "bc", i) for i in range(5)] + [("ab", "c", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, v long")
+    rep = key_skew_report(df, ["k1", "k2"], top=1).collect()
+    assert len(rep) == 1
+    assert rep[0].key == "a\x01bc" and rep[0].n_rows == 5
+    both = key_skew_report(df, ["k1", "k2"], top=10).collect()
+    assert {r.key for r in both} == {"a\x01bc", "ab\x01c"}
+
+
+def test_key_skew_report_uniform_keys_need_no_salt(spark):
+    """Uniform distribution: every key's skew factor is 1.0 and the
+    suggested salt factor is 1 — the gate passes a balanced key."""
+    rows = [(f"k{i % 4}", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    for r in key_skew_report(df, ["k"], top=10).collect():
+        assert r.skew_factor == 1.0 and r.salt_factor == 1

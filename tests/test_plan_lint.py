@@ -80,6 +80,9 @@ ALLOWED = {
     # 1-row (sum pw, sum tokens) normalizer over #sources rows —
     # tx9's shape; the budget frame it feeds is broadcast both times
     "tx21_token_budget_mix": 2,
+    # the rank window over the <= top-row hot-key frame (bounded by
+    # the `top` argument, never the data — diagnostics.key_skew_report)
+    "dq6_key_skew_report": 1,
 }
 
 
@@ -208,6 +211,9 @@ NLJ_ALLOWED = {
     # #sources budget frame, which is consumed twice (selection join +
     # final report join) — tx9's scalar-broadcast shape, both bounded
     "tx21_token_budget_mix": 4,
+    # the 1-row (n_rows, n_keys) scalar crossJoined onto the bounded
+    # top-k hot-key frame
+    "dq6_key_skew_report": 2,
 }
 
 
