@@ -263,6 +263,81 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_calibration_report(
+    docs: DataFrame,
+    bands: int = 8,
+    n_hashes: int = N_HASHES,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sketch self-validation: how well does the MinHash ESTIMATE
+    (fraction of equal signature components) track EXACT Jaccard on
+    the LSH candidate pairs? The ss12-recall-report idea applied to
+    the dedup stack — a pipeline that drops documents on sketch
+    evidence should be able to print its sketch's calibration curve.
+
+    For every banded candidate pair sharing >= 1 shingle: n_equal =
+    #{i : mh_i(a) == mh_i(b)} (an unbiased n_hashes-sample estimate of
+    J, Broder '97), grouped by n_equal into the calibration table
+
+        (n_equal, est_jaccard = n_equal/n_hashes, n_pairs,
+         mean_exact_jaccard, mean_abs_err).
+
+    Engine-exactness: exact J per pair is a rational (two engines get
+    the identical double), but MEANS would sum doubles in
+    engine-dependent order — so per-pair values go through the half-up
+    1e-6 fixed-point contract (column_profiles' trick) and sums stay
+    BIGINT until one final division. Cost: the dd4 candidate+verify
+    shape plus one signature equi-join per side — candidate-bounded,
+    never all-pairs."""
+    pairs = minhash_lsh_pairs(
+        docs, bands, n_hashes, n, verify_threshold=0.0,
+        id_col=id_col, text_col=text_col,
+    )
+    sig = minhash_signatures(docs, n_hashes, n, id_col, text_col)
+    a = sig.select(
+        F.col("id").alias("id1"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(n_hashes)],
+    )
+    b = sig.select(
+        F.col("id").alias("id2"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(n_hashes)],
+    )
+    eq = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(n_hashes)
+    )
+    per = (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            eq.cast("bigint").alias("n_equal"),
+            F.floor(F.col("jaccard") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("_jm"),
+        )
+        .withColumn(
+            "_em", F.expr(f"(n_equal * 1000000) div {int(n_hashes)}")
+        )
+    )
+    g = per.groupBy("n_equal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("_jm").alias("_sj"),
+        F.sum(F.abs(F.col("_em") - F.col("_jm"))).alias("_se"),
+    )
+    return g.select(
+        "n_equal",
+        F.round(F.col("n_equal").cast("double") / n_hashes, 6).alias("est_jaccard"),
+        "n_pairs",
+        F.round(
+            F.col("_sj").cast("double") / (F.col("n_pairs") * 1_000_000.0), 6
+        ).alias("mean_exact_jaccard"),
+        F.round(
+            F.col("_se").cast("double") / (F.col("n_pairs") * 1_000_000.0), 6
+        ).alias("mean_abs_err"),
+    )
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 32,

@@ -2453,6 +2453,49 @@ WHERE j.jaccard >= 0.1
 """
 
 
+def dd17_minhash_calibration(spark, sf_dir):
+    """MinHash calibration table (dedup.minhash_calibration_report):
+    per n-equal-signature-components bucket, the mean EXACT Jaccard
+    and mean |estimate - exact| over the LSH candidate pairs — the
+    sketch self-validation a dedup stack that drops documents on
+    sketch evidence owes its operator (ss12's recall-report idea on
+    the dedup side). Per-pair values ride the half-up 1e-6 fixed-point
+    contract so both engines sum BIGINTs; the oracle replays
+    signatures, banding, the >= 1-shared-shingle exact verify, and the
+    calibration arithmetic verbatim."""
+    return DD.minhash_calibration_report(
+        load_table(spark, sf_dir, "documents"), bands=8, n_hashes=16
+    )
+
+
+def _mh_eq_sum_sql(n_hashes: int = 16) -> str:
+    return " + ".join(
+        f"(CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
+
+
+DD17_SQL = f"""
+WITH {_SHINGLES_SQL}, {_JACCARD_SQL},
+sig AS (SELECT id AS doc_id, {_minhash_min_exprs_sql()} FROM sh GROUP BY id),
+buckets AS ({_lsh_bands_sql(8, 16)}),
+cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+pj AS (SELECT c.id1, c.id2, j.jaccard
+       FROM cand c JOIN jac j ON j.id1 = c.id1 AND j.id2 = c.id2),
+e AS (SELECT CAST({_mh_eq_sum_sql(16)} AS BIGINT) AS n_equal,
+             CAST(floor(p.jaccard * 1000000 + 0.5) AS BIGINT) AS jm
+      FROM pj p JOIN sig s1 ON s1.doc_id = p.id1 JOIN sig s2 ON s2.doc_id = p.id2),
+m AS (SELECT n_equal, jm, (n_equal * 1000000) // 16 AS em FROM e)
+SELECT n_equal,
+       round(n_equal / 16.0, 6) AS est_jaccard,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(jm) / (count(*) * 1000000.0), 6) AS mean_exact_jaccard,
+       round(sum(abs(em - jm)) / (count(*) * 1000000.0), 6) AS mean_abs_err
+FROM m GROUP BY 1
+"""
+
+
 def dd8_neardup_lsh(spark, sf_dir):
     """Sign-LSH bucketed near-dup pairs — dd6's 100 TB scale path
     (bucket equi-join instead of crossJoin), hash-checkable because
@@ -10520,6 +10563,7 @@ QUERIES = {
     "tx21_token_budget_mix": tx21_token_budget_mix,
     "tx22_ngram_novelty": tx22_ngram_novelty,
     "dq6_key_skew_report": dq6_key_skew_report,
+    "dd17_minhash_calibration": dd17_minhash_calibration,
     "ev9_outlier_events": ev9_outlier_events,
     "pk2_sequence_stats": pk2_sequence_stats,
     "pk3_shuffle_shards": pk3_shuffle_shards,
@@ -11130,12 +11174,13 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 # (a12/a17), and 38 of the 46 r07-aged queries — the oldest tail in
 # the registry. The 8 deferred r07 TPC-H mid-range queries
 # (q12/q13/q14/q15/q17/q18/q19/q20) roll to the r13 window, plus
-# q9/q10/q11 displaced by the tx21/tx22/dq6 births.
+# q8/q9/q10/q11 displaced by the tx21/tx22/dq6/dd17 births.
 _R12_WINDOW = [
     # born this round — fronted at birth
     "tx21_token_budget_mix",
     "tx22_ngram_novelty",
     "dq6_key_skew_report",
+    "dd17_minhash_calibration",
     # impl touched this round
     "rec_kge_sharded_band",
     "st18_intra_drain_dedup",
@@ -11183,7 +11228,6 @@ _R12_WINDOW = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_nation_volume",
-    "q8_market_share",
     "a18_sketch_distinct_band",
     "a19_cube_profile",
     "ev17_quantile_sketch_band",
@@ -11316,6 +11360,7 @@ ORACLES = {
     "tx21_token_budget_mix": TX21_SQL,
     "tx22_ngram_novelty": TX22_SQL,
     "dq6_key_skew_report": DQ6_SQL,
+    "dd17_minhash_calibration": DD17_SQL,
     "ev9_outlier_events": EV9_SQL,
     "pk3_shuffle_shards": PK3_SQL,
     "ss3_quantize_embeddings": SS3_SQL,

@@ -62,6 +62,9 @@ REPRESENTATIVE = [
     "dp8_tokenize_pack_shard",   # BPE fertility -> packing -> shards (r11)
     "tx20_dup_span_audit",       # chunk-hash keeper join (r11)
     "g15_ra_link_prediction",    # capped weighted co-rating join (r11)
+    "tx21_token_budget_mix",     # budget pass + bucketed prefix-sum select (r12)
+    "tx22_ngram_novelty",        # trigram inverted-index df join (r12)
+    "dq6_key_skew_report",       # map-side-combined hot-key aggregate (r12)
 ]
 
 

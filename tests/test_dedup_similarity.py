@@ -1359,3 +1359,48 @@ def test_winnowing_guarantee_randomized(spark):
         assert by_doc.get(2 * t, set()) & by_doc.get(2 * t + 1, set()), (
             f"case {t}: planted span produced no shared fingerprint"
         )
+
+
+def test_minhash_calibration_report_fixed_point_exact(spark):
+    """Calibration table arithmetic: exact duplicates land in the
+    n_equal = n_hashes bucket with mean_exact_jaccard 1.0 and zero
+    error; every bucket's fixed-point means equal a driver-side
+    recomputation from the raw candidate pairs (the BIGINT-sum
+    contract — no engine-order double drift)."""
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        3: "alpha beta gamma delta epsilon zeta eta theta lambda mu",
+        4: "completely different words nothing shared here at all today",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    rep = {
+        r.n_equal: r
+        for r in DD.minhash_calibration_report(docs, bands=8, n_hashes=16).collect()
+    }
+    assert 16 in rep  # the exact-dup pair (1,2)
+    assert rep[16].est_jaccard == 1.0
+    assert rep[16].mean_exact_jaccard == 1.0
+    assert rep[16].mean_abs_err == 0.0
+    # recompute every bucket from the raw verified pairs
+    pairs = DD.minhash_lsh_pairs(docs, 8, 16, verify_threshold=0.0).collect()
+    sig = {r.id: [r[f"mh{i}"] for i in range(16)] for r in
+           DD.minhash_signatures(docs).collect()}
+    buckets = {}
+    for p in pairs:
+        eq = sum(1 for i in range(16) if sig[p.id1][i] == sig[p.id2][i])
+        jm = int(p.jaccard * 1_000_000 + 0.5)
+        em = (eq * 1_000_000) // 16
+        buckets.setdefault(eq, []).append((jm, abs(em - jm)))
+    assert set(buckets) == set(rep)
+    for eq, vals in buckets.items():
+        n = len(vals)
+        assert rep[eq].n_pairs == n
+        assert rep[eq].mean_exact_jaccard == round(
+            sum(v[0] for v in vals) / (n * 1_000_000.0), 6
+        )
+        assert rep[eq].mean_abs_err == round(
+            sum(v[1] for v in vals) / (n * 1_000_000.0), 6
+        )
