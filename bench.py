@@ -161,6 +161,10 @@ HEADLINE = [
     "g15_ra_link_prediction",
     "ev29_ab_ttest",
     "ev30_funnel_window",
+    "tx21_token_budget_mix",
+    "tx22_ngram_novelty",
+    "dq6_key_skew_report",
+    "dd17_minhash_calibration",
 ]
 
 

@@ -8825,6 +8825,11 @@ def st18_intra_drain_dedup(spark, sf_dir):
         stream, corpus, idx, metrics, ck_dir, emb,
         quality_threshold=0.68, compact_if_due=False,
         intra_drain_dedup=True,
+        # fire the MID-DRAIN state fold inside the oracle-checked path
+        # (r12): with 3 micro-batches, threshold 1 folds batches 0-1
+        # into the batch=-1 base before batch 2 reads — the oracle
+        # hash proves the fold changes file layout, never a verdict
+        state_compact_dirs=1,
     )
     return spark.read.parquet(idx + "/corpus_delta").select(
         F.col("id").cast("bigint").alias("doc_id"),

@@ -65,6 +65,7 @@ REPRESENTATIVE = [
     "tx21_token_budget_mix",     # budget pass + bucketed prefix-sum select (r12)
     "tx22_ngram_novelty",        # trigram inverted-index df join (r12)
     "dq6_key_skew_report",       # map-side-combined hot-key aggregate (r12)
+    "dd17_minhash_calibration",  # candidate-bounded sketch calibration (r12)
 ]
 
 
