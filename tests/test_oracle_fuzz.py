@@ -30,6 +30,10 @@ DOC_QUERIES = [
     "tx2_vocab_topk",
     "dd16_winnowing",
     "tx20_dup_span_audit",
+    # r12 births — documents-only, full cross-engine replay
+    "tx21_token_budget_mix",
+    "tx22_ngram_novelty",
+    "dd17_minhash_calibration",
 ]
 
 VOCAB = (
@@ -69,8 +73,15 @@ def test_doc_oracles_agree_on_random_corpora(spark, tmp_path, seed):
     from pyspark.sql import functions as F
 
     rows = _random_docs(seed, 40)
-    sdf = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
-        "lang", F.lit("en")
+    sdf = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        # a skewed 3-value source column so tx21's per-source budget
+        # allocation sees uneven strata
+        .withColumn(
+            "source",
+            F.concat(F.lit("s"), (F.pmod(F.col("doc_id") * 7, F.lit(10)) < 6).cast("int") + (F.pmod(F.col("doc_id") * 7, F.lit(10)) < 9).cast("int")),
+        )
     )
     sf_dir = str(tmp_path / f"sf_fuzz_{seed}")
     import os
@@ -107,6 +118,7 @@ EVENT_QUERIES = [
     "ev29_ab_ttest",
     "ev30_funnel_window",
     "dq5_profile_drift",
+    "dq6_key_skew_report",  # r12 — events-only hot-key report
 ]
 
 
