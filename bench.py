@@ -164,6 +164,7 @@ HEADLINE = [
     "tx21_token_budget_mix",
     "tx22_ngram_novelty",
     "dq6_key_skew_report",
+    "dq7_join_cardinality",
     "dd17_minhash_calibration",
 ]
 

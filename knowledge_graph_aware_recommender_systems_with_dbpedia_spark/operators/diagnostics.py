@@ -20,6 +20,56 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def join_cardinality_report(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    top: int = 10,
+) -> DataFrame:
+    """Exact pre-flight of a prospective equi-join's OUTPUT size —
+    the companion check to :func:`key_skew_report`: |A ⋈ B| =
+    Σ_k a_k·b_k computed from the two per-key count tables, NEVER by
+    running the join. A join that looks innocent at the input level
+    (both sides fit) can explode at the output level (a many-to-many
+    key pair); this report prices it first, for the cost of two
+    map-side-combined aggregates plus a #distinct-keys-sized equi-join
+    of the COUNT tables (input-row volume never re-shuffles).
+
+    Returns the ``top`` keys by output contribution:
+    (rank, key, n_left, n_right, n_out = n_left*n_right, out_share),
+    heaviest first — out_share against the exact total output size, so
+    ``sum(n_out) / out_share`` sanity checks and a single runaway key
+    pair is visible before any executor sees it. Composite keys join
+    with ``\\x01`` as in :func:`key_skew_report`."""
+    key = F.concat_ws("\x01", *[F.col(c).cast("string") for c in key_cols])
+    ca = left.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left")
+    )
+    cb = right.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right")
+    )
+    j = ca.join(cb, "key").select(
+        "key", "n_left", "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("n_out"),
+    )
+    tot = j.agg(F.sum("n_out").cast("bigint").alias("_t"))
+    ranked = (
+        j.orderBy(F.desc("n_out"), "key").limit(int(top)).crossJoin(F.broadcast(tot))
+    )
+    return ranked.select(
+        # the rank window rides the <= top-row frame, never the data
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_out"), "key"))
+        .cast("bigint")
+        .alias("rank"),
+        "key",
+        "n_left",
+        "n_right",
+        "n_out",
+        F.round(F.col("n_out").cast("double") / F.col("_t"), 6).alias("out_share"),
+    )
+
+
 def key_skew_report(
     df: DataFrame,
     key_cols: list[str],

@@ -4684,6 +4684,34 @@ FROM r, tot WHERE r.rank <= 10
 """
 
 
+def dq7_join_cardinality(spark, sf_dir):
+    """Join-output pre-flight (diagnostics.join_cardinality_report):
+    exact |A ⋈ B| per key for the events-by-user SELF-join — the
+    co-visitation/sessionization shape whose output is quadratic per
+    user — priced from the two per-key COUNT tables without running
+    the join (input rows never re-shuffle; the count-table join is
+    #distinct-keys-sized). Top-10 users by pair contribution with the
+    exact output share. Oracle replays the count-table arithmetic."""
+    from ..operators.diagnostics import join_cardinality_report
+
+    events = load_table(spark, sf_dir, "events")
+    return join_cardinality_report(events, events, ["user_id"], top=10)
+
+
+DQ7_SQL = """
+WITH c AS (SELECT COALESCE(CAST(user_id AS VARCHAR), '') AS key,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+j AS (SELECT key, n AS n_left, n AS n_right, n * n AS n_out FROM c),
+tot AS (SELECT CAST(sum(n_out) AS BIGINT) AS t FROM j),
+r AS (SELECT j.*, row_number() OVER (ORDER BY n_out DESC, key) AS rank FROM j)
+SELECT CAST(r.rank AS BIGINT) AS rank, r.key, r.n_left, r.n_right,
+       CAST(r.n_out AS BIGINT) AS n_out,
+       round(r.n_out / CAST(tot.t AS DOUBLE), 6) AS out_share
+FROM r, tot WHERE r.rank <= 10
+"""
+
+
 def ev5_overlap_pairs(spark, sf_dir):
     """Interval-overlap range join (operators/rangejoin.py): per-user
     daily error-activity spans, then every cross-user pair of spans
@@ -10568,6 +10596,7 @@ QUERIES = {
     "tx21_token_budget_mix": tx21_token_budget_mix,
     "tx22_ngram_novelty": tx22_ngram_novelty,
     "dq6_key_skew_report": dq6_key_skew_report,
+    "dq7_join_cardinality": dq7_join_cardinality,
     "dd17_minhash_calibration": dd17_minhash_calibration,
     "ev9_outlier_events": ev9_outlier_events,
     "pk2_sequence_stats": pk2_sequence_stats,
@@ -11179,12 +11208,13 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 # (a12/a17), and 38 of the 46 r07-aged queries — the oldest tail in
 # the registry. The 8 deferred r07 TPC-H mid-range queries
 # (q12/q13/q14/q15/q17/q18/q19/q20) roll to the r13 window, plus
-# q8/q9/q10/q11 displaced by the tx21/tx22/dq6/dd17 births.
+# q7/q8/q9/q10/q11 displaced by the tx21/tx22/dq6/dq7/dd17 births.
 _R12_WINDOW = [
     # born this round — fronted at birth
     "tx21_token_budget_mix",
     "tx22_ngram_novelty",
     "dq6_key_skew_report",
+    "dq7_join_cardinality",
     "dd17_minhash_calibration",
     # impl touched this round
     "rec_kge_sharded_band",
@@ -11232,7 +11262,6 @@ _R12_WINDOW = [
     "q4_priority_exists",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q7_nation_volume",
     "a18_sketch_distinct_band",
     "a19_cube_profile",
     "ev17_quantile_sketch_band",
@@ -11365,6 +11394,7 @@ ORACLES = {
     "tx21_token_budget_mix": TX21_SQL,
     "tx22_ngram_novelty": TX22_SQL,
     "dq6_key_skew_report": DQ6_SQL,
+    "dq7_join_cardinality": DQ7_SQL,
     "dd17_minhash_calibration": DD17_SQL,
     "ev9_outlier_events": EV9_SQL,
     "pk3_shuffle_shards": PK3_SQL,

@@ -66,6 +66,7 @@ REPRESENTATIVE = [
     "tx22_ngram_novelty",        # trigram inverted-index df join (r12)
     "dq6_key_skew_report",       # map-side-combined hot-key aggregate (r12)
     "dd17_minhash_calibration",  # candidate-bounded sketch calibration (r12)
+    "dq7_join_cardinality",      # count-table join pricing (r12)
 ]
 
 

@@ -46,3 +46,27 @@ def test_key_skew_report_uniform_keys_need_no_salt(spark):
     df = spark.createDataFrame(rows, "k string, v long")
     for r in key_skew_report(df, ["k"], top=10).collect():
         assert r.skew_factor == 1.0 and r.salt_factor == 1
+
+
+def test_join_cardinality_report_exact(spark):
+    """|A join B| priced from count tables must equal the join run for
+    real; shares sum to <= 1 and the heaviest pair ranks first."""
+    a = spark.createDataFrame(
+        [("u1", i) for i in range(20)] + [("u2", i) for i in range(5)] + [("u3", 0)],
+        "k string, v long",
+    )
+    b = spark.createDataFrame(
+        [("u1", i) for i in range(10)] + [("u2", i) for i in range(8)] + [("u4", 0)],
+        "k string, v long",
+    )
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.diagnostics import (
+        join_cardinality_report,
+    )
+
+    rep = {r.key: r for r in join_cardinality_report(a, b, ["k"], top=10).collect()}
+    assert set(rep) == {"u1", "u2"}  # u3/u4 have no partner
+    assert rep["u1"].n_out == 200 and rep["u2"].n_out == 40
+    assert rep["u1"].rank == 1
+    total = a.join(b, "k").count()
+    assert total == sum(r.n_out for r in rep.values()) == 240
+    assert rep["u1"].out_share == round(200 / 240, 6)

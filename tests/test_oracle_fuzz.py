@@ -119,6 +119,7 @@ EVENT_QUERIES = [
     "ev30_funnel_window",
     "dq5_profile_drift",
     "dq6_key_skew_report",  # r12 — events-only hot-key report
+    "dq7_join_cardinality",  # r12 — events-only self-join pricing
 ]
 
 

@@ -83,6 +83,8 @@ ALLOWED = {
     # the rank window over the <= top-row hot-key frame (bounded by
     # the `top` argument, never the data — diagnostics.key_skew_report)
     "dq6_key_skew_report": 1,
+    # same shape: rank window over the <= top-row contribution frame
+    "dq7_join_cardinality": 1,
 }
 
 
@@ -214,6 +216,9 @@ NLJ_ALLOWED = {
     # the 1-row (n_rows, n_keys) scalar crossJoined onto the bounded
     # top-k hot-key frame
     "dq6_key_skew_report": 2,
+    # the 1-row exact-total scalar crossJoined onto the bounded top-k
+    # contribution frame
+    "dq7_join_cardinality": 2,
 }
 
 
