@@ -497,9 +497,31 @@ def profile_drift(
     replaying the same integer arithmetic reproduces every boolean
     exactly. Missing-in-either columns surface with status
     'added'/'removed' — schema drift is drift too.
+
+    ``cols`` validation (ADVICE r11): a name in NEITHER snapshot's
+    schema is a typo and raises; a name in exactly ONE side is the
+    legitimate schema-drift case — it profiles on the side that has
+    it and surfaces as 'added'/'removed' (each side's profile request
+    is restricted to the columns that side actually has, so the
+    strict per-frame validation in :func:`column_profiles` never
+    fires on real drift).
     """
-    po = column_profiles(old, cols).alias("o")
-    pn = column_profiles(new, cols).alias("n")
+    if cols is not None:
+        known = {f.name for f in old.schema.fields} | {
+            f.name for f in new.schema.fields
+        }
+        unknown = sorted(set(cols) - known)
+        if unknown:
+            raise ValueError(
+                f"profile_drift: columns in neither snapshot: {unknown} "
+                f"(schemas have: {sorted(known)})"
+            )
+        old_cols = [c for c in cols if c in {f.name for f in old.schema.fields}]
+        new_cols = [c for c in cols if c in {f.name for f in new.schema.fields}]
+    else:
+        old_cols = new_cols = None
+    po = column_profiles(old, old_cols).alias("o")
+    pn = column_profiles(new, new_cols).alias("n")
     j = po.join(pn, "column", "full_outer")
     nr_old = F.round(F.col("o.n_null").cast("double") / F.col("o.n_rows"), 6)
     nr_new = F.round(F.col("n.n_null").cast("double") / F.col("n.n_rows"), 6)

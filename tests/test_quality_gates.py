@@ -615,3 +615,29 @@ def test_profile_drift_schema_add_remove(spark):
     new = spark.createDataFrame([(1, "x")], "id long, born string")
     rep = {r.column: r.status for r in profile_drift(old, new).collect()}
     assert rep == {"id": "stable", "gone": "removed", "born": "added"}
+
+
+def test_profile_drift_cols_validation(spark):
+    """ADVICE r11: a typo'd gate column must raise (it used to vanish
+    from the report — a false PASS), but a column present in exactly
+    ONE snapshot is the legitimate schema-drift case and must keep
+    reporting 'added'/'removed' rather than raising."""
+    import pytest as _pytest
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.drift import (
+        column_profiles,
+        profile_drift,
+    )
+
+    old = spark.createDataFrame([(1, 2.0)], "id long, gone double")
+    new = spark.createDataFrame([(1, "x")], "id long, born string")
+    with _pytest.raises(ValueError, match="neither snapshot"):
+        profile_drift(old, new, cols=["id", "typo_col"])
+    with _pytest.raises(ValueError, match="not in schema"):
+        column_profiles(old, cols=["id", "typo_col"])
+    # one-sided columns still profile on their side and report drift
+    rep = {
+        r.column: r.status
+        for r in profile_drift(old, new, cols=["id", "gone", "born"]).collect()
+    }
+    assert rep == {"id": "stable", "gone": "removed", "born": "added"}
