@@ -166,6 +166,8 @@ HEADLINE = [
     "dq6_key_skew_report",
     "dq7_join_cardinality",
     "dd17_minhash_calibration",
+    "sp16_leakage_safe_split",
+    "tx23_tokenizer_fertility",
 ]
 
 

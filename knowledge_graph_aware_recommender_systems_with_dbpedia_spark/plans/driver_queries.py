@@ -2563,6 +2563,55 @@ SELECT doc_id, cluster_id FROM comp
 DD7_SQL = _dd7_sql()
 
 
+def sp16_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/test split — the dedup-aware protocol Lee et
+    al. (ACL'22) showed a doc-level random split violates: a document
+    whose near-duplicate lands in train leaks into test through its
+    twin. dd4's LSH pairs -> dd7's min-label components -> membership
+    decided by det-hash of the CLUSTER id, so every member of a
+    near-dup cluster moves to the same side together (singleton docs
+    behave exactly like a plain det-hash split). Threshold form (no
+    rank): the filter is a pure function of cluster_id — zero extra
+    shuffles beyond the components loop, reproducible across runs,
+    repartitionings, and engines. Output: (doc_id, cluster_id,
+    is_test); the unit test pins the invariant that no cluster spans
+    the split."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, bands=8, n_hashes=16, verify_threshold=0.1)
+    comps = DD.connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+    return comps.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        (H.det_unit(F.col("cluster_id"), seed=SEED) < F.lit(0.2))
+        .cast("bigint")
+        .alias("is_test"),
+    )
+
+
+SP16_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL}, {_JACCARD_SQL},
+sig AS (SELECT id AS doc_id, {_minhash_min_exprs_sql()} FROM sh GROUP BY id),
+buckets AS ({_lsh_bands_sql(8, 16)}),
+cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+good AS (SELECT c.id1, c.id2 FROM cand c JOIN jac j
+         ON j.id1 = c.id1 AND j.id2 = c.id2 WHERE j.jaccard >= 0.1),
+ed AS (SELECT id1 AS a, id2 AS b FROM good UNION SELECT id2, id1 FROM good),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN ({H.det_hash_sql("cluster_id", seed=SEED)}) / 1000000.0 < 0.2
+            THEN 1 ELSE 0 END AS BIGINT) AS is_test
+FROM comp
+"""
+
+
 def dd15_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (dedup.semdedup — Abbas et al.
     2023): embeddings cluster under the coarse quantizer, cosine>=0.3
@@ -5310,6 +5359,48 @@ FROM t LEFT JOIN per USING (doc_id)
 """
 
 
+def tx23_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility report — the rollout audit a
+    tokenizer change ships with: after learning 3 BPE merges over the
+    corpus (tx12's O(1)-job learner), each language reports its word
+    count, post-BPE piece count, FERTILITY (pieces per word — the
+    number that prices a language's effective context length), and
+    chars per piece (compression). The fertility table is
+    vocab-bounded and broadcast onto the exploded doc tokens; one
+    hash aggregate per language. Oracle replays learning, segmentation
+    and both aggregates through the shared merge CTE chain."""
+    from ..operators import bpe as BPE
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in BPE.learn_bpe_merges_topv(docs, n_merges=3)
+        .orderBy("step")
+        .collect()
+    ]
+    seg = BPE.segment_words(docs, merges)
+    fert = seg.select(
+        "word",
+        F.size("pieces").cast("bigint").alias("n_pieces"),
+        F.length("word").cast("bigint").alias("n_chars"),
+    )
+    toks = docs.select("lang", TX.tokens(F.col("text")).alias("_t")).select(
+        "lang", F.explode("_t").alias("word")
+    )
+    j = toks.join(F.broadcast(fert), "word")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.round(
+            F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_pieces"), 6
+        ).alias("chars_per_piece"),
+    )
+
+
 def tx11_quality_deciles(spark, sf_dir):
     """Global feature binning WITHOUT a global window: every doc's
     quality decile via the two-pass range-bucketed rank
@@ -5392,6 +5483,30 @@ seq{i} AS (SELECT cnt, replace(seq, {d1} || best{i}.a || {d2} || {d1} || best{i}
         )
         prev = f"seq{i}"
     return ",\n".join(steps), prev
+
+
+_TX23_CHAIN, _TX23_LAST = _bpe_chain_sql(3)
+TX23_SQL = f"""
+WITH t AS (SELECT lang, {TOKS_SQL} AS toks FROM documents),
+w AS (SELECT u.tok AS word, count(*) AS cnt FROM t, unnest(t.toks) AS u(tok) GROUP BY 1),
+seq0 AS (SELECT cnt, chr(1) || array_to_string(string_split(word, ''), chr(2) || chr(1)) || chr(2) AS seq FROM w),
+{_TX23_CHAIN},
+fin AS (SELECT string_split(substr(seq, 2, length(seq) - 2), chr(2) || chr(1)) AS pieces,
+               replace(replace(seq, chr(1), ''), chr(2), '') AS word
+        FROM {_TX23_LAST}),
+fert AS (SELECT word, CAST(len(pieces) AS BIGINT) AS n_pieces,
+                CAST(length(word) AS BIGINT) AS n_chars
+         FROM fin),
+dt AS (SELECT t.lang, u.tok AS word FROM t, unnest(t.toks) AS u(tok)),
+j AS (SELECT dt.lang, f.n_pieces, f.n_chars FROM dt JOIN fert f USING (word))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       round(sum(n_pieces) / CAST(count(*) AS DOUBLE), 6) AS fertility,
+       round(sum(n_chars) / CAST(sum(n_pieces) AS DOUBLE), 6) AS chars_per_piece
+FROM j GROUP BY 1
+"""
 
 
 def _bpe_sql(n_merges=3) -> str:
@@ -10598,6 +10713,8 @@ QUERIES = {
     "dq6_key_skew_report": dq6_key_skew_report,
     "dq7_join_cardinality": dq7_join_cardinality,
     "dd17_minhash_calibration": dd17_minhash_calibration,
+    "sp16_leakage_safe_split": sp16_leakage_safe_split,
+    "tx23_tokenizer_fertility": tx23_tokenizer_fertility,
     "ev9_outlier_events": ev9_outlier_events,
     "pk2_sequence_stats": pk2_sequence_stats,
     "pk3_shuffle_shards": pk3_shuffle_shards,
@@ -11208,14 +11325,16 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 # (a12/a17), and 38 of the 46 r07-aged queries — the oldest tail in
 # the registry. The 8 deferred r07 TPC-H mid-range queries
 # (q12/q13/q14/q15/q17/q18/q19/q20) roll to the r13 window, plus
-# q7/q8/q9/q10/q11 displaced by the tx21/tx22/dq6/dq7/dd17 births.
+# q5-q11 displaced by the tx21/tx22/tx23/dq6/dq7/dd17/sp16 births.
 _R12_WINDOW = [
     # born this round — fronted at birth
     "tx21_token_budget_mix",
     "tx22_ngram_novelty",
+    "tx23_tokenizer_fertility",
     "dq6_key_skew_report",
     "dq7_join_cardinality",
     "dd17_minhash_calibration",
+    "sp16_leakage_safe_split",
     # impl touched this round
     "rec_kge_sharded_band",
     "st18_intra_drain_dedup",
@@ -11260,8 +11379,6 @@ _R12_WINDOW = [
     "ev4_asof_enrich",
     "tx14_weighted_sample",
     "q4_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "a18_sketch_distinct_band",
     "a19_cube_profile",
     "ev17_quantile_sketch_band",
@@ -11396,6 +11513,8 @@ ORACLES = {
     "dq6_key_skew_report": DQ6_SQL,
     "dq7_join_cardinality": DQ7_SQL,
     "dd17_minhash_calibration": DD17_SQL,
+    "sp16_leakage_safe_split": SP16_SQL,
+    "tx23_tokenizer_fertility": TX23_SQL,
     "ev9_outlier_events": EV9_SQL,
     "pk3_shuffle_shards": PK3_SQL,
     "ss3_quantize_embeddings": SS3_SQL,

@@ -67,6 +67,8 @@ REPRESENTATIVE = [
     "dq6_key_skew_report",       # map-side-combined hot-key aggregate (r12)
     "dd17_minhash_calibration",  # candidate-bounded sketch calibration (r12)
     "dq7_join_cardinality",      # count-table join pricing (r12)
+    "sp16_leakage_safe_split",   # LSH pairs -> components -> cluster-hash split (r12)
+    "tx23_tokenizer_fertility",  # merge learn + broadcast fertility join (r12)
 ]
 
 

@@ -34,6 +34,8 @@ DOC_QUERIES = [
     "tx21_token_budget_mix",
     "tx22_ngram_novelty",
     "dd17_minhash_calibration",
+    "sp16_leakage_safe_split",
+    "tx23_tokenizer_fertility",
 ]
 
 VOCAB = (

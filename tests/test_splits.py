@@ -447,3 +447,50 @@ def test_token_budget_select_matches_naive_cumsum(spark):
         ).collect()
     }
     assert got1 == got
+
+
+def test_leakage_safe_split_clusters_never_span(spark):
+    """sp16's invariant: every near-dup cluster lands WHOLLY on one
+    side of the split (a random doc-level split leaks train text into
+    test through a near-dup twin). Planted exact-dup pairs must end up
+    with one is_test value per cluster, and the assignment must be a
+    pure function of cluster_id (repartition-invariant)."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions.hashing import det_unit
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import dedup as DD
+
+    base = [
+        (i, f"unique document number {i} with plenty of words to shingle "
+            f"alpha beta gamma delta {i}")
+        for i in range(30)
+    ]
+    # plant dup pairs: 30+i copies doc i for i in 0..9
+    dups = [(30 + i, base[i][1]) for i in range(10)]
+    docs = spark.createDataFrame(base + dups, "doc_id long, text string")
+    pairs = DD.minhash_lsh_pairs(docs, bands=8, n_hashes=16, verify_threshold=0.5)
+    comps = DD.connected_components(docs.select(F.col("doc_id").alias("id")), pairs)
+    split = comps.select(
+        "id", "cluster_id", (det_unit(F.col("cluster_id"), seed=42) < 0.2).alias("is_test")
+    )
+    rows = split.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.is_test)
+    assert all(len(v) == 1 for v in by_cluster.values())  # never spans
+    # the planted pairs really are clustered (invariant is non-vacuous)
+    cl = {r.id: r.cluster_id for r in rows}
+    for i in range(10):
+        assert cl[i] == cl[30 + i] == min(i, cl[i])
+    # repartition-invariant
+    rows2 = {
+        (r.id, r.cluster_id, r.is_test)
+        for r in DD.connected_components(
+            docs.repartition(7).select(F.col("doc_id").alias("id")),
+            pairs,
+        ).select(
+            "id", "cluster_id",
+            (det_unit(F.col("cluster_id"), seed=42) < 0.2).alias("is_test"),
+        ).collect()
+    }
+    assert rows2 == {(r.id, r.cluster_id, r.is_test) for r in rows}
