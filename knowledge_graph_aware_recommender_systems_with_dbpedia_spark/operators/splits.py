@@ -402,6 +402,13 @@ def token_budget_select(
     across runs, repartitionings, and engines (the oracle twin is a
     plain SQL window cumsum).
 
+    Degenerate case (shared with :func:`quota_by_score`): a stratum
+    whose scores are all IDENTICAL collapses into one bucket, making
+    that window whole-stratum after all. Real quality scores are
+    near-continuous so buckets stay balanced; if a pipeline feeds a
+    constant score on purpose, pre-jitter it deterministically (e.g.
+    ``score + det_unit(key)*1e-9``) to restore the range split.
+
     Returns the selected rows with ``_cum_before`` dropped (input
     columns only).
     """
