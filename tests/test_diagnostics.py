@@ -70,3 +70,26 @@ def test_join_cardinality_report_exact(spark):
     total = a.join(b, "k").count()
     assert total == sum(r.n_out for r in rep.values()) == 240
     assert rep["u1"].out_share == round(200 / 240, 6)
+
+
+def test_key_skew_report_hot_key_at_scale(spark):
+    """A 10^6-row frame where one key carries 99% of the rows: the
+    report completes without concentrating the hot key's raw rows
+    (the groupBy count partial-aggregates map-side — the combiner
+    output is #distinct-keys rows) and the arithmetic is exact."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1_000_000).select(
+        F.when(F.col("id") % 100 < 99, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id")))
+        .alias("k")
+    )
+    rep = key_skew_report(df, ["k"], top=1).collect()
+    assert len(rep) == 1 and rep[0].key == "hot"
+    n_hot, n, k = 990_000, 1_000_000, 10_001  # 'hot' + 10k singletons
+    assert rep[0].n_rows == n_hot
+    assert rep[0].share == round(n_hot / n, 6)
+    assert rep[0].skew_factor == round(n_hot / (n / k), 6)
+    assert rep[0].salt_factor == math.ceil(n_hot / (n / k))
