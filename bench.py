@@ -168,6 +168,7 @@ HEADLINE = [
     "dd17_minhash_calibration",
     "sp16_leakage_safe_split",
     "tx23_tokenizer_fertility",
+    "dq8_value_histogram",
 ]
 
 

@@ -70,6 +70,73 @@ def join_cardinality_report(
     )
 
 
+def equiwidth_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 16,
+) -> DataFrame:
+    """Exact equi-width histogram of a numeric column — the ANALYZE
+    TABLE primitive a cost-based optimizer's selectivity estimates
+    read, and the third leg of the pre-flight stats family next to
+    :func:`key_skew_report` (key shape) and
+    :func:`join_cardinality_report` (join shape).
+
+    Two passes, both cheap: ONE 1-row (min, max) aggregate broadcast
+    back, then one map-side-combined groupBy on the bin id (bin =
+    ``least(floor((v - min)/width), bins-1)``, width =
+    ``(max - min)/bins``) — the shuffle carries at most ``bins`` rows
+    per input partition regardless of data volume. NULLs are excluded
+    (the null count is dq5's job); a constant column collapses into
+    one full bin. Engine-exact: both engines see identical input
+    doubles and the bin arithmetic is correctly rounded ops only.
+
+    Returns (bin, lo, hi, n_rows) with lo/hi the bin's value range
+    (hi of the last bin = max)."""
+    v = F.col(value_col).cast("double")
+    mm = df.filter(v.isNotNull()).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    binned = (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.when(
+                F.col("_hi") == F.col("_lo"), F.lit(0)
+            )
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (v - F.col("_lo"))
+                        / ((F.col("_hi") - F.col("_lo")) / F.lit(float(bins)))
+                    ),
+                    F.lit(bins - 1),
+                )
+            )
+            .cast("bigint")
+            .alias("bin"),
+            "_lo",
+            "_hi",
+        )
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    return (
+        binned.groupBy("bin", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            "bin",
+            F.round(F.col("_lo") + F.col("bin") * width, 6).alias("lo"),
+            F.round(
+                F.when(
+                    F.col("bin") == bins - 1, F.col("_hi")
+                ).otherwise(F.col("_lo") + (F.col("bin") + 1) * width),
+                6,
+            ).alias("hi"),
+            "n_rows",
+        )
+    )
+
+
 def key_skew_report(
     df: DataFrame,
     key_cols: list[str],

@@ -4761,6 +4761,37 @@ FROM r, tot WHERE r.rank <= 10
 """
 
 
+def dq8_value_histogram(spark, sf_dir):
+    """ANALYZE-style exact equi-width histogram of event values
+    (diagnostics.equiwidth_histogram) — the optimizer-stats primitive
+    selectivity estimation reads, next to dq6 (key shape) and dq7
+    (join shape): ONE 1-row (min, max) broadcast + one
+    map-side-combined groupBy on the bin id (the shuffle carries at
+    most `bins` rows per input partition). Oracle replays the exact
+    bin arithmetic."""
+    from ..operators.diagnostics import equiwidth_histogram
+
+    events = load_table(spark, sf_dir, "events")
+    return equiwidth_histogram(events, "value", bins=16)
+
+
+DQ8_SQL = """
+WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+b AS (SELECT CASE WHEN mm.hi = mm.lo THEN 0
+             ELSE CAST(least(floor((v.v - mm.lo) / ((mm.hi - mm.lo) / 16.0)), 15) AS BIGINT)
+             END AS bin,
+             mm.lo AS glo, mm.hi AS ghi
+      FROM v, mm)
+SELECT bin,
+       round(glo + bin * ((ghi - glo) / 16.0), 6) AS lo,
+       round(CASE WHEN bin = 15 THEN ghi
+                  ELSE glo + (bin + 1) * ((ghi - glo) / 16.0) END, 6) AS hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM b GROUP BY bin, glo, ghi
+"""
+
+
 def ev5_overlap_pairs(spark, sf_dir):
     """Interval-overlap range join (operators/rangejoin.py): per-user
     daily error-activity spans, then every cross-user pair of spans
@@ -10712,6 +10743,7 @@ QUERIES = {
     "tx22_ngram_novelty": tx22_ngram_novelty,
     "dq6_key_skew_report": dq6_key_skew_report,
     "dq7_join_cardinality": dq7_join_cardinality,
+    "dq8_value_histogram": dq8_value_histogram,
     "dd17_minhash_calibration": dd17_minhash_calibration,
     "sp16_leakage_safe_split": sp16_leakage_safe_split,
     "tx23_tokenizer_fertility": tx23_tokenizer_fertility,
@@ -11325,7 +11357,7 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 # (a12/a17), and 38 of the 46 r07-aged queries — the oldest tail in
 # the registry. The 8 deferred r07 TPC-H mid-range queries
 # (q12/q13/q14/q15/q17/q18/q19/q20) roll to the r13 window, plus
-# q5-q11 displaced by the tx21/tx22/tx23/dq6/dq7/dd17/sp16 births.
+# q4-q11 displaced by the tx21/tx22/tx23/dq6/dq7/dq8/dd17/sp16 births.
 _R12_WINDOW = [
     # born this round — fronted at birth
     "tx21_token_budget_mix",
@@ -11333,6 +11365,7 @@ _R12_WINDOW = [
     "tx23_tokenizer_fertility",
     "dq6_key_skew_report",
     "dq7_join_cardinality",
+    "dq8_value_histogram",
     "dd17_minhash_calibration",
     "sp16_leakage_safe_split",
     # impl touched this round
@@ -11378,7 +11411,6 @@ _R12_WINDOW = [
     "ev1_hourly_rollup",
     "ev4_asof_enrich",
     "tx14_weighted_sample",
-    "q4_priority_exists",
     "a18_sketch_distinct_band",
     "a19_cube_profile",
     "ev17_quantile_sketch_band",
@@ -11512,6 +11544,7 @@ ORACLES = {
     "tx22_ngram_novelty": TX22_SQL,
     "dq6_key_skew_report": DQ6_SQL,
     "dq7_join_cardinality": DQ7_SQL,
+    "dq8_value_histogram": DQ8_SQL,
     "dd17_minhash_calibration": DD17_SQL,
     "sp16_leakage_safe_split": SP16_SQL,
     "tx23_tokenizer_fertility": TX23_SQL,

@@ -69,6 +69,7 @@ REPRESENTATIVE = [
     "dq7_join_cardinality",      # count-table join pricing (r12)
     "sp16_leakage_safe_split",   # LSH pairs -> components -> cluster-hash split (r12)
     "tx23_tokenizer_fertility",  # merge learn + broadcast fertility join (r12)
+    "dq8_value_histogram",       # 1-row min/max broadcast + bin groupBy (r12)
 ]
 
 

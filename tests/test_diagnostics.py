@@ -93,3 +93,29 @@ def test_key_skew_report_hot_key_at_scale(spark):
     assert rep[0].share == round(n_hot / n, 6)
     assert rep[0].skew_factor == round(n_hot / (n / k), 6)
     assert rep[0].salt_factor == math.ceil(n_hot / (n / k))
+
+
+def test_equiwidth_histogram_exact_and_edges(spark):
+    """Bin arithmetic: [0, 16) over 16 bins = one value per bin; the
+    max value lands in the LAST bin (hi = max, closed); a constant
+    column collapses into one full bin; NULLs are excluded."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.diagnostics import (
+        equiwidth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(17)] + [(None,)], "v double"
+    )
+    rows = {r.bin: r for r in equiwidth_histogram(df, "v", bins=16).collect()}
+    assert set(rows) == set(range(16))
+    # width = 1.0: bin i holds exactly v = i ...
+    assert all(rows[i].n_rows == 1 for i in range(15))
+    # ... except the last, which also CLOSES on the max (v=15 and v=16)
+    assert rows[15].n_rows == 2
+    assert rows[15].hi == 16.0 and rows[0].lo == 0.0
+    assert sum(r.n_rows for r in rows.values()) == 17  # NULL excluded
+    const = spark.createDataFrame([(3.5,)] * 5, "v double")
+    crows = equiwidth_histogram(const, "v", bins=16).collect()
+    assert len(crows) == 1 and crows[0].bin == 0 and crows[0].n_rows == 5

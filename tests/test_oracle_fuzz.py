@@ -122,6 +122,7 @@ EVENT_QUERIES = [
     "dq5_profile_drift",
     "dq6_key_skew_report",  # r12 — events-only hot-key report
     "dq7_join_cardinality",  # r12 — events-only self-join pricing
+    "dq8_value_histogram",  # r12 — events-only equi-width histogram
 ]
 
 

@@ -85,6 +85,8 @@ ALLOWED = {
     "dq6_key_skew_report": 1,
     # same shape: rank window over the <= top-row contribution frame
     "dq7_join_cardinality": 1,
+    # the 1-row (min, max) scalar aggregate (broadcast back)
+    "dq8_value_histogram": 1,
 }
 
 
@@ -219,6 +221,8 @@ NLJ_ALLOWED = {
     # the 1-row exact-total scalar crossJoined onto the bounded top-k
     # contribution frame
     "dq7_join_cardinality": 2,
+    # the 1-row (min, max) scalar crossJoined onto the value stream
+    "dq8_value_histogram": 2,
 }
 
 
