@@ -1011,6 +1011,13 @@ def maybe_compact_dedup_state(
     Returns True iff a fold happened."""
     import os
 
+    # ADVICE r12: roll a half-staged fold forward FIRST. If a prior
+    # trigger died mid-swap (live dir moved aside, new not yet
+    # promoted) without killing the drain process, the live dir is
+    # absent at this point; bailing on the bare isdir() check would
+    # leave the batch's subsequent state read failing until a full
+    # drain restart ran recovery. Cheap no-op in the common case.
+    recover_dedup_state_compaction(state_dir)
     live = f"{state_dir}/state"
     if not os.path.isdir(live):
         return False

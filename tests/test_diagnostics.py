@@ -72,6 +72,54 @@ def test_join_cardinality_report_exact(spark):
     assert rep["u1"].out_share == round(200 / 240, 6)
 
 
+def test_key_skew_report_null_components_stay_distinct(spark):
+    """ADVICE r12: ('a', NULL), (NULL, 'a') and (NULL, NULL) must NOT
+    alias — bare concat_ws skips NULLs with their separator. Each NULL
+    component renders as the \\x00null sentinel, so arity and null
+    positions stay encoded and the three groups report separately; a
+    hot NULL key is still surfaced (it IS a shuffle group)."""
+    rows = (
+        [("a", None)] * 5 + [(None, "a")] * 3 + [(None, None)] * 2
+        + [("a", "a")] * 1
+    )
+    df = spark.createDataFrame(rows, "k1 string, k2 string")
+    rep = {r.key: r.n_rows for r in key_skew_report(df, ["k1", "k2"], top=10).collect()}
+    assert rep == {
+        "a\x01\x00null": 5,
+        "\x00null\x01a": 3,
+        "\x00null\x01\x00null": 2,
+        "a\x01a": 1,
+    }
+
+
+def test_join_cardinality_report_null_keys_not_joinable(spark):
+    """ADVICE r12: a real equi-join drops NULL keys, so the pricing
+    must too — NULL-keyed rows contribute zero output and must not be
+    priced as a mutually-joinable '' key. The report's total must
+    still equal the real join's count when NULLs are present."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.diagnostics import (
+        join_cardinality_report,
+    )
+
+    a = spark.createDataFrame(
+        [("u1", 1)] * 4 + [(None, 1)] * 7, "k string, v long"
+    )
+    b = spark.createDataFrame(
+        [("u1", 1)] * 3 + [(None, 1)] * 9, "k string, v long"
+    )
+    rep = join_cardinality_report(a, b, ["k"], top=10).collect()
+    assert {r.key for r in rep} == {"u1"}
+    assert rep[0].n_out == 12 and rep[0].out_share == 1.0
+    assert a.join(b, "k").count() == sum(r.n_out for r in rep)
+    # composite: NULL in ANY key column disqualifies the row
+    a2 = spark.createDataFrame(
+        [("x", "y", 1)] * 2 + [("x", None, 1)] * 5, "k1 string, k2 string, v long"
+    )
+    rep2 = join_cardinality_report(a2, a2, ["k1", "k2"], top=10).collect()
+    assert len(rep2) == 1 and rep2[0].n_out == 4
+    assert a2.join(a2.select("k1", "k2"), ["k1", "k2"]).count() == 4
+
+
 def test_key_skew_report_hot_key_at_scale(spark):
     """A 10^6-row frame where one key carries 99% of the rows: the
     report completes without concentrating the hot key's raw rows

@@ -338,6 +338,44 @@ def test_co_rating_pairs_skew_stress_bound(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_co_rating_pairs_join_output_guard(spark):
+    """VERDICT r12 item 5: the dq7 join-cardinality pre-flight wired
+    INTO the operator. A synthetic hot key — one item whose degree
+    survives max_item_degree but whose C(d,2) pair output exceeds
+    max_join_output — must trip the guard BEFORE any pair is built;
+    the error names the hot degree and a max_item_degree that fits.
+    Within the bound the guard is invisible: results identical to the
+    unguarded call; the default (None) adds no job at all."""
+    import pytest
+
+    # one hot item with degree 50 (C(50,2) = 1225 pairs) + 5 niche
+    rows = [(u, 1) for u in range(50)] + [(2 * i, 100 + i) for i in range(5)] + [
+        (2 * i + 1, 100 + i) for i in range(5)
+    ]
+    r = spark.createDataFrame(rows, "user_id bigint, item_id bigint")
+    with pytest.raises(ValueError, match="max_join_output=1000") as exc:
+        G.co_rating_pairs(r, max_item_degree=64, max_join_output=1000)
+    msg = str(exc.value)
+    assert "1230" in msg  # exact prediction: 1225 hot + 5 niche
+    assert "degree 50" in msg
+    # a fitting bound passes and matches the unguarded result exactly
+    guarded = {
+        (row.user_a, row.user_b, row.n_common)
+        for row in G.co_rating_pairs(
+            r, max_item_degree=64, max_join_output=2000
+        ).collect()
+    }
+    plain = {
+        (row.user_a, row.user_b, row.n_common)
+        for row in G.co_rating_pairs(r, max_item_degree=64).collect()
+    }
+    assert guarded == plain and len(plain) > 0
+    # tightening max_item_degree (the suggested retry knob) also fits:
+    # the hot item drops out, only the 5 niche pairs remain
+    tight = G.co_rating_pairs(r, max_item_degree=8, max_join_output=1000)
+    assert tight.count() == 5
+
+
 def test_kcore_fixpoint_hand_computed_cascade(spark):
     """A (2,2)-core where one deletion cascades: the chain graph
     loses its tail ring step by step until only the dense block

@@ -239,6 +239,30 @@ def test_sharded_trainer_complex_and_matrix_params(spark, model):
     assert not np.allclose(got, fresh.entity_vectors())
 
 
+def test_sharded_trainer_bit_reproducible_multi_partition(spark):
+    """ADVICE r12: the delta fold collects per-partition arrays whose
+    collect_list order is schedule-dependent; the fold now array_sorts
+    the (part, delta) structs by partition tag, so multi-partition
+    epoch parameters are BIT-identical across runs and across input
+    physical layouts (each partition contributes at most one delta per
+    (tbl, idx) — the sort is a total order)."""
+    df, _ = _chain_df(spark)
+    kw = dict(model="transe", dim=16, epochs=3, lr=0.1, seed=11, n_partitions=3)
+    p1 = kge.train_kge_sharded(df, 20, 1, **kw)
+    p2 = kge.train_kge_sharded(df.repartition(7), 20, 1, **kw)
+
+    def snap(params):
+        return {
+            (r.tbl, r.idx): tuple(r.vec)
+            for r in params.collect()
+        }
+
+    s1, s2 = snap(p1), snap(p2)
+    assert set(s1) == set(s2)
+    for k in s1:
+        assert s1[k] == s2[k], k  # exact float equality, not allclose
+
+
 def test_sharded_training_separates_pos_from_neg(spark):
     """Multi-partition sharded training (per-partition LOCAL negative
     sampling — the DGL-KE compromise) still learns the chain."""

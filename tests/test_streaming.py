@@ -1066,6 +1066,41 @@ def test_compact_dedup_state_folds_and_recovers(spark, tmp_path):
     } == want
 
 
+def test_maybe_compact_recovers_midswap_crash_in_process(spark, tmp_path):
+    """ADVICE r12: if a prior fold died mid-swap WITHOUT killing the
+    drain process (live dir moved aside, committed stage not yet
+    promoted), the next maybe_compact_dedup_state call must roll the
+    fold forward instead of returning False on the bare isdir() check
+    — otherwise the batch's subsequent state read fails until a full
+    drain restart. The trigger now runs recovery first."""
+    import shutil
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import dedup as DD
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(20)
+    sd = str(tmp_path / "ds")
+    DD.dedup_state_rows(docs).write.parquet(f"{sd}/state/batch=0")
+    want = {
+        tuple(r) for r in spark.read.parquet(sd + "/state").drop("batch").collect()
+    }
+    # stage a committed fold, then crash between the two renames:
+    # live moved aside, state_new not yet promoted — live dir ABSENT
+    spark.read.parquet(sd + "/state").drop("batch").write.parquet(
+        f"{sd}/state_new/batch=-1"
+    )
+    shutil.move(sd + "/state", sd + "/state_old")
+    assert not os.path.isdir(sd + "/state")
+    # the trigger must recover the layout (promote the fold), then see
+    # a lone base and report no further fold needed — NOT fail or skip
+    assert DD.maybe_compact_dedup_state(spark, sd, max_state_dirs=8) is False
+    assert os.path.isdir(sd + "/state")
+    assert not os.path.exists(sd + "/state_old")
+    got = spark.read.parquet(sd + "/state")
+    assert {r.batch for r in got.select("batch").distinct().collect()} == {-1}
+    assert {tuple(r) for r in got.drop("batch").collect()} == want
+
+
 def test_intra_drain_state_extends_across_successive_drains(spark, tmp_path):
     """Successive drains sharing a checkpoint: the corpus dedup state
     is rebuilt per drain from the STATIC corpus frame, so a doc
