@@ -215,17 +215,60 @@ def main() -> None:
         "repeats": repeats,
     }
     spark.stop()
+    # Per-query impl fingerprints (VERDICT r12 item 4): md5 of each
+    # query function's source span plus an md5 per package module.
+    # A time delta on a query whose fingerprint AND whose modules'
+    # fingerprints are unchanged is box drift, mechanically — no more
+    # arguing from git log whether st1's 3.5x was a regression.
+    full = dict(out)
+    full["query_src_md5"] = {
+        name: _src_md5(QUERIES[name]) for name in HEADLINE
+    }
+    full["module_md5"] = _module_md5s()
+    here = os.path.dirname(os.path.abspath(__file__))
     # The driver's capture keeps only a bounded tail of stdout, which
     # has truncated the per-query dict out of past BENCH_rNN.json
     # artifacts (VERDICT r08 item 2) — persist the COMPLETE result to a
-    # committed file so every per-query median survives the round.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"),
-        "w",
-    ) as f:
-        json.dump(out, f, indent=1)
+    # committed file so every per-query median survives the round, and
+    # APPEND to a history log so round-over-round comparison never
+    # depends on a mutable latest-file (VERDICT r12 item 4).
+    with open(os.path.join(here, "BENCH_FULL_latest.json"), "w") as f:
+        json.dump(full, f, indent=1)
         f.write("\n")
-    print(json.dumps(out))
+    with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+        f.write(json.dumps(full, separators=(",", ":")) + "\n")
+    # compact separators keep the driver-parsed line as small as the
+    # contract allows (the bounded tail was cutting the pretty form)
+    print(json.dumps(out, separators=(",", ":")))
+
+
+def _src_md5(fn) -> str:
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = repr(fn)
+    return hashlib.md5(src.encode()).hexdigest()[:12]
+
+
+def _module_md5s() -> dict[str, str]:
+    import hashlib
+
+    import knowledge_graph_aware_recommender_systems_with_dbpedia_spark as pkg
+
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    out: dict[str, str] = {}
+    for dirpath, _, files in os.walk(root):
+        for name in sorted(files):
+            if not name.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, name)
+            rel = os.path.relpath(p, os.path.dirname(root))
+            with open(p, "rb") as f:
+                out[rel] = hashlib.md5(f.read()).hexdigest()[:12]
+    return out
 
 
 if __name__ == "__main__":

@@ -2035,9 +2035,50 @@ def rec_kge_sharded_band(spark, sf_dir):
     (measured 0.0014153 at sf0.01, identical across 8/32-thread runs —
     the md5 partitions, per-(seed,epoch,partition) rngs, and
     deterministic joins leave only the Spark-side delta-sum order as a
-    float jitter source; band set at the repo's x/÷2.5 convention)."""
+    float jitter source — and since r13's array_sort-by-partition-tag
+    fold, not even that: epochs are bit-reproducible; band set at the
+    repo's x/÷2.5 convention)."""
     return _stochastic_band_check(
         spark, sf_dir, "kge_sharded", rec_kge_sharded_top5, 0.0005, 0.0036
+    )
+
+
+def rec_kge_sharded_complex_top5(spark, sf_dir):
+    """M2's NON-translational axis at the 100 TB shape (VERDICT r12
+    item 2): ComplEx — complex-valued entity/relation tables, score
+    Re(<h, r, conj(t)>), reference band source
+    experiment_results/ml100k_enriched/complExratings.csv:2 — through
+    the same fully sharded trainer as :func:`rec_kge_sharded_top5`.
+    The complex tables ride the delta transport as :re/:im row PAIRS
+    (kge._normalize_params_df keeps the modulus pairing), so this
+    query exercises the sharded path's complex-table plumbing
+    end-to-end, not just TransE's real vectors. Rows-only on its own;
+    the semantic gate is :func:`rec_kge_sharded_complex_band`."""
+    from ..operators.kge import KGERecommender
+
+    train, _ = SP.train_test(_user_split(spark, sf_dir))
+    rec = KGERecommender(
+        "complex", k=5, dim=16, epochs=3, seed=SEED,
+        trainer="sharded", n_partitions=8,
+    ).train(train.select("user_id", "item_id", "rating"))
+    return rec.get_recommendations(5).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("item_id").cast("bigint").alias("item_id"),
+        F.col("rank").cast("bigint").alias("rec_rank"),
+    )
+
+
+def rec_kge_sharded_complex_band(spark, sf_dir):
+    """Band+contract check for the sharded ComplEx path (measured
+    0.0013262 at sf0.01 on local[8] and local[32] — bit-identical
+    across thread counts since the r13 deterministic delta fold; band
+    set at the repo's x/÷2.5 convention). Together with the TransE
+    twin this pins the sharded trainer's BOTH table layouts (real
+    vectors, :re/:im complex pairs) to a published-metric-shaped
+    gate."""
+    return _stochastic_band_check(
+        spark, sf_dir, "kge_sharded_complex",
+        rec_kge_sharded_complex_top5, 0.00053, 0.0033,
     )
 
 
@@ -10881,6 +10922,8 @@ QUERIES = {
     "rec_kge_transe_band": rec_kge_transe_band,
     "rec_kge_sharded_top5": rec_kge_sharded_top5,
     "rec_kge_sharded_band": rec_kge_sharded_band,
+    "rec_kge_sharded_complex_top5": rec_kge_sharded_complex_top5,
+    "rec_kge_sharded_complex_band": rec_kge_sharded_complex_band,
 }
 
 # Driver sampling window rotation (VERDICT r03 #5): the driver's
@@ -11653,6 +11696,7 @@ ORACLES = {
     "rec_als_band": _BAND_SQL.format(m="als"),
     "rec_kge_transe_band": _BAND_SQL.format(m="kge_transe"),
     "rec_kge_sharded_band": _BAND_SQL.format(m="kge_sharded"),
+    "rec_kge_sharded_complex_band": _BAND_SQL.format(m="kge_sharded_complex"),
 }
 
 
