@@ -152,6 +152,16 @@ def learn_bpe_merges_batched(
     conflicts (a bounded driver transfer); if conflicts exhaust the
     window the round closes early with what it accepted and the next
     round's fresh count continues — never wrong, only a shorter round.
+
+    PRODUCTION-BUDGET NOTE (r13): each round's rewrite is
+    localCheckpoint-ed EAGERLY, truncating the lineage — without it
+    round R's pair count replays all R-1 prior rewrite chains from the
+    raw vocab (O(rounds^2) total work and a plan that deepens by
+    batch_m replace() nodes per round; measured: untruncated wall
+    goes super-linear in rounds by ~round 20). Eager, not lazy — a
+    lazy persist in a loop loses the concurrent-stage race under AQE
+    (see kge.py's epoch cache note). Values are unchanged; 1k-merge
+    budgets become flat-per-round (see SCALING.md's bpe_batched rows).
     """
     spark = docs.sparkSession
     words = word_counts(docs, text_col).persist()
@@ -199,7 +209,7 @@ def learn_bpe_merges_batched(
             expr = F.replace(
                 expr, F.lit(D1 + a + D2 + D1 + b + D2), F.lit(D1 + a + b + D2)
             )
-        seqs = seqs.select("cnt", expr.alias("seq"))
+        seqs = seqs.select("cnt", expr.alias("seq")).localCheckpoint(eager=True)
     words.unpersist()
     return spark.createDataFrame(
         merges,

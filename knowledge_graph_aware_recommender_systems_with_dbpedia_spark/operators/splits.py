@@ -179,13 +179,33 @@ def split_ratings(
     user_col: str = "user_id",
     item_col: str = "item_id",
     ts_col: str = "timestamp",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Annotate the ratings table with split membership.
 
     Returns the input plus:
       * ``is_test`` (boolean) for ratio/timestamp methods;
       * ``fold`` (0..k-1) for k_fold — test of fold i is ``fold == i``.
+
+    ``dedup_aware`` (VERDICT r12 item 6 — sp16's protocol as a
+    registry method): requires ``clusters``, a (item_col, cluster_id)
+    frame mapping items to near-dup cluster ids; membership is decided
+    by det-hash of the CLUSTER id so a near-dup twin can never leak
+    across the split. See :func:`dedup_aware_split`.
     """
+    if method == "dedup_aware":
+        if p is None or not (0.0 < p < 1.0):
+            raise ValueError("p must be in (0, 1)")
+        if clusters is None:
+            raise ValueError(
+                "dedup_aware requires clusters= (a (key, cluster_id) frame; "
+                "build one with dedup.minhash_lsh_pairs + "
+                "dedup.connected_components — the experiment runner does "
+                "this from the items table's text column)"
+            )
+        return dedup_aware_split(
+            ratings, clusters, p, seed=seed, key_col=item_col
+        )
     if method in ("random_by_ratio", "timestamp_by_ratio"):
         if p is None or not (0.0 < p < 1.0):
             raise ValueError("p must be in (0, 1)")
@@ -294,8 +314,43 @@ def split_ratings(
 
     raise ValueError(
         "method must be one of random_by_ratio, timestamp_by_ratio, "
-        "fixed_timestamp, leave_one_out, k_fold, group_kfold"
+        "fixed_timestamp, leave_one_out, k_fold, group_kfold, dedup_aware"
     )
+
+
+def dedup_aware_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    p: float,
+    seed: int = 42,
+    key_col: str = "item_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Leakage-safe split membership by near-dup CLUSTER (sp16's Lee
+    et al. ACL'22 protocol generalized from documents to any keyed
+    table): every row whose key belongs to the same near-dup cluster
+    lands on the same side, so a twin can never sit in train while its
+    duplicate sits in test. Keys absent from ``clusters`` are
+    singleton clusters of themselves (exactly sp16's convention, where
+    connected_components assigns pairless docs cluster_id = own id).
+
+    Membership is a pure function of the cluster id —
+    ``det_unit(cluster) < p`` — zero windows, zero extra shuffles
+    beyond ONE equi-join against the #keys-sized cluster map
+    (broadcast-able at any realistic catalog size; AQE handles the
+    rest). Reproducible across runs, repartitionings, and engines.
+    Returns the input plus ``is_test`` (boolean).
+    """
+    cl = clusters.select(
+        F.col(key_col).alias("_dk"), F.col(cluster_col).alias("_dc")
+    )
+    joined = df.join(cl, F.col(key_col) == F.col("_dk"), "left")
+    cid = F.coalesce(
+        F.col("_dc").cast("string"), F.col(key_col).cast("string")
+    )
+    return joined.withColumn(
+        "is_test", det_unit(cid, seed=seed) < F.lit(float(p))
+    ).drop("_dk", "_dc")
 
 
 def train_test(split_df: DataFrame, fold: int | None = None) -> tuple[DataFrame, DataFrame]:

@@ -164,3 +164,36 @@ PREPROCESS = {
     "filter_by_rating": _filter_by_rating,
     "filter_kcore": _kcore,
 }
+
+# ---------------------------------------------------------------- splits
+# The split-method registry (reference: edge_splitter.py:22-27's
+# method map): config-facing names -> split_ratings dispatch. Each
+# entry takes (ratings, seed=..., **spec) exactly as the YAML grammar
+# spells it; third-party methods register by inserting a callable with
+# the same signature. "dedup_aware" is the sp16 leakage-safe protocol
+# (VERDICT r12 item 6) — the experiment runner builds the item
+# near-dup cluster map from the catalog text column and passes it as
+# clusters=.
+
+
+def _split_method(name: str):
+    from ..operators.splits import split_ratings
+
+    def run(ratings: DataFrame, seed: int = 42, **spec):
+        return split_ratings(ratings, name, seed=seed, **spec)
+
+    return run
+
+
+SPLITS = {
+    name: _split_method(name)
+    for name in (
+        "random_by_ratio",
+        "timestamp_by_ratio",
+        "fixed_timestamp",
+        "leave_one_out",
+        "k_fold",
+        "group_kfold",
+        "dedup_aware",
+    )
+}

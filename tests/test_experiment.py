@@ -265,3 +265,64 @@ def test_experiment_als_via_yaml_surface(spark, tmp_path):
     assert "MAP@3" in r and 0.0 <= r["MAP@3"] <= 1.0
     assert "nDCG@3" in r and 0.0 <= r["nDCG@3"] <= 1.0
     assert os.path.exists(out)
+
+
+def test_experiment_dedup_aware_split_via_yaml(spark, tmp_path):
+    """VERDICT r12 item 6: a YAML config requests leakage-safe
+    splitting the way it requests random_by_ratio — the runner builds
+    near-dup ITEM clusters from the catalog's text column (dd4 LSH ->
+    dd7 components) and no cluster spans train/test. Twin items i0/i1
+    share a near-identical title; the plain random split can (and the
+    protocol assumes will) separate them."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import splits as SP
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.experiment import (
+        _item_dedup_clusters,
+    )
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.typed_csv import (
+        read_typed_csv,
+    )
+
+    _make_dataset(tmp_path)
+    titles = [
+        "the matrix reloaded deluxe edition",   # i0
+        "the matrix reloaded deluxe edition!",  # i1 — near-dup twin
+        "finding nemo",
+        "blade runner",
+        "spirited away",
+        "seven samurai",
+        "la dolce vita",
+        "the godfather",
+    ]
+    _write_csv(
+        tmp_path / "item.csv",
+        ["item_id::string", "genre::string", "title::string"],
+        [[f"i{i}", f"g{i % 3}", titles[i]] for i in range(8)],
+    )
+    split = {
+        "method": "dedup_aware", "p": 0.4,
+        "text_col": "title", "dedup_threshold": 0.3,
+    }
+    out = tmp_path / "dedup_run.csv"
+    rows = EX.run_experiment(
+        spark, _config(tmp_path, [{"name": "popularity"}], out, split=split)
+    )
+    # hold-out shape: one fold, metrics present and bounded
+    assert set(rows["popularity"]) == {"MAP@3", "nDCG@3"}
+    assert all(0.0 <= v <= 1.0 for v in rows["popularity"].values())
+    # the invariant itself: replay the runner's split and check sides
+    items = read_typed_csv(spark, str(tmp_path / "item.csv"))
+    clusters = _item_dedup_clusters(
+        items, {"text_col": "title", "dedup_threshold": 0.3}
+    )
+    cl = {r.item_id: r.cluster_id for r in clusters.collect()}
+    assert cl["i0"] == cl["i1"]  # the twins really are clustered
+    ratings = read_typed_csv(spark, str(tmp_path / "rating.csv"))
+    sp_df = SP.split_ratings(
+        ratings, "dedup_aware", seed=42, p=0.4, clusters=clusters
+    )
+    sides = {}
+    for r in sp_df.select("item_id", "is_test").distinct().collect():
+        sides.setdefault(cl[r.item_id], set()).add(r.is_test)
+    assert all(len(v) == 1 for v in sides.values())  # no cluster spans

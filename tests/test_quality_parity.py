@@ -77,7 +77,7 @@ def test_node2vec_fold_metrics_in_reference_band(spark, clone_dir):
     from scripts.quality_parity import build_config
 
     exp = build_config(clone_dir)["experiment"]
-    ratings, graph = _load_dataset(spark, exp["dataset"])
+    ratings, graph, _items = _load_dataset(spark, exp["dataset"])
     ratings = PREPROCESS["filter_kcore"](
         ratings, **exp["preprocess"][0]["parameters"]
     ).persist()

@@ -28,7 +28,26 @@ EXPECTED_ROWS_ONLY = {
     "rec_kge_transe_top5",
     "rec_kge_sharded_top5",
     "rec_als_top5",
+    "rec_kge_sharded_complex_top5",
 }
+
+
+def test_splits_registry_names_dispatch():
+    """SPLITS registry (VERDICT r12 item 6): every config-facing split
+    method name resolves to a callable that reaches split_ratings'
+    dispatch (bad args raise its ValueErrors, not KeyError/TypeError)."""
+    import pytest
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans.registries import SPLITS
+
+    assert set(SPLITS) == {
+        "random_by_ratio", "timestamp_by_ratio", "fixed_timestamp",
+        "leave_one_out", "k_fold", "group_kfold", "dedup_aware",
+    }
+    with pytest.raises(ValueError, match="clusters"):
+        SPLITS["dedup_aware"](None, p=0.2)
+    with pytest.raises(ValueError, match="p must be"):
+        SPLITS["random_by_ratio"](None, p=7.0)
 
 
 def test_every_oracle_has_a_query():

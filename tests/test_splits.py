@@ -494,3 +494,69 @@ def test_leakage_safe_split_clusters_never_span(spark):
         ).collect()
     }
     assert rows2 == {(r.id, r.cluster_id, r.is_test) for r in rows}
+
+
+def test_dedup_aware_split_clusters_never_span(spark):
+    """SP16 as a registry method (VERDICT r12 item 6): rows whose keys
+    share a near-dup cluster always land on the same side; keys absent
+    from the cluster map behave as singleton clusters of themselves
+    (identical to a plain det-hash split of the key)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.functions.hashing import det_unit
+
+    ratings = spark.createDataFrame(
+        [(u, i, 3.0) for u in range(6) for i in range(10)],
+        "user_id long, item_id long, rating double",
+    )
+    # items 0..3 form one cluster (canonical id 0); 4/5 another; 6-9 unmapped
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 0), (4, 4), (5, 4)],
+        "item_id long, cluster_id long",
+    )
+    out = splits.split_ratings(
+        ratings, "dedup_aware", seed=42, p=0.3, clusters=clusters
+    )
+    rows = out.collect()
+    assert len(rows) == 60 and set(out.columns) == {
+        "user_id", "item_id", "rating", "is_test"
+    }
+    side = {}
+    for r in rows:
+        side.setdefault(r.item_id, set()).add(r.is_test)
+    assert all(len(v) == 1 for v in side.values())
+    # the whole cluster moves together
+    assert len({next(iter(side[i])) for i in range(4)}) == 1
+    assert len({next(iter(side[i])) for i in (4, 5)}) == 1
+    # unmapped keys == singleton det-hash split of the key itself
+    want = {
+        r.item_id: r.u < 0.3
+        for r in spark.createDataFrame(
+            [(i,) for i in range(6, 10)], "item_id long"
+        ).select(
+            "item_id",
+            det_unit(F.col("item_id").cast("string"), seed=42).alias("u"),
+        ).collect()
+    }
+    for i in range(6, 10):
+        assert next(iter(side[i])) == want[i], i
+    # repartition-invariant (pure function of the key/cluster)
+    again = {
+        (r.user_id, r.item_id): r.is_test
+        for r in splits.split_ratings(
+            ratings.repartition(13), "dedup_aware", seed=42, p=0.3,
+            clusters=clusters.repartition(3),
+        ).collect()
+    }
+    assert again == {(r.user_id, r.item_id): r.is_test for r in rows}
+
+
+def test_dedup_aware_split_validates_inputs(spark):
+    ratings = spark.createDataFrame(
+        [(1, 1, 3.0)], "user_id long, item_id long, rating double"
+    )
+    clusters = spark.createDataFrame([(1, 1)], "item_id long, cluster_id long")
+    with pytest.raises(ValueError, match="clusters"):
+        splits.split_ratings(ratings, "dedup_aware", p=0.3)
+    with pytest.raises(ValueError, match="p must be"):
+        splits.split_ratings(ratings, "dedup_aware", p=1.5, clusters=clusters)
+    with pytest.raises(ValueError, match="dedup_aware"):
+        splits.split_ratings(ratings, "not_a_method", p=0.3)
