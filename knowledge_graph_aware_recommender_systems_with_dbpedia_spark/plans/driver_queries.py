@@ -11459,9 +11459,82 @@ _R12_WINDOW = [
     "ev17_quantile_sketch_band",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+
+# Round-13 window (VERDICT r12 item 1 — retire the r07-aged TPC-H
+# tail): fronts (a) the 16 TPC-H queries whose last driver-green was
+# r07 (q4-q20 family, deferred from the r12 rotation), (b) the two
+# births (sharded ComplEx band + its rows-only top5 twin), (c)
+# rec_kge_sharded_top5's FIRST-EVER driver row (rows-only by design;
+# its band twin is r12/r13-green), (d) the queries whose
+# implementation r13 touched — rec_kge_sharded_band (deterministic
+# delta fold), dq6/dq7 (NULL-key semantics), st18 (compaction
+# recovery inside the trigger), g12 (co_rating_pairs guard param),
+# p1 (typed-CSV multiline read) — (e) the three standing stochastic
+# band twins, and (f) 21 of the 42 r08-aged queries (now the oldest
+# tail; the remainder rolls to r14). After this window no oracled
+# query's last driver-green is older than r08.
+_R13_WINDOW = [
+    # born this round
+    "rec_kge_sharded_complex_band",
+    "rec_kge_sharded_complex_top5",
+    # never driver-sampled before (rows-only; band twin oracled)
+    "rec_kge_sharded_top5",
+    # impl touched this round
+    "rec_kge_sharded_band",
+    "dq6_key_skew_report",
+    "dq7_join_cardinality",
+    "st18_intra_drain_dedup",
+    "g12_corating_motifs",
+    "p1_typed_projection",
+    # stochastic band twins (every round)
+    "rec_node2vec_band",
+    "rec_als_band",
+    "rec_kge_transe_band",
+    # r07-aged TPC-H tail — the entire remaining set
+    "q4_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_proxy",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_promo_heavy_suppliers",
+    # r08-aged tail (22 of 42; rest roll to r14)
+    "q1_pricing_summary",
+    "a20_heavy_hitters",
+    "dp6_bpr_triples",
+    "dq2_snapshot_diff",
+    "e6_kfold_map_popularity",
+    "e8_auc_at_5",
+    "ev18_gap_islands",
+    "g11_personalized_pagerank",
+    "g6_walks",
+    "g8_triples",
+    "j1_left_enrich",
+    "j3_key_reconstruction",
+    "j4_semi_join",
+    "j9_bloom_prefilter",
+    "mm1_image_stats",
+    "o2_global_sort",
+    "p5_dedup_ratings",
+    "p6_dense_ids",
+    "p11_binarize",
+    "p12_distinct_keys",
+    "pk1_pack_sequences",
+    "sp11_negative_sampling",
+]
+assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R12_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)},
+    **{k: QUERIES[k] for k in _R13_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)},
 }
 
 ORACLES = {

@@ -51,13 +51,30 @@ def typed_header_schema(raw_names: list[str]) -> T.StructType:
     return T.StructType(fields)
 
 
-def read_typed_csv(spark: SparkSession, path: str, sep: str = ",") -> DataFrame:
+def read_typed_csv(
+    spark: SparkSession, path: str, sep: str = ",", multiline: bool = True
+) -> DataFrame:
     """Read a reference-style typed CSV into a properly-typed DataFrame.
 
     All columns are read as strings, then cast/split according to the
     header suffix — the casts run JVM-side inside whole-stage codegen.
+
+    ``multiline`` (r13, surfaced by the real-data pins): the
+    reference's pandas reader parses quoted fields with embedded
+    newlines as ONE record; Spark's default line-split scan breaks
+    them (the committed ml-100k enriched.csv has 3 multi-line
+    abstracts — 1460 rows instead of 1457 without this). True matches
+    reference semantics. Scale note: multiLine mode reads each FILE
+    unsplit by one task, so at cluster scale the format should arrive
+    as many files (it does — this is the reference's per-dataset
+    interchange format, not the 100 TB fact path, which is parquet).
+    Pass False to restore splittable line-mode scans for known
+    newline-free files.
     """
-    raw = spark.read.csv(path, header=True, sep=sep, inferSchema=False)
+    raw = spark.read.csv(
+        path, header=True, sep=sep, inferSchema=False, multiLine=multiline,
+        escape='"',
+    )
     cols = []
     for raw_name in raw.columns:
         name, typ = parse_typed_header(raw_name)
@@ -90,4 +107,6 @@ def write_typed_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
             cols.append(F.col(field.name).cast("string").alias(f"{field.name}{LIST_SEP}number"))
         else:
             cols.append(F.col(field.name).cast("string").alias(f"{field.name}{LIST_SEP}string"))
-    df.select(cols).write.mode(mode).csv(path, header=True)
+    # escape='"' = RFC 4180 doubled-quote escaping, matching what the
+    # reader (and the reference's pandas round-trip) parses
+    df.select(cols).write.mode(mode).csv(path, header=True, escape='"')

@@ -32,6 +32,8 @@ SKIP = {
     # so the final plan is opaque to the linter anyway (and it trains)
     "rec_kge_sharded_top5",
     "rec_kge_sharded_band",
+    "rec_kge_sharded_complex_top5",
+    "rec_kge_sharded_complex_band",
 }
 ALLOWED = {
     "a8_max_degree": 1,        # final 1-row max
