@@ -169,6 +169,7 @@ HEADLINE = [
     "sp16_leakage_safe_split",
     "tx23_tokenizer_fertility",
     "dq8_value_histogram",
+    "dq9_partition_plan",
 ]
 
 

@@ -147,6 +147,113 @@ def equiwidth_histogram(
     )
 
 
+def partition_plan_report(
+    df: DataFrame,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_partitions: int = 1,
+) -> DataFrame:
+    """Shuffle/scan partition-count planner — the fourth leg of the
+    pre-flight stats family (dq6 key shape, dq7 join shape, dq8 value
+    shape; this one answers "what should spark.sql.shuffle.partitions
+    / files.maxPartitionBytes BE for this frame?"). Sizing partitions
+    to a byte target is THE knob that keeps 100 TB shuffles out of
+    spill territory: rows-per-partition heuristics break the moment
+    row width varies (a 40-byte fact row vs a 4 KB document row is a
+    100x error).
+
+    Estimates the frame's in-flight size with a DETERMINISTIC width
+    model — fixed widths for fixed-width types (8 for 64-bit numerics,
+    4 for 32-bit, 1 for boolean), measured average lengths for
+    strings/binary, and element-summed widths for arrays of the above
+    — NOT by casting values to strings (engine float formatting would
+    make the estimate engine-dependent; string/binary lengths are
+    stored properties both engines agree on). ONE map-side-combined
+    aggregate (sums of lengths + a count), 1 output row:
+    (n_rows, est_row_bytes, est_total_bytes, target_bytes,
+    n_partitions = max(ceil(total/target), min_partitions)).
+
+    The estimate prices the COLUMN DATA, not codec overhead — the
+    same convention as Spark's own SizeEstimator-based stats; callers
+    gate on relative magnitude, which is what the partition count is.
+    """
+    fixed = 0.0
+    var_width_exprs = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t in ("bigint", "double", "timestamp", "timestamp_ntz", "date"):
+            fixed += 8.0
+        elif t in ("int", "float"):
+            fixed += 4.0
+        elif t in ("smallint",):
+            fixed += 2.0
+        elif t in ("tinyint", "boolean"):
+            fixed += 1.0
+        elif t in ("string", "binary"):
+            var_width_exprs.append(
+                F.coalesce(F.length(F.col(f.name)).cast("double"), F.lit(0.0))
+            )
+        elif t.startswith("array<"):
+            elem = t[len("array<"):-1]
+            if elem in ("bigint", "double"):
+                var_width_exprs.append(
+                    F.coalesce(F.size(F.col(f.name)).cast("double"), F.lit(0.0))
+                    * F.lit(8.0)
+                )
+            elif elem in ("int", "float"):
+                var_width_exprs.append(
+                    F.coalesce(F.size(F.col(f.name)).cast("double"), F.lit(0.0))
+                    * F.lit(4.0)
+                )
+            elif elem == "string":
+                var_width_exprs.append(
+                    F.coalesce(
+                        F.aggregate(
+                            F.col(f.name),
+                            F.lit(0.0),
+                            lambda a, x: a
+                            + F.coalesce(F.length(x).cast("double"), F.lit(0.0)),
+                        ),
+                        F.lit(0.0),
+                    )
+                )
+            else:
+                raise ValueError(
+                    f"partition_plan_report: unsupported array element "
+                    f"type {elem!r} in column {f.name!r}"
+                )
+        else:
+            raise ValueError(
+                f"partition_plan_report: unsupported type {t!r} in "
+                f"column {f.name!r} — project the frame to plannable "
+                "columns first"
+            )
+    var_bytes = None
+    for e in var_width_exprs:
+        var_bytes = e if var_bytes is None else (var_bytes + e)
+    row_var = var_bytes if var_bytes is not None else F.lit(0.0)
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum(row_var), F.lit(0.0)).alias("_var_total"),
+    )
+    total = (
+        F.col("n_rows").cast("double") * F.lit(fixed) + F.col("_var_total")
+    )
+    return agg.select(
+        "n_rows",
+        F.round(
+            F.when(F.col("n_rows") > 0, total / F.col("n_rows").cast("double"))
+            .otherwise(F.lit(0.0)),
+            2,
+        ).alias("est_row_bytes"),
+        F.ceil(total).cast("bigint").alias("est_total_bytes"),
+        F.lit(int(target_bytes)).cast("bigint").alias("target_bytes"),
+        F.greatest(
+            F.ceil(total / F.lit(float(target_bytes))).cast("bigint"),
+            F.lit(int(min_partitions)).cast("bigint"),
+        ).alias("n_partitions"),
+    )
+
+
 def key_skew_report(
     df: DataFrame,
     key_cols: list[str],

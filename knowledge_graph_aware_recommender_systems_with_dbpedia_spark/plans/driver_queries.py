@@ -4802,6 +4802,45 @@ FROM r, tot WHERE r.rank <= 10
 """
 
 
+def dq9_partition_plan(spark, sf_dir):
+    """Partition-count planner (diagnostics.partition_plan_report) —
+    the fourth optimizer-stats leg next to dq6 (key shape), dq7 (join
+    shape), dq8 (value shape): size spark.sql.shuffle.partitions /
+    files.maxPartitionBytes to a BYTE target instead of a row count
+    (row heuristics are off by 100x the moment row width varies —
+    a 40-byte fact row vs a 4 KB document row). Deterministic width
+    model: 8 bytes per 64-bit column + measured string lengths — never
+    value-to-string casts, whose float formatting is engine-dependent.
+    ONE map-side-combined aggregate, 1 output row. Planned here: the
+    documents table (string-dominated — the case row counting gets
+    most wrong) at a 256 KB demo target. Oracle replays the width
+    arithmetic exactly (sums of stored lengths are integers, so the
+    rounded division is engine-stable)."""
+    from ..operators.diagnostics import partition_plan_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return partition_plan_report(docs, target_bytes=256 * 1024)
+
+
+DQ9_SQL = """
+WITH w AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  COALESCE(sum(COALESCE(length(text), 0)
+                               + COALESCE(length(lang), 0)
+                               + COALESCE(length(source), 0)), 0) AS var_total
+           FROM documents),
+t AS (SELECT n_rows,
+             n_rows * 16.0 + var_total AS total
+      FROM w)
+SELECT n_rows,
+       round(CASE WHEN n_rows > 0 THEN total / n_rows ELSE 0.0 END, 2)
+         AS est_row_bytes,
+       CAST(ceil(total) AS BIGINT) AS est_total_bytes,
+       CAST(262144 AS BIGINT) AS target_bytes,
+       greatest(CAST(ceil(total / 262144.0) AS BIGINT), 1) AS n_partitions
+FROM t
+"""
+
+
 def dq8_value_histogram(spark, sf_dir):
     """ANALYZE-style exact equi-width histogram of event values
     (diagnostics.equiwidth_histogram) — the optimizer-stats primitive
@@ -10785,6 +10824,7 @@ QUERIES = {
     "dq6_key_skew_report": dq6_key_skew_report,
     "dq7_join_cardinality": dq7_join_cardinality,
     "dq8_value_histogram": dq8_value_histogram,
+    "dq9_partition_plan": dq9_partition_plan,
     "dd17_minhash_calibration": dd17_minhash_calibration,
     "sp16_leakage_safe_split": sp16_leakage_safe_split,
     "tx23_tokenizer_fertility": tx23_tokenizer_fertility,
@@ -11477,6 +11517,7 @@ _R13_WINDOW = [
     # born this round
     "rec_kge_sharded_complex_band",
     "rec_kge_sharded_complex_top5",
+    "dq9_partition_plan",
     # never driver-sampled before (rows-only; band twin oracled)
     "rec_kge_sharded_top5",
     # impl touched this round
@@ -11507,7 +11548,7 @@ _R13_WINDOW = [
     "q18_large_orders",
     "q19_disjunctive_filter",
     "q20_promo_heavy_suppliers",
-    # r08-aged tail (22 of 42; rest roll to r14)
+    # r08-aged tail (21 of 42; rest roll to r14 — sp11 displaced by the dq9 birth)
     "q1_pricing_summary",
     "a20_heavy_hitters",
     "dp6_bpr_triples",
@@ -11529,7 +11570,6 @@ _R13_WINDOW = [
     "p11_binarize",
     "p12_distinct_keys",
     "pk1_pack_sequences",
-    "sp11_negative_sampling",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
@@ -11661,6 +11701,7 @@ ORACLES = {
     "dq6_key_skew_report": DQ6_SQL,
     "dq7_join_cardinality": DQ7_SQL,
     "dq8_value_histogram": DQ8_SQL,
+    "dq9_partition_plan": DQ9_SQL,
     "dd17_minhash_calibration": DD17_SQL,
     "sp16_leakage_safe_split": SP16_SQL,
     "tx23_tokenizer_fertility": TX23_SQL,

@@ -143,6 +143,41 @@ def test_key_skew_report_hot_key_at_scale(spark):
     assert rep[0].salt_factor == math.ceil(n_hot / (n / k))
 
 
+def test_partition_plan_report_width_model(spark):
+    """dq9: deterministic width model — 8 bytes per 64-bit column,
+    measured string/binary lengths, element-summed arrays; NULLs price
+    as 0; n_partitions = max(ceil(total/target), min_partitions)."""
+    import pytest
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.diagnostics import (
+        partition_plan_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "abcd", ["xy", "z"], [1.0, 2.0]),
+            (2, None, None, None, None),
+        ],
+        "a bigint, b double, s string, ls array<string>, ld array<double>",
+    )
+    row = partition_plan_report(df, target_bytes=10).collect()[0]
+    # row 1: 8+8 fixed + 4 (s) + 3 (ls chars) + 16 (ld 2*8) = 39
+    # row 2: 8+8 fixed + 0 nulls                              = 16
+    assert row.n_rows == 2
+    assert row.est_total_bytes == 55
+    assert row.est_row_bytes == 27.5
+    assert row.n_partitions == 6  # ceil(55/10)
+    assert row.target_bytes == 10
+    # min_partitions floor + empty frame
+    empty = spark.createDataFrame([], "a bigint")
+    r0 = partition_plan_report(empty, target_bytes=100, min_partitions=3).collect()[0]
+    assert r0.n_rows == 0 and r0.est_total_bytes == 0 and r0.n_partitions == 3
+    # unsupported types refuse loudly instead of mis-pricing
+    m = spark.createDataFrame([({"k": 1},)], "m map<string,int>")
+    with pytest.raises(ValueError, match="unsupported type"):
+        partition_plan_report(m)
+
+
 def test_equiwidth_histogram_exact_and_edges(spark):
     """Bin arithmetic: [0, 16) over 16 bins = one value per bin; the
     max value lands in the LAST bin (hi = max, closed); a constant
