@@ -36,6 +36,7 @@ SKIP = {
     "rec_kge_sharded_complex_band",
 }
 ALLOWED = {
+    "dq9_partition_plan": 1,   # final 1-row planner aggregate
     "a8_max_degree": 1,        # final 1-row max
     "e2_map_at_5": 1,          # final 1-row metric mean
     "e3_ndcg_at_5": 1,         # final 1-row metric mean
