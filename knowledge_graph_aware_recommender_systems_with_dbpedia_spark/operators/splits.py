@@ -194,8 +194,6 @@ def split_ratings(
     across the split. See :func:`dedup_aware_split`.
     """
     if method == "dedup_aware":
-        if p is None or not (0.0 < p < 1.0):
-            raise ValueError("p must be in (0, 1)")
         if clusters is None:
             raise ValueError(
                 "dedup_aware requires clusters= (a (key, cluster_id) frame; "
@@ -203,6 +201,14 @@ def split_ratings(
                 "dedup.connected_components — the experiment runner does "
                 "this from the items table's text column)"
             )
+        if k is not None:
+            if k < 2:
+                raise ValueError("dedup_aware k_fold form requires k >= 2")
+            return dedup_aware_split(
+                ratings, clusters, None, seed=seed, key_col=item_col, k=k
+            )
+        if p is None or not (0.0 < p < 1.0):
+            raise ValueError("p must be in (0, 1)")
         return dedup_aware_split(
             ratings, clusters, p, seed=seed, key_col=item_col
         )
@@ -321,10 +327,11 @@ def split_ratings(
 def dedup_aware_split(
     df: DataFrame,
     clusters: DataFrame,
-    p: float,
+    p: float | None,
     seed: int = 42,
     key_col: str = "item_id",
     cluster_col: str = "cluster_id",
+    k: int | None = None,
 ) -> DataFrame:
     """Leakage-safe split membership by near-dup CLUSTER (sp16's Lee
     et al. ACL'22 protocol generalized from documents to any keyed
@@ -340,6 +347,12 @@ def dedup_aware_split(
     (broadcast-able at any realistic catalog size; AQE handles the
     rest). Reproducible across runs, repartitionings, and engines.
     Returns the input plus ``is_test`` (boolean).
+
+    K-FOLD form (``k=`` instead of ``p=``): ``fold = det_hash(cluster)
+    mod k`` — group_kfold with the GROUP being the near-dup cluster,
+    so every fold's held-out slice is leakage-safe against all k-1
+    train folds simultaneously; fold sizes are hash-balanced, the same
+    never-move-data trade group_kfold documents.
     """
     cl = clusters.select(
         F.col(key_col).alias("_dk"), F.col(cluster_col).alias("_dc")
@@ -348,6 +361,10 @@ def dedup_aware_split(
     cid = F.coalesce(
         F.col("_dc").cast("string"), F.col(key_col).cast("string")
     )
+    if k is not None:
+        return joined.withColumn(
+            "fold", F.pmod(det_hash(cid, seed=seed), F.lit(int(k))).cast("int")
+        ).drop("_dk", "_dc")
     return joined.withColumn(
         "is_test", det_unit(cid, seed=seed) < F.lit(float(p))
     ).drop("_dk", "_dc")

@@ -171,14 +171,18 @@ def _folds(ratings: DataFrame, split_cfg: dict, items: DataFrame | None = None):
     elif method == "dedup_aware":
         # VERDICT r12 item 6: the leakage-safe split as config grammar
         # (reference grammar: docs/source/getting_started/config.md) —
-        # near-dup item clusters never span train/test
+        # near-dup item clusters never span train/test. With k= the
+        # config gets the k-fold form (cluster-grouped folds).
         if items is None:
             raise ValueError("dedup_aware split needs the items table")
         clusters = _item_dedup_clusters(items, spec)
         split_df = SP.split_ratings(
             ratings, "dedup_aware", seed=seed, clusters=clusters, **spec
         ).persist()
-        pairs = [SP.train_test(split_df)]
+        if "k" in spec:
+            pairs = [SP.train_test(split_df, fold=i) for i in range(spec["k"])]
+        else:
+            pairs = [SP.train_test(split_df)]
     else:
         split_df = SP.split_ratings(ratings, method, seed=seed, **spec).persist()
         pairs = [SP.train_test(split_df)]

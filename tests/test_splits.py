@@ -560,3 +560,37 @@ def test_dedup_aware_split_validates_inputs(spark):
         splits.split_ratings(ratings, "dedup_aware", p=1.5, clusters=clusters)
     with pytest.raises(ValueError, match="dedup_aware"):
         splits.split_ratings(ratings, "not_a_method", p=0.3)
+
+
+def test_dedup_aware_kfold_clusters_never_straddle(spark):
+    """dedup_aware k-fold form: fold = det_hash(cluster) mod k — every
+    member of a near-dup cluster lands in the same fold (each held-out
+    fold is leakage-safe against the other k-1), folds are in [0, k),
+    and unmapped keys fold as singleton clusters of themselves."""
+    ratings = spark.createDataFrame(
+        [(u, i, 3.0) for u in range(4) for i in range(12)],
+        "user_id long, item_id long, rating double",
+    )
+    clusters = spark.createDataFrame(
+        [(i, i // 3 * 3) for i in range(9)],  # 3 clusters of 3 items
+        "item_id long, cluster_id long",
+    )
+    out = splits.split_ratings(
+        ratings, "dedup_aware", seed=7, k=4, clusters=clusters
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"user_id", "item_id", "rating", "fold"}
+    folds = {}
+    for r in rows:
+        assert 0 <= r.fold < 4
+        folds.setdefault(r.item_id, set()).add(r.fold)
+    assert all(len(v) == 1 for v in folds.values())
+    for base in (0, 3, 6):  # cluster members share the fold
+        assert len({next(iter(folds[base + j])) for j in range(3)}) == 1
+    # train/test accessor works per fold and partitions the rows
+    tr, te = splits.train_test(out, fold=0)
+    assert tr.count() + te.count() == 48
+    import pytest
+
+    with pytest.raises(ValueError, match="k >= 2"):
+        splits.split_ratings(ratings, "dedup_aware", k=1, clusters=clusters)
