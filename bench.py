@@ -170,6 +170,7 @@ HEADLINE = [
     "tx23_tokenizer_fertility",
     "dq8_value_histogram",
     "dq9_partition_plan",
+    "dd18_dedup_savings",
 ]
 
 

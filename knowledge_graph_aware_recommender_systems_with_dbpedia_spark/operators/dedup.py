@@ -65,6 +65,61 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def dedup_savings_report(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-dedup ROI accounting — the number that decides whether a
+    100 TB corpus PAYS for a dedup pass before training: one row of
+    (n_docs, n_distinct, n_dup_docs, bytes_total, bytes_kept,
+    bytes_saved, dup_ratio, bytes_saved_ratio). ``bytes`` = text
+    lengths (the storage the keeper policy retains vs drops; the same
+    width convention as diagnostics.partition_plan_report — stored
+    lengths, engine-stable).
+
+    Shape: ONE hash-groupBy on md5(text) carrying (count, length) —
+    map-side combined, the shuffle is ~40 bytes/doc, never the text —
+    then a 1-row rollup. Keeper = one doc per distinct text (dd1's
+    min-id policy; which member is kept doesn't change the byte
+    arithmetic because exact duplicates have equal lengths).
+    Ratios are correctly-rounded divisions of exact BIGINTs, so the
+    report hash-matches across engines."""
+    per_text = (
+        docs.select(
+            F.md5(F.col(text_col)).alias("_h"),
+            F.coalesce(F.length(F.col(text_col)).cast("bigint"), F.lit(0)).alias(
+                "_len"
+            ),
+        )
+        .groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            # exact dups share one length; min = that length
+            F.min("_len").alias("_klen"),
+            F.sum("_len").cast("bigint").alias("_tlen"),
+        )
+    )
+    return per_text.agg(
+        F.sum("_n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.sum("_n") - F.count(F.lit(1))).cast("bigint").alias("n_dup_docs"),
+        F.sum("_tlen").cast("bigint").alias("bytes_total"),
+        F.sum("_klen").cast("bigint").alias("bytes_kept"),
+        (F.sum("_tlen") - F.sum("_klen")).cast("bigint").alias("bytes_saved"),
+    ).select(
+        "*",
+        F.round(
+            (F.col("n_dup_docs").cast("double"))
+            / F.greatest(F.col("n_docs"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_ratio"),
+        F.round(
+            F.col("bytes_saved").cast("double")
+            / F.greatest(F.col("bytes_total"), F.lit(1)).cast("double"),
+            6,
+        ).alias("bytes_saved_ratio"),
+    )
+
+
 def doc_shingles(
     docs: DataFrame,
     id_col: str = "doc_id",

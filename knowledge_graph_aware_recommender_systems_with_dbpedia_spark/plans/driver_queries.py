@@ -2406,6 +2406,38 @@ SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
 FROM documents GROUP BY md5(text)
 """
 
+
+def dd18_dedup_savings(spark, sf_dir):
+    """Exact-dedup ROI report (dedup.dedup_savings_report): does a
+    100 TB corpus PAY for the dedup pass? One row — doc counts,
+    byte totals kept/saved under dd1's one-keeper-per-distinct-text
+    policy, and the two ratios a curation pipeline gates on. ONE
+    map-side-combined md5 groupBy (shuffle ~40 bytes/doc, never the
+    text) + a 1-row rollup; ratios are rounded divisions of exact
+    BIGINTs so the row hash-matches across engines."""
+    return DD.dedup_savings_report(load_table(spark, sf_dir, "documents"))
+
+
+DD18_SQL = """
+WITH p AS (SELECT md5(text) AS h,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(min(COALESCE(length(text), 0)) AS BIGINT) AS klen,
+                  CAST(sum(COALESCE(length(text), 0)) AS BIGINT) AS tlen
+           FROM documents GROUP BY md5(text)),
+r AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+             CAST(sum(tlen) AS BIGINT) AS bytes_total,
+             CAST(sum(klen) AS BIGINT) AS bytes_kept,
+             CAST(sum(tlen) - sum(klen) AS BIGINT) AS bytes_saved
+      FROM p)
+SELECT *,
+       round(n_dup_docs / CAST(greatest(n_docs, 1) AS DOUBLE), 6) AS dup_ratio,
+       round(bytes_saved / CAST(greatest(bytes_total, 1) AS DOUBLE), 6)
+         AS bytes_saved_ratio
+FROM r
+"""
+
 _SHINGLES_SQL = f"""
 t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 sh AS (SELECT doc_id AS id, u.sh AS shingle FROM (
@@ -10826,6 +10858,7 @@ QUERIES = {
     "dq8_value_histogram": dq8_value_histogram,
     "dq9_partition_plan": dq9_partition_plan,
     "dd17_minhash_calibration": dd17_minhash_calibration,
+    "dd18_dedup_savings": dd18_dedup_savings,
     "sp16_leakage_safe_split": sp16_leakage_safe_split,
     "tx23_tokenizer_fertility": tx23_tokenizer_fertility,
     "ev9_outlier_events": ev9_outlier_events,
@@ -11518,6 +11551,7 @@ _R13_WINDOW = [
     "rec_kge_sharded_complex_band",
     "rec_kge_sharded_complex_top5",
     "dq9_partition_plan",
+    "dd18_dedup_savings",
     # never driver-sampled before (rows-only; band twin oracled)
     "rec_kge_sharded_top5",
     # impl touched this round
@@ -11548,7 +11582,7 @@ _R13_WINDOW = [
     "q18_large_orders",
     "q19_disjunctive_filter",
     "q20_promo_heavy_suppliers",
-    # r08-aged tail (21 of 42; rest roll to r14 — sp11 displaced by the dq9 birth)
+    # r08-aged tail (20 of 42; rest roll to r14 — sp11/pk1 displaced by the dq9/dd18 births)
     "q1_pricing_summary",
     "a20_heavy_hitters",
     "dp6_bpr_triples",
@@ -11569,7 +11603,6 @@ _R13_WINDOW = [
     "p6_dense_ids",
     "p11_binarize",
     "p12_distinct_keys",
-    "pk1_pack_sequences",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
@@ -11703,6 +11736,7 @@ ORACLES = {
     "dq8_value_histogram": DQ8_SQL,
     "dq9_partition_plan": DQ9_SQL,
     "dd17_minhash_calibration": DD17_SQL,
+    "dd18_dedup_savings": DD18_SQL,
     "sp16_leakage_safe_split": SP16_SQL,
     "tx23_tokenizer_fertility": TX23_SQL,
     "ev9_outlier_events": EV9_SQL,

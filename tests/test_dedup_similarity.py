@@ -1404,3 +1404,30 @@ def test_minhash_calibration_report_fixed_point_exact(spark):
         assert rep[eq].mean_abs_err == round(
             sum(v[1] for v in vals) / (n * 1_000_000.0), 6
         )
+
+
+def test_dedup_savings_report_hand_computed(spark):
+    """dd18: the ROI row on a corpus with known duplicate structure —
+    'aaaa' x3 (len 4), 'bb' x2 (len 2), 'cccccc' x1 (len 6), NULL x1
+    (len 0). Keeper policy retains one copy per distinct text, so
+    bytes_kept = 4 + 2 + 6 + 0 = 12 of bytes_total = 22."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.dedup import (
+        dedup_savings_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaa"), (3, "aaaa"), (4, "bb"), (5, "bb"),
+         (6, "cccccc"), (7, None)],
+        "doc_id long, text string",
+    )
+    r = dedup_savings_report(docs).collect()[0]
+    assert r.n_docs == 7 and r.n_distinct == 4 and r.n_dup_docs == 3
+    assert r.bytes_total == 4 * 3 + 2 * 2 + 6 + 0 == 22
+    assert r.bytes_kept == 12 and r.bytes_saved == 10
+    assert r.dup_ratio == round(3 / 7, 6)
+    assert r.bytes_saved_ratio == round(10 / 22, 6)
+    # dedup-free corpus: zero savings, ratios 0.0 (not NULL/NaN)
+    clean = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    c = dedup_savings_report(clean).collect()[0]
+    assert c.n_dup_docs == 0 and c.bytes_saved == 0
+    assert c.dup_ratio == 0.0 and c.bytes_saved_ratio == 0.0

@@ -37,6 +37,7 @@ SKIP = {
 }
 ALLOWED = {
     "dq9_partition_plan": 1,   # final 1-row planner aggregate
+    "dd18_dedup_savings": 1,   # final 1-row ROI rollup
     "a8_max_degree": 1,        # final 1-row max
     "e2_map_at_5": 1,          # final 1-row metric mean
     "e3_ndcg_at_5": 1,         # final 1-row metric mean
