@@ -47,6 +47,8 @@ def join_cardinality_report(
     from BOTH count tables before pricing (they contribute zero output
     rows). Pricing them as joinable — the pre-r13 behavior, where NULL
     rendered as '' — overestimated n_out whenever keys held NULLs."""
+    if not key_cols:
+        raise ValueError("join_cardinality_report: key_cols must be non-empty")
     notnull = None
     for c in key_cols:
         cond = F.col(c).isNotNull()
@@ -180,9 +182,12 @@ def partition_plan_report(
     var_width_exprs = []
     for f in df.schema.fields:
         t = f.dataType.simpleString()
-        if t in ("bigint", "double", "timestamp", "timestamp_ntz", "date"):
+        if t in ("bigint", "double", "timestamp", "timestamp_ntz"):
             fixed += 8.0
-        elif t in ("int", "float"):
+        elif t in ("int", "float", "date"):
+            # DATE is a 32-bit days-since-epoch value in both Spark's
+            # in-memory layout and parquet — pricing it at 8 would
+            # overestimate date-heavy frames ~2x.
             fixed += 4.0
         elif t in ("smallint",):
             fixed += 2.0

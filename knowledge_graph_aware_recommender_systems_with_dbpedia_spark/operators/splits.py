@@ -354,8 +354,36 @@ def dedup_aware_split(
     train folds simultaneously; fold sizes are hash-balanced, the same
     never-move-data trade group_kfold documents.
     """
-    cl = clusters.select(
-        F.col(key_col).alias("_dk"), F.col(cluster_col).alias("_dc")
+    # The clusters frame is user-supplied via the registry path, so —
+    # unlike connected_components output — one-row-per-key is NOT
+    # guaranteed. A duplicate key row would silently fan out every
+    # matching rating through the left join, inflating train AND test.
+    # Enforce the contract inside the plan (zero extra jobs): collapse
+    # to one row per key; a key carrying CONFLICTING cluster ids fails
+    # loudly at execution instead of resolving arbitrarily. NULL
+    # cluster ids carry no information (the coalesce below falls back
+    # to the key itself), so they are dropped before the check.
+    cl = (
+        clusters.select(F.col(key_col).alias("_dk"), F.col(cluster_col).alias("_dc"))
+        .filter(F.col("_dc").isNotNull())
+        .groupBy("_dk")
+        .agg(F.min("_dc").alias("_dc_min"), F.max("_dc").alias("_dc_max"))
+        .select(
+            "_dk",
+            F.when(F.col("_dc_min") == F.col("_dc_max"), F.col("_dc_min"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "dedup_aware_split: key maps to conflicting "
+                            "cluster ids in clusters frame: "
+                        ),
+                        F.col("_dk").cast("string"),
+                    )
+                )
+            )
+            .alias("_dc"),
+        )
     )
     joined = df.join(cl, F.col(key_col) == F.col("_dk"), "left")
     cid = F.coalesce(

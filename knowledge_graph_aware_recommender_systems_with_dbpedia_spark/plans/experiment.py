@@ -140,13 +140,19 @@ def _item_dedup_clusters(items: DataFrame, spec: dict) -> DataFrame:
     duplicate catalog entry (the same movie under two ids): a random
     split puts one id in train and its twin in test, and the model
     'predicts' the test row by recognizing the train twin. Clustering
-    is #items-sized — catalog scale, not interaction scale."""
+    is #items-sized — catalog scale, not interaction scale.
+
+    Side-effect-free: reads ``spec`` with ``.get`` and never mutates
+    it, so a config dict reused across ``run_experiment`` calls (e.g.
+    programmatic sweeps) keeps its keys. The stripping of dedup-only
+    keys before ``**spec`` reaches ``split_ratings`` lives in
+    :func:`_folds`, next to the copy it mutates."""
     from ..operators import dedup as DD
 
-    text_col = spec.pop("text_col", "title")
-    bands = spec.pop("bands", 8)
-    n_hashes = spec.pop("n_hashes", 16)
-    threshold = spec.pop("dedup_threshold", 0.5)
+    text_col = spec.get("text_col", "title")
+    bands = spec.get("bands", 8)
+    n_hashes = spec.get("n_hashes", 16)
+    threshold = spec.get("dedup_threshold", 0.5)
     docs = items.select(
         F.col("item_id").alias("id"), F.col(text_col).cast("string").alias("text")
     )
@@ -175,7 +181,12 @@ def _folds(ratings: DataFrame, split_cfg: dict, items: DataFrame | None = None):
         # config gets the k-fold form (cluster-grouped folds).
         if items is None:
             raise ValueError("dedup_aware split needs the items table")
-        clusters = _item_dedup_clusters(items, spec)
+        dedup_spec = {
+            k: spec.pop(k)
+            for k in ("text_col", "bands", "n_hashes", "dedup_threshold")
+            if k in spec
+        }
+        clusters = _item_dedup_clusters(items, dedup_spec)
         split_df = SP.split_ratings(
             ratings, "dedup_aware", seed=seed, clusters=clusters, **spec
         ).persist()

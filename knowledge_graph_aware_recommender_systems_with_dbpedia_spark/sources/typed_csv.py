@@ -52,7 +52,11 @@ def typed_header_schema(raw_names: list[str]) -> T.StructType:
 
 
 def read_typed_csv(
-    spark: SparkSession, path: str, sep: str = ",", multiline: bool = True
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    multiline: bool = True,
+    escape: str = '"',
 ) -> DataFrame:
     """Read a reference-style typed CSV into a properly-typed DataFrame.
 
@@ -70,10 +74,19 @@ def read_typed_csv(
     interchange format, not the 100 TB fact path, which is parquet).
     Pass False to restore splittable line-mode scans for known
     newline-free files.
+
+    Dialect note (r13 break, disclosed): the reader parses RFC 4180
+    doubled-quote escaping (``escape='"'`` — pandas/reference parity;
+    the real-data pins depend on it). Files written by the PRE-r13
+    ``write_typed_csv`` used Spark's default backslash escaping, so a
+    pre-r13 file containing embedded quotes would be misparsed here.
+    All in-repo fixtures were regenerated at the switch; externally
+    written legacy files can pass ``escape='\\\\'`` to get the old
+    dialect back.
     """
     raw = spark.read.csv(
         path, header=True, sep=sep, inferSchema=False, multiLine=multiline,
-        escape='"',
+        escape=escape,
     )
     cols = []
     for raw_name in raw.columns:

@@ -176,6 +176,30 @@ def test_partition_plan_report_width_model(spark):
     m = spark.createDataFrame([({"k": 1},)], "m map<string,int>")
     with pytest.raises(ValueError, match="unsupported type"):
         partition_plan_report(m)
+    # ADVICE r13: DATE is 32-bit — 4 bytes, not 8 (timestamp stays 8)
+    import datetime
+
+    dd = spark.createDataFrame(
+        [(datetime.date(2020, 1, 1), datetime.datetime(2020, 1, 1))],
+        "d date, ts timestamp",
+    )
+    rd = partition_plan_report(dd, target_bytes=100).collect()[0]
+    assert rd.est_total_bytes == 12  # 4 (date) + 8 (timestamp)
+
+
+def test_join_cardinality_report_empty_keys_rejected(spark):
+    """ADVICE r13: an empty key list is a caller bug — refuse with a
+    clear ValueError instead of an opaque TypeError from filter(None)
+    (pre-r13 it silently priced a single '' key = a cross join)."""
+    import pytest
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.diagnostics import (
+        join_cardinality_report,
+    )
+
+    df = spark.createDataFrame([(1,)], "a bigint")
+    with pytest.raises(ValueError, match="key_cols"):
+        join_cardinality_report(df, df, [])
 
 
 def test_equiwidth_histogram_exact_and_edges(spark):

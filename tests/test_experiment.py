@@ -305,9 +305,14 @@ def test_experiment_dedup_aware_split_via_yaml(spark, tmp_path):
         "text_col": "title", "dedup_threshold": 0.3,
     }
     out = tmp_path / "dedup_run.csv"
-    rows = EX.run_experiment(
-        spark, _config(tmp_path, [{"name": "popularity"}], out, split=split)
-    )
+    cfg = _config(tmp_path, [{"name": "popularity"}], out, split=split)
+    rows = EX.run_experiment(spark, cfg)
+    # ADVICE r13: the caller's config dict is NOT mutated — a sweep
+    # reusing it keeps text_col/dedup_threshold for the second run
+    assert split == {
+        "method": "dedup_aware", "p": 0.4,
+        "text_col": "title", "dedup_threshold": 0.3,
+    }
     # hold-out shape: one fold, metrics present and bounded
     assert set(rows["popularity"]) == {"MAP@3", "nDCG@3"}
     assert all(0.0 <= v <= 1.0 for v in rows["popularity"].values())

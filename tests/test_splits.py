@@ -562,6 +562,52 @@ def test_dedup_aware_split_validates_inputs(spark):
         splits.split_ratings(ratings, "not_a_method", p=0.3)
 
 
+def test_dedup_aware_split_duplicate_cluster_rows(spark):
+    """ADVICE r13: the user-supplied clusters frame carries no
+    one-row-per-key guarantee. Benign duplicates (same key -> same
+    cluster twice) must NOT fan ratings out; a key mapping to
+    CONFLICTING cluster ids must fail loudly at execution rather than
+    resolve arbitrarily; NULL cluster ids behave as absent (singleton
+    fallback to the key)."""
+    ratings = spark.createDataFrame(
+        [(u, i, 3.0) for u in range(3) for i in range(4)],
+        "user_id long, item_id long, rating double",
+    )
+    # item 0 duplicated benignly; item 2 maps to NULL (-> singleton)
+    dup = spark.createDataFrame(
+        [(0, 7), (0, 7), (1, 7), (2, None)],
+        "item_id long, cluster_id long",
+    )
+    out = splits.split_ratings(ratings, "dedup_aware", seed=42, p=0.3, clusters=dup)
+    rows = out.collect()
+    assert len(rows) == 12  # no fan-out from the duplicate row
+    side = {}
+    for r in rows:
+        side.setdefault(r.item_id, set()).add(r.is_test)
+    assert all(len(v) == 1 for v in side.values())
+    assert next(iter(side[0])) == next(iter(side[1]))  # cluster 7 together
+    # NULL-cluster key == plain singleton split of the key itself
+    clean = {
+        r.item_id: r.is_test
+        for r in splits.split_ratings(
+            ratings, "dedup_aware", seed=42, p=0.3,
+            clusters=spark.createDataFrame(
+                [(0, 7), (1, 7)], "item_id long, cluster_id long"
+            ),
+        ).collect()
+    }
+    assert next(iter(side[2])) == clean[2] and next(iter(side[3])) == clean[3]
+    # conflicting cluster ids for one key -> loud execution-time error
+    conflict = spark.createDataFrame(
+        [(0, 7), (0, 8)], "item_id long, cluster_id long"
+    )
+    bad = splits.split_ratings(
+        ratings, "dedup_aware", seed=42, p=0.3, clusters=conflict
+    )
+    with pytest.raises(Exception, match="conflicting"):
+        bad.collect()
+
+
 def test_dedup_aware_kfold_clusters_never_straddle(spark):
     """dedup_aware k-fold form: fold = det_hash(cluster) mod k — every
     member of a near-dup cluster lands in the same fold (each held-out

@@ -79,6 +79,22 @@ def test_typed_csv_roundtrip(spark, tmp_path):
     assert rows["i2"].rating is None
 
 
+def test_typed_csv_legacy_backslash_dialect(spark, tmp_path):
+    """ADVICE r13: pre-r13 write_typed_csv emitted Spark's default
+    backslash escaping; the RFC 4180 default reader would misparse an
+    embedded quote in such a file. escape='\\\\' reads the legacy
+    dialect back correctly."""
+    p = tmp_path / "legacy.csv"
+    # Spark legacy dialect: quote escaped as \" inside a quoted field
+    p.write_text('id::string,t::string\na,"say \\"hi\\" now"\n')
+    legacy = read_typed_csv(spark, str(p), escape="\\")
+    assert legacy.collect()[0].t == 'say "hi" now'
+    # the RFC 4180 default reads doubled quotes (current writer)
+    q = tmp_path / "rfc.csv"
+    q.write_text('id::string,t::string\na,"say ""hi"" now"\n')
+    assert read_typed_csv(spark, str(q)).collect()[0].t == 'say "hi" now'
+
+
 def test_typed_csv_number_coercion(spark, tmp_path):
     p = tmp_path / "weird.csv"
     p.write_text("id::string,score::number\na,1.5\nb,not_a_number\n")
