@@ -164,6 +164,63 @@ def bench_shingle_table(
     )
 
 
+def _price_shingle_self_join(
+    sh: DataFrame,
+    max_join_output: int,
+    op_name: str,
+    max_shingle_df: int | None,
+) -> None:
+    """dq7 pre-flight specialized to the shingle inverted-index
+    self-join (VERDICT r13 item 5): the ``a.id < b.id`` equi-join on
+    ``shingle`` emits EXACTLY Σ_s C(df_s, 2) candidate rows (df_s =
+    shingle document frequency), the same sum-of-squares blow-up shape
+    as co_rating_pairs — one boilerplate shingle shared by 100k docs
+    alone produces 5·10^9 candidates at 100 TB. Price it from the
+    (#distinct-shingles-sized) df count table BEFORE any candidate is
+    built; above the bound, refuse with the hottest surviving df and
+    the tightest ``max_shingle_df`` that would fit (computed exactly
+    from the df histogram — a frequency-of-frequencies table, collected
+    under a hard 4096-row cap so the refusal path itself stays
+    driver-bounded; real df histograms have a few dozen distinct
+    values). Costs one map-side-combined aggregate over ``sh`` — which
+    the caller has already cached for the sizes table — and nothing
+    when ``max_join_output`` is None (callers' plans untouched)."""
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    pred = dfc.agg(
+        F.coalesce(
+            F.sum(F.col("_df") * (F.col("_df") - 1)), F.lit(0).cast("bigint")
+        ).alias("n_out2"),
+        F.coalesce(F.max("_df"), F.lit(0).cast("bigint")).alias("df_max"),
+    ).collect()[0]
+    n_out = pred.n_out2 // 2
+    if n_out <= max_join_output:
+        return
+    hist = (
+        dfc.groupBy("_df")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .orderBy("_df")
+        .limit(4096)
+        .collect()
+    )
+    cum, fit = 0, 0
+    for r in hist:
+        cum += r.n_sh * (r._df * (r._df - 1) // 2)
+        if cum > max_join_output:
+            break
+        fit = r._df
+    cap_note = (
+        f"max_shingle_df={max_shingle_df}" if max_shingle_df is not None
+        else "no max_shingle_df set"
+    )
+    raise ValueError(
+        f"{op_name}: predicted shingle-join candidate output {n_out} rows "
+        f"exceeds max_join_output={max_join_output} "
+        f"(hottest surviving shingle df {pred.df_max}, {cap_note}); "
+        f"tighten max_shingle_df to <= {max(fit, 1)} or raise the bound — "
+        "priced from the shingle df table BEFORE any candidate pair was built"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -171,14 +228,22 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = None,
+    max_join_output: int | None = None,
 ) -> DataFrame:
     """Set-similarity join: pairs with Jaccard(shingles) >= threshold.
 
     Classic PPJoin-lite shape: explode shingles, equi-join on shingle,
     count common per pair, combine with per-doc set sizes.
     Returns (id1, id2, jaccard) with id1 < id2.
+
+    ``max_join_output``: optional pre-flight refusal bound on the
+    candidate-pair count — see :func:`_price_shingle_self_join`.
     """
     sh = doc_shingles(docs, id_col, text_col, n, max_shingle_df).cache()
+    if max_join_output is not None:
+        _price_shingle_self_join(
+            sh, max_join_output, "ngram_jaccard_pairs", max_shingle_df
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         sh.alias("a")
@@ -1180,6 +1245,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = None,
+    max_join_output: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-containment join: pairs where the SMALLER doc's
     shingle set is >= ``threshold``-contained in the larger doc's —
@@ -1196,8 +1262,16 @@ def containment_pairs(
     count — so the cost is sum(df^2) over shingles, NOT all-pairs;
     ``max_shingle_df`` caps hot-shingle fan-out at scale (stopword-only
     shingles carry no containment signal).
+
+    ``max_join_output`` (VERDICT r13 item 5): exact candidate-count
+    pre-flight — refuse BEFORE the index join runs if Σ C(df, 2)
+    exceeds the bound; see :func:`_price_shingle_self_join`.
     """
     sh = doc_shingles(docs, id_col, text_col, n, max_shingle_df).cache()
+    if max_join_output is not None:
+        _price_shingle_self_join(
+            sh, max_join_output, "containment_pairs", max_shingle_df
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         sh.alias("a")

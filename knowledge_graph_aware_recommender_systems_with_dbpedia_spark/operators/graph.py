@@ -677,6 +677,92 @@ def co_rating_pairs(
     )
 
 
+def co_occurrence_pairs(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    max_items_per_group: int = 20,
+    max_join_output: int | None = None,
+) -> DataFrame:
+    """Within-group co-occurrence matrix: for every unordered pair of
+    items that appear in the same group, the number of groups holding
+    both — :func:`co_rating_pairs`' motif with the roles swapped
+    (pairs of ITEMS through a shared GROUP instead of pairs of users
+    through a shared item). This is ev8's session co-visitation shape
+    ('viewed X also viewed Y': group = (user, session), item = event
+    type), market-basket mining (group = order), and co-citation.
+
+    Cap semantics differ from co_rating_pairs on purpose:
+    ``max_items_per_group`` TRUNCATES each group to its first N items
+    (by item order — deterministic) rather than dropping hot groups
+    entirely, because a long session still carries pairwise signal in
+    its head; a hub ITEM (co_rating's case) does not.
+
+    ``max_join_output`` (VERDICT r13 item 5, the dq7 pre-flight wired
+    in): the pair self-join emits exactly Σ_g C(n_g, 2) rows over the
+    capped group sizes — still unbounded in the NUMBER of groups (a
+    10^9-session day at cap 20 is 1.9·10^11 pairs). When set, that sum
+    is priced from the capped (group, count) table BEFORE the join;
+    above the bound the operator refuses with the exact prediction and
+    the tightest ``max_items_per_group`` that would fit, computed
+    exactly from the group-size histogram (≤ cap distinct sizes after
+    truncation, so the driver-side histogram is bounded BY
+    CONSTRUCTION). None (default) adds zero jobs.
+
+    Spark shape: one distinct on (group, item), one group-partitioned
+    row_number for the cap, then a co-partitioned self-join on the
+    group key — both sides share one lineage, so ReuseExchange runs
+    the scan/distinct/cap once. Returns (item_a, item_b, n_groups),
+    item_a < item_b.
+    """
+    e = df.select(
+        *[F.col(c) for c in group_cols], F.col(item_col).alias("_it")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_it")
+    capped = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_items_per_group)
+        .drop("_rn")
+    )
+    if max_join_output is not None:
+        hist = (
+            capped.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .groupBy("_n")
+            .agg(F.count(F.lit(1)).alias("n_groups"))
+            .collect()
+        )
+        n_out = sum(r.n_groups * (r._n * (r._n - 1) // 2) for r in hist)
+        if n_out > max_join_output:
+            fit = 0
+            for c in range(max_items_per_group, 0, -1):
+                tot = sum(
+                    r.n_groups * (min(r._n, c) * (min(r._n, c) - 1) // 2)
+                    for r in hist
+                )
+                if tot <= max_join_output:
+                    fit = c
+                    break
+            raise ValueError(
+                f"co_occurrence_pairs: predicted pair-join output {n_out} "
+                f"rows exceeds max_join_output={max_join_output} "
+                f"({sum(r.n_groups for r in hist)} groups at "
+                f"max_items_per_group={max_items_per_group}); "
+                f"tighten max_items_per_group to <= {max(fit, 1)} or raise "
+                "the bound — priced from the capped group-size table BEFORE "
+                "any pair was built"
+            )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(b, group_cols)
+        .filter(F.col("a._it") < F.col("b._it"))
+        .groupBy(
+            F.col("a._it").alias("item_a"), F.col("b._it").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
 def kcore_fixpoint(
     ratings: DataFrame,
     k_item: int,

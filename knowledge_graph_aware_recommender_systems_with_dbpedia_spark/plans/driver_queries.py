@@ -4287,12 +4287,17 @@ HAVING CAST(sum(y) AS DOUBLE) / 100 <> 0.0
 def ev8_covisitation(spark, sf_dir):
     """Session co-visitation matrix: how many sessions contain BOTH
     event types — the classic 'viewed X also viewed Y' recsys/
-    training-signal aggregate. Composes ev2's gap sessionizer with a
-    within-session pair self-join. Scale bounds: distinct types per
-    session are capped at 20 (session-partitioned window, never
-    corpus-sized) so the pair fan-out is <= cap^2 per session; the
-    pair join keys on (user, session) — co-visitation never becomes
-    an all-pairs join across sessions."""
+    training-signal aggregate. Composes ev2's gap sessionizer with
+    graph.co_occurrence_pairs (r14: the pair self-join factored into
+    the guarded operator — same plan, and callers can now set
+    max_join_output to refuse a predicted pair explosion BEFORE the
+    join runs, the dq7 pre-flight wired in). Scale bounds: distinct
+    types per session are capped at 20 (session-partitioned window,
+    never corpus-sized) so the pair fan-out is <= cap^2 per session;
+    the pair join keys on (user, session) — co-visitation never
+    becomes an all-pairs join across sessions."""
+    from ..operators.graph import co_occurrence_pairs
+
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -4309,22 +4314,15 @@ def ev8_covisitation(spark, sf_dir):
         .withColumn("_brk", brk)
         .withColumn("session_id", F.sum("_brk").over(w))
     )
-    types = sess.select("user_id", "session_id", "event_type").distinct()
-    w2 = Window.partitionBy("user_id", "session_id").orderBy("event_type")
-    capped = (
-        types.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= 20)
-        .drop("_rn")
-    )
-    a, b = capped.alias("a"), capped.alias("b")
-    return (
-        a.join(b, ["user_id", "session_id"])
-        .filter(F.col("a.event_type") < F.col("b.event_type"))
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    return co_occurrence_pairs(
+        sess.select("user_id", "session_id", "event_type"),
+        group_cols=["user_id", "session_id"],
+        item_col="event_type",
+        max_items_per_group=20,
+    ).select(
+        F.col("item_a").alias("type_a"),
+        F.col("item_b").alias("type_b"),
+        F.col("n_groups").alias("n_sessions"),
     )
 
 

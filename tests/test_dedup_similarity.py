@@ -595,6 +595,47 @@ def test_containment_finds_embedded_quote(spark):
     assert jac[(1, 2)] < 0.5
 
 
+def test_shingle_join_output_guard_trips(spark):
+    """VERDICT r13 item 5: containment_pairs / ngram_jaccard_pairs
+    price the inverted-index self-join (Σ C(df,2) candidates) from the
+    shingle df table BEFORE the join. A synthetic hot shingle — one
+    3-gram shared by all 10 docs, every other shingle unique — must
+    trip the bound with the exact candidate count (C(10,2) = 45) and a
+    max_shingle_df that fits; within the bound the guard is invisible
+    and the default (None) adds no job."""
+    docs = spark.createDataFrame(
+        [(i, f"the quick fox unique{i} word{i} extra{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    for fn, name in (
+        (DD.containment_pairs, "containment_pairs"),
+        (DD.ngram_jaccard_pairs, "ngram_jaccard_pairs"),
+    ):
+        with pytest.raises(ValueError, match=name) as exc:
+            fn(docs, threshold=0.1, max_join_output=10)
+        msg = str(exc.value)
+        assert "45" in msg and "df 10" in msg and "<= 1" in msg
+    # a fitting bound returns exactly the unguarded result
+    guarded = {
+        (r.id1, r.id2, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(
+            docs, threshold=0.01, max_join_output=100
+        ).collect()
+    }
+    plain = {
+        (r.id1, r.id2, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    assert guarded == plain and len(plain) == 45
+    # the suggested knob (max_shingle_df=1) drops the hot shingle and fits
+    assert (
+        DD.containment_pairs(
+            docs, threshold=0.1, max_shingle_df=1, max_join_output=10
+        ).count()
+        == 0
+    )
+
+
 def test_containment_orientation_ties_break_by_id(spark):
     # identical docs: equal set sizes -> (smaller id, larger id)
     docs = spark.createDataFrame(

@@ -376,6 +376,72 @@ def test_co_rating_pairs_join_output_guard(spark):
     assert tight.count() == 5
 
 
+def test_co_occurrence_pairs_hand_computed(spark):
+    """co_rating's motif with roles swapped: pairs of items through a
+    shared group, counted per pair; cap TRUNCATES a group to its first
+    N items by item order instead of dropping the group."""
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),       # group 1: ab, ac, bc
+        (2, "a"), (2, "b"),                 # group 2: ab
+        (3, "c"),                           # singleton: no pairs
+        (1, "a"),                           # duplicate -> distinct'd
+    ]
+    df = spark.createDataFrame(rows, "g bigint, it string")
+    got = {
+        (r.item_a, r.item_b): r.n_groups
+        for r in G.co_occurrence_pairs(df, ["g"], "it").collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    # truncation: cap 2 keeps each group's first 2 items by order —
+    # group 1 keeps (a, b); c pairs vanish
+    capped = {
+        (r.item_a, r.item_b): r.n_groups
+        for r in G.co_occurrence_pairs(
+            df, ["g"], "it", max_items_per_group=2
+        ).collect()
+    }
+    assert capped == {("a", "b"): 2}
+
+
+def test_co_occurrence_pairs_join_output_guard(spark):
+    """VERDICT r13 item 5: a synthetic hot group (40 items in one
+    session = C(40,2) = 780 pairs) trips max_join_output BEFORE the
+    pair join, with the exact prediction and a fitting cap suggestion;
+    within the bound the guard is invisible (results ≡ unguarded)."""
+    import pytest
+
+    rows = [(1, i) for i in range(40)] + [(g, 1000 + g) for g in range(2, 7)] + [
+        (g, 2000 + g) for g in range(2, 7)
+    ]
+    df = spark.createDataFrame(rows, "g bigint, it bigint")
+    with pytest.raises(ValueError, match="max_join_output=100") as exc:
+        G.co_occurrence_pairs(df, ["g"], "it", max_items_per_group=64,
+                              max_join_output=100)
+    msg = str(exc.value)
+    assert "785" in msg  # 780 hot + 5 two-item groups
+    # suggested cap: Σ C(min(n,c),2) <= 100 -> c=6 gives 15+5=20; c=9
+    # gives 36+5=41; c=13 gives 78+5=83 fits, c=14 gives 91+5=96 fits
+    assert "<= 14" in msg
+    guarded = {
+        (r.item_a, r.item_b, r.n_groups)
+        for r in G.co_occurrence_pairs(
+            df, ["g"], "it", max_items_per_group=64, max_join_output=1000
+        ).collect()
+    }
+    plain = {
+        (r.item_a, r.item_b, r.n_groups)
+        for r in G.co_occurrence_pairs(
+            df, ["g"], "it", max_items_per_group=64
+        ).collect()
+    }
+    assert guarded == plain and len(plain) == 785
+    # the suggested knob actually fits
+    tight = G.co_occurrence_pairs(
+        df, ["g"], "it", max_items_per_group=14, max_join_output=100
+    )
+    assert tight.count() == 14 * 13 // 2 + 5
+
+
 def test_kcore_fixpoint_hand_computed_cascade(spark):
     """A (2,2)-core where one deletion cascades: the chain graph
     loses its tail ring step by step until only the dense block
