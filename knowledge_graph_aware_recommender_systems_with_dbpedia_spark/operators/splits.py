@@ -318,9 +318,104 @@ def split_ratings(
         fold = F.pmod(det_hash(F.col(user_col), seed=seed), F.lit(k))
         return ratings.withColumn("fold", fold.cast("int"))
 
+    if method in ("rolling_origin", "purged_embargo"):
+        # VERDICT r13 item 7: the two remaining temporal-CV protocols
+        # as registry methods. Row-level assignment with EXACTLY the
+        # fold-audit arithmetic (rolling_origin_folds /
+        # purged_embargo_folds — sp6's KFold sizing over the same
+        # (ts, user, item, rating) tie-broken two-pass bucketed global
+        # rank), so the audits gate the very folds the runner trains.
+        if k is None or k < 2:
+            raise ValueError(f"{method} requires k >= 2")
+        order = [F.col(ts_col), F.col(user_col), F.col(item_col)] + [
+            F.col(c) for c in ("rating",) if c in ratings.columns
+        ]
+        boundaries = _ts_boundaries(ratings, ts_col, 32)
+        df = _global_rank(ratings, order, descending=False, boundaries=boundaries)
+        if method == "rolling_origin":
+            # k folds over k+1 rank-equal timeline segments; `fold` is
+            # the SEGMENT id (0..k). Fold f (1..k) tests segment f and
+            # trains segments < f — materialize the expanding-window
+            # pairs with :func:`rolling_origin_train_test`; segment 0
+            # is history only and never tests.
+            kk = int(k) + 1
+            seg = F.expr(
+                f"CASE WHEN (_rn - 1) < (_n % {kk}) * (_n div {kk} + 1) "
+                f"THEN (_rn - 1) div (_n div {kk} + 1) "
+                f"ELSE (_n % {kk}) + ((_rn - 1) - (_n % {kk}) * (_n div {kk} + 1)) "
+                f"div greatest(_n div {kk}, 1) END"
+            )
+            return (
+                df.withColumn("fold", seg.cast("int"))
+                .drop("_rn", "_n", "_bkt", "_brn")
+            )
+        # purged_embargo: `fold` = contiguous test-block id (0..k-1);
+        # `rank` (1-based global) + `n_total` ride along so the
+        # per-fold purge window is pure column arithmetic — see
+        # :func:`purged_embargo_train_test`.
+        kk = int(k)
+        blk = F.expr(
+            f"CASE WHEN (_rn - 1) < (_n % {kk}) * (_n div {kk} + 1) "
+            f"THEN (_rn - 1) div (_n div {kk} + 1) "
+            f"ELSE (_n % {kk}) + ((_rn - 1) - (_n % {kk}) * (_n div {kk} + 1)) "
+            f"div greatest(_n div {kk}, 1) END"
+        )
+        return (
+            df.withColumn("fold", blk.cast("int"))
+            .withColumn("rank", F.col("_rn").cast("bigint"))
+            .withColumn("n_total", F.col("_n").cast("bigint"))
+            .drop("_rn", "_n", "_bkt", "_brn")
+        )
+
     raise ValueError(
         "method must be one of random_by_ratio, timestamp_by_ratio, "
-        "fixed_timestamp, leave_one_out, k_fold, group_kfold, dedup_aware"
+        "fixed_timestamp, leave_one_out, k_fold, group_kfold, dedup_aware, "
+        "rolling_origin, purged_embargo"
+    )
+
+
+def rolling_origin_train_test(
+    split_df: DataFrame, fold: int
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) for rolling-origin fold ``fold`` (1..k): train =
+    all EARLIER segments (expanding window), test = segment ``fold`` —
+    pure filters on the `fold` column from
+    ``split_ratings(method='rolling_origin')``."""
+    if fold < 1:
+        raise ValueError("rolling_origin folds are 1..k (segment 0 never tests)")
+    return (
+        split_df.filter(F.col("fold") < fold),
+        split_df.filter(F.col("fold") == fold),
+    )
+
+
+def purged_embargo_train_test(
+    split_df: DataFrame, fold: int, k: int, embargo_frac: float = 0.02
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) for purged-embargo fold ``fold`` (0..k-1): test =
+    block ``fold``; train = everything outside the block EXTENDED by
+    the embargo margin of ceil(embargo_frac * n) ranks on each side
+    (the purge). All block boundaries are sp6's sizing arithmetic in
+    (n_total, fold, k) — column expressions, zero extra jobs; the
+    helper columns (rank, n_total) are dropped from both outputs."""
+    if not 0 <= fold < k:
+        raise ValueError("purged_embargo folds are 0..k-1")
+    n = F.col("n_total")
+    f = F.lit(int(fold))
+    base_i = F.expr(f"n_total div {int(k)}")  # integer-exact: n div k
+    start = f.cast("bigint") * base_i + F.least(
+        f.cast("bigint"), (n % F.lit(int(k))).cast("bigint")
+    )
+    size = base_i + F.when(f < (n % F.lit(int(k))), F.lit(1)).otherwise(F.lit(0))
+    end = start + size  # test block = 0-based ranks [start, end)
+    m = F.ceil(F.lit(float(embargo_frac)) * n.cast("double")).cast("bigint")
+    r0 = F.col("rank") - 1
+    test = (r0 >= start) & (r0 < end)
+    train = (r0 < start - m) | (r0 >= end + m)
+    drop = ("rank", "n_total")
+    return (
+        split_df.filter(train).drop(*drop),
+        split_df.filter(test).drop(*drop),
     )
 
 

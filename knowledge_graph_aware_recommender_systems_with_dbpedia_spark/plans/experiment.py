@@ -194,6 +194,28 @@ def _folds(ratings: DataFrame, split_cfg: dict, items: DataFrame | None = None):
             pairs = [SP.train_test(split_df, fold=i) for i in range(spec["k"])]
         else:
             pairs = [SP.train_test(split_df)]
+    elif method == "rolling_origin":
+        # VERDICT r13 item 7: expanding-window temporal CV from YAML —
+        # fold f (1..k) trains on every earlier timeline segment and
+        # tests segment f (sp13's audit arithmetic, row-level).
+        k = spec.pop("k")
+        split_df = SP.split_ratings(
+            ratings, "rolling_origin", seed=seed, k=k, **spec
+        ).persist()
+        pairs = [SP.rolling_origin_train_test(split_df, f) for f in range(1, k + 1)]
+    elif method == "purged_embargo":
+        # VERDICT r13 item 7: purged k-fold with embargo from YAML —
+        # each fold's train drops the test block plus the embargo
+        # margin (sp15's audit arithmetic, row-level).
+        k = spec.pop("k")
+        embargo_frac = spec.pop("embargo_frac", 0.02)
+        split_df = SP.split_ratings(
+            ratings, "purged_embargo", seed=seed, k=k, **spec
+        ).persist()
+        pairs = [
+            SP.purged_embargo_train_test(split_df, f, k, embargo_frac)
+            for f in range(k)
+        ]
     else:
         split_df = SP.split_ratings(ratings, method, seed=seed, **spec).persist()
         pairs = [SP.train_test(split_df)]

@@ -195,5 +195,7 @@ SPLITS = {
         "k_fold",
         "group_kfold",
         "dedup_aware",
+        "rolling_origin",
+        "purged_embargo",
     )
 }

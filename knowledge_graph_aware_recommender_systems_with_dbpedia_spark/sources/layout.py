@@ -66,6 +66,7 @@ def compact_parquet(
     out_path: str,
     target_rows_per_file: int = 1_000_000,
     sort_by: list[str] | None = None,
+    target_bytes: int | None = None,
 ) -> int:
     """Rewrite a (possibly fragmented) parquet directory into
     ``ceil(rows / target_rows_per_file)`` files; returns the file
@@ -74,10 +75,27 @@ def compact_parquet(
 
     The row count comes from parquet footers (a metadata-only job) —
     the data itself is read exactly once, by the rewrite.
+
+    ``target_bytes`` (VERDICT r13 item 6 — dq9 made load-bearing):
+    when set, the file count comes from
+    :func:`...operators.diagnostics.partition_plan_report` — sized to
+    a BYTE budget per file from the deterministic width model —
+    instead of the row-count heuristic, which is off by the row-width
+    ratio the moment it varies (a 40-byte fact row vs a 4 KB document
+    row is a 100x error in either spill or small-files direction).
+    Costs one extra map-side-combined pass over the input (string
+    widths are not in parquet footers); at compaction scale that is
+    the price of spill-safe, skew-robust file sizing.
     """
     df = spark.read.parquet(in_path)
-    n_rows = df.count()  # footer-only: count(*) over parquet uses metadata
-    n_files = max(1, -(-n_rows // target_rows_per_file))
+    if target_bytes is not None:
+        from ..operators.diagnostics import partition_plan_report
+
+        plan = partition_plan_report(df, target_bytes=target_bytes).collect()[0]
+        n_files = int(plan.n_partitions)
+    else:
+        n_rows = df.count()  # footer-only: count(*) over parquet uses metadata
+        n_files = max(1, -(-n_rows // target_rows_per_file))
     if sort_by:
         # range partitioning keeps output files' sort-key ranges
         # DISJOINT (hash would interleave them and void the footer

@@ -112,6 +112,71 @@ def test_experiment_holdout_deterministic(spark, tmp_path):
     assert set(r1["popularity"]) == {"MAP@3", "nDCG@3"}  # hold-out: no fold cols
 
 
+def test_experiment_rolling_origin_split_via_yaml(spark, tmp_path):
+    """VERDICT r13 item 7: {method: rolling_origin, k} in the YAML
+    split grammar — the runner trains each fold on strictly earlier
+    timeline segments and tests the next one. Per-fold metric columns
+    appear (k folds) and a replay of the row-level split confirms
+    every fold's train rows precede its test rows in time."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import splits as SP
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.typed_csv import (
+        read_typed_csv,
+    )
+
+    _make_dataset(tmp_path)
+    split = {"method": "rolling_origin", "k": 3}
+    rows = EX.run_experiment(
+        spark,
+        _config(tmp_path, [{"name": "popularity"}], tmp_path / "ro.csv", split=split),
+    )
+    assert split == {"method": "rolling_origin", "k": 3}  # config not mutated
+    want = {f"fold-{f}_{m}" for f in (1, 2, 3) for m in ("MAP@3", "nDCG@3")} | {
+        "MAP@3_mean", "MAP@3_std", "nDCG@3_mean", "nDCG@3_std",
+    }
+    assert set(rows["popularity"]) == want
+    assert all(0.0 <= v <= 1.0 for v in rows["popularity"].values())
+    # replay: the runner's split is leak-free per fold on the raw table
+    ratings = read_typed_csv(spark, str(tmp_path / "rating.csv"))
+    sp_df = SP.split_ratings(ratings, "rolling_origin", k=3, ts_col="timestamp")
+    for f in range(1, 4):
+        train, test = SP.rolling_origin_train_test(sp_df, f)
+        tmax = train.agg(F.max("timestamp")).collect()[0][0]
+        tmin = test.agg(F.min("timestamp")).collect()[0][0]
+        assert tmax <= tmin and test.count() > 0
+
+
+def test_experiment_purged_embargo_split_via_yaml(spark, tmp_path):
+    """VERDICT r13 item 7: {method: purged_embargo, k, embargo_frac}
+    in the YAML split grammar — each fold's train additionally purges
+    the embargo margin around the test block. The replay checks the
+    three-way row partition (train + test + purged = n) per fold."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import splits as SP
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.typed_csv import (
+        read_typed_csv,
+    )
+
+    _make_dataset(tmp_path)
+    split = {"method": "purged_embargo", "k": 3, "embargo_frac": 0.05}
+    rows = EX.run_experiment(
+        spark,
+        _config(tmp_path, [{"name": "popularity"}], tmp_path / "pe.csv", split=split),
+    )
+    want = {f"fold-{f}_{m}" for f in (1, 2, 3) for m in ("MAP@3", "nDCG@3")} | {
+        "MAP@3_mean", "MAP@3_std", "nDCG@3_mean", "nDCG@3_std",
+    }
+    assert set(rows["popularity"]) == want
+    assert all(0.0 <= v <= 1.0 for v in rows["popularity"].values())
+    ratings = read_typed_csv(spark, str(tmp_path / "rating.csv"))
+    n = ratings.count()
+    sp_df = SP.split_ratings(ratings, "purged_embargo", k=3, ts_col="timestamp")
+    for f in range(3):
+        train, test = SP.purged_embargo_train_test(sp_df, f, 3, 0.05)
+        nt, ns = train.count(), test.count()
+        assert ns > 0 and nt > 0 and nt + ns < n  # something was purged
+
+
 def test_experiment_kgsim_uses_item_entities(spark, tmp_path):
     """The kgSim model trains on the graph's item has_property fan-out
     (genre + enriched subject entities) via the item_entities dispatch

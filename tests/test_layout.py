@@ -81,6 +81,35 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
         assert hi1 <= lo2  # disjoint id ranges across compacted files
 
 
+def test_compact_parquet_target_bytes_sizes_by_width(spark, tmp_path):
+    """VERDICT r13 item 6 — dq9 made load-bearing: with target_bytes=
+    the file count comes from partition_plan_report's width model, so
+    a WIDE-row frame lands more files than a NARROW-row frame at the
+    SAME row count (the row-count heuristic would give both the same
+    count). The planned math is exact: ceil(est_total / target)."""
+    n = 200
+    narrow = spark.range(n).select(F.col("id").alias("k"))          # 8 B/row
+    wide = spark.range(n).select(
+        F.col("id").alias("k"), F.lpad(F.lit("x"), 400, "y").alias("pad")
+    )                                                                # 408 B/row
+    np_, wp = str(tmp_path / "narrow"), str(tmp_path / "wide")
+    narrow.write.parquet(np_)
+    wide.write.parquet(wp)
+    target = 4000
+    n_narrow = LY.compact_parquet(
+        spark, np_, str(tmp_path / "n_out"), target_bytes=target
+    )
+    n_wide = LY.compact_parquet(
+        spark, wp, str(tmp_path / "w_out"), target_bytes=target
+    )
+    assert n_narrow == -(-(n * 8) // target)        # ceil(1600/4000)  = 1
+    assert n_wide == -(-(n * 408) // target)        # ceil(81600/4000) = 21
+    assert n_wide > n_narrow
+    got = [f for f in os.listdir(str(tmp_path / "w_out")) if f.endswith(".parquet")]
+    assert len(got) == n_wide
+    assert spark.read.parquet(str(tmp_path / "w_out")).count() == n
+
+
 def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
     # 64x64 uniform grid over (x, y)
     grid = spark.range(4096).select(

@@ -43,11 +43,16 @@ def test_splits_registry_names_dispatch():
     assert set(SPLITS) == {
         "random_by_ratio", "timestamp_by_ratio", "fixed_timestamp",
         "leave_one_out", "k_fold", "group_kfold", "dedup_aware",
+        "rolling_origin", "purged_embargo",
     }
     with pytest.raises(ValueError, match="clusters"):
         SPLITS["dedup_aware"](None, p=0.2)
     with pytest.raises(ValueError, match="p must be"):
         SPLITS["random_by_ratio"](None, p=7.0)
+    with pytest.raises(ValueError, match="k >= 2"):
+        SPLITS["rolling_origin"](None, k=1)
+    with pytest.raises(ValueError, match="k >= 2"):
+        SPLITS["purged_embargo"](None, k=None)
 
 
 def test_every_oracle_has_a_query():

@@ -396,6 +396,68 @@ def test_purged_embargo_folds_bruteforce(spark):
         assert got[f][0] + got[f][1] + got[f][2] == n
 
 
+def test_rolling_origin_registry_method_matches_audit(spark):
+    """VERDICT r13 item 7: split_ratings(method='rolling_origin') is
+    the ROW-LEVEL twin of the sp13 audit — per-fold train/test counts
+    from the expanding-window filters equal the audit's fold rows, and
+    every train row's rank precedes every test row's (leak-free)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.splits import (
+        rolling_origin_folds,
+    )
+
+    n, k = 103, 4
+    rows = [(i % 7, i % 11, float(i % 5), float(i * 3 % 97)) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "user_id long, item_id long, rating double, ts double"
+    )
+    audit = {
+        r.fold: (r.n_train, r.n_test)
+        for r in rolling_origin_folds(df, k=k).collect()
+    }
+    sp_df = splits.split_ratings(df, "rolling_origin", k=k, ts_col="ts")
+    assert set(sp_df.columns) == {"user_id", "item_id", "rating", "ts", "fold"}
+    assert sp_df.count() == n
+    for f in range(1, k + 1):
+        train, test = splits.rolling_origin_train_test(sp_df, f)
+        assert (train.count(), test.count()) == audit[f], f"fold {f}"
+        # leak-free: train's max ts <= test's min ts
+        tmax = train.agg(F.max("ts")).collect()[0][0]
+        tmin = test.agg(F.min("ts")).collect()[0][0]
+        assert tmax <= tmin
+    with pytest.raises(ValueError, match="segment 0"):
+        splits.rolling_origin_train_test(sp_df, 0)
+
+
+def test_purged_embargo_registry_method_matches_audit(spark):
+    """VERDICT r13 item 7: split_ratings(method='purged_embargo') +
+    purged_embargo_train_test reproduce the sp15 audit exactly —
+    per-fold (n_train, n_test) match and n - train - test equals the
+    audit's n_purged; helper columns dropped from both outputs."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.splits import (
+        purged_embargo_folds,
+    )
+
+    n, k, frac = 103, 4, 0.05
+    rows = [(i % 7, i % 11, float(i % 5), float(i * 3 % 97)) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "user_id long, item_id long, rating double, ts double"
+    )
+    audit = {
+        r.fold: (r.n_train, r.n_test, r.n_purged)
+        for r in purged_embargo_folds(df, k=k, embargo_frac=frac).collect()
+    }
+    sp_df = splits.split_ratings(df, "purged_embargo", k=k, ts_col="ts")
+    assert {"fold", "rank", "n_total"} <= set(sp_df.columns)
+    for f in range(k):
+        train, test = splits.purged_embargo_train_test(sp_df, f, k, frac)
+        nt, ns = train.count(), test.count()
+        assert (nt, ns) == audit[f][:2], f"fold {f}"
+        assert n - nt - ns == audit[f][2], f"fold {f} purge"
+        assert "rank" not in train.columns and "n_total" not in test.columns
+    with pytest.raises(ValueError, match="0..k-1"):
+        splits.purged_embargo_train_test(sp_df, k, k, frac)
+
+
 def test_token_budget_select_matches_naive_cumsum(spark):
     """token_budget_select == the naive per-stratum (score desc, id)
     window cumsum rule: take rows while the tokens of strictly-better
