@@ -228,6 +228,12 @@ def main() -> None:
     }
     full["module_md5"] = _module_md5s()
     here = os.path.dirname(os.path.abspath(__file__))
+    # Commit anchoring (VERDICT r13 'what's wrong' 1): a fingerprint
+    # that matches no committed tree can't separate box drift from code
+    # change — stamp the git SHA + dirty flag so every history line
+    # says exactly which tree produced it (and whether that tree was
+    # fully committed at the time).
+    full["git_sha"], full["git_dirty"] = _git_state(here)
     # The driver's capture keeps only a bounded tail of stdout, which
     # has truncated the per-query dict out of past BENCH_rNN.json
     # artifacts (VERDICT r08 item 2) — persist the COMPLETE result to a
@@ -242,6 +248,34 @@ def main() -> None:
     # compact separators keep the driver-parsed line as small as the
     # contract allows (the bounded tail was cutting the pretty form)
     print(json.dumps(out, separators=(",", ":")))
+
+
+def _git_state(repo_dir: str) -> tuple[str, bool]:
+    """(HEAD sha, dirty?) — subprocess git, no dependency; ('unknown',
+    True) when git is unavailable so a missing anchor reads as dirty,
+    never as falsely clean."""
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "-C", repo_dir, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip()
+        status = subprocess.run(
+            ["git", "-C", repo_dir, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout
+        # bench's own uncommitted artifacts don't make the CODE dirty
+        dirty = any(
+            line
+            and not line[3:].startswith(
+                ("BENCH_FULL_latest.json", "BENCH_HISTORY.jsonl", "BENCH_r")
+            )
+            for line in status.splitlines()
+        )
+        return sha, dirty
+    except Exception:
+        return "unknown", True
 
 
 def _src_md5(fn) -> str:
