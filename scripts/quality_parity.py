@@ -42,6 +42,30 @@ REF_TRANSE_MAP5_MEAN, REF_TRANSE_MAP5_STD = 0.00651, 0.00060
 REF_TRANSE_NDCG5_MEAN, REF_TRANSE_NDCG5_STD = 0.01022, 0.00084
 REF_TRANSE_SEC_PER_FOLD = 23.94
 
+# Pinned margin floors in units of the REFERENCE std (VERDICT r13
+# item 2): in-band is necessary but not sufficient — a mean drifting
+# toward a band edge is silent erosion until the band flips red one
+# nudge later. The floors pin the CURRENT measured distance to the
+# nearest edge (r13 goldens), so any future change that erodes a
+# margin fails THIS assertion loudly — naming the re-centering
+# procedure — before it fails the band. transe/map5 documents the one
+# knife-edge: 0.035 sigma after the r13 reader-fix recalibration
+# (quality_parity_transe_r13.json; 0.005331 vs edge 0.005310). The
+# aspirational target for every cell is >= 0.5 sigma; cells already
+# there are pinned AT 0.5 so they cannot quietly fall below it.
+MARGIN_FLOORS = {  # model -> (map5_floor_sigma, ndcg5_floor_sigma)
+    "node2vec": (0.5, 0.5),
+    "transe": (0.035, 0.5),
+    "transe_sharded": (0.5, 0.5),
+}
+
+
+def margin_sigmas(mean: float, band: list[float]) -> float:
+    """Distance from mean to the NEAREST band edge, in band sigmas
+    (the band spans ±2σ, so σ = width / 4). Negative = out of band."""
+    lo, hi = band
+    return min(mean - lo, hi - mean) / ((hi - lo) / 4.0)
+
 MODEL_SPECS = {
     "node2vec": {
         "name": "deepwalk_based",
@@ -197,6 +221,24 @@ def main(out_path: str | None = None, model: str = "node2vec") -> dict:
     out["ndcg5_in_band"] = (
         out["ref_ndcg5_band"][0] <= out["ndcg5_mean"] <= out["ref_ndcg5_band"][1]
     )
+    out["map5_margin_sigma"] = round(
+        margin_sigmas(out["map5_mean"], out["ref_map5_band"]), 4
+    )
+    out["ndcg5_margin_sigma"] = round(
+        margin_sigmas(out["ndcg5_mean"], out["ref_ndcg5_band"]), 4
+    )
+    m_floor, n_floor = MARGIN_FLOORS[model]
+    for metric, got, floor in (
+        ("MAP@5", out["map5_margin_sigma"], m_floor),
+        ("nDCG@5", out["ndcg5_margin_sigma"], n_floor),
+    ):
+        assert got >= floor, (
+            f"{model} {metric} band margin eroded: {got} sigma < pinned "
+            f"floor {floor} sigma. The mean is drifting toward a band "
+            "edge — re-center the clone (BETA/TAIL_FLOOR procedure, "
+            "scripts/make_ml100k_clone.py) or justify-and-repin the "
+            "floor BEFORE the band itself flips red."
+        )
     print(json.dumps(out, indent=2))
     if out_path:
         with open(out_path, "w") as fh:

@@ -158,6 +158,33 @@ def test_committed_transe_run_in_band_and_walltime():
     assert res["sec_per_fold"] > 0
 
 
+def test_parity_margins_hold_pinned_floors():
+    """VERDICT r13 item 2: the band check alone hides erosion — the
+    r13 transe/MAP@5 mean sits 0.035 sigma from the lower band edge,
+    one future nudge from a red parity suite. This assertion computes
+    every committed golden's distance-to-nearest-edge in band sigmas
+    and pins it against scripts.quality_parity.MARGIN_FLOORS (the
+    script now asserts the same floors at generation time), so any
+    change that erodes a margin fails HERE, loudly and diagnosably,
+    before it fails the band."""
+    from scripts.quality_parity import MARGIN_FLOORS, margin_sigmas
+
+    goldens = {
+        "node2vec": "quality_parity_r13.json",
+        "transe": "quality_parity_transe_r13.json",
+        "transe_sharded": "quality_parity_transe_sharded_r13.json",
+    }
+    for model, fname in goldens.items():
+        path = os.path.join(os.path.dirname(__file__), "goldens", fname)
+        with open(path) as fh:
+            res = json.load(fh)
+        m_floor, n_floor = MARGIN_FLOORS[model]
+        m_got = margin_sigmas(res["map5_mean"], res["ref_map5_band"])
+        n_got = margin_sigmas(res["ndcg5_mean"], res["ref_ndcg5_band"])
+        assert m_got >= m_floor, (model, "MAP@5", m_got, m_floor)
+        assert n_got >= n_floor, (model, "nDCG@5", n_got, n_floor)
+
+
 def test_committed_sharded_transe_run_in_band():
     """r11: the fully SHARDED trainer (DataFrame-resident parameters,
     per-partition local negative sampling — kge.train_kge_sharded)
