@@ -117,6 +117,8 @@ def learn_bpe_merges_batched(
     text_col: str = "text",
     batch_m: int = 16,
     candidate_factor: int = 4,
+    adaptive: bool = False,
+    switch_max_vocab: int = 1_000_000,
 ) -> DataFrame:
     """EXACT distributed BPE with a Spark-job count of
     O(n_merges / batch_m) — the middle path between
@@ -162,6 +164,33 @@ def learn_bpe_merges_batched(
     lazy persist in a loop loses the concurrent-stage race under AQE
     (see kge.py's epoch cache note). Values are unchanged; 1k-merge
     budgets become flat-per-round (see SCALING.md's bpe_batched rows).
+
+    DIVERGENCE MITIGATION (VERDICT r13 item 4, opt-in via
+    ``adaptive=True``). The r13 probe measured vocab Jaccard
+    0.46-0.66 vs sequential at a 1024-merge budget; the r14 probe
+    showed WHY the suggested min/max-ratio trigger cannot fix it: the
+    first divergence is at merge ~3 while the round-1 batch spans a
+    4715->128 count range (ratio 0.027) — the mechanism is not batch
+    flatness but NEW and RESIDUAL pairs: after merging (a,b), any
+    pair TOUCHING a or b can (new: count(x,ab) <= count(x,a)) or does
+    (residual: reduced in place) carry a count up to the largest
+    observed count adjacent to those symbols, and sequential BPE —
+    which re-counts per merge — may rank it above the batch's next
+    candidate. So ``adaptive`` enforces the EXACTNESS BOUND instead:
+    a candidate is committed only while its count strictly exceeds
+    B_max = max over already-accepted merges of (largest window count
+    touching their symbols, and the window floor when pairs exist
+    below the window) — every committed batch is then provably the
+    sequential prefix. When the guard collapses a round to a single
+    accept (entangled symbol dynamics: batching cannot help), the
+    learner switches to the bounded-exact sequential continuation:
+    one TakeOrdered collects the top ``switch_max_vocab`` CURRENT
+    sequences and the topv driver loop finishes the remaining merges
+    exactly — zero further Spark jobs, fidelity bound = top-V
+    truncation, topv's documented contract. Result on the r14 probe:
+    vocab Jaccard 1.0 at the 1024-merge budget in 2 rounds (vs 0.57
+    in 32 rounds unguarded). Default False keeps r13 behavior
+    bit-identical (every parity/divergence pin unchanged).
     """
     spark = docs.sparkSession
     words = word_counts(docs, text_col).persist()
@@ -192,16 +221,56 @@ def learn_bpe_merges_batched(
         )
         if not top:
             break
+        window_full = len(top) >= max(candidate_factor * m_round, 16)
+        # out-of-window pairs exist only when the window filled up;
+        # their counts are bounded by the window floor
+        floor = int(top[-1]["pair_count"]) if window_full else 0
+        # per symbol: (best touching count, its window row index,
+        # second-best touching count) — "touching" = the symbol appears
+        # on either side of the pair; the accepted row itself is
+        # excluded via the index when bounding its own symbols
+        touch: dict[str, tuple[int, int, int]] = {}
+        if adaptive:
+            for idx, r in enumerate(top):
+                c = int(r["pair_count"])
+                for s in {r["a"], r["b"]}:
+                    best, bi, second = touch.get(s, (0, -1, 0))
+                    if c > best:
+                        touch[s] = (c, idx, best)
+                    elif c > second:
+                        touch[s] = (best, bi, c)
         used: set[str] = set()
         accepted: list[tuple[str, str, int]] = []
-        for r in top:
+        b_max = 0
+        for idx, r in enumerate(top):
             if len(accepted) >= m_round:
                 break
             if r["a"] in used or r["b"] in used:
                 continue
-            accepted.append((r["a"], r["b"], int(r["pair_count"])))
+            c = int(r["pair_count"])
+            if adaptive and accepted and c <= b_max:
+                # exactness bound violated: a new/residual pair from an
+                # earlier accept could outrank this candidate — close
+                # the round here
+                break
+            accepted.append((r["a"], r["b"], c))
             used.add(r["a"])
             used.add(r["b"])
+            if adaptive:
+                b_max = max(b_max, floor)
+                for s in {r["a"], r["b"]}:
+                    best, bi, second = touch.get(s, (0, -1, 0))
+                    b_max = max(b_max, second if bi == idx else best)
+        if adaptive and len(accepted) == 1 and m_round > 1:
+            # the guard collapsed the round to sequential pace —
+            # batching cannot help this corpus's symbol dynamics; do
+            # NOT commit, finish with the bounded-exact continuation
+            # (it re-derives this merge and the rest from the current
+            # state, exactly)
+            merges.extend(
+                _sequential_continuation(seqs, step, n_merges, switch_max_vocab)
+            )
+            break
         expr = F.col("seq")
         for a, b, cnt in accepted:
             merges.append((step, a, b, a + b, cnt))
@@ -215,6 +284,50 @@ def learn_bpe_merges_batched(
         merges,
         "step bigint, left_sym string, right_sym string, merged string, pair_count bigint",
     )
+
+
+def _sequential_continuation(
+    seqs: DataFrame, start_step: int, n_merges: int, max_vocab: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Finish a batched run exactly: collect the top ``max_vocab``
+    CURRENT (cnt, seq) rows — the state with every already-committed
+    merge applied — and run classic sequential BPE driver-side for
+    steps ``start_step..n_merges`` (same counting, same greedy
+    non-rescanning rewrite, same (count desc, pair asc) tie-break as
+    :func:`learn_bpe_merges_topv`). One TakeOrdered job, then zero
+    Spark jobs; fidelity bound = top-V truncation, identical to topv's
+    documented contract."""
+    top = seqs.orderBy(F.desc("cnt"), "seq").limit(max_vocab).collect()
+    vocab: list[tuple[list[str], int]] = [
+        ((r.seq[1:-1].split(D2 + D1) if len(r.seq) >= 2 else []), int(r.cnt))
+        for r in top
+    ]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(start_step, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, c))
+        merged = a + b
+        for idx, (syms, cnt) in enumerate(vocab):
+            i, out = 0, []
+            changed = False
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if changed:
+                vocab[idx] = (out, cnt)
+    return merges
 
 
 def learn_bpe_merges_topv(

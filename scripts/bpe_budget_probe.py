@@ -123,10 +123,49 @@ def main() -> None:
             f"sf0.01 batch_m={m}: wall={time.time() - t0:.1f}s {d}"
         )
 
+    # --- adaptive mitigation (VERDICT r13 item 4) ----------------------
+    # adaptive=True: exactness-bound batching (a candidate commits only
+    # while its count strictly exceeds every earlier accept's touching
+    # bound) + bounded-exact sequential continuation once a round
+    # collapses to one accept. head_merges = merges committed
+    # distributed; rounds = distributed count rounds + 1 TakeOrdered.
+    lines.append(
+        f"mitigation adaptive=True (done gate: vocab_jaccard >= 0.9 "
+        f"at rounds <= 2x fixed batch_m=32 = {2 * -(-n_merges // 32)})"
+    )
+    for m in (32, 128):
+        switch_at: dict = {}
+        orig = B._sequential_continuation
+
+        def probe_cont(seqs, start_step, nm, max_vocab, _s=switch_at, _o=orig):
+            _s["step"] = start_step
+            return _o(seqs, start_step, nm, max_vocab)
+
+        B._sequential_continuation = probe_cont
+        try:
+            t0 = time.time()
+            bat = merge_pairs(
+                B.learn_bpe_merges_batched(
+                    docs001, n_merges=n_merges, batch_m=m, adaptive=True
+                )
+            )
+        finally:
+            B._sequential_continuation = orig
+        d = divergence(seq_ref, bat)
+        head = switch_at.get("step", n_merges + 1) - 1
+        import math
+
+        rounds = math.ceil(head / m) + (1 if "step" in switch_at else 0)
+        lines.append(
+            f"sf0.01 batch_m={m} adaptive=True: "
+            f"wall={time.time() - t0:.1f}s head_merges={head} "
+            f"rounds={rounds} {d}"
+        )
+
     out = "\n".join(lines) + "\n"
     print(out)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "BPE_BUDGET_r13.txt"), "w") as fh:
+    with open(os.path.join(here, "BPE_BUDGET_r14.txt"), "w") as fh:
         fh.write(out)
     spark.stop()
 

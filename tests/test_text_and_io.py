@@ -397,6 +397,64 @@ def test_bpe_batched_documented_divergence(spark):
     assert bat == [("a", "b"), ("d", "e")]
 
 
+def test_bpe_batched_adaptive_restores_sequential(spark):
+    """VERDICT r13 item 4: adaptive=True turns the documented
+    divergence case EXACT — accepting (a,b) sets the exactness bound
+    B_max to 10 (the (b,c) count touching b, exactly the pair whose
+    residual/new form sequential would rank next), so (d,e)=9 cannot
+    be committed; the round collapses to one accept and the learner
+    finishes with the bounded-exact sequential continuation. The merge
+    list (steps, pairs, counts) equals learn_bpe_merges' bit for bit.
+    Default False keeps the divergent r13 behavior (previous test)."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [("d1", " ".join(["abc"] * 10 + ["de"] * 9))],
+        "doc_id string, text string",
+    )
+    seq = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in BPE.learn_bpe_merges(docs, n_merges=3).orderBy("step").collect()
+    ]
+    mit = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in BPE.learn_bpe_merges_batched(
+            docs, n_merges=3, batch_m=2, adaptive=True
+        )
+        .orderBy("step")
+        .collect()
+    ]
+    assert mit == seq
+    assert [(m[1], m[2]) for m in seq[:2]] == [("a", "b"), ("ab", "c")]
+
+
+def test_bpe_batched_adaptive_keeps_independent_rounds_batched(spark):
+    """The guard must NOT collapse genuinely independent merges: with
+    disjoint symbol clusters nothing touches (a,b) except itself, so
+    B_max stays at the window floor (0 here — the window holds the
+    whole pair space) and the batch of 2 commits in ONE distributed
+    round, still equal to sequential."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [("d1", " ".join(["ab"] * 40 + ["de"] * 9))],
+        "doc_id string, text string",
+    )
+    seq = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in BPE.learn_bpe_merges(docs, n_merges=2).orderBy("step").collect()
+    ]
+    mit = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in BPE.learn_bpe_merges_batched(
+            docs, n_merges=2, batch_m=2, adaptive=True
+        )
+        .orderBy("step")
+        .collect()
+    ]
+    assert mit == seq == [("a", "b", 40), ("d", "e", 9)]
+
+
 def test_bpe_batched_conflict_window_closes_round_early(spark):
     """When every further candidate conflicts with an accepted pair,
     the round closes with what it has and the NEXT round's fresh count
