@@ -5605,11 +5605,19 @@ def tx12_bpe_merges(spark, sf_dir):
     )
 
 
-def _bpe_chain_sql(n_merges=3) -> tuple[str, str]:
+def _bpe_chain_sql(n_merges=3, materialized=False) -> tuple[str, str]:
     """The shared merge-learning CTE chain (word counts -> n greedy
     merges, seq{i} = vocab after merge i) — tx12 selects the merges,
-    tx18 segments with the final seq. Returns (chain, last_cte)."""
+    tx18 segments with the final seq. Returns (chain, last_cte).
+
+    ``materialized``: each seq{i} references seq{i-1} twice (directly
+    and through best{i}), so DuckDB's default CTE inlining expands the
+    chain 2^n-fold — invisible at tx18's n=3, fatal at tx24's n=48
+    (the planner ran out of file handles re-opening the parquet).
+    MATERIALIZED pins each step to one evaluation; results identical.
+    """
     d1, d2 = "chr(1)", "chr(2)"
+    mat = "MATERIALIZED " if materialized else ""
     steps = []
     prev = "seq0"
     for i in range(1, n_merges + 1):
@@ -5617,8 +5625,8 @@ def _bpe_chain_sql(n_merges=3) -> tuple[str, str]:
             f"""s{i} AS (SELECT cnt, string_split(substr(seq, 2, length(seq) - 2), {d2} || {d1}) AS s FROM {prev}),
 z{i} AS (SELECT cnt, unnest(list_zip(list_slice(s, 1, len(s) - 1), list_slice(s, 2, len(s)))) AS z FROM s{i}),
 p{i} AS (SELECT z[1] AS a, z[2] AS b, sum(cnt) AS pair_count FROM z{i} GROUP BY 1, 2),
-best{i} AS (SELECT a, b, pair_count FROM p{i} ORDER BY pair_count DESC, a, b LIMIT 1),
-seq{i} AS (SELECT cnt, replace(seq, {d1} || best{i}.a || {d2} || {d1} || best{i}.b || {d2},
+best{i} AS {mat}(SELECT a, b, pair_count FROM p{i} ORDER BY pair_count DESC, a, b LIMIT 1),
+seq{i} AS {mat}(SELECT cnt, replace(seq, {d1} || best{i}.a || {d2} || {d1} || best{i}.b || {d2},
                                {d1} || best{i}.a || best{i}.b || {d2}) AS seq
            FROM {prev} CROSS JOIN best{i})"""
         )
@@ -5647,6 +5655,64 @@ SELECT lang,
        round(sum(n_pieces) / CAST(count(*) AS DOUBLE), 6) AS fertility,
        round(sum(n_chars) / CAST(sum(n_pieces) AS DOUBLE), 6) AS chars_per_piece
 FROM j GROUP BY 1
+"""
+
+
+def tx24_bpe_budget_audit(spark, sf_dir):
+    """Batched-BPE fidelity contract under the driver gate (VERDICT
+    r13 item 8): the 48-merge profile of the production batched
+    learner in its adaptive mode (bpe.learn_bpe_merges_batched,
+    adaptive=True — exactness-bound batching + bounded-exact
+    sequential continuation, the r14 divergence mitigation) over a
+    bounded probe corpus, verified merge-for-merge against a DuckDB
+    replay of EXACT sequential BPE. A hash match here means the
+    mitigated distributed learner IS sequential BPE on this corpus —
+    the divergence contract as an oracle row, not a scripted claim
+    (scripts/bpe_budget_probe.py measured the same property at the
+    1024-merge budget: vocab Jaccard 1.0, BPE_BUDGET_r14.txt).
+
+    Corpus: the probe's pseudo-word reshape (whitespace removed, one
+    ~300-char word per document — the synthetic 31-word vocabulary
+    exhausts character BPE otherwise), truncated to the top-500 words
+    by (cnt desc, word asc) and unit-weighted, so the audit's cost is
+    BOUNDED AT EVERY SF: the learner sees a <= 500-row vocab whatever
+    the corpus size, and the oracle replays a 48-step chain over the
+    same 500 sequences (~2 s). Output: (step, merged, pair_count),
+    one row per merge."""
+    from ..operators import bpe as BPE
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.translate(F.col("text"), " ", "").alias("text")
+    )
+    corpus = (
+        BPE.word_counts(docs)
+        .orderBy(F.desc("cnt"), "word")
+        .limit(500)
+        .select(F.col("word").alias("text"))
+    )
+    merges = BPE.learn_bpe_merges_batched(
+        corpus, n_merges=48, batch_m=8, adaptive=True
+    )
+    return merges.select(
+        F.col("step").cast("bigint").alias("step"),
+        F.col("merged").alias("merged"),
+        F.col("pair_count").cast("bigint").alias("pair_count"),
+    ).orderBy("step")
+
+
+_TX24_CHAIN, _ = _bpe_chain_sql(48, materialized=True)
+_TX24_UNION = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS step, best{i}.a || best{i}.b AS merged, "
+    f"CAST(best{i}.pair_count AS BIGINT) AS pair_count FROM best{i}"
+    for i in range(1, 49)
+)
+TX24_SQL = f"""
+WITH t AS (SELECT {TOKS_SQL.replace("lower(text)", "lower(replace(text, ' ', ''))")} AS toks FROM documents),
+w AS (SELECT u.tok AS word, count(*) AS cnt FROM t, unnest(t.toks) AS u(tok) GROUP BY 1),
+top AS MATERIALIZED (SELECT word FROM w ORDER BY cnt DESC, word LIMIT 500),
+seq0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS cnt, chr(1) || array_to_string(string_split(word, ''), chr(2) || chr(1)) || chr(2) AS seq FROM top),
+{_TX24_CHAIN}
+SELECT * FROM ({_TX24_UNION}) ORDER BY step
 """
 
 
@@ -10859,6 +10925,7 @@ QUERIES = {
     "dd18_dedup_savings": dd18_dedup_savings,
     "sp16_leakage_safe_split": sp16_leakage_safe_split,
     "tx23_tokenizer_fertility": tx23_tokenizer_fertility,
+    "tx24_bpe_budget_audit": tx24_bpe_budget_audit,
     "ev9_outlier_events": ev9_outlier_events,
     "pk2_sequence_stats": pk2_sequence_stats,
     "pk3_shuffle_shards": pk3_shuffle_shards,
@@ -11608,6 +11675,80 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)},
 }
 
+# Round-14 window (VERDICT r13 item 1 — retire the r08-aged tail):
+# fronts (a) the tx24 birth (the batched-BPE fidelity contract as an
+# oracle row), (b) the queries whose implementation r14 touched —
+# ev8 (co_occurrence_pairs factoring), dd2/dd14 (shingle-join pricing
+# seam), dq7 (empty-key guard), dq9 (DATE width fix), sp16
+# (dedup_aware one-row-per-key guard), sp13/sp15 (splits.py registry
+# methods), p1 (typed-CSV escape param), e6 (experiment._folds
+# branches) — (c) the five standing stochastic band twins, (d) ALL 21
+# r08-aged driver records (after this window nothing is older than
+# r09), and (e) 13 of the 42 r09-aged queries (dd2/dd14 retire two
+# more; the remaining 27 roll to r15).
+_R14_WINDOW = [
+    # born this round
+    "tx24_bpe_budget_audit",
+    # impl touched this round
+    "ev8_covisitation",
+    "dd2_ngram_jaccard",
+    "dd14_containment",
+    "dq7_join_cardinality",
+    "dq9_partition_plan",
+    "sp16_leakage_safe_split",
+    "sp13_rolling_origin",
+    "sp15_purged_embargo",
+    "p1_typed_projection",
+    "e6_kfold_map_popularity",
+    # stochastic band twins (every round)
+    "rec_node2vec_band",
+    "rec_als_band",
+    "rec_kge_transe_band",
+    "rec_kge_sharded_band",
+    "rec_kge_sharded_complex_band",
+    # the entire r08-aged tail
+    "pk1_pack_sequences",
+    "rec_fixed_emb_top5",
+    "rec_itemknn_top5",
+    "rec_popularity_top5",
+    "sp11_negative_sampling",
+    "sp12_leave_one_out",
+    "sp1_random_global",
+    "sp2_random_user",
+    "sp6_kfold_global",
+    "sp9_stratified_head",
+    "ss11_filtered_search",
+    "st10_materialized_rollup",
+    "st11_stream_quality_gate",
+    "st12_stream_mv_drift",
+    "st13_stream_ann_ingest",
+    "st1_stream_hourly_rollup",
+    "st4_stream_ingest_pipeline",
+    "st5_stream_decontaminate",
+    "st6_stream_incremental_dedup",
+    "tx1_text_stats",
+    "u1_union_distinct",
+    # r09-aged tail (13 of 42; rest roll to r15)
+    "a15_value_percentiles",
+    "a16_distinct_users",
+    "ck1_chunk_documents",
+    "ck2_sentence_chunks",
+    "dd10_canonical_keep",
+    "dd7_dedup_clusters",
+    "di2_entity_link",
+    "dp3_forget_users",
+    "dq1_expectations",
+    "e4_mrr_at_5",
+    "e5_hitrate_at_5",
+    "e7_coverage_diversity",
+    "ev10_funnel",
+]
+assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
+QUERIES = {
+    **{k: QUERIES[k] for k in _R14_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)},
+}
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "j3_key_reconstruction": J3_SQL,
@@ -11737,6 +11878,7 @@ ORACLES = {
     "dd18_dedup_savings": DD18_SQL,
     "sp16_leakage_safe_split": SP16_SQL,
     "tx23_tokenizer_fertility": TX23_SQL,
+    "tx24_bpe_budget_audit": TX24_SQL,
     "ev9_outlier_events": EV9_SQL,
     "pk3_shuffle_shards": PK3_SQL,
     "ss3_quantize_embeddings": SS3_SQL,

@@ -34,6 +34,10 @@ SKIP = {
     "rec_kge_sharded_band",
     "rec_kge_sharded_complex_top5",
     "rec_kge_sharded_complex_band",
+    # trains on call too: the batched BPE learner's per-round collects
+    # and localCheckpoints execute during plan construction, and the
+    # returned merge table is a local relation with no scan lineage
+    "tx24_bpe_budget_audit",
 }
 ALLOWED = {
     "dq9_partition_plan": 1,   # final 1-row planner aggregate
