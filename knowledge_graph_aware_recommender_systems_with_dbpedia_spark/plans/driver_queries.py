@@ -112,9 +112,18 @@ _MEMO: dict[tuple, DataFrame] = {}
 
 
 def _memoized(key: tuple, build) -> DataFrame:
-    if key not in _MEMO:
-        _MEMO[key] = build().persist()
-    return _MEMO[key]
+    df = _MEMO.get(key)
+    if df is None:
+        df = _MEMO[key] = build().persist()
+    elif df.storageLevel.useMemory is False and df.storageLevel.useDisk is False:
+        # a spark.catalog.clearCache() elsewhere (tests, notebook
+        # hygiene) silently dropped the persist mark; without this the
+        # memo would keep handing out an UNCACHED shared fragment —
+        # every consumer would recompute the split/recs from parquet,
+        # and its explain() would expand the formerly-cached subtree
+        # (an order-dependent plan-lint flake caught exactly that)
+        df.persist()
+    return df
 
 
 def _user_split(spark: SparkSession, sf_dir: str, p: float = 0.2) -> DataFrame:

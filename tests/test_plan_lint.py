@@ -146,6 +146,12 @@ def test_fold_lineages_share_cached_split_scan(spark):
 
 
 def test_no_unexpected_single_partition_exchanges(spark):
+    # Some query BUILDERS cache/persist subtrees (shingle tables, split
+    # frames); if an earlier test built those plans, Spark's cache
+    # lookup substitutes InMemoryRelations whose statistics flip join
+    # strategies and partition counts — the lint would then measure the
+    # session's history, not the queries. Scan from a cold cache.
+    spark.catalog.clearCache()
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(SKIP_PREFIXES) or name in SKIP:
@@ -244,6 +250,7 @@ def test_no_unexpected_cartesian_or_nested_loop_joins(spark):
     1-row scalar aggregate broadcast back onto a frame (threshold
     ratios, corpus totals) — those are pinned in NLJ_ALLOWED with
     their reason; anything else, or any count increase, fails."""
+    spark.catalog.clearCache()  # cold-cache scan — see the note above
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(SKIP_PREFIXES) or name in SKIP:
