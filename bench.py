@@ -171,6 +171,7 @@ HEADLINE = [
     "dq8_value_histogram",
     "dq9_partition_plan",
     "dd18_dedup_savings",
+    "tx24_bpe_budget_audit",
 ]
 
 

@@ -734,15 +734,27 @@ def co_occurrence_pairs(
         )
         n_out = sum(r.n_groups * (r._n * (r._n - 1) // 2) for r in hist)
         if n_out > max_join_output:
-            fit = 0
-            for c in range(max_items_per_group, 0, -1):
-                tot = sum(
+            # largest cap whose priced output fits: Σ n_groups ·
+            # C(min(n, c), 2) is monotone nondecreasing in c, so
+            # bisect — O(|hist| log cap) driver work instead of the
+            # downward linear scan's O(cap · |hist|), which at a
+            # 100k cap with a full histogram is ~10^10 iterations on
+            # what must be an INSTANT refusal
+
+            def _priced(c: int) -> int:
+                return sum(
                     r.n_groups * (min(r._n, c) * (min(r._n, c) - 1) // 2)
                     for r in hist
                 )
-                if tot <= max_join_output:
-                    fit = c
-                    break
+
+            lo, hi = 0, max_items_per_group  # _priced(0) == 0 always fits
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                if _priced(mid) <= max_join_output:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            fit = lo
             raise ValueError(
                 f"co_occurrence_pairs: predicted pair-join output {n_out} "
                 f"rows exceeds max_join_output={max_join_output} "

@@ -168,6 +168,23 @@ def _ts_boundaries(ratings: DataFrame, ts_col: str, n_buckets: int) -> list[floa
     return ratings.approxQuantile(ts_col, qs, 0.01)
 
 
+def _balanced_segment_expr(kk: int):
+    """Segment id (0..kk-1) for the 0-based global rank ``_rn - 1``
+    over ``_n`` rows, split into ``kk`` contiguous rank-equal segments
+    with sp6's KFold sizing: the first ``_n % kk`` segments get
+    ``_n div kk + 1`` rows, the rest ``_n div kk``. ONE definition —
+    the row-level splits (rolling_origin / purged_embargo in
+    :func:`split_ratings`) and the fold audits
+    (:func:`rolling_origin_folds`) must stay arithmetic-identical, so
+    they all call this instead of carrying their own copy."""
+    return F.expr(
+        f"CASE WHEN (_rn - 1) < (_n % {kk}) * (_n div {kk} + 1) "
+        f"THEN (_rn - 1) div (_n div {kk} + 1) "
+        f"ELSE (_n % {kk}) + ((_rn - 1) - (_n % {kk}) * (_n div {kk} + 1)) "
+        f"div greatest(_n div {kk}, 1) END"
+    )
+
+
 def split_ratings(
     ratings: DataFrame,
     method: str,
@@ -339,12 +356,7 @@ def split_ratings(
             # pairs with :func:`rolling_origin_train_test`; segment 0
             # is history only and never tests.
             kk = int(k) + 1
-            seg = F.expr(
-                f"CASE WHEN (_rn - 1) < (_n % {kk}) * (_n div {kk} + 1) "
-                f"THEN (_rn - 1) div (_n div {kk} + 1) "
-                f"ELSE (_n % {kk}) + ((_rn - 1) - (_n % {kk}) * (_n div {kk} + 1)) "
-                f"div greatest(_n div {kk}, 1) END"
-            )
+            seg = _balanced_segment_expr(kk)
             return (
                 df.withColumn("fold", seg.cast("int"))
                 .drop("_rn", "_n", "_bkt", "_brn")
@@ -354,12 +366,7 @@ def split_ratings(
         # per-fold purge window is pure column arithmetic — see
         # :func:`purged_embargo_train_test`.
         kk = int(k)
-        blk = F.expr(
-            f"CASE WHEN (_rn - 1) < (_n % {kk}) * (_n div {kk} + 1) "
-            f"THEN (_rn - 1) div (_n div {kk} + 1) "
-            f"ELSE (_n % {kk}) + ((_rn - 1) - (_n % {kk}) * (_n div {kk} + 1)) "
-            f"div greatest(_n div {kk}, 1) END"
-        )
+        blk = _balanced_segment_expr(kk)
         return (
             df.withColumn("fold", blk.cast("int"))
             .withColumn("rank", F.col("_rn").cast("bigint"))
@@ -375,14 +382,22 @@ def split_ratings(
 
 
 def rolling_origin_train_test(
-    split_df: DataFrame, fold: int
+    split_df: DataFrame, fold: int, k: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(train, test) for rolling-origin fold ``fold`` (1..k): train =
     all EARLIER segments (expanding window), test = segment ``fold`` —
     pure filters on the `fold` column from
-    ``split_ratings(method='rolling_origin')``."""
+    ``split_ratings(method='rolling_origin')``. Pass ``k`` (the fold
+    count the split was built with) to also validate the upper bound —
+    without it an out-of-range fold would silently return (all rows,
+    empty test), the classic off-by-one that makes a CV sweep report
+    metrics over zero test rows."""
     if fold < 1:
         raise ValueError("rolling_origin folds are 1..k (segment 0 never tests)")
+    if k is not None and fold > k:
+        raise ValueError(
+            f"rolling_origin folds are 1..k (got fold={fold} with k={k})"
+        )
     return (
         split_df.filter(F.col("fold") < fold),
         split_df.filter(F.col("fold") == fold),
@@ -757,12 +772,7 @@ def rolling_origin_folds(
     ]
     boundaries = _ts_boundaries(ratings, ts_col, 32)
     df = _global_rank(ratings, order, descending=False, boundaries=boundaries)
-    seg = F.expr(
-        f"CASE WHEN (_rn - 1) < (_n % {kk}) * (_n div {kk} + 1) "
-        f"THEN (_rn - 1) div (_n div {kk} + 1) "
-        f"ELSE (_n % {kk}) + ((_rn - 1) - (_n % {kk}) * (_n div {kk} + 1)) "
-        f"div greatest(_n div {kk}, 1) END"
-    )
+    seg = _balanced_segment_expr(kk)
     stats = (
         df.withColumn("_seg", seg)
         .groupBy("_seg")

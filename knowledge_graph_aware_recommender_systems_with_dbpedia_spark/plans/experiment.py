@@ -202,7 +202,9 @@ def _folds(ratings: DataFrame, split_cfg: dict, items: DataFrame | None = None):
         split_df = SP.split_ratings(
             ratings, "rolling_origin", seed=seed, k=k, **spec
         ).persist()
-        pairs = [SP.rolling_origin_train_test(split_df, f) for f in range(1, k + 1)]
+        pairs = [
+            SP.rolling_origin_train_test(split_df, f, k) for f in range(1, k + 1)
+        ]
     elif method == "purged_embargo":
         # VERDICT r13 item 7: purged k-fold with embargo from YAML —
         # each fold's train drops the test block plus the embargo

@@ -90,14 +90,15 @@ def main() -> None:
                 "documented anti-pattern the batched learner replaces)"
             )
             continue
-        import math
-
+        st: dict = {}
         t0 = time.time()
-        got = B.learn_bpe_merges_batched(docs01, n_merges=n_merges, batch_m=m)
+        got = B.learn_bpe_merges_batched(
+            docs01, n_merges=n_merges, batch_m=m, stats=st
+        )
         rows = sorted(got.collect(), key=lambda r: r.step)
         lines.append(
             f"sf0.1 batch_m={m}: wall={time.time() - t0:.1f}s "
-            f"merges={len(rows)} rounds>={math.ceil(len(rows) / m)} "
+            f"merges={len(rows)} count_rounds={st['count_rounds']} "
             f"last_count={rows[-1].pair_count if rows else None}"
         )
     docs01.unpersist()
@@ -127,39 +128,30 @@ def main() -> None:
     # adaptive=True: exactness-bound batching (a candidate commits only
     # while its count strictly exceeds every earlier accept's touching
     # bound) + bounded-exact sequential continuation once a round
-    # collapses to one accept. head_merges = merges committed
-    # distributed; rounds = distributed count rounds + 1 TakeOrdered.
+    # collapses to one accept. rounds below are MEASURED via the
+    # learner's stats hook (the guard can close a round after fewer
+    # than batch_m accepts, so a ceil(head/m) formula only lower-bounds
+    # the true distributed job count); +1 counts the continuation's
+    # TakeOrdered when it ran.
     lines.append(
         f"mitigation adaptive=True (done gate: vocab_jaccard >= 0.9 "
         f"at rounds <= 2x fixed batch_m=32 = {2 * -(-n_merges // 32)})"
     )
     for m in (32, 128):
-        switch_at: dict = {}
-        orig = B._sequential_continuation
-
-        def probe_cont(seqs, start_step, nm, max_vocab, _s=switch_at, _o=orig):
-            _s["step"] = start_step
-            return _o(seqs, start_step, nm, max_vocab)
-
-        B._sequential_continuation = probe_cont
-        try:
-            t0 = time.time()
-            bat = merge_pairs(
-                B.learn_bpe_merges_batched(
-                    docs001, n_merges=n_merges, batch_m=m, adaptive=True
-                )
+        st2: dict = {}
+        t0 = time.time()
+        bat = merge_pairs(
+            B.learn_bpe_merges_batched(
+                docs001, n_merges=n_merges, batch_m=m, adaptive=True, stats=st2
             )
-        finally:
-            B._sequential_continuation = orig
+        )
         d = divergence(seq_ref, bat)
-        head = switch_at.get("step", n_merges + 1) - 1
-        import math
-
-        rounds = math.ceil(head / m) + (1 if "step" in switch_at else 0)
+        rounds = st2["count_rounds"] + (1 if st2["switched"] else 0)
         lines.append(
             f"sf0.01 batch_m={m} adaptive=True: "
-            f"wall={time.time() - t0:.1f}s head_merges={head} "
-            f"rounds={rounds} {d}"
+            f"wall={time.time() - t0:.1f}s head_merges={st2['head_merges']} "
+            f"rounds={rounds} (count_rounds={st2['count_rounds']} "
+            f"switched={st2['switched']}) {d}"
         )
 
     out = "\n".join(lines) + "\n"

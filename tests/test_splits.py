@@ -426,6 +426,10 @@ def test_rolling_origin_registry_method_matches_audit(spark):
         assert tmax <= tmin
     with pytest.raises(ValueError, match="segment 0"):
         splits.rolling_origin_train_test(sp_df, 0)
+    # upper bound (r14 review): with k passed, an out-of-range fold
+    # raises instead of silently returning (all rows, empty test)
+    with pytest.raises(ValueError, match="fold=5 with k=4"):
+        splits.rolling_origin_train_test(sp_df, k + 1, k)
 
 
 def test_purged_embargo_registry_method_matches_audit(spark):

@@ -455,6 +455,65 @@ def test_bpe_batched_adaptive_keeps_independent_rounds_batched(spark):
     assert mit == seq == [("a", "b", 40), ("d", "e", 9)]
 
 
+def test_bpe_batched_adaptive_self_pair_stays_sequential_prefix(spark):
+    """Self-pair soundness (r14 review): merging (a,a) over a character
+    run creates pairs — (aa,aa) from a,a,a,a — whose counts derive from
+    the accept ITSELF, so the bound may not exclude the accept's own
+    count when left == right. Before the fix, corpus "aaaa"x10+"de"x9
+    committed [(a,a,30),(d,e,9)] in one round while sequential's merge
+    2 is (aa,aa,10) — a non-prefix batch under adaptive=True's
+    documented guarantee. With the accept's own count in B_max the
+    round collapses at the self-pair and the continuation finishes
+    exactly."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [("d1", " ".join(["aaaa"] * 10 + ["de"] * 9))],
+        "doc_id string, text string",
+    )
+    seq = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in BPE.learn_bpe_merges(docs, n_merges=3).orderBy("step").collect()
+    ]
+    assert [(m[1], m[2], m[4]) for m in seq] == [
+        ("a", "a", 30),
+        ("aa", "aa", 10),
+        ("d", "e", 9),
+    ]
+    stats: dict = {}
+    mit = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in BPE.learn_bpe_merges_batched(
+            docs, n_merges=3, batch_m=2, adaptive=True, stats=stats
+        )
+        .orderBy("step")
+        .collect()
+    ]
+    assert mit == seq
+    # the self-pair closed round 1 to a single accept -> continuation
+    assert stats == {"count_rounds": 1, "head_merges": 0, "switched": True}
+
+
+def test_bpe_batched_stats_counts_measured_rounds(spark):
+    """The stats hook reports MEASURED distributed count-rounds (the
+    probe's round economics must not be a ceil(merges/batch_m) formula
+    — the adaptive guard can close rounds short). Two independent
+    clusters, batch_m=2: one count round commits both merges, no
+    switch."""
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [("d1", " ".join(["ab"] * 40 + ["de"] * 9))],
+        "doc_id string, text string",
+    )
+    stats: dict = {}
+    got = BPE.learn_bpe_merges_batched(
+        docs, n_merges=2, batch_m=2, adaptive=True, stats=stats
+    )
+    assert got.count() == 2
+    assert stats == {"count_rounds": 1, "head_merges": 2, "switched": False}
+
+
 def test_bpe_batched_conflict_window_closes_round_early(spark):
     """When every further candidate conflicts with an accepted pair,
     the round closes with what it has and the NEXT round's fresh count
