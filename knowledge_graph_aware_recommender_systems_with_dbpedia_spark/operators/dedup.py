@@ -279,7 +279,19 @@ def minhash_signatures(
     min() aggregations get map-side partial aggregation — the shuffle
     per doc is n_hashes longs regardless of document size.
     """
-    sh = doc_shingles(docs, id_col, text_col, n)
+    return minhash_signatures_from_shingles(
+        doc_shingles(docs, id_col, text_col, n), n_hashes
+    )
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """:func:`minhash_signatures` over an already-built (id, shingle)
+    frame — callers that also need the shingles themselves (the corpus
+    dedup index, the per-batch state rows) pass ONE shared frame so the
+    tokenize+shingle pass over the text runs once, not once per
+    derived table."""
     # materialize the (expensive) md5 hash ONCE per shingle — the 16 min
     # aggregations then reuse the column instead of re-hashing 16x
     hashed = sh.select("id", F.pmod(md5_long(F.col("shingle")), F.lit(MINHASH_PRIME)).alias("h"))
@@ -595,6 +607,9 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     labels = ids.select(F.col(id_col).alias("a"), F.col(id_col).alias("comp"))
+    prev_sum = labels.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
     for _ in range(max_iter):
         msgs = (
             edges.join(labels.withColumnRenamed("a", "b2"), F.col("a") == F.col("b2"))
@@ -616,15 +631,19 @@ def connected_components(
             .select("a", F.least("comp", "_c2").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "a")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        # Convergence test without the old join-and-count: labels are
+        # MONOTONE non-increasing per node (min/least everywhere), so
+        # the labeling changed iff the label sum moved — one 1-row
+        # aggregate over the just-checkpointed frame instead of a
+        # shuffle join of old vs new labels per round (guide §2.4;
+        # decimal sum so 10^10 ids × 10^10 nodes cannot overflow).
+        csum = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels = new_labels
-        if changed == 0:
+        if csum == prev_sum:
             break
+        prev_sum = csum
     return labels.select(F.col("a").alias(id_col), F.col("comp").alias("cluster_id"))
 
 
@@ -860,8 +879,19 @@ def band_buckets(
     """(id, band, bkey) LSH band buckets from minhash signatures —
     the fixed hash family means a doc's buckets are identical
     whichever table it sits in (the cross-corpus join invariant)."""
+    return band_buckets_from_shingles(
+        doc_shingles(docs, id_col, text_col, n), bands, n_hashes
+    )
+
+
+def band_buckets_from_shingles(
+    sh: DataFrame, bands: int, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """:func:`band_buckets` over an already-built (id, shingle) frame
+    (see :func:`minhash_signatures_from_shingles` — one text pass
+    shared between the bucket and shingle tables)."""
     rows = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, n, id_col, text_col)
+    sig = minhash_signatures_from_shingles(sh, n_hashes)
     band_cols = []
     for bi in range(bands):
         cols = [F.col(f"mh{bi * rows + j}").cast("string") for j in range(rows)]
@@ -888,11 +918,17 @@ def build_corpus_dedup_index(
     ``(band_buckets, shingles)``. Build once, ``persist()`` both, and
     pass as ``corpus_state`` to :func:`minhash_lsh_pairs_between` /
     :func:`dedup_against_corpus` — a streaming ingest then pays
-    corpus-side signature cost once, not per micro-batch."""
-    return (
-        band_buckets(corpus, bands, n_hashes, n, id_col, text_col),
-        doc_shingles(corpus, id_col, text_col, n),
-    )
+    corpus-side signature cost once, not per micro-batch.
+
+    The bucket table derives from the SAME shingle frame that is
+    returned (not a second :func:`doc_shingles` lineage): with both
+    frames persisted by the caller, materializing the buckets streams
+    through the shingles' cache node and populates it, so the corpus
+    text is read + tokenized + shingled ONCE per drain instead of once
+    per derived table (guide §2.4 — at 100 TB the second lineage was a
+    full redundant corpus scan)."""
+    sh = doc_shingles(corpus, id_col, text_col, n)
+    return band_buckets_from_shingles(sh, bands, n_hashes), sh
 
 
 def minhash_lsh_pairs_between(
@@ -940,11 +976,24 @@ def minhash_lsh_pairs_between(
         corpus_buckets = band_buckets(corpus, bands, n_hashes, n, id_col, text_col)
         corpus_shingles = doc_shingles(corpus, id_col, text_col, n)
 
+    # Join-side discipline (guide §3.1/§3.2): this operator's contract
+    # is batch ≪ corpus (per-trigger cost proportional to the batch),
+    # so every join broadcasts the batch-derived side — the corpus-side
+    # tables (buckets, shingles) are never shuffled. At 100 TB that is
+    # the difference between exchanging the corpus index per trigger
+    # and streaming it map-side against a broadcast of the batch's
+    # bands / candidate ids (all O(batch)-sized by construction). A
+    # caller whose "new" side is NOT small (a backfill join of two
+    # corpus-scale tables) should use minhash_lsh_pairs instead.
     nb = band_buckets(new_docs, bands, n_hashes, n, id_col, text_col).select(
         F.col("id").alias("new_id"), "band", "bkey"
     )
     cb = corpus_buckets.select(F.col("id").alias("corpus_id"), "band", "bkey")
-    cands = nb.join(cb, ["band", "bkey"]).select("new_id", "corpus_id").distinct()
+    cands = (
+        F.broadcast(nb).join(cb, ["band", "bkey"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
     if verify_threshold is None:
         return cands
     if cache_registry is not None:
@@ -953,23 +1002,32 @@ def minhash_lsh_pairs_between(
     elif cache_candidates:
         cands = cands.cache()
     sh_new = doc_shingles(new_docs, id_col, text_col, n).join(
-        cands.select(F.col("new_id").alias("id")).distinct(), "id", "left_semi"
+        F.broadcast(cands.select(F.col("new_id").alias("id")).distinct()),
+        "id",
+        "left_semi",
     )
     sh_c = corpus_shingles.join(
-        cands.select(F.col("corpus_id").alias("id")).distinct(), "id", "left_semi"
+        F.broadcast(cands.select(F.col("corpus_id").alias("id")).distinct()),
+        "id",
+        "left_semi",
     )
     sn = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
     sc = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n2"))
     common = (
-        sh_new.select(F.col("id").alias("new_id"), "shingle")
+        F.broadcast(sh_new.select(F.col("id").alias("new_id"), "shingle"))
         .join(sh_c.select(F.col("id").alias("corpus_id"), "shingle"), "shingle")
         .groupBy("new_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(cands, ["new_id", "corpus_id"], "left_semi")
+        .join(F.broadcast(cands), ["new_id", "corpus_id"], "left_semi")
     )
     return (
-        common.join(sn.select(F.col("id").alias("new_id"), "n1"), "new_id")
-        .join(sc.select(F.col("id").alias("corpus_id"), "n2"), "corpus_id")
+        common.join(
+            F.broadcast(sn.select(F.col("id").alias("new_id"), "n1")), "new_id"
+        )
+        .join(
+            F.broadcast(sc.select(F.col("id").alias("corpus_id"), "n2")),
+            "corpus_id",
+        )
         .select(
             "new_id",
             "corpus_id",
@@ -1010,7 +1068,9 @@ def dedup_against_corpus(
         new_docs, corpus, bands, n_hashes, n, verify_threshold, id_col, text_col,
         corpus_state, cache_candidates, cache_registry,
     ).select(F.col("new_id").alias(id_col)).distinct()
-    return new_docs.join(flagged, id_col, "left_anti")
+    # flagged ⊆ batch ids — broadcast it so the batch itself is never
+    # shuffled for the anti-join (guide §3.1)
+    return new_docs.join(F.broadcast(flagged), id_col, "left_anti")
 
 
 def dedup_state_rows(
@@ -1020,6 +1080,7 @@ def dedup_state_rows(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Band buckets AND shingles of ``docs`` as ONE frame — the
     per-batch dedup-state layout :func:`greedy_state_dedup_drops`
@@ -1027,11 +1088,21 @@ def dedup_state_rows(
     and shingle rows with NULL band/bkey. One frame means the
     streaming drain pays ONE state write job per micro-batch instead
     of two (the write count, not the data volume, dominates at batch
-    sizes)."""
-    bb = band_buckets(docs, bands, n_hashes, n, id_col, text_col).select(
+    sizes).
+
+    ``shingles``: optional pre-built (and ideally persisted)
+    ``doc_shingles(docs)`` frame — both union branches then share one
+    tokenize+shingle pass over the batch text instead of two (guide
+    §2.4; the caller owns the persist lifecycle)."""
+    sh0 = (
+        shingles
+        if shingles is not None
+        else doc_shingles(docs, id_col, text_col, n)
+    )
+    bb = band_buckets_from_shingles(sh0, bands, n_hashes).select(
         "id", "band", "bkey", F.lit(None).cast("string").alias("shingle")
     )
-    sh = doc_shingles(docs, id_col, text_col, n).select(
+    sh = sh0.select(
         "id",
         F.lit(None).cast("int").alias("band"),
         F.lit(None).cast("string").alias("bkey"),
@@ -1181,6 +1252,12 @@ def greedy_state_dedup_drops(
 
     Returns a one-column DataFrame (``id``) of batch docs to drop.
     """
+    # Same join-side discipline as minhash_lsh_pairs_between (guide
+    # §3.1): the new side is one micro-batch, the seen side is the
+    # accumulated drain state — broadcast the batch-derived frames
+    # (bands, candidate ids, candidate aggregates) so the drain-sized
+    # state is never shuffled; over a long drain the state grows while
+    # every batch stays batch-sized.
     state_bands = state.filter(F.col("bkey").isNotNull())
     state_shingles = state.filter(F.col("shingle").isNotNull())
     nb = state_bands.filter(F.col(batch_col) == int(batch_id)).select(
@@ -1188,7 +1265,7 @@ def greedy_state_dedup_drops(
     )
     cb = state_bands.select(F.col("id").alias("seen_id"), "band", "bkey")
     cands = (
-        nb.join(cb, ["band", "bkey"])
+        F.broadcast(nb).join(cb, ["band", "bkey"])
         .filter(F.col("seen_id") < F.col("new_id"))
         .select("new_id", "seen_id")
         .distinct()
@@ -1199,7 +1276,11 @@ def greedy_state_dedup_drops(
     sh_new = (
         state_shingles.filter(F.col(batch_col) == int(batch_id))
         .select("id", "shingle")
-        .join(cands.select(F.col("new_id").alias("id")).distinct(), "id", "left_semi")
+        .join(
+            F.broadcast(cands.select(F.col("new_id").alias("id")).distinct()),
+            "id",
+            "left_semi",
+        )
     )
     # distinct-hardened: in the fold/replay crash window a doc's rows
     # can transiently exist in the batch=-1 base AND its rewritten
@@ -1211,7 +1292,7 @@ def greedy_state_dedup_drops(
     sh_seen = (
         state_shingles.select("id", "shingle")
         .join(
-            cands.select(F.col("seen_id").alias("id")).distinct(),
+            F.broadcast(cands.select(F.col("seen_id").alias("id")).distinct()),
             "id",
             "left_semi",
         )
@@ -1220,15 +1301,15 @@ def greedy_state_dedup_drops(
     sn = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
     sc = sh_seen.groupBy("id").agg(F.count(F.lit(1)).alias("n2"))
     common = (
-        sh_new.select(F.col("id").alias("new_id"), "shingle")
+        F.broadcast(sh_new.select(F.col("id").alias("new_id"), "shingle"))
         .join(sh_seen.select(F.col("id").alias("seen_id"), "shingle"), "shingle")
         .groupBy("new_id", "seen_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(cands, ["new_id", "seen_id"], "left_semi")
+        .join(F.broadcast(cands), ["new_id", "seen_id"], "left_semi")
     )
     verified = (
-        common.join(sn.select(F.col("id").alias("new_id"), "n1"), "new_id")
-        .join(sc.select(F.col("id").alias("seen_id"), "n2"), "seen_id")
+        common.join(F.broadcast(sn.select(F.col("id").alias("new_id"), "n1")), "new_id")
+        .join(F.broadcast(sc.select(F.col("id").alias("seen_id"), "n2")), "seen_id")
         .filter(
             F.col("n_common").cast("double")
             / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double")

@@ -284,23 +284,82 @@ def _ivf_centroids(nn: DataFrame, n_cells: int, seed: int) -> DataFrame:
     return nn.sparkSession.createDataFrame(cents_rows, "cell int, cv array<double>")
 
 
+_IVF_INLINE_MAX_CELLS = 512
+
+
 def _ivf_assign(
     df: DataFrame, cents: DataFrame, n: int, keep_rank: str | None = None
 ) -> DataFrame:
-    """Assign each (id, v) row to its ``n`` most-similar cells:
-    broadcast join against the tiny centroid table + per-row argmax
-    (the id-partitioned window ranks ~n_cells rows per id).
-    ``keep_rank`` retains the cell rank column under that name (the
-    self-join fast path slices one assignment pass by rank)."""
-    scored = df.join(F.broadcast(cents), F.lit(True)).select(
-        "id", "v", "cell", _dot(F.col("v"), F.col("cv")).alias("_sim")
-    )
-    ww = Window.partitionBy("id").orderBy(F.desc("_sim"), "cell")
-    out = (
-        scored.withColumn("_cr", F.row_number().over(ww))
-        .filter(F.col("_cr") <= n)
-        .drop("_sim")
-    )
+    """Assign each (id, v) row to its ``n`` most-similar cells.
+
+    Shuffle-free for realistic centroid counts (guide §2.4): the
+    centroid table — tiny by construction — is collected once and
+    inlined as a literal (cell, cv)-struct array (the ivf_kmeans_topk
+    centers idiom); each row then computes its scores and takes its
+    own top-n with array expressions (sort by sim DESC, cell ASC —
+    exactly the old id-partitioned window's order; ties cannot occur
+    because cell is unique). The previous shape fanned every row out
+    ``n_cells``-ways and ranked through a ``Window.partitionBy(id)``,
+    which hash-exchanged the whole fanned-out corpus per assignment
+    pass — at 100 TB that shuffle was the dominant cost of every index
+    build / probe, and nothing about a per-row argmax needs it. FLOPs
+    are identical.
+
+    Beyond ``_IVF_INLINE_MAX_CELLS`` centroids (where a literal
+    expression tree would strain codegen) it falls back to the
+    broadcast-join + window plan, which handles unbounded centroid
+    tables. ``keep_rank`` retains the cell rank column under that name
+    (the self-join fast path slices one assignment pass by rank)."""
+    rows = cents.select("cell", "cv").limit(_IVF_INLINE_MAX_CELLS + 1).collect()
+    if 0 < len(rows) <= _IVF_INLINE_MAX_CELLS:
+        cent_arr = F.array(*[
+            F.struct(
+                F.lit(r["cell"]).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+            )
+            for r in rows
+        ])
+        scored = df.select(
+            "id",
+            "v",
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    _dot(F.col("v"), c["cv"]).alias("sim"),
+                    c["cell"].alias("cell"),
+                ),
+            ).alias("_scored"),
+        )
+        top = F.slice(
+            F.array_sort(
+                "_scored",
+                lambda x, y: F.when(x["sim"] > y["sim"], F.lit(-1))
+                .when(x["sim"] < y["sim"], F.lit(1))
+                .when(x["cell"] < y["cell"], F.lit(-1))
+                .when(x["cell"] > y["cell"], F.lit(1))
+                .otherwise(F.lit(0)),
+            ),
+            1,
+            n,
+        )
+        out = scored.select(
+            "id", "v", F.posexplode(top).alias("_pos", "_top")
+        ).select(
+            "id",
+            "v",
+            F.col("_top.cell").alias("cell"),
+            (F.col("_pos") + F.lit(1)).cast("int").alias("_cr"),
+        )
+    else:
+        scored = df.join(F.broadcast(cents), F.lit(True)).select(
+            "id", "v", "cell", _dot(F.col("v"), F.col("cv")).alias("_sim")
+        )
+        ww = Window.partitionBy("id").orderBy(F.desc("_sim"), "cell")
+        out = (
+            scored.withColumn("_cr", F.row_number().over(ww))
+            .filter(F.col("_cr") <= n)
+            .drop("_sim")
+        )
     if keep_rank is None:
         return out.drop("_cr")
     return out.withColumnRenamed("_cr", keep_rank) if keep_rank != "_cr" else out

@@ -62,6 +62,25 @@ UNIT_SQL = f"({HASH_SQL}) / 1000000.0"
 TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
+def _stamp_slice_mtimes(slice_dirs: list[str], gap_s: float = 2.0) -> None:
+    """Pin each written stream-slice directory's file mtimes to
+    strictly increasing values (earliest slice oldest). The streaming
+    file source orders files by modification time, which st17/st18
+    used to guarantee with a 1.1 s ``sleep`` between writes — pure
+    dead wall-clock in the timed query (guide §1: measure the
+    computation). Explicit ``os.utime`` gives the same deterministic
+    ordering with zero wait."""
+    import os
+    import time as _t
+
+    base = _t.time() - gap_s * len(slice_dirs)
+    for j, d in enumerate(slice_dirs):
+        t = base + gap_s * j
+        for root, _, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+
+
 def _raw_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, o = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
     return li.join(o, li.l_orderkey == o.o_orderkey).select(
@@ -9036,7 +9055,6 @@ def st17_stream_windowed_quality(spark, sf_dir):
     by unit tests (they are batching-dependent by design, so they live
     outside the oracle's deterministic surface)."""
     import tempfile
-    import time as _time
 
     from ..streaming.quality import windowed_quality_stream
 
@@ -9060,8 +9078,8 @@ def st17_stream_windowed_quality(spark, sf_dir):
         docs.filter(
             (F.col("doc_id") >= cuts[j]) & (F.col("doc_id") < cuts[j + 1])
         ).coalesce(1).write.parquet(f"{in_dir}/p{j}")
-        if j < 2:
-            _time.sleep(1.1)  # file-source order = modification time
+    # file-source order = modification time, pinned without sleeping
+    _stamp_slice_mtimes([f"{in_dir}/p{j}" for j in range(3)])
     stream = (
         spark.readStream.schema("doc_id bigint, text string, ts timestamp")
         .option("maxFilesPerTrigger", 1)
@@ -9142,7 +9160,6 @@ def st18_intra_drain_dedup(spark, sf_dir):
     batch oracle. Output: (doc_id, cell) of every curated, fully
     deduped, indexed document."""
     import tempfile
-    import time as _time
 
     from ..streaming import curation as SC
 
@@ -9150,12 +9167,15 @@ def st18_intra_drain_dedup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    donor_id = (
+    # min-id quality-passing doc WITH its text in one TakeOrdered job
+    # (was two driver round-trips: agg(min) then a point lookup)
+    donor_text = (
         new.filter(TX.quality_score(F.col("text")) >= 0.68)
-        .agg(F.min("doc_id"))
-        .first()[0]
+        .orderBy("doc_id")
+        .select("doc_id", "text")
+        .first()
+        .text
     )
-    donor_text = docs.filter(F.col("doc_id") == donor_id).first().text
     feed = new.withColumn(
         "text",
         F.when(F.col("doc_id") % 100 == 45, F.lit(donor_text)).otherwise(
@@ -9173,8 +9193,8 @@ def st18_intra_drain_dedup(spark, sf_dir):
         feed.filter(
             (F.col("doc_id") >= cuts[j]) & (F.col("doc_id") < cuts[j + 1])
         ).coalesce(1).write.parquet(f"{in_dir}/p{j}")
-        if j < 2:
-            _time.sleep(1.1)  # file-source order = modification time
+    # file-source order = modification time, pinned without sleeping
+    _stamp_slice_mtimes([f"{in_dir}/p{j}" for j in range(3)])
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)

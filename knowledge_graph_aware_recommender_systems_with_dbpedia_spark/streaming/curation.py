@@ -326,8 +326,18 @@ def curate_batch(
             # batch registry or every consumer replays that join
             survivors = survivors.persist()
             batch_caches.append(survivors)
+            # one shared shingle pass feeds both the bucket and the
+            # shingle branch of the state rows (guide §2.4 — without
+            # it the union's two branches each tokenized the batch)
+            from ..operators.dedup import doc_shingles
+
+            surv_shingles = doc_shingles(
+                survivors, id_col, text_col, n
+            ).persist()
+            batch_caches.append(surv_shingles)
             dedup_state_rows(
-                survivors, bands, n_hashes, n, id_col, text_col
+                survivors, bands, n_hashes, n, id_col, text_col,
+                shingles=surv_shingles,
             ).write.mode("overwrite").parquet(
                 f"{drain_state_dir}/state/batch={int(batch_id)}"
             )
@@ -340,9 +350,16 @@ def curate_batch(
                 verify_threshold=verify_threshold,
                 cache_registry=batch_caches,
             ).withColumnRenamed("id", id_col)
-            survivors = survivors.join(nn_drops, id_col, "left_anti")
-        # 3. index the survivors' embeddings as an exactly-once delta
-        batch_emb = survivors.select(F.col(id_col).alias("_id")).join(
+            # drop set ⊆ batch ids — broadcast so the batch is not
+            # shuffled for the anti-join (guide §3.1)
+            survivors = survivors.join(F.broadcast(nn_drops), id_col, "left_anti")
+        # 3. index the survivors' embeddings as an exactly-once delta.
+        # Broadcast the batch-sized id set so the (corpus-scale)
+        # embedding table is semi-joined map-side, never shuffled
+        # (guide §3.1/§3.2 — the emb scan still prunes to two columns)
+        batch_emb = F.broadcast(
+            survivors.select(F.col(id_col).alias("_id"))
+        ).join(
             emb, F.col("_id") == F.col(vec_id_col), "inner"
         ).select(vec_id_col, vec_col)
         append_delta_to_ivf_index(
