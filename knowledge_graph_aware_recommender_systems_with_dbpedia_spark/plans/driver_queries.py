@@ -10787,8 +10787,14 @@ def st12_stream_mv_drift(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events")
     old_e = e.filter(F.col("ts_ns") < F.lit(_ST12_CUTOFF_NS))
-    dirs = {}
-    for tag, frame, n_files in (("old", old_e, 2), ("new", e, 3)):
+
+    # The two MV backfills are fully independent (separate input,
+    # checkpoint and MV dirs) — drain them CONCURRENTLY so the second
+    # drain's micro-batches back-fill executors idled by the first's
+    # stragglers (guide §2.6 overlap-independent-jobs; sequential
+    # drains left half the cluster idle per trigger at any scale)
+    def _drain(arg):
+        tag, frame, n_files = arg
         in_dir = tempfile.mkdtemp(prefix=f"st12_in_{tag}_")
         mv_dir = os.path.join(tempfile.mkdtemp(prefix=f"st12_mv_{tag}_"), "mv")
         ck_dir = tempfile.mkdtemp(prefix=f"st12_ck_{tag}_")
@@ -10798,7 +10804,14 @@ def st12_stream_mv_drift(spark, sf_dir):
             mv_dir,
             ck_dir,
         ).awaitTermination()
-        dirs[tag] = mv_dir
+        return tag, mv_dir
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        dirs = dict(
+            pool.map(_drain, (("old", old_e, 2), ("new", e, 3)))
+        )
     keys = ["hour_idx", "event_type"]
     d = snapshot_diff(
         STE.read_materialized(spark, dirs["old"], keys),
