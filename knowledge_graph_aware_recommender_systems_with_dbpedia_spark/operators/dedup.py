@@ -606,10 +606,33 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = ids.select(F.col(id_col).alias("a"), F.col(id_col).alias("comp"))
-    prev_sum = labels.agg(
-        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-    ).first()["s"]
+    # Propagate over EDGE ENDPOINTS only (guide §2.3 — shuffle fewer
+    # bytes): a node with no near-dup edge keeps label == id forever,
+    # so iterating it through every round's join + groupBy + jump was
+    # pure overhead proportional to the CORPUS instead of the dup
+    # graph. At a realistic dup rate the endpoint set is a small
+    # fraction of the corpus; singletons are attached back with one
+    # final coalesce join. Results are identical: endpoint labels
+    # evolve exactly as before (messages only ever flow between
+    # endpoints), and the round count is unchanged (singleton rows
+    # contributed a constant to the convergence sum).
+    labels = edges.select("a").distinct().withColumn("comp", F.col("a"))
+    # The 1-row sum convergence probe below is sound only when labels
+    # can be summed exactly — integral/decimal ids. Non-numeric ids
+    # (the experiment runner's string doc ids) keep the join-based
+    # changed-count probe: no numeric embedding of strings is monotone
+    # in their sort order, so a sum proxy would be unsound there.
+    from pyspark.sql.types import ByteType, DecimalType, IntegerType, LongType, ShortType
+
+    sum_probe = isinstance(
+        ids.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType, DecimalType),
+    )
+    prev_sum = (
+        labels.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
+        if sum_probe
+        else None
+    )
     for _ in range(max_iter):
         msgs = (
             edges.join(labels.withColumnRenamed("a", "b2"), F.col("a") == F.col("b2"))
@@ -637,14 +660,32 @@ def connected_components(
         # aggregate over the just-checkpointed frame instead of a
         # shuffle join of old vs new labels per round (guide §2.4;
         # decimal sum so 10^10 ids × 10^10 nodes cannot overflow).
-        csum = new_labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+        if sum_probe:
+            csum = new_labels.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+            converged = csum == prev_sum
+            prev_sum = csum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "a")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            ) == 0
         labels = new_labels
-        if csum == prev_sum:
+        if converged:
             break
-        prev_sum = csum
-    return labels.select(F.col("a").alias(id_col), F.col("comp").alias("cluster_id"))
+    # attach the untouched singletons: corpus left-join the (dup-graph
+    # bounded) endpoint labels, label = own id where no edge ever
+    # reached the node. Also drops any endpoint not present in ``ids``
+    # (pairs ⊆ ids is the operator contract).
+    return ids.select(F.col(id_col).alias("a")).join(
+        labels.withColumnRenamed("comp", "_comp"), "a", "left"
+    ).select(
+        F.col("a").alias(id_col),
+        F.coalesce(F.col("_comp"), F.col("a")).alias("cluster_id"),
+    )
 
 
 def embedding_near_dups_lsh(
@@ -989,25 +1030,31 @@ def minhash_lsh_pairs_between(
         F.col("id").alias("new_id"), "band", "bkey"
     )
     cb = corpus_buckets.select(F.col("id").alias("corpus_id"), "band", "bkey")
-    cands = (
-        F.broadcast(nb).join(cb, ["band", "bkey"])
-        .select("new_id", "corpus_id")
-        .distinct()
+    cands0 = F.broadcast(nb).join(cb, ["band", "bkey"]).select(
+        "new_id", "corpus_id"
     )
     if verify_threshold is None:
-        return cands
+        return cands0.distinct()
+    # NO distinct on the working candidate frame: every consumer below
+    # is a semi-join probe or a semi-join filter, and semi-join
+    # semantics are multiplicity-blind — the distinct was one more
+    # candidate-set shuffle per batch for nothing (guide §2.4).
+    # Multiplicity is bounded by ``bands`` per pair, so the persisted /
+    # broadcast footprint grows by at most that factor of a
+    # batch-bounded set.
+    cands = cands0
     if cache_registry is not None:
         cands = cands.persist()
         cache_registry.append(cands)
     elif cache_candidates:
         cands = cands.cache()
     sh_new = doc_shingles(new_docs, id_col, text_col, n).join(
-        F.broadcast(cands.select(F.col("new_id").alias("id")).distinct()),
+        F.broadcast(cands.select(F.col("new_id").alias("id"))),
         "id",
         "left_semi",
     )
     sh_c = corpus_shingles.join(
-        F.broadcast(cands.select(F.col("corpus_id").alias("id")).distinct()),
+        F.broadcast(cands.select(F.col("corpus_id").alias("id"))),
         "id",
         "left_semi",
     )
@@ -1067,9 +1114,10 @@ def dedup_against_corpus(
     flagged = minhash_lsh_pairs_between(
         new_docs, corpus, bands, n_hashes, n, verify_threshold, id_col, text_col,
         corpus_state, cache_candidates, cache_registry,
-    ).select(F.col("new_id").alias(id_col)).distinct()
+    ).select(F.col("new_id").alias(id_col))
     # flagged ⊆ batch ids — broadcast it so the batch itself is never
-    # shuffled for the anti-join (guide §3.1)
+    # shuffled for the anti-join (guide §3.1); no distinct — anti-join
+    # semantics are multiplicity-blind, the dedup was one more shuffle
     return new_docs.join(F.broadcast(flagged), id_col, "left_anti")
 
 
@@ -1264,11 +1312,14 @@ def greedy_state_dedup_drops(
         F.col("id").alias("new_id"), "band", "bkey"
     )
     cb = state_bands.select(F.col("id").alias("seen_id"), "band", "bkey")
+    # no distinct on the candidate frame or its id projections: every
+    # consumer is a semi-join (multiplicity-blind) — each distinct was
+    # a candidate-set shuffle per batch; multiplicity is bounded by
+    # ``bands`` per pair (guide §2.4)
     cands = (
         F.broadcast(nb).join(cb, ["band", "bkey"])
         .filter(F.col("seen_id") < F.col("new_id"))
         .select("new_id", "seen_id")
-        .distinct()
     )
     if cache_registry is not None:
         cands = cands.persist()
@@ -1277,7 +1328,7 @@ def greedy_state_dedup_drops(
         state_shingles.filter(F.col(batch_col) == int(batch_id))
         .select("id", "shingle")
         .join(
-            F.broadcast(cands.select(F.col("new_id").alias("id")).distinct()),
+            F.broadcast(cands.select(F.col("new_id").alias("id"))),
             "id",
             "left_semi",
         )
@@ -1292,7 +1343,7 @@ def greedy_state_dedup_drops(
     sh_seen = (
         state_shingles.select("id", "shingle")
         .join(
-            F.broadcast(cands.select(F.col("seen_id").alias("id")).distinct()),
+            F.broadcast(cands.select(F.col("seen_id").alias("id"))),
             "id",
             "left_semi",
         )
