@@ -88,8 +88,15 @@ def _ratio(a: str, b: str) -> int:
 
 def partial_ratio(a: str, b: str) -> int:
     """Best ratio of the shorter string against any same-length
-    alignment of the longer (fuzzywuzzy's matching-blocks scan)."""
-    if len(a) <= len(b):
+    alignment of the longer (fuzzywuzzy's matching-blocks scan).
+
+    EQUAL lengths tie-break lexicographically, not by argument order:
+    SequenceMatcher's greedy block scan is order-dependent, so
+    ``len(a) <= len(b)`` alone made partial_ratio (and through
+    token_set_ratio, wratio) asymmetric whenever the two sides tie on
+    length — e.g. wratio('0100', 'A:a:00') != its mirror (hypothesis,
+    r14). This module's contract is symmetric scoring (see _ratio)."""
+    if len(a) < len(b) or (len(a) == len(b) and a <= b):
         shorter, longer = a, b
     else:
         shorter, longer = b, a
