@@ -65,7 +65,12 @@ def cosine_topk(
     query set, so this is a map-side nested loop + per-query top-k
     heap via window — no full shuffle of the corpus.
     """
-    corpus = _normalize(emb, id_col, vec_col).alias("c")
+    from ..functions.partitioning import spread_for_fanout
+
+    # the nested loop scores corpus x queries map-side with no exchange
+    # below the window — spread the corpus so a one-split input doesn't
+    # serialize the whole scoring (functions/partitioning)
+    corpus = spread_for_fanout(_normalize(emb, id_col, vec_col)).alias("c")
     q = _normalize(queries, query_id_col, vec_col).alias("q")
     scored = (
         corpus.join(F.broadcast(q), F.col("c.id") != F.col("q.id"))
@@ -434,7 +439,15 @@ def _cache_assignment(both: DataFrame) -> DataFrame:
 
 def _ivf_score(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
     """Equi-join corpus/query cell assignments, exact-score the
-    candidates, keep each query's top k."""
+    candidates, keep each query's top k.
+
+    The corpus side is spread first (functions/partitioning): the cell
+    join fans each corpus row out by the queries probing its cell and
+    scores every candidate BEFORE any exchange, so a one-split corpus
+    input would run the whole candidate scoring in one task."""
+    from ..functions.partitioning import spread_for_fanout
+
+    c = spread_for_fanout(c)
     scored = (
         c.alias("c")
         .join(
@@ -1022,7 +1035,12 @@ def pq_topk(
     dots = qsubs.join(F.broadcast(cb), "subspace").select(
         "query_id", "subspace", "code", _dot(F.col("sub"), F.col("cv")).alias("d")
     )
-    ccodes = codes.select(
+    from ..functions.partitioning import spread_for_fanout
+
+    # the code explode x broadcast dot-table join fans each corpus row
+    # out ~m x |Q| ways before the (query, id) shuffle — spread the code
+    # table so a one-split input doesn't serialize it (functions/partitioning)
+    ccodes = spread_for_fanout(codes).select(
         F.col("id").alias("neighbor_id"),
         F.posexplode("codes").alias("subspace", "code"),
     )
@@ -1449,8 +1467,13 @@ def ivf_pq_topk(
     dots = qsubs.join(F.broadcast(cb), "subspace").select(
         "query_id", "subspace", "code", _dot(F.col("sub"), F.col("cv")).alias("d")
     )
+    from ..functions.partitioning import spread_for_fanout
+
     cand = (
-        corpus.join(F.broadcast(qcell), "cell")
+        # spread: the cell join fans each corpus row by its cell's
+        # probing queries, then the code explode multiplies again —
+        # all map-side before the dedup shuffle (functions/partitioning)
+        spread_for_fanout(corpus).join(F.broadcast(qcell), "cell")
         .filter(F.col("id") != F.col("query_id"))
         .select("query_id", F.col("id").alias("neighbor_id"), "codes")
         .dropDuplicates(["query_id", "neighbor_id"])
