@@ -27,6 +27,8 @@ over hash buckets rather than a total order where possible.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +38,30 @@ from ..functions.hashing import det_hash, det_unit
 def _ceil_div_count(n_col, p: float):
     # ceil(n * p) in integer-safe form: ceil semantics of edge_splitter.py:89
     return F.ceil(n_col * F.lit(p)).cast("bigint")
+
+
+def _boundary_bucket(primary, boundaries: list):
+    """Range-bucket id for ``primary`` under ascending ``boundaries``
+    (shared by :func:`_global_rank` and the fold audits so the bucket
+    arithmetic can never diverge). Empty boundaries: tiny input — a
+    single bucket is exact too.
+
+    boundaries may be numeric (timestamps) or strings (node ids);
+    comparison semantics match the order column's type either way.
+    Plain sum-of-comparisons, NOT a higher-order F.filter lambda:
+    Spark 4.1's column pruning can mis-bind a lambda's captured
+    column on the aggregated (pruned) side of this plan
+    (the Spark error class 'INTERNAL' '_ERROR_ATTRIBUTE_NOT_FOUND' —
+    split so leak scanners don't false-positive), and a comparison chain
+    stays inside whole-stage codegen anyway.
+    coalesce: a NULL primary compares NULL — bucket 0, matching
+    the nulls-first position of Spark's ascending sort."""
+    if not boundaries:
+        return F.lit(0)
+    return F.coalesce(
+        sum((primary > F.lit(b)).cast("int") for b in boundaries),
+        F.lit(0),
+    ).cast("int")
 
 
 def _global_rank(
@@ -63,23 +89,8 @@ def _global_rank(
         bucket = F.least(
             F.floor(primary * n_buckets).cast("int"), F.lit(n_buckets - 1)
         )
-    elif not boundaries:  # tiny input — a single bucket is exact too
-        bucket = F.lit(0)
     else:
-        # boundaries may be numeric (timestamps) or strings (node ids);
-        # comparison semantics match the order column's type either way.
-        # Plain sum-of-comparisons, NOT a higher-order F.filter lambda:
-        # Spark 4.1's column pruning can mis-bind a lambda's captured
-        # column on the aggregated (pruned) side of this plan
-        # (the Spark error class 'INTERNAL' '_ERROR_ATTRIBUTE_NOT_FOUND' —
-        # split so leak scanners don't false-positive), and a comparison chain
-        # stays inside whole-stage codegen anyway
-        # coalesce: a NULL primary compares NULL — bucket 0, matching
-        # the nulls-first position of Spark's ascending sort
-        bucket = F.coalesce(
-            sum((primary > F.lit(b)).cast("int") for b in boundaries),
-            F.lit(0),
-        ).cast("int")
+        bucket = _boundary_bucket(primary, boundaries)
     if boundaries is None:
         n_dom = n_buckets
     elif not boundaries:
@@ -166,6 +177,77 @@ def _ts_boundaries(ratings: DataFrame, ts_col: str, n_buckets: int) -> list[floa
     driver action; accuracy only affects balance, never correctness)."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     return ratings.approxQuantile(ts_col, qs, 0.01)
+
+
+def _bucket_offsets(
+    ratings: DataFrame, primary, boundaries: list[float]
+) -> tuple[int, list[tuple[int, int, int]]]:
+    """One map-side-combined count per range bucket, collected (bounded:
+    <= len(boundaries)+1 rows) so the fold audits can do their sizing
+    arithmetic on the driver. Returns (n_total, [(bucket, rows_before,
+    rows_in)] ascending)."""
+    counts = (
+        ratings.withColumn("_bkt", _boundary_bucket(primary, boundaries))
+        .groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    out: list[tuple[int, int, int]] = []
+    off = 0
+    for bkt, c in sorted((int(r["_bkt"]), int(r["_c"])) for r in counts):
+        out.append((bkt, off, c))
+        off += c
+    return off, out
+
+
+def _ts_at_ranks(
+    ratings: DataFrame,
+    order: list,
+    ts_col: str,
+    boundaries: list[float],
+    offsets: list[tuple[int, int, int]],
+    ranks0: list[int],
+) -> dict[int, float | None]:
+    """``ts`` (cast double) at each requested 0-based global rank of
+    ``ratings`` under ascending ``order`` — WITHOUT ranking the whole
+    frame. The fold audits only ever need the ts at O(k) contiguous-
+    block boundary ranks, so the within-bucket row_number window runs
+    ONLY over the buckets that contain a requested rank: at scale the
+    ranking shuffle moves a handful of buckets, not the entire table
+    (guide §2.3/§2.4 — the full two-pass rank is for row-level splits
+    that genuinely need every row's rank). ``offsets`` comes from the
+    collected bucket-count pass; the collect here is bounded by
+    ``len(ranks0)``. Assumes non-null ``ts`` (the shaped ratings
+    contract), matching the bucket-0 nulls-first convention otherwise.
+    """
+    want: dict[int, list[tuple[int, int]]] = {}
+    for r in set(ranks0):
+        for bkt, off, cnt in offsets:
+            if off <= r < off + cnt:
+                want.setdefault(bkt, []).append((r - off + 1, r))
+                break
+    if not want:
+        return {}
+    primary = order[0]
+    df = ratings.withColumn("_bkt", _boundary_bucket(primary, boundaries))
+    df = df.filter(F.col("_bkt").isin(*[int(b) for b in want]))
+    w = Window.partitionBy("_bkt").orderBy(*[o.asc() for o in order])
+    df = df.withColumn("_brn", F.row_number().over(w))
+    pred = None
+    for bkt, pairs in want.items():
+        hit = (F.col("_bkt") == bkt) & F.col("_brn").isin(
+            *[int(p) for p, _ in pairs]
+        )
+        pred = hit if pred is None else (pred | hit)
+    rows = (
+        df.filter(pred)
+        .select("_bkt", "_brn", F.col(ts_col).cast("double").alias("_ts"))
+        .collect()
+    )
+    pos2rank = {
+        (bkt, p): r for bkt, pairs in want.items() for p, r in pairs
+    }
+    return {pos2rank[(row["_bkt"], row["_brn"])]: row["_ts"] for row in rows}
 
 
 def _balanced_segment_expr(kk: int):
@@ -759,85 +841,59 @@ def rolling_origin_folds(
     only when tied timestamps straddle the rank cut — the tie-broken
     RANK order is strictly leak-free by construction).
 
-    Scale shape: ONE two-pass bucketed global rank over (ts,
-    tie-breaks) — no single-partition window (splits._global_rank) —
-    then everything downstream operates on the k+1-row segment-stats
-    table: segment -> fold fan-out is a bounded array explode, the
-    fold aggregate is over <= (k+1)*k tiny rows. Segment sizing reuses
-    the KFold arithmetic (sp6), so the oracle replays it verbatim.
+    Scale shape (r14): the audit needs only the k+1-row segment-stats
+    table, and because ``ts`` LEADS the rank order every segment's
+    count is pure sp6 sizing arithmetic in n while its min/max ts are
+    the ts values AT its boundary ranks. So: one bounded bucket-count
+    pass (collected, <= 33 rows), the sizing arithmetic on the driver,
+    and ONE within-bucket window over ONLY the buckets holding the
+    O(k) boundary ranks (splits._ts_at_ranks) — the full-table ranking
+    shuffle of the old two-pass _global_rank plan is gone; at 100 TB
+    the window moves a handful of buckets instead of every row.
+    Results are bit-identical: segment min ts == ts at its first rank,
+    max ts == ts at its last rank (ties carry equal ts by definition).
     """
     kk = int(k) + 1
     order = [
         F.col(ts_col), F.col(user_col), F.col(item_col), F.col(rating_col)
     ]
+    # The audit makes three bounded passes (quantiles, bucket counts,
+    # boundary window); materialize the 4-column projection ONCE so an
+    # expensive upstream lineage (the ratings join+dedup, or at 100 TB
+    # any multi-shuffle feed) is not recomputed per pass (guide §3.3 —
+    # materialise reused intermediates / §5 localCheckpoint).
+    ratings = ratings.select(user_col, item_col, rating_col, ts_col).localCheckpoint()
     boundaries = _ts_boundaries(ratings, ts_col, 32)
-    df = _global_rank(ratings, order, descending=False, boundaries=boundaries)
-    seg = _balanced_segment_expr(kk)
-    stats = (
-        df.withColumn("_seg", seg)
-        .groupBy("_seg")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("_c"),
-            # double-cast so the contribution struct has one fixed type
-            # whatever the source ts type (long seconds, double, ...)
-            F.min(F.col(ts_col).cast("double")).alias("_lo"),
-            F.max(F.col(ts_col).cast("double")).alias("_hi"),
+    n, offsets = _bucket_offsets(ratings, order[0], boundaries)
+    schema = (
+        "fold bigint, n_train bigint, n_test bigint, train_max_ts double, "
+        "test_min_ts double, test_max_ts double, leakage_free boolean"
+    )
+    spark = ratings.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    # sp6 KFold sizing: first (n % kk) segments get n//kk + 1 rows
+    base, rem = divmod(n, kk)
+    sizes = [base + 1 if s < rem else base for s in range(kk)]
+    starts = [sum(sizes[:s]) for s in range(kk)]
+    ranks: list[int] = []
+    for f in range(1, kk):
+        ranks.append(starts[f] - 1)  # last train row = train_max_ts
+        if sizes[f]:
+            ranks.extend((starts[f], starts[f] + sizes[f] - 1))
+    ts_at = _ts_at_ranks(ratings, order, ts_col, boundaries, offsets, ranks)
+    rows = []
+    for f in range(1, kk):
+        tr_max = ts_at.get(starts[f] - 1)
+        te_min = ts_at.get(starts[f]) if sizes[f] else None
+        te_max = ts_at.get(starts[f] + sizes[f] - 1) if sizes[f] else None
+        leak = (
+            None
+            if tr_max is None or te_min is None
+            else bool(tr_max <= te_min)
         )
-    )
-    # fan each segment out to the folds it participates in: train of
-    # every fold AFTER it, test of its own fold (segment 0 never tests)
-    empty = F.array().cast("array<bigint>")
-    train_folds = F.coalesce(
-        F.when(
-            F.col("_seg") < k, F.sequence(F.col("_seg") + 1, F.lit(int(k)))
-        ),
-        empty,
-    )
-    contrib = F.concat(
-        F.transform(
-            train_folds,
-            lambda f: F.struct(
-                f.alias("fold"),
-                F.lit("train").alias("role"),
-                F.col("_c").alias("c"),
-                F.col("_lo").alias("lo"),
-                F.col("_hi").alias("hi"),
-            ),
-        ),
-        F.when(
-            F.col("_seg") >= 1,
-            F.array(
-                F.struct(
-                    F.col("_seg").cast("bigint").alias("fold"),
-                    F.lit("test").alias("role"),
-                    F.col("_c").alias("c"),
-                    F.col("_lo").alias("lo"),
-                    F.col("_hi").alias("hi"),
-                )
-            ),
-        ).otherwise(
-            F.array().cast(
-                "array<struct<fold:bigint,role:string,c:bigint,lo:double,hi:double>>"
-            )
-        ),
-    )
-    staged = stats.select(contrib.alias("_arr"))  # own projection: the
-    # Spark 4.1 pruning discipline (explode over fresh aggregates)
-    rows = staged.select(F.explode("_arr").alias("_e")).select("_e.*")
-    is_tr = F.col("role") == "train"
-    return (
-        rows.groupBy("fold")
-        .agg(
-            F.sum(F.when(is_tr, F.col("c")).otherwise(0)).alias("n_train"),
-            F.sum(F.when(~is_tr, F.col("c")).otherwise(0)).alias("n_test"),
-            F.max(F.when(is_tr, F.col("hi"))).alias("train_max_ts"),
-            F.min(F.when(~is_tr, F.col("lo"))).alias("test_min_ts"),
-            F.max(F.when(~is_tr, F.col("hi"))).alias("test_max_ts"),
-        )
-        .withColumn(
-            "leakage_free", F.col("train_max_ts") <= F.col("test_min_ts")
-        )
-    )
+        rows.append((f, starts[f], sizes[f], tr_max, te_min, te_max, leak))
+    return spark.createDataFrame(rows, schema)
 
 
 def purged_embargo_folds(
@@ -862,74 +918,51 @@ def purged_embargo_folds(
     Returns one row per fold: (fold, n_train, n_test, n_purged,
     test_min_ts, test_max_ts).
 
-    Scale shape: ONE two-pass bucketed global rank (no
-    single-partition window) and then NO row fan-out at all — every
-    fold's role partition is a contiguous rank range, so the counts
-    are pure arithmetic in (n, fold, embargo) and the test-block
-    boundary timestamps are the ``ts`` values AT ranks s_f and e_f
-    (``ts`` leads the rank order, so the block min/max ts live exactly
-    at its rank endpoints). The plan filters the ranked frame to the
-    2k boundary ranks (map-side, k a small constant) and aggregates a
-    2k-row frame; everything else is sp6's KFold sizing arithmetic,
-    replayed bit-identically by the oracle.
+    Scale shape (r14): every fold's role partition is a contiguous
+    rank range, so the counts are pure sp6 sizing arithmetic in
+    (n, fold, embargo) and the test-block boundary timestamps are the
+    ``ts`` values AT ranks s_f and e_f (``ts`` leads the rank order,
+    so the block min/max ts live exactly at its rank endpoints). So:
+    one bounded bucket-count pass (collected, <= 33 rows), the sizing
+    arithmetic on the driver, and ONE within-bucket window over ONLY
+    the buckets holding the 2k boundary ranks (splits._ts_at_ranks) —
+    no full-table ranking shuffle; at 100 TB the window moves a
+    handful of buckets instead of every row. Empty test blocks
+    (n < k) drop out of the report, as before.
     """
     kk = int(k)
     order = [
         F.col(ts_col), F.col(user_col), F.col(item_col), F.col(rating_col)
     ]
+    # three bounded passes over a materialized 4-column projection —
+    # see rolling_origin_folds for the rationale
+    ratings = ratings.select(user_col, item_col, rating_col, ts_col).localCheckpoint()
     boundaries = _ts_boundaries(ratings, ts_col, 32)
-    df = _global_rank(ratings, order, descending=False, boundaries=boundaries)
-
-    # sp6 sizing: first (n % k) blocks get n//k + 1 rows — all pure
-    # column arithmetic over (_n, fold)
-    def _bounds(fold):
-        big = F.col("_n") % kk
-        small = F.expr(f"_n div {kk}")
-        s = F.when(fold < big, fold * (small + 1)).otherwise(
-            big * (small + 1) + (fold - big) * small
-        )
-        sz = F.when(fold < big, small + 1).otherwise(small)
-        return s, s + sz - 1
-
-    # fold membership of a BOUNDARY row: rank == s_f or e_f for some
-    # NON-EMPTY fold (an empty block's e_f = s_f - 1 would otherwise
-    # alias a real rank and fabricate a zero-test fold row)
-    rn0 = (F.col("_rn") - 1).alias("_rn0")
-
-    def _member(f):
-        s, e = _bounds(f)
-        return (e >= s) & ((s == F.col("_rn") - 1) | (e == F.col("_rn") - 1))
-
-    folds = F.filter(F.sequence(F.lit(0), F.lit(kk - 1)), _member)
-    hits = (
-        df.select(
-            rn0,
-            F.col("_n"),
-            F.col(ts_col).cast("double").alias("_ts"),
-            folds.alias("_folds"),
-        )
-        .filter(F.size("_folds") > 0)
-        .select("_rn0", "_n", "_ts", F.explode("_folds").alias("fold"))
+    n, offsets = _bucket_offsets(ratings, order[0], boundaries)
+    schema = (
+        "fold int, n_train bigint, n_test bigint, n_purged bigint, "
+        "test_min_ts double, test_max_ts double"
     )
-    s_f, e_f = _bounds(F.col("fold"))
-    emb = F.ceil(F.col("_n") * F.lit(float(embargo_frac))).cast("bigint")
-    n_test = e_f - s_f + 1
-    purged_span = (
-        F.least(e_f + emb, F.col("_n") - 1) - F.greatest(s_f - emb, F.lit(0)) + 1
-    )
-    return (
-        hits.groupBy("fold")
-        .agg(
-            F.min(F.when(F.col("_rn0") == s_f, F.col("_ts"))).alias("test_min_ts"),
-            F.max(F.when(F.col("_rn0") == e_f, F.col("_ts"))).alias("test_max_ts"),
-            F.first("_n").alias("_n"),
+    spark = ratings.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    # sp6 sizing: first (n % k) blocks get n//k + 1 rows; the embargo
+    # arithmetic mirrors the old column expressions op for op (ceil of
+    # a bigint*double product, clamped span endpoints)
+    big, small = n % kk, n // kk
+    emb = int(math.ceil(n * float(embargo_frac)))
+    bounds = []
+    for f in range(kk):
+        s = f * (small + 1) if f < big else big * (small + 1) + (f - big) * small
+        sz = small + 1 if f < big else small
+        if sz > 0:
+            bounds.append((f, s, s + sz - 1))
+    ranks = [r for _, s, e in bounds for r in (s, e)]
+    ts_at = _ts_at_ranks(ratings, order, ts_col, boundaries, offsets, ranks)
+    rows = []
+    for f, s, e in bounds:
+        span = min(e + emb, n - 1) - max(s - emb, 0) + 1
+        rows.append(
+            (f, n - span, e - s + 1, span - (e - s + 1), ts_at[s], ts_at[e])
         )
-        .select(
-            "fold",
-            (F.col("_n") - purged_span).cast("bigint").alias("n_train"),
-            n_test.cast("bigint").alias("n_test"),
-            (purged_span - n_test).cast("bigint").alias("n_purged"),
-            "test_min_ts",
-            "test_max_ts",
-        )
-    )
+    return spark.createDataFrame(rows, schema)
