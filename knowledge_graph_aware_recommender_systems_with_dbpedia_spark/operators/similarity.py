@@ -653,6 +653,7 @@ def append_delta_to_ivf_index(
     batch_id: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> None:
     """Exactly-once incremental index ingest (the streaming twin of
     :func:`append_to_ivf_index`): the batch is normalized + assigned
@@ -662,8 +663,15 @@ def append_delta_to_ivf_index(
     of appending a duplicate copy (the st10 merge-on-read discipline
     applied to the vector index). Deltas stay flat (small, read whole
     and filtered by cell); folding them into the main cell-partitioned
-    layout is the out-of-band compaction job, exactly like st10's."""
-    cents = spark.read.parquet(path + "/centroids")
+    layout is the out-of-band compaction job, exactly like st10's.
+
+    ``cents``: the stored centroid frame, when the caller already holds
+    it — a drain ingests many batches against the SAME static
+    centroids, so reading (and row-collecting, via _ivf_assign's
+    memo) once per drain instead of once per batch drops a footer
+    read + driver collect from every trigger."""
+    if cents is None:
+        cents = spark.read.parquet(path + "/centroids")
     assigned = _ivf_assign(_normalize(new_emb, id_col, vec_col), cents, 1)
     assigned.write.mode("overwrite").parquet(
         f"{path}/corpus_delta/batch={int(batch_id)}"

@@ -99,13 +99,17 @@ def curation_pipeline_stream(
     emb = embeddings.select(
         F.col(vec_id_col), F.col(vec_col)
     )
+    # one centroid read per DRAIN, not per trigger (static quantizer,
+    # single-writer contract); _ivf_assign memoizes the collected rows
+    # on this shared frame so later batches skip the driver collect too
+    cents = corpus.sparkSession.read.parquet(index_path + "/centroids")
 
     def process(batch: DataFrame, batch_id: int) -> None:
         curate_batch(
             batch, batch_id, corpus, state, emb, index_path, metrics_dir,
             checks, quality_threshold, bands, n_hashes, n, verify_threshold,
             id_col, text_col, vec_id_col, vec_col, drain_state_dir,
-            state_compact_dirs,
+            state_compact_dirs, cents,
         )
 
     import os
@@ -247,6 +251,7 @@ def curate_batch(
     vec_col: str = "embedding",
     drain_state_dir: str | None = None,
     state_compact_dirs: int = 8,
+    cents: DataFrame | None = None,
 ) -> None:
     """One micro-batch of the curation drain — module-level so the
     at-least-once retry contract is directly testable: every write is
@@ -369,6 +374,7 @@ def curate_batch(
             batch_id,
             id_col=vec_id_col,
             vec_col=vec_col,
+            cents=cents,
         )
     finally:
         for cached in batch_caches:

@@ -36,6 +36,10 @@ def ann_ingest_stream(
     """foreachBatch ingest of an embedding stream into a materialized
     IVF index's delta log. Returns the started query (availableNow
     drain — caller awaits)."""
+    # one centroid read per DRAIN, not per trigger: the quantizer is
+    # static for the drain's lifetime (single-writer contract), and
+    # _ivf_assign memoizes the collected rows on this shared frame
+    cents = vec_stream.sparkSession.read.parquet(index_path + "/centroids")
 
     def process(batch: DataFrame, batch_id: int) -> None:
         append_delta_to_ivf_index(
@@ -45,6 +49,7 @@ def ann_ingest_stream(
             batch_id,
             id_col=id_col,
             vec_col=vec_col,
+            cents=cents,
         )
 
     return (
