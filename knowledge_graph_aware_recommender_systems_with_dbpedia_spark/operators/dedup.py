@@ -1041,6 +1041,7 @@ def minhash_lsh_pairs_between(
     corpus_state: tuple[DataFrame, DataFrame] | None = None,
     cache_candidates: bool = True,
     cache_registry: list | None = None,
+    new_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus banded-LSH near-dup pairs: (new_id, corpus_id
     [, jaccard]). Signatures use the same fixed hash family on both
@@ -1054,6 +1055,12 @@ def minhash_lsh_pairs_between(
     :func:`build_corpus_dedup_index` — streaming ingest builds it ONCE
     (persisted) so each micro-batch re-signatures only the batch,
     never the corpus.
+
+    ``new_shingles``: optional pre-built (ideally persisted)
+    ``doc_shingles(new_docs)`` frame — the band signatures AND the
+    Jaccard verify then share ONE tokenize+shingle pass over the batch
+    text instead of two (guide §2.4; the caller owns the persist
+    lifecycle, exactly like ``dedup_state_rows(shingles=)``).
 
     ``cache_candidates``: the candidate-pair frame is consumed three
     times (two semi-join prunes + the final verify gate), so one-shot
@@ -1083,7 +1090,12 @@ def minhash_lsh_pairs_between(
     # bands / candidate ids (all O(batch)-sized by construction). A
     # caller whose "new" side is NOT small (a backfill join of two
     # corpus-scale tables) should use minhash_lsh_pairs instead.
-    nb = band_buckets(new_docs, bands, n_hashes, n, id_col, text_col).select(
+    sh_new_base = (
+        new_shingles
+        if new_shingles is not None
+        else doc_shingles(new_docs, id_col, text_col, n)
+    )
+    nb = band_buckets_from_shingles(sh_new_base, bands, n_hashes).select(
         F.col("id").alias("new_id"), "band", "bkey"
     )
     cb = corpus_buckets.select(F.col("id").alias("corpus_id"), "band", "bkey")
@@ -1105,7 +1117,7 @@ def minhash_lsh_pairs_between(
         cache_registry.append(cands)
     elif cache_candidates:
         cands = cands.cache()
-    sh_new = doc_shingles(new_docs, id_col, text_col, n).join(
+    sh_new = sh_new_base.join(
         F.broadcast(cands.select(F.col("new_id").alias("id"))),
         "id",
         "left_semi",
@@ -1115,6 +1127,17 @@ def minhash_lsh_pairs_between(
         "id",
         "left_semi",
     )
+    # sh_new / sh_c each feed TWO consumers (the per-doc size agg and
+    # the shingle-intersection join); both are candidate-bounded after
+    # the semi-join, so persisting them halves the scans of the batch
+    # shingles and of the (corpus-scale) shingle index per batch — at
+    # 100 TB the second full index probe per trigger was pure rework
+    # (guide §5: reuse only when recompute > memory pressure — these
+    # are O(candidates) rows). Registry-scoped like the candidates.
+    if cache_registry is not None:
+        sh_new = sh_new.persist()
+        sh_c = sh_c.persist()
+        cache_registry += [sh_new, sh_c]
     sn = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
     sc = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n2"))
     common = (
@@ -1156,6 +1179,7 @@ def dedup_against_corpus(
     corpus_state: tuple[DataFrame, DataFrame] | None = None,
     cache_candidates: bool = True,
     cache_registry: list | None = None,
+    new_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: the new batch minus every doc that is
     a verified near-dup of something ALREADY in the corpus — the
@@ -1170,7 +1194,7 @@ def dedup_against_corpus(
     gets reaped)."""
     flagged = minhash_lsh_pairs_between(
         new_docs, corpus, bands, n_hashes, n, verify_threshold, id_col, text_col,
-        corpus_state, cache_candidates, cache_registry,
+        corpus_state, cache_candidates, cache_registry, new_shingles,
     ).select(F.col("new_id").alias(id_col))
     # flagged ⊆ batch ids — broadcast it so the batch itself is never
     # shuffled for the anti-join (guide §3.1); no distinct — anti-join
@@ -1406,6 +1430,14 @@ def greedy_state_dedup_drops(
         )
         .distinct()
     )
+    # both shingle frames feed two consumers (size agg + intersection
+    # join) and are candidate-bounded — persist through the batch
+    # registry so the accumulated drain state is probed once per
+    # trigger, not twice (see minhash_lsh_pairs_between)
+    if cache_registry is not None:
+        sh_new = sh_new.persist()
+        sh_seen = sh_seen.persist()
+        cache_registry += [sh_new, sh_seen]
     sn = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
     sc = sh_seen.groupBy("id").agg(F.count(F.lit(1)).alias("n2"))
     common = (

@@ -283,6 +283,15 @@ def curate_batch(
     # the CacheManager — the r09 ADVICE leak class).
     batch_caches: list = []
     try:
+        # ONE tokenize+shingle pass over the batch text per trigger
+        # (guide §2.4): the corpus-dedup band signatures, the corpus-
+        # dedup Jaccard verify, and (below) the intra-drain state rows
+        # all derive from this persisted frame — previously each
+        # consumer re-tokenized the batch from the parquet source.
+        from ..operators.dedup import doc_shingles
+
+        cur_shingles = doc_shingles(curated, id_col, text_col, n).persist()
+        batch_caches.append(cur_shingles)
         survivors = dedup_against_corpus(
             curated,
             corpus,
@@ -294,6 +303,7 @@ def curate_batch(
             text_col=text_col,
             corpus_state=corpus_state,
             cache_registry=batch_caches,
+            new_shingles=cur_shingles,
         )
         # 2b. intra-drain new-vs-new dedup (VERDICT r10 item 1: the
         # corpus index covers only PRE-drain docs, so two near-dups
@@ -331,13 +341,14 @@ def curate_batch(
             # batch registry or every consumer replays that join
             survivors = survivors.persist()
             batch_caches.append(survivors)
-            # one shared shingle pass feeds both the bucket and the
-            # shingle branch of the state rows (guide §2.4 — without
-            # it the union's two branches each tokenized the batch)
-            from ..operators.dedup import doc_shingles
-
-            surv_shingles = doc_shingles(
-                survivors, id_col, text_col, n
+            # survivor shingles = the shared batch-shingle frame
+            # filtered to survivor ids (survivors ⊆ curated) — no
+            # re-tokenize; the id set is batch-bounded so the semi-join
+            # is a map-side broadcast probe of the cached shingles
+            surv_shingles = cur_shingles.join(
+                F.broadcast(survivors.select(F.col(id_col).alias("id"))),
+                "id",
+                "left_semi",
             ).persist()
             batch_caches.append(surv_shingles)
             dedup_state_rows(
