@@ -93,15 +93,28 @@ def lang_id_from_tokens(toks: Column) -> Column:
     argmax of stopword-marker hits, 'und' if no marker matched.
     Deterministic tie-break: lexicographically-first language wins.
     """
-    # fold into nested CASE: strictly-greater wins, so on ties the
-    # lexicographically-first language is kept
-    expr = F.lit("und")
-    max_hits = F.lit(0)
-    for lang in sorted(LANG_MARKERS):
-        hits = stopword_hits(toks, lang)
-        expr = F.when(hits > max_hits, F.lit(lang)).otherwise(expr)
-        max_hits = F.when(hits > max_hits, hits).otherwise(max_hits)
-    return expr
+    # linear argmax: one (hits, lang) struct per language, folded
+    # left-to-right in sorted order — strictly-greater wins, so ties
+    # keep the lexicographically-first language. The previous nested-
+    # CASE build re-nested EVERY prior hits expression into each step
+    # (expression tree ~2^|langs|); inlined through a filter pushdown
+    # (tx3's stratified sample) the duplicated tree re-tokenized the
+    # text dozens of times per row and fell out of whole-stage codegen.
+    # Each stopword_hits now appears exactly once.
+    cands = F.array(
+        *[
+            F.struct(
+                stopword_hits(toks, lang).alias("h"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.aggregate(
+        cands,
+        F.struct(F.lit(0).alias("h"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(x["h"] > acc["h"], x).otherwise(acc),
+    )
+    return best["lang"]
 
 
 def lang_id(c: Column) -> Column:
