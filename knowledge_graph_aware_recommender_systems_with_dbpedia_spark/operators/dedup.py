@@ -607,9 +607,23 @@ def connected_components(
     This is the standard "group near-dup pairs into clusters, keep one
     canonical doc" step of a training-data dedup pipeline.
     """
+    # both directions from ONE pass over the pair generator: the
+    # union-of-mirror spelling re-ran the (often join-heavy) upstream
+    # pair lineage under each branch (guide §2.4)
     edges = (
-        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
-        .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id1").alias("a"), F.col("id2").alias("b")
+                    ),
+                    F.struct(
+                        F.col("id2").alias("a"), F.col("id1").alias("b")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.*")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -709,7 +723,9 @@ def connected_components(
                 "comp",
             )
             .select("a", F.least("comp", "_c2").alias("comp"))
-            .localCheckpoint(eager=True)
+            # lazy: the convergence probe below materializes the
+            # checkpoint in its own job — one job per round, not two
+            .localCheckpoint(eager=False)
         )
         # Convergence test without the old join-and-count: labels are
         # MONOTONE non-increasing per node (min/least everywhere), so

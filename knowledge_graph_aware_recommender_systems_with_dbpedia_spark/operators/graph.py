@@ -369,8 +369,7 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .persist()
     )
@@ -442,8 +441,7 @@ def personalized_pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .persist()
     )
@@ -798,7 +796,11 @@ def kcore_fixpoint(
     |edges| rounds; real graphs converge in a handful (the driver
     query asserts its bound).
     """
-    current = ratings.localCheckpoint(eager=True)
+    # lazy checkpoint + count: the count materializes the checkpoint in
+    # the SAME job (LocalRDDCheckpointData persists partitions as the
+    # job computes them), so each round pays one job for
+    # materialize+probe instead of two (guide §1.2 — fewer passes)
+    current = ratings.localCheckpoint(eager=False)
     before = current.count()
     rounds, converged = 0, False
     while rounds < max_rounds:
@@ -815,7 +817,7 @@ def kcore_fixpoint(
             .filter(F.col("_d") >= k_user)
             .select(user_col)
         )
-        nxt = step.join(ku, user_col, "left_semi").localCheckpoint(eager=True)
+        nxt = step.join(ku, user_col, "left_semi").localCheckpoint(eager=False)
         after = nxt.count()
         current = nxt
         rounds += 1
@@ -883,8 +885,10 @@ def orient_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
         )
         .distinct()
     )
+    # both endpoints from ONE pass over the normalized edge list (the
+    # unionAll spelling recomputed the distinct under each branch)
     deg = (
-        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+        e.select(F.explode(F.array("a", "b")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -939,11 +943,10 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
     closing = oriented.select(F.col("u").alias("tb"), F.col("v").alias("tc"))
     tris = wedges.join(closing, ["tb", "tc"])
-    nodes = (
-        tris.select(F.col("ta").alias("node"))
-        .unionAll(tris.select(F.col("tb").alias("node")))
-        .unionAll(tris.select(F.col("tc").alias("node")))
-    )
+    # all three corners from ONE pass over the triangle join — the
+    # triple-union spelling re-ran the wedge/closing join under every
+    # branch (guide §2.4: the join is the expensive part)
+    nodes = tris.select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )

@@ -116,6 +116,14 @@ def item_cosine_similarity(
         )
         .filter(F.col("n_common") >= min_support)
     )
+    # union-of-mirror (NOT an explode-mirror): the union branches each
+    # re-run the reduce-side aggregation (ReuseExchange shares only the
+    # shuffle), but they keep downstream filters PUSHABLE — a consumer
+    # filtering on item_a/item_b prunes both branches below the pair
+    # join (the AQE skew test pins this posture), which at scale is
+    # worth far more than the duplicated agg; an explode-mirror is a
+    # pushdown barrier. The duplicate agg cost is paid once: the
+    # recommenders persist the topm table derived from this frame.
     sym = pairs.unionByName(
         pairs.select(
             F.col("item_b").alias("item_a"),
@@ -212,6 +220,7 @@ def kg_item_similarity(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    # union-of-mirror kept pushable — see item_cosine_similarity
     sym = pairs.unionByName(
         pairs.select(
             F.col("item_b").alias("item_a"),

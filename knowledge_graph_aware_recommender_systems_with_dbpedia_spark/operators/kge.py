@@ -51,8 +51,7 @@ def index_entities(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     from .graph import relabel_nodes
 
     ent_ids = (
-        triples.select(F.col("head").alias("node_id"))
-        .unionByName(triples.select(F.col("tail").alias("node_id")))
+        triples.select(F.explode(F.array("head", "tail")).alias("node_id"))
         .distinct()
     )
     ents = relabel_nodes(ent_ids).select(

@@ -8822,9 +8822,13 @@ def st14_index_staleness(spark, sf_dir):
     idx = os.path.join(tempfile.mkdtemp(prefix="st14_idx_"), "ivf")
     SIM.build_ivf_index(emb.filter(F.col("vec_id") < 400), idx, n_cells=8)
     new = emb.filter(F.col("vec_id") >= 400)
+    # one centroid read shared by the 3 appends (static quantizer;
+    # _ivf_assign memoizes the collected rows on the frame) — the
+    # per-append read cost one footer read + driver collect each
+    cents = spark.read.parquet(idx + "/centroids")
     for b in range(3):
         SIM.append_delta_to_ivf_index(
-            spark, idx, new.filter(F.col("vec_id") % 3 == b), b
+            spark, idx, new.filter(F.col("vec_id") % 3 == b), b, cents=cents
         )
     # eager localCheckpoint SEVERS lineage before compaction deletes
     # the delta dirs the report reads — a persist could still evict
