@@ -293,10 +293,22 @@ def minhash_signatures_from_shingles(
     tokenize+shingle pass over the text runs once, not once per
     derived table."""
     # materialize the (expensive) md5 hash ONCE per shingle — the 16 min
-    # aggregations then reuse the column instead of re-hashing 16x
-    hashed = sh.select("id", F.pmod(md5_long(F.col("shingle")), F.lit(MINHASH_PRIME)).alias("h"))
+    # aggregations then reuse the column instead of re-hashing 16x.
+    # Expressions are built as SQL text (ONE parser call each) instead
+    # of chained Column-API ops: this constructor runs once per
+    # micro-batch in the streaming drains, where the old py4j-call
+    # storm cost ~0.3 s of driver time per trigger (the IVF literal
+    # lesson, guide §5 — the driver should do almost no work). The
+    # parsed text compiles to the same Catalyst expressions.
+    hashed = sh.select(
+        "id",
+        F.expr(
+            "pmod(CAST(conv(substring(md5(CAST(shingle AS STRING)), 1, 15),"
+            f" 16, 10) AS BIGINT), {MINHASH_PRIME})"
+        ).alias("h"),
+    )
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"mh{i}")
+        F.expr(f"min(pmod({a} * h + {b}, {MINHASH_PRIME}))").alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
     ]
     return hashed.groupBy("id").agg(*aggs)
@@ -323,17 +335,7 @@ def minhash_lsh_pairs(
     "auto" probes bucket skew once and salts with 8 past
     ``skew_threshold``. Identical pair output either way.
     """
-    rows = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, n, id_col, text_col)
-    band_cols = []
-    for bi in range(bands):
-        cols = [F.col(f"mh{bi * rows + j}").cast("string") for j in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(bi).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("bkey"))
-        )
-    buckets = sig.select(
-        F.col("id"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    buckets = band_buckets(docs, bands, n_hashes, n, id_col, text_col)
 
     if salt == "auto":
         from .recommend import bucket_skew_ratio
@@ -1006,16 +1008,19 @@ def band_buckets_from_shingles(
     shared between the bucket and shingle tables)."""
     rows = n_hashes // bands
     sig = minhash_signatures_from_shingles(sh, n_hashes)
-    band_cols = []
-    for bi in range(bands):
-        cols = [F.col(f"mh{bi * rows + j}").cast("string") for j in range(rows)]
-        band_cols.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(F.concat_ws("_", *cols)).alias("bkey"),
-            )
+    # one parsed expression for the whole band fan-out (see
+    # minhash_signatures_from_shingles for why SQL text, not Columns)
+    parts = [
+        "named_struct('band', {}, 'bkey', md5(concat_ws('_', {})))".format(
+            bi,
+            ", ".join(
+                f"CAST(mh{bi * rows + j} AS STRING)" for j in range(rows)
+            ),
         )
-    return sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        for bi in range(bands)
+    ]
+    bk = F.expr("explode(array({}))".format(", ".join(parts)))
+    return sig.select("id", bk.alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
 
