@@ -41,32 +41,39 @@ def sample_negatives(
     k: int = 5,
     n_proposals: int = 12,
     seed: int = 11,
+    broadcast_items_max: int = 10_000_000,
 ) -> DataFrame:
     """k deterministic unrated items per user from the rated catalog.
 
     Returns ``(user_id, item_id, slot)`` — ``slot`` is the proposal
     index that produced the negative (stable tie-break + audit trail).
+
+    The catalog count lands as a literal (one bounded driver scalar,
+    same value the old 1-row crossJoin attached — that spelling ran the
+    dense-id lineage once extra under the agg), and the slot->item
+    resolve broadcasts the dense-id table while the catalog is at most
+    ``broadcast_items_max`` rows (~16 B/row core payload): the widest
+    frame of the query (|U| * n_proposals proposals) is then never
+    shuffled on item_idx. Past the threshold it falls back to the
+    shuffle join — the catalog, not the user base, decides.
     """
     pos = ratings.select("user_id", "item_id").distinct()
     idx = dense_ids(pos.select("item_id").distinct(), ["item_id"], "item_idx")
-    n_items = idx.agg(F.count(F.lit(1)).alias("_n_items"))
+    n_items = idx.count()
     users = pos.select("user_id").distinct()
-    props = (
-        users.select(
-            "user_id",
-            F.explode(F.array(*[F.lit(i) for i in range(n_proposals)])).alias("slot"),
-        )
-        .crossJoin(F.broadcast(n_items))
-        .select(
-            "user_id",
-            F.col("slot").cast("bigint").alias("slot"),
-            F.pmod(
-                H.det_hash(F.col("user_id"), F.col("slot"), seed=seed),
-                F.col("_n_items"),
-            ).alias("item_idx"),
-        )
+    props = users.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(i) for i in range(n_proposals)])).alias("slot"),
+    ).select(
+        "user_id",
+        F.col("slot").cast("bigint").alias("slot"),
+        F.pmod(
+            H.det_hash(F.col("user_id"), F.col("slot"), seed=seed),
+            F.lit(n_items).cast("bigint"),
+        ).alias("item_idx"),
     )
-    cands = props.join(idx, "item_idx").select("user_id", "item_id", "slot")
+    cat = F.broadcast(idx) if n_items <= broadcast_items_max else idx
+    cands = props.join(cat, "item_idx").select("user_id", "item_id", "slot")
     neg = cands.join(pos, ["user_id", "item_id"], "left_anti")
     first_slot = neg.groupBy("user_id", "item_id").agg(F.min("slot").alias("slot"))
     w = Window.partitionBy("user_id").orderBy("slot", "item_id")
