@@ -62,6 +62,21 @@ UNIT_SQL = f"({HASH_SQL}) / 1000000.0"
 TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
+def _par(*thunks):
+    """Run independent driver actions concurrently (guide §2.6 —
+    overlap independent jobs): Spark's scheduler happily runs several
+    jobs at once; actions are only sequential because the driver calls
+    them sequentially. FIFO scheduling back-fills the first job's
+    straggler tail with the second job's tasks. Returns results in
+    thunk order; used ONLY for coarse setup jobs (a pool of tiny
+    driver-blocking jobs thrashes — the st14 measurement)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _stamp_slice_mtimes(slice_dirs: list[str], gap_s: float = 2.0) -> None:
     """Pin each written stream-slice directory's file mtimes to
     strictly increasing values (earliest slice oldest). The streaming
@@ -8751,9 +8766,15 @@ def st13_stream_ann_ingest(spark, sf_dir):
     idx = os.path.join(tempfile.mkdtemp(prefix="st13_idx_"), "ivf")
     in_dir = tempfile.mkdtemp(prefix="st13_in_")
     ck_dir = tempfile.mkdtemp(prefix="st13_ck_")
-    SIM.build_ivf_index(emb.filter(F.col("vec_id") < 400), idx, n_cells=8)
     new = emb.filter(F.col("vec_id") >= 400)
-    new.repartition(3).write.mode("overwrite").parquet(in_dir)
+    # index build and stream-input write are independent setup jobs —
+    # overlap them (guide §2.6)
+    _par(
+        lambda: SIM.build_ivf_index(
+            emb.filter(F.col("vec_id") < 400), idx, n_cells=8
+        ),
+        lambda: new.repartition(3).write.mode("overwrite").parquet(in_dir),
+    )
     stream = (
         spark.readStream.schema(spark.read.parquet(in_dir).schema)
         .option("maxFilesPerTrigger", 1)
@@ -8914,8 +8935,14 @@ def st15_stream_curation_e2e(spark, sf_dir):
     in_dir = tempfile.mkdtemp(prefix="st15_in_")
     ck_dir = tempfile.mkdtemp(prefix="st15_ck_")
     metrics = tempfile.mkdtemp(prefix="st15_m_") + "/metrics"
-    SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=8)
-    new.repartition(3).write.mode("overwrite").parquet(in_dir)
+    # index build (embeddings) and stream-input write (documents) are
+    # independent setup jobs — overlap them (guide §2.6)
+    _par(
+        lambda: SIM.build_ivf_index(
+            emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=8
+        ),
+        lambda: new.repartition(3).write.mode("overwrite").parquet(in_dir),
+    )
     SC.run_curation_drain(
         STD.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
         corpus,
@@ -9009,8 +9036,13 @@ def st16_curation_compaction(spark, sf_dir):
     in_dir = tempfile.mkdtemp(prefix="st16_in_")
     ck_dir = tempfile.mkdtemp(prefix="st16_ck_")
     metrics = tempfile.mkdtemp(prefix="st16_m_") + "/metrics"
-    SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=8)
-    new.repartition(3).write.mode("overwrite").parquet(in_dir)
+    # independent setup jobs overlapped — see st15 (guide §2.6)
+    _par(
+        lambda: SIM.build_ivf_index(
+            emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=8
+        ),
+        lambda: new.repartition(3).write.mode("overwrite").parquet(in_dir),
+    )
     compacted = SC.run_curation_drain(
         STD.read_docs_stream(spark, in_dir, max_files_per_trigger=1),
         corpus,
@@ -9171,34 +9203,52 @@ def st18_intra_drain_dedup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    # min-id quality-passing doc WITH its text in one TakeOrdered job
-    # (was two driver round-trips: agg(min) then a point lookup)
-    donor_text = (
-        new.filter(TX.quality_score(F.col("text")) >= 0.68)
-        .orderBy("doc_id")
-        .select("doc_id", "text")
-        .first()
-        .text
-    )
+    # donor text AND the feed's max id from ONE aggregate job (was a
+    # TakeOrdered for the donor plus a separate max agg — two full
+    # passes over `new`): min over a quality-gated (doc_id, text)
+    # struct is the smallest quality-passing doc (struct order is
+    # lexicographic and doc_id is unique, so text never decides; min
+    # skips the NULLs the when() leaves on failing rows), and max id
+    # is override-invariant (the echo override never changes ids).
+    row = new.agg(
+        F.min(
+            F.when(
+                TX.quality_score(F.col("text")) >= 0.68,
+                F.struct("doc_id", "text"),
+            )
+        ).alias("donor"),
+        F.max("doc_id").alias("hi"),
+    ).first()
+    donor_text, hi = row.donor.text, row.hi
     feed = new.withColumn(
         "text",
         F.when(F.col("doc_id") % 100 == 45, F.lit(donor_text)).otherwise(
             F.col("text")
         ),
     )
-    hi = feed.agg(F.max("doc_id")).first()[0]
     idx = tempfile.mkdtemp(prefix="st18_idx_") + "/ivf"
     in_dir = tempfile.mkdtemp(prefix="st18_in_")
     ck_dir = tempfile.mkdtemp(prefix="st18_ck_")
     metrics = tempfile.mkdtemp(prefix="st18_m_") + "/metrics"
-    SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=8)
-    cuts = [0, hi // 3, 2 * hi // 3, hi + 1]
-    for j in range(3):
-        feed.filter(
-            (F.col("doc_id") >= cuts[j]) & (F.col("doc_id") < cuts[j + 1])
-        ).coalesce(1).write.parquet(f"{in_dir}/p{j}")
-    # file-source order = modification time, pinned without sleeping
-    _stamp_slice_mtimes([f"{in_dir}/p{j}" for j in range(3)])
+
+    # the IVF base build (embeddings) and the feed-slice writes
+    # (documents) are independent setup jobs — overlap them so the
+    # second job's tasks back-fill the first's stragglers (guide §2.6)
+    def _write_slices():
+        cuts = [0, hi // 3, 2 * hi // 3, hi + 1]
+        for j in range(3):
+            feed.filter(
+                (F.col("doc_id") >= cuts[j]) & (F.col("doc_id") < cuts[j + 1])
+            ).coalesce(1).write.parquet(f"{in_dir}/p{j}")
+        # file-source order = modification time, pinned without sleeping
+        _stamp_slice_mtimes([f"{in_dir}/p{j}" for j in range(3)])
+
+    _par(
+        lambda: SIM.build_ivf_index(
+            emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=8
+        ),
+        _write_slices,
+    )
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)

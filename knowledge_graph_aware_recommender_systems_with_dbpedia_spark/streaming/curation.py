@@ -269,8 +269,20 @@ def curate_batch(
     semantics: every per-doc verdict depends only on (doc, static
     state), so the output is invariant under ANY re-batching of the
     stream, not just order-preserving splits."""
-    # 1. quality gate: exactly-once metric log + row-level curation
-    write_batch_counts(batch, checks, metrics_dir, batch_id)
+    # 1. quality gate: exactly-once metric log + row-level curation.
+    # The metric write touches only (batch, checks) — fully independent
+    # of the dedup/index chain below — so it runs CONCURRENTLY with
+    # stage 2/3 (guide §2.6: overlap independent jobs; its tasks
+    # back-fill executors idled by the dedup chain's stragglers). The
+    # future is joined in the finally below, BEFORE foreachBatch
+    # returns: the trigger cannot commit until the metric partition is
+    # written, so the at-least-once overwrite contract is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    metrics_pool = ThreadPoolExecutor(max_workers=1)
+    metrics_fut = metrics_pool.submit(
+        write_batch_counts, batch, checks, metrics_dir, batch_id
+    )
     curated = batch.filter(
         quality_score(F.col(text_col)) >= F.lit(float(quality_threshold))
     )
@@ -388,5 +400,12 @@ def curate_batch(
             cents=cents,
         )
     finally:
-        for cached in batch_caches:
-            cached.unpersist(blocking=False)
+        # join the concurrent metric write before the trigger returns
+        # (and so before the streaming commit); shutdown() alone would
+        # swallow a failed write's exception
+        try:
+            metrics_fut.result()
+        finally:
+            metrics_pool.shutdown()
+            for cached in batch_caches:
+                cached.unpersist(blocking=False)
