@@ -8851,13 +8851,16 @@ def st14_index_staleness(spark, sf_dir):
         SIM.append_delta_to_ivf_index(
             spark, idx, new.filter(F.col("vec_id") % 3 == b), b, cents=cents
         )
-    # eager localCheckpoint SEVERS lineage before compaction deletes
-    # the delta dirs the report reads — a persist could still evict
-    # and recompute against retired paths mid-sweep
-    report = SIM.ivf_staleness_report(spark, idx).localCheckpoint()
+    # the localCheckpoint SEVERS lineage before compaction deletes the
+    # delta dirs the report reads — a persist could still evict and
+    # recompute against retired paths mid-sweep. Lazy + explicit count
+    # so its materialization runs CONCURRENTLY with the independent
+    # pre-compaction probe (guide §2.6); both are pinned before
+    # compact_ivf_index mutates the index below.
+    report = SIM.ivf_staleness_report(spark, idx).localCheckpoint(eager=False)
     queries = emb.filter(F.col("vec_id") < 8)
     before = SIM.ivf_topk_from_index(spark, idx, queries, k=5, n_probe=3)
-    before_rows = before.collect()
+    _, before_rows = _par(report.count, before.collect)
     SIM.compact_ivf_index(spark, idx)
     after = SIM.ivf_topk_from_index(spark, idx, queries, k=5, n_probe=3)
     invariant = sorted(map(tuple, before_rows)) == sorted(
@@ -9110,10 +9113,23 @@ def st17_stream_windowed_quality(spark, sf_dir):
     ck = tempfile.mkdtemp(prefix="st17_ck_")
     out = tempfile.mkdtemp(prefix="st17_out_") + "/win"
     cuts = [0, hi // 3, 2 * hi // 3, hi + 1]
-    for j in range(3):
-        docs.filter(
-            (F.col("doc_id") >= cuts[j]) & (F.col("doc_id") < cuts[j + 1])
-        ).coalesce(1).write.parquet(f"{in_dir}/p{j}")
+    # the three slice writes are independent single-task jobs — submit
+    # them concurrently instead of serializing three task launches
+    # (guide §2.6); slice ORDER is pinned by the mtime stamp below,
+    # not by write completion order
+    _par(
+        *[
+            (
+                lambda j=j: docs.filter(
+                    (F.col("doc_id") >= cuts[j])
+                    & (F.col("doc_id") < cuts[j + 1])
+                )
+                .coalesce(1)
+                .write.parquet(f"{in_dir}/p{j}")
+            )
+            for j in range(3)
+        ]
+    )
     # file-source order = modification time, pinned without sleeping
     _stamp_slice_mtimes([f"{in_dir}/p{j}" for j in range(3)])
     stream = (
