@@ -755,6 +755,42 @@ def test_curation_batch_retry_idempotent(spark, tmp_path):
     assert first[1]  # deltas non-empty — the test exercises real rows
 
 
+def test_curate_batch_metric_write_failure_fails_the_batch(
+    spark, tmp_path, monkeypatch
+):
+    """The quality-gate metric write runs CONCURRENTLY with the
+    dedup/index chain (r14 optimization), but its future is joined
+    before foreachBatch returns — so a failed metric write must still
+    fail the whole batch (the trigger never commits without its metric
+    partition). A swallowed failure here would break the exactly-once
+    metric-log contract silently."""
+    import pytest
+
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators import similarity as SIM
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.dedup import build_corpus_dedup_index
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.operators.expectations import Check
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.sources.tables import load_table
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.streaming import curation as SC
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = str(tmp_path / "idx") + "/ivf"
+    metrics = str(tmp_path / "metrics")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), idx, n_cells=4)
+    state = build_corpus_dedup_index(corpus, 8, 16, 3, "doc_id", "text")
+    checks = [Check("text_present", "completeness", "text", 1.0)]
+
+    def boom(*a, **k):
+        raise RuntimeError("metric write lost")
+
+    monkeypatch.setattr(SC, "write_batch_counts", boom)
+    with pytest.raises(RuntimeError, match="metric write lost"):
+        SC.curate_batch(new, 0, corpus, state, emb, idx, metrics, checks,
+                        quality_threshold=0.5)
+
+
 def test_run_curation_drain_compacts_when_due_and_search_invariant(spark, tmp_path):
     """st16's contract: run_curation_drain with a tripped trigger must
     (a) fire compaction — delta log physically retired, rows folded
