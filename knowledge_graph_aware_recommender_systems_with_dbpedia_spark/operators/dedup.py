@@ -430,16 +430,18 @@ def minhash_calibration_report(
         id_col=id_col, text_col=text_col,
     )
     sig = minhash_signatures(docs, n_hashes, n, id_col, text_col)
-    a = sig.select(
-        F.col("id").alias("id1"),
-        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(n_hashes)],
+    # parsed-string projections/fold instead of 3 x n_hashes Column
+    # py4j round trips (the minhash/band constructor fix; guide §5)
+    a = sig.selectExpr(
+        "id AS id1", *[f"mh{i} AS _a{i}" for i in range(n_hashes)]
     )
-    b = sig.select(
-        F.col("id").alias("id2"),
-        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(n_hashes)],
+    b = sig.selectExpr(
+        "id AS id2", *[f"mh{i} AS _b{i}" for i in range(n_hashes)]
     )
-    eq = sum(
-        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(n_hashes)
+    eq = F.expr(
+        "0 + " + " + ".join(
+            f"CAST(_a{i} = _b{i} AS INT)" for i in range(n_hashes)
+        )
     )
     per = (
         pairs.join(a, "id1")
@@ -489,24 +491,31 @@ def simhash(
     )
     h = F.pmod(md5_long(F.col("tok")), F.lit(2**bits)).alias("h")
     tok = tok.select("id", h)
+    # each agg/bit/band column is ONE parsed SQL string — the Column
+    # loop cost ~400 py4j round trips per construction (the minhash/
+    # band constructor fix; guide §5 driver overhead). The parses
+    # compile to the same Catalyst trees (int `/` is double Divide,
+    # CASE WHEN mirrors when/otherwise, left-assoc +), so signatures
+    # are bit-identical.
     aggs = [
-        F.sum(
-            F.when(F.pmod(F.floor(F.col("h") / F.lit(2**i)), F.lit(2)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.expr(
+            f"sum(CASE WHEN pmod(floor(h / {2**i}), 2) = 1 "
+            f"THEN 1 ELSE -1 END) AS b{i}"
+        )
         for i in range(bits)
     ]
     sums = tok.groupBy("id").agg(*aggs)
-    sim = None
-    for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)).cast("bigint")
-        sim = term if sim is None else sim + term
-    out = sums.select("id", sim.alias("simhash"))
+    sim = " + ".join(
+        f"CAST(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END AS BIGINT)"
+        for i in range(bits)
+    )
+    out = sums.select("id", F.expr(sim).alias("simhash"))
     # 4 bands of 8 bits for near-dup bucketing (hamming<=3 heuristics)
-    for bi in range(4):
-        out = out.withColumn(
-            f"band{bi}", F.pmod(F.floor(F.col("simhash") / F.lit(2 ** (8 * bi))), F.lit(256))
-        )
-    return out
+    bands = [
+        F.expr(f"pmod(floor(simhash / {2 ** (8 * bi)}), 256) AS band{bi}")
+        for bi in range(4)
+    ]
+    return out.select("id", "simhash", *bands)
 
 
 def simhash_pairs(

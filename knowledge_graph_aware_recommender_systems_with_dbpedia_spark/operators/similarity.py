@@ -100,21 +100,24 @@ def _signature_from_normalized(
         return nn.select("id", "v", F.lit(0).cast("bigint").alias("bucket"))
     dim = int(first[0]["d"])
 
-    def sign(j: int, d: int) -> float:
+    def sign(j: int, d: int) -> str:
         h = int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:15], 16)
-        return 1.0 if h % 2 == 0 else -1.0
+        return "1.0D" if h % 2 == 0 else "-1.0D"
 
-    sig = None
-    for j in range(n_planes):
-        planes = F.array(*[F.lit(sign(j, d)) for d in range(dim)])
-        proj = F.aggregate(
-            F.zip_with(F.col("v"), planes, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # ONE parsed SQL expression instead of n_planes x dim F.lit py4j
+    # round trips (~256 calls at 4 planes x dim 64 — the minhash/band
+    # constructor fix applied here; guide §5 driver overhead). The
+    # parse compiles to the same Catalyst tree the Column loop built —
+    # double literals, zip_with multiply, left-fold add, CASE WHEN,
+    # left-assoc integer bit sum — so buckets are bit-identical.
+    bits = " + ".join(
+        "(CASE WHEN aggregate(zip_with(v, array({arr}), (x, s) -> x * s), "
+        "0.0D, (acc, x) -> acc + x) > 0 THEN {bit} ELSE 0 END)".format(
+            arr=",".join(sign(j, d) for d in range(dim)), bit=2**j
         )
-        bit = F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return nn.select("id", F.col("v"), sig.alias("bucket"))
+        for j in range(n_planes)
+    )
+    return nn.select("id", F.col("v"), F.expr(bits).alias("bucket"))
 
 
 def hyperplane_signature(

@@ -36,6 +36,17 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4's DataFrame debugging decorates EVERY DataFrame/
+        # Column API call with call-site capture: getActiveSession + a
+        # JVM conf lookup + a Python stack walk + set/clear of the JVM
+        # PySparkCurrentOrigin — 3 extra py4j round trips per call,
+        # measured at ~60-80% of plan-construction wall for registry
+        # queries (q1 construct 0.39 s -> 0.19 s with the memo below;
+        # q9 0.80 -> 0.20 s). Pure driver-side Python-boundary
+        # overhead (guide §4/§5) — plans, results and error RAISING are
+        # unchanged; only the "user line that caused it" annotation on
+        # error messages is lost.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )

@@ -5,14 +5,30 @@ lineitem events documents embeddings — one parquet file per table under
 ``/root/testdata/sf{0.001,0.01,0.1}/``.
 
 Parquet scans get predicate pushdown + column pruning from Catalyst for
-free; loaders deliberately do NOT cache — callers decide persistence.
+free; loaders deliberately do NOT cache DATA — callers decide
+persistence. What IS reused (per session) is the analyzed reader
+DataFrame: ``spark.read.parquet`` re-lists the directory and re-reads
+the footer schema on every call (~0.1 s even warm — bare-path reads
+don't go through the catalog's FileStatusCache), and registry queries
+call ``load_table`` 1-6x per construction, 3x per bench repeat. The
+memo returns the same immutable plan object instead; execution still
+scans parquet every time (nothing is persisted), exactly like reading
+a catalog table whose file listing is cached (guide §6). Keyed weakly
+by session so a stopped session's entries die with it; the testdata
+paths are immutable for a session's lifetime, which is what makes the
+listing reuse sound.
 """
 
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
+
+_READER_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 TPCH_TABLES = (
     "region",
@@ -76,9 +92,16 @@ def shape_events(df: DataFrame) -> DataFrame:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return shape_events(spark.read.parquet(path))
-    return spark.read.parquet(path)
+    per_session = _READER_MEMO.setdefault(spark, {})
+    got = per_session.get(path)
+    if got is None:
+        got = spark.read.parquet(path)
+        if name == "events":
+            got = shape_events(got)
+        # benign insert race under concurrent drain threads: both
+        # compute the same immutable plan, last write wins
+        per_session[path] = got
+    return got
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

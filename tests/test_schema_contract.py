@@ -75,3 +75,22 @@ def test_tpch_fact_contract(spark):
     o = _types(spark, "orders")
     assert isinstance(o["o_orderdate"], TIMESTAMPS)
     assert isinstance(o["o_custkey"], INTEGRALS)
+
+
+def test_load_table_memoizes_reader_per_session(spark):
+    """The r14 reader memo: within one session, load_table returns the
+    SAME immutable DataFrame object for the same (sf_dir, table) — the
+    directory listing + footer schema read happen once, not per call
+    (guide §6 file-listing reuse). Different tables and different
+    sf_dirs stay distinct entries, and nothing is persisted: the memo
+    holds a lazy plan, so is_cached must stay False."""
+    a = load_table(spark, SF, "region")
+    b = load_table(spark, SF, "region")
+    assert a is b
+    assert load_table(spark, SF, "nation") is not a
+    other = "/root/testdata/sf0.01"
+    import os
+
+    if os.path.isdir(other):
+        assert load_table(spark, other, "region") is not a
+    assert not a.is_cached  # plan memo, never data caching
