@@ -89,16 +89,20 @@ def cosine_topk(
 
 
 def _signature_from_normalized(
-    nn: DataFrame, n_planes: int, seed: int
+    nn: DataFrame, n_planes: int, seed: int, dim: int | None = None
 ) -> DataFrame:
     """Sign-LSH bucket over an already-normalized (id, v) frame —
-    lets the multi-table path normalize the corpus ONCE."""
+    lets the multi-table path normalize the corpus ONCE. ``dim``: pass
+    the known vector width to skip the 1-row probe job — the
+    multi-table path otherwise paid 2 x n_tables probe collects for
+    one static dimension (guide §5 driver)."""
     import hashlib
 
-    first = nn.select(F.size("v").alias("d")).limit(1).collect()
-    if not first:  # empty input: keep schema, no rows
-        return nn.select("id", "v", F.lit(0).cast("bigint").alias("bucket"))
-    dim = int(first[0]["d"])
+    if dim is None:
+        first = nn.select(F.size("v").alias("d")).limit(1).collect()
+        if not first:  # empty input: keep schema, no rows
+            return nn.select("id", "v", F.lit(0).cast("bigint").alias("bucket"))
+        dim = int(first[0]["d"])
 
     def sign(j: int, d: int) -> str:
         h = int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:15], 16)
@@ -1111,18 +1115,25 @@ def cosine_lsh_topk(
     """
     c_nn = _normalize(emb, id_col, vec_col)
     q_nn = _normalize(queries, id_col, vec_col)
+    # ONE dim probe for the whole call — every table (both sides, and
+    # the salt probe) shares a single static vector width; an empty
+    # corpus keeps the probe-in-constructor fallback
+    first = c_nn.select(F.size("v").alias("d")).limit(1).collect()
+    dim = int(first[0]["d"]) if first else None
     if salt == "auto":
         from .recommend import bucket_skew_ratio
 
-        probe = _signature_from_normalized(c_nn, n_planes, seed).select("bucket")
+        probe = _signature_from_normalized(c_nn, n_planes, seed, dim=dim).select(
+            "bucket"
+        )
         salt = 8 if bucket_skew_ratio(probe, ["bucket"]) > skew_threshold else None
     pairs = None
     for t in range(n_tables):
         s = seed + 7919 * t  # prime stride -> independent sign matrices
-        c = _signature_from_normalized(c_nn, n_planes, s).select(
+        c = _signature_from_normalized(c_nn, n_planes, s, dim=dim).select(
             F.col("id").alias("nid"), F.col("v").alias("cv"), "bucket"
         )
-        q = _signature_from_normalized(q_nn, n_planes, s).select(
+        q = _signature_from_normalized(q_nn, n_planes, s, dim=dim).select(
             F.col("id").alias("qid"), F.col("v").alias("qv"), "bucket"
         )
         if salt:
