@@ -186,11 +186,22 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # Shared-fragment memo disclosure (VERDICT r14 item 9): queries
+    # riding plans.driver_queries._MEMO (user split / popularity recs)
+    # time differently depending on battery order — the first consumer
+    # pays the persisted build, later ones read the cache. Print the
+    # per-query memo build/hit deltas so every timing's attribution is
+    # visible in the bench stderr instead of inferred from source.
+    from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans import (
+        driver_queries as _dq,
+    )
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         runs: list[float] = []
         n = -1
+        memo0 = _dq.memo_stats()
         for i in range(repeats):
             t0 = time.time()
             df = fn(spark, SF_DIR)
@@ -206,7 +217,20 @@ def main() -> None:
             )
         times[name] = round(statistics.median(runs), 3)
         detail = "/".join(f"{r:.2f}" for r in runs)
-        print(f"# {name}: median {times[name]}s of [{detail}] rows={n}", file=sys.stderr)
+        memo1 = _dq.memo_stats()
+        memo = ""
+        if memo1 != memo0:
+            memo = (
+                f" memo_builds={memo1['builds'] - memo0['builds']}"
+                f" memo_hits={memo1['hits'] - memo0['hits']}"
+            )
+        print(
+            f"# {name}: median {times[name]}s of [{detail}] rows={n}{memo}",
+            file=sys.stderr,
+        )
+    # battery-end memo hygiene: unpersist + drop the shared fragments so
+    # nothing persisted outlives the battery (VERDICT r14 item 9)
+    _dq.clear_shared_memo()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -249,6 +273,27 @@ def main() -> None:
     # compact separators keep the driver-parsed line as small as the
     # contract allows (the bounded tail was cutting the pretty form)
     print(json.dumps(out, separators=(",", ":")))
+    # Tail-survivable compact record (VERDICT r14 'what's wrong' 1 /
+    # next-round item 1): the full line above is ~6 KB (149-query map)
+    # and a bounded tail capture decapitated it in BOTH the r12 and r13
+    # artifacts, costing PERF its per-query round-over-round two rounds
+    # running. This final line is ~200 bytes — whatever tail the driver
+    # keeps always ends with a parseable record carrying the headline
+    # total + the commit anchor. Marked "compact" and carrying the SAME
+    # metric/value as the full line; consumers that want per-query data
+    # parse the full line (or BENCH_FULL_latest.json / BENCH_HISTORY).
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "repeats": repeats,
+        "n_queries": len(times),
+        "git_sha": full["git_sha"],
+        "git_dirty": full["git_dirty"],
+        "compact": True,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 def _git_state(repo_dir: str) -> tuple[str, bool]:

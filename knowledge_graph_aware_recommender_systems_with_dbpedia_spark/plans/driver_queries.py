@@ -144,10 +144,35 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keyed on (session, sf_dir) so scales never cross-contaminate.
 _MEMO: dict[tuple, DataFrame] = {}
 
+# Bench-honesty counters (VERDICT r14 item 9): per-query timings of the
+# memo's consumers depend on battery order — the FIRST consumer pays
+# the build, later ones ride the cache. bench.py reads these deltas per
+# query and prints memo-build/memo-hit markers so the attribution is
+# disclosed instead of inferred.
+_MEMO_STATS = {"builds": 0, "hits": 0}
+
+
+def memo_stats() -> dict:
+    """Snapshot of the shared-fragment memo counters (copy)."""
+    return dict(_MEMO_STATS)
+
+
+def clear_shared_memo() -> None:
+    """Unpersist and drop every shared memo fragment — battery-end
+    hygiene (VERDICT r14 item 9: the memo should be bounded and
+    unpersisted when its battery is done, not live with the session)."""
+    for df in _MEMO.values():
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing left to unpersist
+    _MEMO.clear()
+
 
 def _memoized(key: tuple, build) -> DataFrame:
     df = _MEMO.get(key)
     if df is None:
+        _MEMO_STATS["builds"] += 1
         df = _MEMO[key] = build().persist()
     elif df.storageLevel.useMemory is False and df.storageLevel.useDisk is False:
         # a spark.catalog.clearCache() elsewhere (tests, notebook
@@ -156,7 +181,10 @@ def _memoized(key: tuple, build) -> DataFrame:
         # every consumer would recompute the split/recs from parquet,
         # and its explain() would expand the formerly-cached subtree
         # (an order-dependent plan-lint flake caught exactly that)
+        _MEMO_STATS["hits"] += 1
         df.persist()
+    else:
+        _MEMO_STATS["hits"] += 1
     return df
 
 
