@@ -1072,6 +1072,7 @@ def minhash_lsh_pairs_between(
     cache_candidates: bool = True,
     cache_registry: list | None = None,
     new_shingles: DataFrame | None = None,
+    broadcast_batch: bool | None = None,
 ) -> DataFrame:
     """Cross-corpus banded-LSH near-dup pairs: (new_id, corpus_id
     [, jaccard]). Signatures use the same fixed hash family on both
@@ -1120,6 +1121,20 @@ def minhash_lsh_pairs_between(
     # bands / candidate ids (all O(batch)-sized by construction). A
     # caller whose "new" side is NOT small (a backfill join of two
     # corpus-scale tables) should use minhash_lsh_pairs instead.
+    #
+    # The contract is GATED at runtime (VERDICT r14 item 3 — the
+    # negatives.py bounded-broadcast pattern): ``broadcast_batch=None``
+    # probes the optimizer's size estimate of the batch frame once per
+    # invocation; past the bound every broadcast hint below degrades to
+    # an unhinted join (planner-chosen shuffle strategy — graceful at
+    # any size) instead of broadcasting an unbounded first-trigger
+    # backlog. Callers that already know (streaming drains probe once
+    # per trigger) pass the verdict explicitly.
+    if broadcast_batch is None:
+        from ..functions.partitioning import batch_fits_broadcast
+
+        broadcast_batch = batch_fits_broadcast(new_docs)
+    bc = F.broadcast if broadcast_batch else (lambda df: df)
     sh_new_base = (
         new_shingles
         if new_shingles is not None
@@ -1129,7 +1144,7 @@ def minhash_lsh_pairs_between(
         F.col("id").alias("new_id"), "band", "bkey"
     )
     cb = corpus_buckets.select(F.col("id").alias("corpus_id"), "band", "bkey")
-    cands0 = F.broadcast(nb).join(cb, ["band", "bkey"]).select(
+    cands0 = bc(nb).join(cb, ["band", "bkey"]).select(
         "new_id", "corpus_id"
     )
     if verify_threshold is None:
@@ -1148,12 +1163,12 @@ def minhash_lsh_pairs_between(
     elif cache_candidates:
         cands = cands.cache()
     sh_new = sh_new_base.join(
-        F.broadcast(cands.select(F.col("new_id").alias("id"))),
+        bc(cands.select(F.col("new_id").alias("id"))),
         "id",
         "left_semi",
     )
     sh_c = corpus_shingles.join(
-        F.broadcast(cands.select(F.col("corpus_id").alias("id"))),
+        bc(cands.select(F.col("corpus_id").alias("id"))),
         "id",
         "left_semi",
     )
@@ -1171,18 +1186,18 @@ def minhash_lsh_pairs_between(
     sn = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
     sc = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n2"))
     common = (
-        F.broadcast(sh_new.select(F.col("id").alias("new_id"), "shingle"))
+        bc(sh_new.select(F.col("id").alias("new_id"), "shingle"))
         .join(sh_c.select(F.col("id").alias("corpus_id"), "shingle"), "shingle")
         .groupBy("new_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(F.broadcast(cands), ["new_id", "corpus_id"], "left_semi")
+        .join(bc(cands), ["new_id", "corpus_id"], "left_semi")
     )
     return (
         common.join(
-            F.broadcast(sn.select(F.col("id").alias("new_id"), "n1")), "new_id"
+            bc(sn.select(F.col("id").alias("new_id"), "n1")), "new_id"
         )
         .join(
-            F.broadcast(sc.select(F.col("id").alias("corpus_id"), "n2")),
+            bc(sc.select(F.col("id").alias("corpus_id"), "n2")),
             "corpus_id",
         )
         .select(
@@ -1210,6 +1225,7 @@ def dedup_against_corpus(
     cache_candidates: bool = True,
     cache_registry: list | None = None,
     new_shingles: DataFrame | None = None,
+    broadcast_batch: bool | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: the new batch minus every doc that is
     a verified near-dup of something ALREADY in the corpus — the
@@ -1222,14 +1238,23 @@ def dedup_against_corpus(
     ``cache_registry`` and unpersist its entries once the batch output
     is materialized — a fire-and-forget cache per micro-batch never
     gets reaped)."""
+    if broadcast_batch is None:
+        from ..functions.partitioning import batch_fits_broadcast
+
+        broadcast_batch = batch_fits_broadcast(new_docs)
     flagged = minhash_lsh_pairs_between(
         new_docs, corpus, bands, n_hashes, n, verify_threshold, id_col, text_col,
         corpus_state, cache_candidates, cache_registry, new_shingles,
+        broadcast_batch,
     ).select(F.col("new_id").alias(id_col))
     # flagged ⊆ batch ids — broadcast it so the batch itself is never
     # shuffled for the anti-join (guide §3.1); no distinct — anti-join
-    # semantics are multiplicity-blind, the dedup was one more shuffle
-    return new_docs.join(F.broadcast(flagged), id_col, "left_anti")
+    # semantics are multiplicity-blind, the dedup was one more shuffle.
+    # Same runtime gate as the pair search: a backfill-sized batch's
+    # flag set may itself be unbounded, so it degrades to an unhinted
+    # anti-join past the bound.
+    flagged = F.broadcast(flagged) if broadcast_batch else flagged
+    return new_docs.join(flagged, id_col, "left_anti")
 
 
 def dedup_state_rows(
@@ -1291,7 +1316,9 @@ def recover_dedup_state_compaction(state_dir: str) -> None:
         shutil.rmtree(new)  # uncommitted (possibly partial) stage
 
 
-def compact_dedup_state(spark, state_dir: str) -> bool:
+def compact_dedup_state(
+    spark, state_dir: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> bool:
     """Fold every per-batch dedup-state partition into ONE base
     partition (``batch=-1``) — the small-files control for the
     intra-drain dedup state (each micro-batch writes its own dir, so
@@ -1321,7 +1348,24 @@ def compact_dedup_state(spark, state_dir: str) -> bool:
         return False
     if df.select("batch").filter(F.col("batch") != -1).limit(1).count() == 0:
         return False  # already a lone base partition
-    df.drop("batch").write.mode("overwrite").parquet(
+    # Size the fold's output files by BYTES (guide §6; VERDICT r14
+    # item 4): the input is whatever small per-batch dirs accumulated,
+    # so writing one file per input split re-emits the fragmentation
+    # the fold exists to remove (measured: a 3-batch drain's base came
+    # out as 6 files of ~85 KB). The source is a parquet read, so the
+    # optimizer estimate is the actual byte size; the round-robin
+    # repartition keeps the read parallel and yields
+    # ceil(bytes/target) right-sized files — 1 locally, ~target-sized
+    # at any scale.
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        n_files = max(1, -(-est // int(target_file_bytes)))
+    except Exception:
+        n_files = None  # stats unreadable — keep the source layout
+    out = df.drop("batch")
+    if n_files is not None:
+        out = out.repartition(n_files)
+    out.write.mode("overwrite").parquet(
         f"{state_dir}/state_new/batch=-1"
     )
     shutil.move(live, f"{state_dir}/state_old")
@@ -1387,6 +1431,7 @@ def greedy_state_dedup_drops(
     verify_threshold: float = 0.5,
     batch_col: str = "batch",
     cache_registry: list | None = None,
+    broadcast_batch: bool | None = None,
 ) -> DataFrame:
     """Drop set for one micro-batch of a GREEDY first-seen dedup over
     an accumulating per-batch state (the intra-drain new-vs-new stage
@@ -1416,7 +1461,16 @@ def greedy_state_dedup_drops(
     # accumulated drain state — broadcast the batch-derived frames
     # (bands, candidate ids, candidate aggregates) so the drain-sized
     # state is never shuffled; over a long drain the state grows while
-    # every batch stays batch-sized.
+    # every batch stays batch-sized. Runtime-gated like
+    # minhash_lsh_pairs_between (VERDICT r14 item 3); the default probe
+    # runs on the state read, whose size-only estimate upper-bounds the
+    # batch slice — conservative in the safe direction. curate_batch
+    # passes the per-trigger verdict probed on the actual batch.
+    if broadcast_batch is None:
+        from ..functions.partitioning import batch_fits_broadcast
+
+        broadcast_batch = batch_fits_broadcast(state)
+    bcast = F.broadcast if broadcast_batch else (lambda df: df)
     state_bands = state.filter(F.col("bkey").isNotNull())
     state_shingles = state.filter(F.col("shingle").isNotNull())
     nb = state_bands.filter(F.col(batch_col) == int(batch_id)).select(
@@ -1428,7 +1482,7 @@ def greedy_state_dedup_drops(
     # a candidate-set shuffle per batch; multiplicity is bounded by
     # ``bands`` per pair (guide §2.4)
     cands = (
-        F.broadcast(nb).join(cb, ["band", "bkey"])
+        bcast(nb).join(cb, ["band", "bkey"])
         .filter(F.col("seen_id") < F.col("new_id"))
         .select("new_id", "seen_id")
     )
@@ -1439,7 +1493,7 @@ def greedy_state_dedup_drops(
         state_shingles.filter(F.col(batch_col) == int(batch_id))
         .select("id", "shingle")
         .join(
-            F.broadcast(cands.select(F.col("new_id").alias("id"))),
+            bcast(cands.select(F.col("new_id").alias("id"))),
             "id",
             "left_semi",
         )
@@ -1454,7 +1508,7 @@ def greedy_state_dedup_drops(
     sh_seen = (
         state_shingles.select("id", "shingle")
         .join(
-            F.broadcast(cands.select(F.col("seen_id").alias("id"))),
+            bcast(cands.select(F.col("seen_id").alias("id"))),
             "id",
             "left_semi",
         )
@@ -1471,15 +1525,15 @@ def greedy_state_dedup_drops(
     sn = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
     sc = sh_seen.groupBy("id").agg(F.count(F.lit(1)).alias("n2"))
     common = (
-        F.broadcast(sh_new.select(F.col("id").alias("new_id"), "shingle"))
+        bcast(sh_new.select(F.col("id").alias("new_id"), "shingle"))
         .join(sh_seen.select(F.col("id").alias("seen_id"), "shingle"), "shingle")
         .groupBy("new_id", "seen_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(F.broadcast(cands), ["new_id", "seen_id"], "left_semi")
+        .join(bcast(cands), ["new_id", "seen_id"], "left_semi")
     )
     verified = (
-        common.join(F.broadcast(sn.select(F.col("id").alias("new_id"), "n1")), "new_id")
-        .join(F.broadcast(sc.select(F.col("id").alias("seen_id"), "n2")), "seen_id")
+        common.join(bcast(sn.select(F.col("id").alias("new_id"), "n1")), "new_id")
+        .join(bcast(sc.select(F.col("id").alias("seen_id"), "n2")), "seen_id")
         .filter(
             F.col("n_common").cast("double")
             / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double")

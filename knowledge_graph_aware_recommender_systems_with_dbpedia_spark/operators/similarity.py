@@ -626,7 +626,13 @@ def build_ivf_index(
     nn = _normalize(emb, id_col, vec_col)
     cents = _ivf_centroids(nn, n_cells, seed)
     corpus = _ivf_assign(nn, cents, 1)
-    cents.write.mode("overwrite").parquet(path + "/centroids")
+    # centroids are a <=n_cells-row dim table (bounded at 512 by the
+    # literal-assign contract) — ONE file, not one per post-agg
+    # partition (measured: 9 files for 11 KB; every drain/probe then
+    # paid 9 footer reads + listings — guide §6 small-files). The
+    # coalesce collapses only the post-exchange formatting stage; the
+    # centroid aggregation itself stays parallel behind its shuffle.
+    cents.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
     corpus.write.mode("overwrite").partitionBy("cell").parquet(path + "/corpus")
 
 
@@ -866,7 +872,8 @@ def build_ivf_kmeans_index(
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     cents = emb.sparkSession.createDataFrame(centers, "cell int, cv array<double>")
-    cents.write.mode("overwrite").parquet(path + "/centroids")
+    # one-file dim table, same reasoning as build_ivf_index (guide §6)
+    cents.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
     corpus.write.mode("overwrite").partitionBy("cell").parquet(path + "/corpus")
 
 

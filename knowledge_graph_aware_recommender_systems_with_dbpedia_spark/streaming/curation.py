@@ -283,6 +283,18 @@ def curate_batch(
     metrics_fut = metrics_pool.submit(
         write_batch_counts, batch, checks, metrics_dir, batch_id
     )
+    # One broadcast-gate probe per trigger (VERDICT r14 item 3): the
+    # micro-batch frame is scan-backed, so the optimizer estimate is
+    # the actual file bytes of the trigger's input — a normal batch
+    # passes and every batch-derived frame below broadcasts as before;
+    # a backfill-sized first trigger fails the gate and the whole chain
+    # degrades to planner-chosen shuffle joins instead of OOMing on an
+    # unbounded broadcast. The verdict is shared by every stage of this
+    # trigger (they all broadcast O(batch)-bounded frames).
+    from ..functions.partitioning import batch_fits_broadcast
+
+    bb = batch_fits_broadcast(batch)
+    bcast = F.broadcast if bb else (lambda df: df)
     curated = batch.filter(
         quality_score(F.col(text_col)) >= F.lit(float(quality_threshold))
     )
@@ -316,6 +328,7 @@ def curate_batch(
             corpus_state=corpus_state,
             cache_registry=batch_caches,
             new_shingles=cur_shingles,
+            broadcast_batch=bb,
         )
         # 2b. intra-drain new-vs-new dedup (VERDICT r10 item 1: the
         # corpus index covers only PRE-drain docs, so two near-dups
@@ -358,7 +371,7 @@ def curate_batch(
             # re-tokenize; the id set is batch-bounded so the semi-join
             # is a map-side broadcast probe of the cached shingles
             surv_shingles = cur_shingles.join(
-                F.broadcast(survivors.select(F.col(id_col).alias("id"))),
+                bcast(survivors.select(F.col(id_col).alias("id"))),
                 "id",
                 "left_semi",
             ).persist()
@@ -377,15 +390,17 @@ def curate_batch(
                 batch_id,
                 verify_threshold=verify_threshold,
                 cache_registry=batch_caches,
+                broadcast_batch=bb,
             ).withColumnRenamed("id", id_col)
             # drop set ⊆ batch ids — broadcast so the batch is not
-            # shuffled for the anti-join (guide §3.1)
-            survivors = survivors.join(F.broadcast(nn_drops), id_col, "left_anti")
+            # shuffled for the anti-join (guide §3.1); runtime-gated
+            survivors = survivors.join(bcast(nn_drops), id_col, "left_anti")
         # 3. index the survivors' embeddings as an exactly-once delta.
         # Broadcast the batch-sized id set so the (corpus-scale)
         # embedding table is semi-joined map-side, never shuffled
-        # (guide §3.1/§3.2 — the emb scan still prunes to two columns)
-        batch_emb = F.broadcast(
+        # (guide §3.1/§3.2 — the emb scan still prunes to two columns);
+        # runtime-gated like the rest of the trigger's batch broadcasts
+        batch_emb = bcast(
             survivors.select(F.col(id_col).alias("_id"))
         ).join(
             emb, F.col("_id") == F.col(vec_id_col), "inner"

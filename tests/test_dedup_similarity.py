@@ -518,6 +518,15 @@ def test_ivf_index_build_probe_matches_inline(spark, tmp_path):
     qs = emb.filter(F.col("vec_id") < 5)
     idx = str(tmp_path / "ivf")
     SIM.build_ivf_index(emb, idx, n_cells=8)
+    # the centroid dim table (<=512 rows by contract) is ONE file —
+    # every drain/probe footer-reads it, so per-partition fragments
+    # were pure listing overhead (guide §6; r15)
+    import os as _os
+
+    assert (
+        len([f for f in _os.listdir(idx + "/centroids") if f.endswith(".parquet")])
+        == 1
+    )
     via_index = SIM.ivf_topk_from_index(spark, idx, qs, k=5, n_probe=3)
     inline = SIM.ivf_topk(emb, qs, k=5, n_cells=8, n_probe=3)
     assert sorted(map(tuple, via_index.collect())) == sorted(map(tuple, inline.collect()))

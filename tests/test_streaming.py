@@ -157,6 +157,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got_rows == want_rows and len(got_rows) > 0
 
 
+@pytest.mark.slow
 def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     # two files fed one per trigger; the query is STOPPED after batch 1
     # and restarted from the SAME checkpoint — recovery must process
@@ -608,6 +609,7 @@ def _mk_vectors(spark, lo, hi):
     )
 
 
+@pytest.mark.slow
 def test_ann_ingest_stream_matches_batch_index(spark, tmp_path):
     """st13's contract: streaming delta ingest (3 micro-batches) ==
     one-shot append_to_ivf_index == from-scratch same-centroid index
@@ -650,6 +652,7 @@ def test_ann_ingest_stream_matches_batch_index(spark, tmp_path):
     assert once == 7
 
 
+@pytest.mark.slow
 def test_curation_pipeline_batching_invariant_and_gated(spark, tmp_path):
     """st15's contract: the composed drain (quality gate -> corpus
     dedup -> ANN delta ingest) lands the SAME index content whether
@@ -791,6 +794,7 @@ def test_curate_batch_metric_write_failure_fails_the_batch(
                         quality_threshold=0.5)
 
 
+@pytest.mark.slow
 def test_run_curation_drain_compacts_when_due_and_search_invariant(spark, tmp_path):
     """st16's contract: run_curation_drain with a tripped trigger must
     (a) fire compaction — delta log physically retired, rows folded
@@ -848,6 +852,7 @@ def test_run_curation_drain_compacts_when_due_and_search_invariant(spark, tmp_pa
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= n_persisted_before
 
 
+@pytest.mark.slow
 def test_compact_ivf_index_crash_recovery(spark, tmp_path):
     """compact_ivf_index's rename-aside swap (r09 ADVICE, medium):
     every crash window leaves a state recover_ivf_compaction rolls
@@ -950,6 +955,7 @@ def test_compact_ivf_index_crash_recovery(spark, tmp_path):
     assert not os.path.exists(idx + "/corpus_delta")
 
 
+@pytest.mark.slow
 def test_intra_drain_new_vs_new_dedup_batching_invariant(spark, tmp_path):
     """VERDICT r10 item 1: near-dups arriving within ONE drain (same
     or different micro-batches, neither in the corpus) must not both
@@ -1033,6 +1039,7 @@ def test_intra_drain_new_vs_new_dedup_batching_invariant(spark, tmp_path):
     assert echo_ids & {i for i, _ in raw}  # without 2b the echoes land
 
 
+@pytest.mark.slow
 def test_compact_dedup_state_folds_and_recovers(spark, tmp_path):
     """Drain-state small-files control: per-batch state dirs fold into
     one batch=-1 base with the row multiset unchanged; every crash
@@ -1065,6 +1072,15 @@ def test_compact_dedup_state_folds_and_recovers(spark, tmp_path):
     assert {r.batch for r in got.select("batch").distinct().collect()} == {-1}
     assert {tuple(r) for r in got.drop("batch").collect()} == want
     assert not DD.compact_dedup_state(spark, sd)  # lone base: no-op
+    # bytes-sized fold output (guide §6): a KB-scale state folds into
+    # ONE file, not one per input split (r15 — the fold used to re-emit
+    # the per-batch fragmentation it exists to remove)
+    base_files = [
+        f
+        for f in os.listdir(sd + "/state/batch=-1")
+        if f.endswith(".parquet")
+    ]
+    assert len(base_files) == 1
 
     # crash A: staged, no rename yet — live untouched, stage discarded
     build()
@@ -1137,6 +1153,7 @@ def test_maybe_compact_recovers_midswap_crash_in_process(spark, tmp_path):
     assert {tuple(r) for r in got.drop("batch").collect()} == want
 
 
+@pytest.mark.slow
 def test_intra_drain_state_extends_across_successive_drains(spark, tmp_path):
     """Successive drains sharing a checkpoint: the corpus dedup state
     is rebuilt per drain from the STATIC corpus frame, so a doc
@@ -1203,6 +1220,7 @@ def test_intra_drain_state_extends_across_successive_drains(spark, tmp_path):
     assert indexed2 == indexed1  # drain 2 added nothing else either
 
 
+@pytest.mark.slow
 def test_mid_drain_state_compaction_folds_and_preserves_verdicts(spark, tmp_path):
     """VERDICT r11 item 1: a long-lived drain must not accumulate one
     state dir per micro-batch forever (every later batch lists and
@@ -1271,6 +1289,7 @@ def test_mid_drain_state_compaction_folds_and_preserves_verdicts(spark, tmp_path
     assert folded == plain and folded  # verdicts identical, non-trivial
 
 
+@pytest.mark.slow
 def test_greedy_drops_idempotent_under_fold_replay_duplication(spark, tmp_path):
     """The one at-least-once window mid-drain folding opens: a crashed
     attempt of batch N wrote state/batch=N, the replay's pre-read fold
@@ -1322,6 +1341,7 @@ def test_greedy_drops_idempotent_under_fold_replay_duplication(spark, tmp_path):
     assert drops(dup) == want
 
 
+@pytest.mark.slow
 def test_drain_restart_continuity_with_mid_drain_folds(spark, tmp_path):
     """VERDICT r11 item 7 — the cross-drain continuity claim as ONE
     end-to-end pin: drain 1 runs 10 micro-batches with
@@ -1424,6 +1444,7 @@ def test_curation_pipeline_stream_requires_corpus_state(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_curation_drain_recovers_crashed_compaction(spark, tmp_path):
     """Crashed-compaction-mid-drain (VERDICT r09 item 2): a previous
     drain's compaction died between the two swap renames — NO corpus
