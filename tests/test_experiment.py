@@ -1,6 +1,8 @@
 import csv
 import os
 
+import pytest
+
 from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans import experiment as EX
 
 
@@ -71,6 +73,7 @@ def _config(d, models, report_file, k=3, split=None):
     }
 
 
+@pytest.mark.slow
 def test_experiment_kfold_popularity_and_kge(spark, tmp_path):
     _make_dataset(tmp_path)
     out = tmp_path / "res" / "run.csv"
@@ -112,6 +115,7 @@ def test_experiment_holdout_deterministic(spark, tmp_path):
     assert set(r1["popularity"]) == {"MAP@3", "nDCG@3"}  # hold-out: no fold cols
 
 
+@pytest.mark.slow
 def test_experiment_rolling_origin_split_via_yaml(spark, tmp_path):
     """VERDICT r13 item 7: {method: rolling_origin, k} in the YAML
     split grammar — the runner trains each fold on strictly earlier
@@ -147,6 +151,7 @@ def test_experiment_rolling_origin_split_via_yaml(spark, tmp_path):
         assert tmax <= tmin and test.count() > 0
 
 
+@pytest.mark.slow
 def test_experiment_purged_embargo_split_via_yaml(spark, tmp_path):
     """VERDICT r13 item 7: {method: purged_embargo, k, embargo_frac}
     in the YAML split grammar — each fold's train additionally purges
@@ -277,6 +282,7 @@ def test_golden_popularity_kfold(spark, tmp_path):
     assert rows["popularity"] == golden
 
 
+@pytest.mark.slow
 def test_golden_transe_kfold(spark, tmp_path):
     """Seeded numpy SGD is fully deterministic — the committed transE
     metrics pin the KGE numerics against gradient-refactor regressions

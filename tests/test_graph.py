@@ -162,6 +162,7 @@ def test_label_propagation_two_cliques(spark):
     assert out["a"] != out["x"]
 
 
+@pytest.mark.slow
 def test_aggregate_messages_degree_and_pregel_pagerank(spark):
     """The GraphX-primitive layer: aggregateMessages computes degrees;
     a pregel-expressed PageRank matches the dedicated pagerank
@@ -232,6 +233,7 @@ def test_aggregate_messages_degree_and_pregel_pagerank(spark):
         assert abs(got_pr[k] - want_pr[k]) < 1e-12
 
 
+@pytest.mark.slow
 def test_personalized_pagerank_matches_hand_rolled(spark):
     """PPR vs a hand-rolled power iteration: teleport mass goes only
     to the seeds; non-seed unreachable nodes end at 0."""
@@ -338,6 +340,7 @@ def test_co_rating_pairs_skew_stress_bound(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_co_rating_pairs_join_output_guard(spark):
     """VERDICT r12 item 5: the dq7 join-cardinality pre-flight wired
     INTO the operator. A synthetic hot key — one item whose degree
@@ -403,6 +406,7 @@ def test_co_occurrence_pairs_hand_computed(spark):
     assert capped == {("a", "b"): 2}
 
 
+@pytest.mark.slow
 def test_co_occurrence_pairs_join_output_guard(spark):
     """VERDICT r13 item 5: a synthetic hot group (40 items in one
     session = C(40,2) = 780 pairs) trips max_join_output BEFORE the
@@ -457,6 +461,7 @@ def test_kcore_fixpoint_hand_computed_cascade(spark):
     assert got == {(1, 10), (1, 11), (2, 10), (2, 11)}
 
 
+@pytest.mark.slow
 def test_kcore_decremental_matches_from_scratch(spark):
     """The maintenance theorem, adversarially: peeling the STALE core
     minus the deleted users must equal the from-scratch fixpoint on

@@ -58,6 +58,7 @@ def test_training_separates_pos_from_neg(model):
     assert f_pos < f_neg, (model, f_pos, f_neg)
 
 
+@pytest.mark.slow
 def test_kge_recommender_end_to_end(spark):
     ratings = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
         F.col("o_custkey").alias("user_id"),
@@ -77,6 +78,7 @@ def test_kge_recommender_end_to_end(spark):
     assert overlap == 0
 
 
+@pytest.mark.slow
 def test_collect_triples_guard_fails_fast(spark):
     """An oversized triple set must raise the actionable cap error
     BEFORE any driver collect, not OOM mid-collect."""
@@ -92,6 +94,7 @@ def test_collect_triples_guard_fails_fast(spark):
     assert idx.shape == (3, 3)
 
 
+@pytest.mark.slow
 def test_index_entities_deterministic(spark):
     t = spark.createDataFrame(
         [("a", "r1", "b"), ("b", "r2", "c")], "head string, relation string, tail string"
@@ -103,6 +106,7 @@ def test_index_entities_deterministic(spark):
     assert sorted(x.idx for x in e1.collect()) == [0, 1, 2]
 
 
+@pytest.mark.slow
 def test_kge_recommender_lsh_scoring(spark):
     ratings = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
         F.col("o_custkey").alias("user_id"),
@@ -145,6 +149,7 @@ def _chain_df(spark, n_ent=20):
     )
 
 
+@pytest.mark.slow
 def test_partitioned_training_separates_pos_from_neg(spark):
     """Distributed trainer (partition-wise SGD + Spark-side delta
     aggregation) learns: positives score better than corruptions."""
@@ -287,6 +292,7 @@ def test_sharded_trainer_bit_reproducible_multi_partition(spark):
         assert s1[k] == s2[k], k  # exact float equality, not allclose
 
 
+@pytest.mark.slow
 def test_sharded_training_separates_pos_from_neg(spark):
     """Multi-partition sharded training (per-partition LOCAL negative
     sampling — the DGL-KE compromise) still learns the chain."""
@@ -361,6 +367,7 @@ def test_distributed_params_init_distributions(spark):
     assert ("E:re", 0) in pr and ("E:im", 0) in pr
 
 
+@pytest.mark.slow
 def test_sharded_training_from_distributed_init_learns(spark):
     """End-to-end driver-free path: cluster-generated init feeds the
     sharded trainer via params_init and still learns the chain — at

@@ -71,6 +71,7 @@ def _normalize(df):
 
 
 @pytest.mark.parametrize("seed", [11, 23])
+@pytest.mark.slow
 def test_doc_oracles_agree_on_random_corpora(spark, tmp_path, seed):
     from pyspark.sql import functions as F
 
@@ -127,6 +128,7 @@ EVENT_QUERIES = [
 
 
 @pytest.mark.parametrize("seed", [7])
+@pytest.mark.slow
 def test_event_oracles_agree_on_random_streams(spark, tmp_path, seed):
     """Random events tables (micros timestamps — the exact layout that
     broke round 2) through the shaped loader AND the DuckDB oracle."""
@@ -202,6 +204,7 @@ METRIC_QUERIES = [
 
 
 @pytest.mark.parametrize("seed", [13])
+@pytest.mark.slow
 def test_metric_oracles_agree_on_random_ratings(spark, tmp_path, seed):
     """Random (lineitem, orders) interaction tables through the full
     evaluation pipeline AND its DuckDB replay. The ratings lineage

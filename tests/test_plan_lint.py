@@ -1,3 +1,4 @@
+import pytest
 """Plan linter: no batch driver query may introduce a NEW
 single-partition exchange (the whole-corpus-through-one-task trap this
 repo engineers around everywhere — see splits._global_rank,
@@ -145,6 +146,7 @@ def test_fold_lineages_share_cached_split_scan(spark):
         spark.catalog.clearCache()
 
 
+@pytest.mark.slow
 def test_no_unexpected_single_partition_exchanges(spark):
     # Some query BUILDERS cache/persist subtrees (shingle tables, split
     # frames); if an earlier test built those plans, Spark's cache
@@ -244,6 +246,7 @@ def _nlj_count(plan: str) -> int:
     return plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
 
 
+@pytest.mark.slow
 def test_no_unexpected_cartesian_or_nested_loop_joins(spark):
     """At 100 TB a cartesian (or non-equi nested-loop) join of two
     data-sized inputs is a run-killer. The only tolerated shape is a

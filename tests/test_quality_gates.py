@@ -251,6 +251,7 @@ def test_snapshot_diff_properties_vs_pandas(spark):
     check()
 
 
+@pytest.mark.slow
 def test_expectations_row_level_metrics_vs_python(spark):
     """Randomized frames: the compiled one-pass metrics must equal the
     per-row Python evaluation of the same predicates."""
@@ -294,6 +295,7 @@ def test_expectations_row_level_metrics_vs_python(spark):
     check()
 
 
+@pytest.mark.slow
 def test_negatives_invariants_random_graphs(spark):
     """Randomized rating graphs: negatives are never positives, come
     from the rated catalog, respect k, and are repartition-invariant."""

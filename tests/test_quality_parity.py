@@ -61,6 +61,7 @@ def test_clone_shape_is_faithful(clone_dir):
     assert stars == {1: 6110, 2: 11370, 3: 27145, 4: 34174, 5: 21201}
 
 
+@pytest.mark.slow
 def test_node2vec_fold_metrics_in_reference_band(spark, clone_dir):
     """One fold of the exact run1 protocol through the experiment
     machinery; fold MAP@5 / nDCG@5 inside the reference fold envelope."""

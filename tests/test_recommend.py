@@ -110,6 +110,7 @@ def test_all_recs_rejected_on_lsh_scoring():
         Node2VecRecommender(scoring="lsh", all_recs=True)
 
 
+@pytest.mark.slow
 def test_topk_by_cosine_broadcast_equals_windowed(spark):
     """The zero-shuffle broadcast-array scorer must be row-for-row
     identical to the windowed crossJoin scorer (same dots, same

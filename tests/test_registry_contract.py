@@ -10,6 +10,7 @@ import inspect
 import re
 
 import duckdb
+import pytest
 
 from knowledge_graph_aware_recommender_systems_with_dbpedia_spark.plans import (
     ORACLES,
@@ -90,6 +91,7 @@ EAGER_TRAINERS = {
 }
 
 
+@pytest.mark.slow
 def test_no_registry_query_returns_complex_columns(spark):
     """The driver's oracle canonicalizer sorts rows before stringifying
     and crashes on array/map cells (CORRECTNESS_r04's mm3 red row) —
@@ -110,6 +112,7 @@ def test_no_registry_query_returns_complex_columns(spark):
     assert not bad, f"flatten these to scalar strings (a2_o1 pattern): {bad}"
 
 
+@pytest.mark.slow
 def test_every_oracle_sql_plans_in_duckdb():
     """EXPLAIN (plan, don't execute) every oracle against the real
     sf0.001 views — catches column/table typos and dialect errors at

@@ -44,6 +44,7 @@ def test_matches_exact_groupby(zipf):
     assert got  # non-trivial: the head must be non-empty
 
 
+@pytest.mark.slow
 def test_partitioning_invariant(zipf):
     for parts in (1, 7, 32):
         got = {

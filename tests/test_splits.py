@@ -118,6 +118,7 @@ def test_invalid_args(ratings, kw):
         splits.split_ratings(ratings, **kw)
 
 
+@pytest.mark.slow
 def test_global_variants_deterministic_across_partitionings(ratings):
     # the two-pass bucketed global rank must give identical membership
     # regardless of physical partitioning (retry/speculation safety)
@@ -137,6 +138,7 @@ def test_global_variants_deterministic_across_partitionings(ratings):
         ), method
 
 
+@pytest.mark.slow
 def test_kfold_sklearn_sizing_property(spark):
     from hypothesis import given, settings, strategies as st
 
@@ -396,6 +398,7 @@ def test_purged_embargo_folds_bruteforce(spark):
         assert got[f][0] + got[f][1] + got[f][2] == n
 
 
+@pytest.mark.slow
 def test_rolling_origin_registry_method_matches_audit(spark):
     """VERDICT r13 item 7: split_ratings(method='rolling_origin') is
     the ROW-LEVEL twin of the sp13 audit — per-fold train/test counts
